@@ -1,13 +1,543 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry below is one operator/capability from SURVEY.md §2 (the
+  * reference's SPJU surface, `RPC/RPC/RPC.cs:20-28`) or §2.7/§7.2 (the
+  * extended surface). Each has a DuckDB-runnable oracle in [[oracleSql]]
+  * unless the op is not SQL-expressible (then the driver's rows>0 check
+  * applies).
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - every query ends in a total-order ORDER BY (unique key included);
+  *  - no raw double SUM/AVG over non-integral values: per-row values are
+  *    scaled to integer cents/micros with ROUND (per-row IEEE ops are
+  *    identical in both engines), summed exactly as BIGINT, and divided
+  *    once at the end;
+  *  - oracle aggregate types are CAST to Spark's output types
+  *    (DuckDB sum(BIGINT) is HUGEINT, count/length are BIGINT, ...).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on sf=0.001 — the reference's headline shape
+    * (SPJ over fragmented tables, `QueryService.asmx.cs:51-89`) extended
+    * with aggregation, run through the Engine facade so plan JSON +
+    * statistics are exercised too. */
+  def entry(spark: SparkSession): DataFrame = {
+    val eng = new Engine(spark, "/root/testdata/sf0.001")
+    eng.query(
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0D
+        |         AS total_price
+        |FROM customer_f c JOIN orders_f o ON c.c_custkey = o.o_custkey
+        |WHERE c.c_acctbal > 0
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin).df
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    Tables.register(s, dir)
+    s.table(name)
+  }
+
+  /** Exact integer-cents sum of a 2-decimal double column / expression,
+    * emitted as a double — deterministic across engines. */
+  private def centsSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long")) / 100.0
+  private def microsSum(c: org.apache.spark.sql.Column) =
+    sum(round(c * 1e6).cast("long")) / 1e6
+
+  // ---------------------------------------------------------------------
+  // Reference-parity surface (SURVEY.md §2: LEAF/SEL/PROJ/JOIN/UNION +
+  // fragmentation localizer + raw-SQL passthrough)
+  // ---------------------------------------------------------------------
+
+  private def qScanLeaf(s: SparkSession, dir: String): DataFrame =
+    // LEAF scan with pushed-down predicate (ref doQuery, RPC.cs:311-329):
+    // filter + projection reach the parquet reader via Catalyst.
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def qSelConjunctive(s: SparkSession, dir: String): DataFrame =
+    // SEL: conjunctive comparison predicates (ref doSelect RPC.cs:343-356;
+    // WHERE flattening QueryService.asmx.cs:658-674).
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000 && col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  private def qProjColumns(s: SparkSession, dir: String): DataFrame =
+    // PROJ: pure column selection (ref doProject RPC.cs:357-375).
+    t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private def qJoinEqui(s: SparkSession, dir: String): DataFrame = {
+    // JOIN: single-key equi inner join (ref doJoin RPC.cs:248-310).
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .filter(c("c_acctbal") > 5000)
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+        o("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private def qJoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    // Left-deep multi-join tree (ref GetAlgTree,
+    // QueryService.asmx.cs:169-247) — nation/region are fixed-size dims,
+    // broadcast explicitly: at 100 TB they are still 25/5 rows.
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val n = t(s, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .filter(o("o_totalprice") > 300000)
+      .select(n("n_name"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private def qUnionHorizontalFrag(s: SparkSession, dir: String): DataFrame =
+    // UNION reassembly of horizontal fragments (ref doUnion RPC.cs:330-342
+    // + localizer :338-367): orders_f is the 4-way fragment union view;
+    // must equal the base table.
+    t(s, dir, "orders_f").orderBy("o_orderkey")
+
+  private def qJoinVerticalFrag(s: SparkSession, dir: String): DataFrame =
+    // Vertical-fragment reconstruction by key join (ref
+    // QueryService.asmx.cs:320-337): customer_f ≡ customer.
+    t(s, dir, "customer_f").orderBy("c_custkey")
+
+  private def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    // Language-level UNION ALL (bag semantics, ref doUnion Merge
+    // behavior): two disjoint selections recombined.
+    val o = t(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 400000)
+    val lo = o.filter(col("o_totalprice") < 10000)
+    hi.unionByName(lo)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private def qPassthroughSql(s: SparkSession, dir: String): DataFrame = {
+    // Raw SQL passthrough (ref GetData, QueryService.asmx.cs:90-100).
+    Tables.register(s, dir)
+    new Engine(s, dir).getData(
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
+  // SQL breadth (SURVEY.md §2.7 — everything the reference lacks)
+  // ---------------------------------------------------------------------
+
+  private def qAggQ1(s: SparkSession, dir: String): DataFrame =
+    // TPC-H Q1 shape: map-side partial agg → exchange on the group keys →
+    // final agg; integer-cents sums keep it deterministic vs the oracle.
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        microsSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  private def qAggHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        centsSum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("o_custkey")
+
+  private def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ n_name, c_mktsegment,
+        |  count(*) AS n_cust,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D AS balance
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    // Ranking window: top-3 orders per customer by price; rank ties are
+    // impossible to break nondeterministically because the full ORDER BY
+    // key (o_totalprice desc, o_orderkey) is unique.
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk")
+  }
+
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    // Running aggregate over an ordered frame (rows-based so ties can't
+    // change the sum; cents-exact).
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running_spend",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qSortLimitTopk(s: SparkSession, dir: String): DataFrame =
+    // ORDER BY + LIMIT → TakeOrderedAndProject: the scalable top-k (per-
+    // partition heaps, no global sort).
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100)
+
+  private def qSetopIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(
+        o.filter(col("o_totalprice") > 300000).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  private def qSetopExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.select(col("c_custkey")).except(
+      o.select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  private def qJoinOuterLeft(s: SparkSession, dir: String): DataFrame = {
+    // Left outer join + null handling of the unmatched side.
+    val c = t(s, dir, "customer")
+    val agg = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+      .select(c("c_custkey"), c("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    // EXISTS as left-semi join: no payload columns from the right side,
+    // no row multiplication — the scalable form of a filtering join.
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private def qScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    // Scalar string/date/math function coverage (ref has zero scalar
+    // functions, SURVEY.md §2.7) — oracle casts match Spark's types.
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status1"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+          .as("status_prio"),
+        length(col("o_orderpriority")).cast("int").as("prio_len"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        // NOTE: round(x, n) with n>0 on computed doubles is engine-
+        // divergent (Spark rounds the shortest decimal repr half-up,
+        // DuckDB rounds the binary value); integer-scale round is safe
+        // because the .5 boundary is exactly representable.
+        round(col("o_totalprice") / 1000).as("price_k"),
+        pow(col("o_orderkey") % 10, 2).as("key_sq"),
+        abs(col("o_totalprice") * -1).as("abs_price"))
+      .orderBy("o_orderkey")
+
+  private def qCaseNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "standard")
+          .otherwise("premium").as("tier"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("pos_bal"),
+        coalesce(
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")),
+          lit(0.0)).as("bal_or_zero"))
+      .orderBy("c_custkey")
+
+  private def qSubqueryIn(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private def qSubqueryExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private def qGroupProduct(s: SparkSession, dir: String): DataFrame = {
+    // The reference-era "big" query: SPJ over all fragment views + agg —
+    // fragmentation must be fully transparent to Catalyst (pushdown
+    // through the union/join views; SURVEY.md §4.1).
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT n.n_name, count(*) AS n_orders,
+        |  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0D
+        |    AS revenue
+        |FROM customer_f c
+        |JOIN orders_f o ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 1000
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference parity (SURVEY §2)
+    "scan_leaf" -> (qScanLeaf _),
+    "sel_conjunctive" -> (qSelConjunctive _),
+    "proj_columns" -> (qProjColumns _),
+    "join_equi" -> (qJoinEqui _),
+    "join_multiway" -> (qJoinMultiway _),
+    "union_horizontal_frag" -> (qUnionHorizontalFrag _),
+    "join_vertical_frag" -> (qJoinVerticalFrag _),
+    "union_all" -> (qUnionAll _),
+    "passthrough_sql" -> (qPassthroughSql _),
+    "frag_transparency_agg" -> (qGroupProduct _),
+    // SQL breadth (SURVEY §2.7)
+    "agg_q1" -> (qAggQ1 _),
+    "agg_distinct" -> (qAggDistinct _),
+    "agg_having" -> (qAggHaving _),
+    "agg_rollup" -> (qAggRollup _),
+    "window_rank" -> (qWindowRank _),
+    "window_running" -> (qWindowRunning _),
+    "sort_limit_topk" -> (qSortLimitTopk _),
+    "setop_intersect" -> (qSetopIntersect _),
+    "setop_except" -> (qSetopExcept _),
+    "join_outer_left" -> (qJoinOuterLeft _),
+    "join_semi" -> (qJoinSemi _),
+    "join_anti" -> (qJoinAnti _),
+    "scalar_funcs" -> (qScalarFuncs _),
+    "case_null" -> (qCaseNull _),
+    "subquery_in" -> (qSubqueryIn _),
+    "subquery_exists" -> (qSubqueryExists _),
+  )
+
+  /** DuckDB oracle for each query (same tables, same column names, same
+    * total order). */
+  def oracleSql: Map[String, String] = Map(
+    "scan_leaf" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sel_conjunctive" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE o_totalprice > 200000 AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "proj_columns" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "join_equi" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE c.c_acctbal > 5000
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "join_multiway" ->
+      """SELECT n.n_name, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_totalprice > 300000
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "union_horizontal_frag" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "join_vertical_frag" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "union_all" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice < 10000
+        |ORDER BY o_orderkey""".stripMargin,
+    "passthrough_sql" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+    "frag_transparency_agg" ->
+      """SELECT n.n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) / 100.0 AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 1000
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+    "agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |       AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+        |                AS BIGINT)) AS BIGINT) / 1e6 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT n.n_name, c.c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS balance
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+        |ORDER BY n.n_name NULLS FIRST, c.c_mktsegment NULLS FIRST""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders) x
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) / 100.0 AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "setop_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_custkey""".stripMargin,
+    "setop_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "join_outer_left" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(coalesce(x.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM customer c LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |   GROUP BY o_custkey) x
+        |  ON c.c_custkey = x.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substr(o_orderstatus, 1, 1) AS status1,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(day(o_orderdate) AS INTEGER) AS o_day,
+        |  round(o_totalprice / 1000) AS price_k,
+        |  pow(o_orderkey % 10, 2) AS key_sq,
+        |  abs(o_totalprice * -1) AS abs_price
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "case_null" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS tier,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+        |    AS pos_bal,
+        |  coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
+        |           0.0) AS bal_or_zero
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "subquery_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+  )
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog: registers the driver testdata parquet tables as temp views,
+  * plus "fragmentation" views mirroring the reference engine's data layout
+  * (reference: `QueryService.asmx.cs:310-427` — horizontal fragments
+  * reassembled by UNION ALL, a vertical `customer` split reassembled by a
+  * key join). In Spark the localization phase is pure data layout: each
+  * fragment is a relation, the logical table is a view, and Catalyst
+  * pushes filters/prunes columns through the views natively — no custom
+  * rewrite rule is needed (SURVEY.md §2.6, §4.1).
+  *
+  * Scale note: at 100 TB each table would be a partitioned parquet
+  * directory (e.g. orders partitioned by month) rather than one file; the
+  * view layer is unchanged. Fragment views here are defined by a
+  * deterministic hash split so fragmentation-transparency is testable.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough (and scale-invariant enough) to broadcast in any
+    * join at any scale factor: region is 5 rows, nation 25 — fixed-size
+    * dimension tables even at 100 TB. */
+  val alwaysBroadcast: Set[String] = Set("region", "nation")
+
+  // Re-registering identical views is cheap but not free (parquet footer
+  // reads); remember what's registered per (session, sfDir).
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    if (table == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos and convert to a microsecond
+    * timestamp (the data is µs-aligned, so this is lossless). */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Register all base-table views + fragment views for `sfDir`. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    if (registered.get(spark) == sfDir) return
+    names.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+
+    // --- Horizontal fragmentation: orders split across 4 "sites" by a
+    // deterministic hash of the primary key (reference `:338-367`).
+    // UNION ALL view reassembles; disjointness makes ALL == DISTINCT.
+    (0 until 4).foreach { site =>
+      spark.sql(
+        s"""SELECT * FROM orders
+           |WHERE pmod(hash(o_orderkey), 4) = $site""".stripMargin)
+        .createOrReplaceTempView(s"orders_site$site")
+    }
+    spark.sql(
+      (0 until 4).map(i => s"SELECT * FROM orders_site$i")
+        .mkString(" UNION ALL "))
+      .createOrReplaceTempView("orders_f")
+
+    // --- Vertical fragmentation: customer split column-wise into a
+    // name-side and an account-side fragment sharing the key
+    // (reference `:320-337`, guards `:628-631`); reassembled by key join.
+    spark.sql("SELECT c_custkey, c_name, c_mktsegment FROM customer")
+      .createOrReplaceTempView("customer_v1")
+    spark.sql("SELECT c_custkey, c_acctbal, c_nationkey FROM customer")
+      .createOrReplaceTempView("customer_v2")
+    spark.sql(
+      """SELECT v1.c_custkey, v1.c_name, v2.c_nationkey,
+        |       v2.c_acctbal, v1.c_mktsegment
+        |FROM customer_v1 v1 JOIN customer_v2 v2
+        |  ON v1.c_custkey = v2.c_custkey""".stripMargin)
+      .createOrReplaceTempView("customer_f")
+
+    registered.put(spark, sfDir)
+  }
+}
