@@ -337,6 +337,75 @@ object SparkEntry {
         |ORDER BY n.n_name""".stripMargin)
   }
 
+  // ---------------------------------------------------------------------
+  // LLM-data-pipeline surface (BASELINE.json north star; SURVEY.md §7.2
+  // M3): dedup, similarity search, text analysis, multimodal, streaming
+  // ---------------------------------------------------------------------
+
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Multimodal, Similarity}
+  import graft.streaming.EventsStream
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    // Token counting + document fingerprinting over builtins only —
+    // runs entirely inside the scan stage (no shuffle but the sort).
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    // Language-ID heuristic + composite quality score (not SQL-
+    // expressible in the oracle dialect → rows-only check).
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang").as("lang_label"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.subwordCount(col("text")).as("n_subwords"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"))
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"))
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"))
+
+  private def annQueries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
+
+  private def qSimBruteforce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(
+      t(s, dir, "embeddings"), annQueries(s, dir), k = 10)
+
+  private def qSimLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(
+      t(s, dir, "embeddings"), annQueries(s, dir), k = 10)
+
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.pipelineStats(s, t(s, dir, "documents"))
+
+  private def qStreamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    // Batch run of the shared batch/streaming transform (the streaming
+    // spec drives the same code through readStream + memory sink).
+    EventsStream.windowedAgg(t(s, dir, "events"))
+      .orderBy("window_start", "event_type")
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    EventsStream.sessionizeBatch(t(s, dir, "events"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity (SURVEY §2)
@@ -367,6 +436,19 @@ object SparkEntry {
     "case_null" -> (qCaseNull _),
     "subquery_in" -> (qSubqueryIn _),
     "subquery_exists" -> (qSubqueryExists _),
+    // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
+    "text_stats" -> (qTextStats _),
+    "text_quality" -> (qTextQuality _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_ngram_jaccard" -> (qDedupNgram _),
+    "dedup_embedding" -> (qDedupEmbedding _),
+    "sim_topk_bruteforce" -> (qSimBruteforce _),
+    "sim_topk_lsh" -> (qSimLsh _),
+    "multimodal_pipeline" -> (qMultimodal _),
+    "stream_window_agg" -> (qStreamWindowAgg _),
+    "events_sessionize" -> (qSessionize _),
   )
 
   /** DuckDB oracle for each query (same tables, same column names, same
@@ -539,5 +621,53 @@ object SparkEntry {
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+    // LLM-pipeline oracles (DuckDB dialect; ops with no SQL equivalent —
+    // minhash/simhash/ngram/embedding/ANN/multimodal — are rows-only)
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(replace(trim(regexp_replace(lower(text), '\s+',
+        |    ' ', 'g')), ' ', '')) AS DOUBLE)
+        |    / len(string_split(trim(regexp_replace(lower(text), '\s+',
+        |      ' ', 'g')), ' ')) AS avg_word_len,
+        |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+        |    AS DOUBLE) / length(text) AS punct_ratio,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep
+        |  FROM f)
+        |SELECT doc_id, fp, doc_id = rep AS keep,
+        |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

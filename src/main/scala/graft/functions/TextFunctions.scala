@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface
+  * (BASELINE.json north star; the reference has no scalar functions at
+  * all, SURVEY.md §2.7). All built from codegen'd/JVM-native Spark
+  * builtins — no Scala UDFs in the hot path, so whole-stage codegen
+  * spans stay wide and everything scales linearly with input splits.
+  */
+object TextFunctions {
+
+  /** Canonical form used by dedup: lowercase, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokenizer (empty string → empty array, not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: words + punctuation clusters +
+    * digit runs each count as a token. */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(lower(text), "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
+      t => length(trim(t)) > 0))
+
+  /** k-word shingles of the normalized text: array of space-joined
+    * k-grams (distinct). The unit MinHash/Jaccard dedup operates on. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Character n-grams of the normalized text (distinct). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = normalize(text)
+    array_distinct(
+      when(length(s) >= n,
+        transform(sequence(lit(0), length(s) - n),
+          i => s.substr(i + 1, lit(n))))
+        .otherwise(array(s)))
+  }
+
+  /** Document fingerprint: stable 128-bit content hash of the canonical
+    * text (md5 so an external SQL oracle can reproduce it). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling-ish fingerprint for fast grouping (xxhash64). */
+  def fingerprint64(text: Column): Column = xxhash64(normalize(text))
+
+  // --- Quality scoring -------------------------------------------------
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Fraction of characters that are not letters/digits/whitespace. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    val stripped =
+      length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double")
+    when(total > 0, stripped / total).otherwise(0.0)
+  }
+
+  def digitRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    when(total > 0,
+      length(regexp_replace(text, "[^0-9]", "")).cast("double") / total)
+      .otherwise(0.0)
+  }
+
+  def avgWordLen(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    when(n > 0,
+      length(regexp_replace(normalize(text), " ", "")).cast("double") / n)
+      .otherwise(0.0)
+  }
+
+  /** Stopword-hit ratio over the token stream (English list; a rough
+    * fluency signal — word-salad text scores near 0). */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val sw = array(englishStopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation/digit noise and some stopword structure. Weights are
+    * heuristic; the point is a deterministic, fully-distributed scoring
+    * pipeline over builtins. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5)
+    val digitScore = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 5)
+    val swScore = least(stopwordRatio(text) * 3, lit(1.0))
+    lenScore * 0.3 + punctScore * 0.3 + digitScore * 0.2 + swScore * 0.2
+  }
+
+  // --- Language ID -----------------------------------------------------
+
+  /** Tiny per-language marker lexicons (top function words). Public
+    * knowledge; enough for a coarse n-gram/stopword language-ID
+    * heuristic over whitespace-tokenized text. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
+      "for", "with", "was", "on", "are", "this", "have"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se",
+      "las", "por", "un", "para", "con", "una"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "sie", "ist",
+      "des", "sich", "mit", "dem", "dass", "ein", "auf"),
+    "fr" -> Seq("le", "de", "la", "et", "les", "des", "est", "une", "dans",
+      "que", "pour", "qui", "sur", "pas", "plus"),
+    "zh" -> Seq("de5", "le5", "shi4", "zai4", "he2", "you3", "wo3", "ta1",
+      "zhe4", "men5", "bu4", "yi1", "ge4", "shang4", "ni3"))
+
+  /** Language ID: argmax of marker-lexicon hits per language, 'und' when
+    * nothing matches. Pure builtins (array_intersect over the token set),
+    * so it runs inside the scan stage — no shuffle, no UDF. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = langMarkers.map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+}

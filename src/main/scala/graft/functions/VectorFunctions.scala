@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.graft.bridge.{toColumn, toExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector/fingerprint hot paths.
+  * These are custom `Expression`s (not Scala UDFs): null-safe, typed,
+  * with hand-written codegen that stays inside whole-stage codegen —
+  * the preference order from SURVEY.md §7.1 for capabilities Spark's
+  * builtin library lacks (the reference itself has no function surface,
+  * `RPC/RPC/RPC.cs:20-28`).
+  */
+object VectorFunctions {
+
+  /** Cosine similarity of two float vectors, null if either is null or
+    * lengths differ or a norm is 0. Single fused pass — no intermediate
+    * arrays (vs composing zip_with + aggregate, which allocates). */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (n != y.numElements() || n == 0) return null
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) null
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements() || $n == 0) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xv = (double) $x.getFloat($i);
+         |    double yv = (double) $y.getFloat($i);
+         |    $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny)); }
+         |}
+       """.stripMargin
+    })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** 64-bit SimHash of a token array: each token is xxhash64'd; each of
+    * the 64 output bits is the sign of the per-bit vote sum. Hamming
+    * distance between SimHashes approximates token-multiset cosine
+    * distance — the classic near-dup fingerprint (Charikar '02). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val t = arr.getUTF8String(i)
+          val h = XXH64.hashUnsafeBytes(
+            t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val t = ctx.freshName("t")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; }
+         |else {
+         |  int[] $votes = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$arr.isNullAt($i)) {
+         |      org.apache.spark.unsafe.types.UTF8String $t =
+         |        $arr.getUTF8String($i);
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |        .hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(),
+         |                         $t.numBytes(), 42L);
+         |      for (int $j = 0; $j < 64; $j++) {
+         |        if ((($h >>> $j) & 1L) == 1L) $votes[$j]++;
+         |        else $votes[$j]--;
+         |      }
+         |    }
+         |  }
+         |  long $out = 0L;
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ($votes[$j] > 0) $out |= (1L << $j);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Deterministic pseudo-random hyperplane LSH signature for a float
+    * vector: bit p of the result is the sign of `v · r_p`, where plane
+    * `r_p`'s components are derived from xxhash64(p, dim index) mapped to
+    * [-1, 1). No stored model, identical on every executor. */
+  case class HyperplaneSignature(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits > 0 && bits <= 64)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    private def planeComponent(p: Int, d: Int): Double = {
+      val h = XXH64.hashLong(p.toLong << 32 | (d.toLong & 0xffffffffL), 7L)
+      // map to [-1, 1)
+      (h.toDouble / Long.MaxValue.toDouble)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      if (n == 0) return null
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          dot += v.getFloat(d) * planeComponent(p, d)
+          d += 1
+        }
+        if (dot >= 0) sig |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+    // Interpreted eval only (not on the per-row hot path in the ANN
+    // pipeline — signatures are computed once per vector, then joined).
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("hpsig", this,
+        classOf[HyperplaneSignature].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Long) r).longValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // --- Column-level API -------------------------------------------------
+
+  def cosine_sim(a: Column, b: Column): Column =
+    toColumn(CosineSimilarity(toExpression(a), toExpression(b)))
+  def simhash64(tokens: Column): Column =
+    toColumn(SimHash64(toExpression(tokens)))
+  def hyperplane_sig(v: Column, bits: Int): Column =
+    toColumn(HyperplaneSignature(toExpression(v), bits))
+}

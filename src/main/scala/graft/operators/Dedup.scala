@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for the LLM-data-pipeline surface
+  * (BASELINE.json north star — the reference engine has no dedup at all;
+  * its only set op is fragment-reassembly UNION, SURVEY.md §2.5).
+  *
+  * Scale design notes (target: ~100 TB of documents on a large cluster):
+  *  - every operator is a fixed number of key-partitioned shuffles — no
+  *    driver-side collection, no per-row Scala closures in hot paths;
+  *  - candidate generation is always blocked (LSH bands / band buckets),
+  *    never all-pairs; oversized buckets (degenerate content, e.g. empty
+  *    strings) are capped with a per-bucket row_number guard so one hot
+  *    key cannot quadratically explode a task;
+  *  - exact verification joins run only over candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by canonical-content fingerprint: every doc keeps its
+    * group's min doc_id as `dup_of` (null for the kept representative).
+    * One hash-partitioned window — the exact-group analog of a
+    * groupBy-min, but emitting a decision per row so downstream filters
+    * can either drop dups (`keep`) or audit them. */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .select(
+        col("doc_id"), col("fp"),
+        (col("doc_id") === col("rep_id")).as("keep"),
+        when(col("doc_id") =!= col("rep_id"), col("rep_id")).as("dup_of"))
+  }
+
+  /** Per-doc MinHash signature: `numHashes` independent min-hashes over
+    * k-word shingles. Computed as explode(shingles) → one map-side-
+    * combinable min-agg per hash function — a single shuffle keyed by
+    * doc_id regardless of numHashes. */
+  def minhashSignatures(
+      docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(wordShingles(col("text"), shingleK)).as("sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * numHashes=32 split into 8 bands × 4 rows ⇒ candidate-recall ~1 for
+    * J ≥ 0.8 (P(candidate) = 1-(1-J^4)^8 = 0.9996 at J=0.8). Stages:
+    *  1. signatures (1 shuffle);
+    *  2. band keys → explode → self-join per (band, key) bucket with a
+    *     bucket-size cap (2 shuffles, bounded fan-out);
+    *  3. exact Jaccard on candidates via shingle-set intersection join
+    *     (shuffles proportional to candidate count only).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, shingleK, numHashes)
+
+    // band key = hash of the band's signature slice
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    // cap pathological buckets (hot-key guard at scale)
+    val capped = buckets
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(docs, candidates, shingleK)
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact Jaccard for given (id_a, id_b) candidate pairs via shingle
+    * inverted join — cost proportional to candidates, not corpus². */
+  def verifyJaccard(
+      docs: DataFrame, candidates: DataFrame, shingleK: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), shingleK)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val common = candidates
+      .join(sh.withColumnRenamed("doc_id", "id_a").as("sa"), Seq("id_a"))
+      .join(sh.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sh", "sh_b").as("sb"), Seq("id_b"))
+      .filter(col("sh") === col("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+
+    candidates
+      .join(common, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit token-level SimHash (custom codegen'd
+    * Catalyst expression), candidates from 4×16-bit band equality, final
+    * filter on Hamming distance. By the pigeonhole principle, any pair
+    * with Hamming ≤ 3 shares at least one of the 4 bands ⇒ exact recall
+    * for maxHamming ≤ 3. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)
+            .as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs. Candidate generation by
+    * inverted index over *discriminative* n-grams only (document
+    * frequency ≤ maxDf — the standard stop-ngram pruning; common n-grams
+    * generate quadratic bucket blowup and no selectivity), candidates =
+    * pairs sharing ≥ minShared such n-grams, then exact Jaccard over the
+    * full n-gram sets. */
+  def ngramJaccard(
+      docs: DataFrame,
+      n: Int = 8,
+      threshold: Double = 0.7,
+      maxDf: Int = 50,
+      minShared: Int = 2): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(charNgrams(col("text"), n)).as("g"))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val postings = grams.join(rare, Seq("g")).select("doc_id", "g")
+
+    val a = postings.as("a")
+    val b = postings.as("b")
+    val candidates = a.join(b,
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+
+    // exact char-ngram Jaccard over full sets
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = candidates
+      .join(grams.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(grams.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("g", "g_b"), Seq("id_b"))
+      .filter(col("g") === col("g_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    candidates.join(common, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("sz", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("sz", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup: each vector's nearest neighbor by cosine, via
+    * hyperplane-LSH blocking (16-bit signature, band-split 4×4 bits) with
+    * a brute-force fallback within buckets; emits (vec_id, nn_id, cosine,
+    * is_dup = cosine ≥ threshold). Always one row per vector that shares
+    * ≥1 band — callers wanting hard dedup filter on is_dup. */
+  def embeddingNearDup(
+      embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val sig = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplane_sig(col("embedding"), 16).as("sig"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 4).bitwiseAND(0xfL)
+            .as("bkey"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val scored = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+        cosine_sim(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"), col("cosine"),
+        (col("cosine") >= threshold).as("is_dup"))
+      .orderBy("vec_id")
+  }
+}

@@ -42,8 +42,10 @@ object Tables {
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18,
+    // beyond double's 2^53 exact range) silently loses microseconds
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Register all base-table views + fragment views for `sfDir`. */

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table (extension
+  * territory per SURVEY.md §1.1 — the reference has no streaming at all).
+  *
+  * The transforms are written once against a DataFrame and used in BOTH
+  * modes: batch (Verify/oracle — `window()` and the sessionization SQL
+  * work identically on static data) and streaming (ScalaTest drives
+  * them through a file/memory-sink streaming query with a watermark).
+  * That one-code-path design is the point: at scale the same pipeline
+  * definition serves backfill (batch over 100 TB of history) and the
+  * live stream.
+  */
+object EventsStream {
+
+  /** Tumbling-window aggregation per event type: 1-hour windows, count +
+    * exact micro-scaled value sum. In streaming mode the 10-minute
+    * watermark bounds state; in batch mode it is a no-op. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 1e6).cast("long")) / 1e6).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch sessionization (gap-based): a session breaks after `gapMin`
+    * minutes of per-user inactivity. Classic lag + cumulative-sum window
+    * construction — runs distributed (partition by user, order by ts)
+    * and is SQL-expressible for the DuckDB oracle. */
+  def sessionizeBatch(events: DataFrame, gapMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // exact integer µs arithmetic — deterministic across engines (a
+    // float-seconds comparison could flip at an exact gap boundary)
+    val newSession =
+      (unix_micros(col("ts")) -
+        unix_micros(lag("ts", 1).over(byUser)) > gapMin * 60L * 1000000L)
+        .cast("int")
+    events
+      .withColumn("new_s", coalesce(newSession, lit(0)))
+      .withColumn("session_idx",
+        sum("new_s").over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // --- Streaming-only stateful sessionization ---------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Custom state: per-user event counting session that closes after a
+    * processing-time gap — the `flatMapGroupsWithState` shape for state
+    * Spark's windowing can't express. */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame)
+      : Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, n, closed = true))
+          } else {
+            val n = state.getOption.getOrElse(0L) + batch.size
+            state.update(n)
+            state.setTimeoutDuration("30 minutes")
+            Iterator.single(SessionUpdate(userId, n, closed = false))
+          }
+      }
+  }
+
+  /** Drive [[windowedAgg]] as a real streaming query over the parquet
+    * events dir, synchronously to completion (memory sink). Used by the
+    * streaming spec; returns the sink table name. */
+  def runWindowedStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "events_windowed"): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    // file streaming sources take a directory; select just the events
+    // table out of the shared sf dir with a glob filter
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = windowedAgg(stream).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
+}
