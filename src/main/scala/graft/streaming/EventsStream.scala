@@ -63,29 +63,61 @@ object EventsStream {
       event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 
-  /** Custom state: per-user event counting session that closes after a
-    * processing-time gap — the `flatMapGroupsWithState` shape for state
-    * Spark's windowing can't express. */
+  /** Custom state: per-user event-counting session that closes after a
+    * 30-minute *event-time* gap — the `flatMapGroupsWithState` shape for
+    * state Spark's windowing can't express. Event-time timeouts are the
+    * scalable/terminating choice: they advance with the watermark (data),
+    * while processing-time timeouts force the engine to keep scheduling
+    * wall-clock batches forever (an AvailableNow backfill never ends). */
   def sessionizeStateful(spark: SparkSession, events: DataFrame)
       : Dataset[SessionUpdate] = {
     import spark.implicits._
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val n = state.get
+            val s = state.get
             state.remove()
-            Iterator.single(SessionUpdate(userId, n, closed = true))
+            Iterator.single(SessionUpdate(userId, s.n, closed = true))
           } else {
-            val n = state.getOption.getOrElse(0L) + batch.size
-            state.update(n)
-            state.setTimeoutDuration("30 minutes")
-            Iterator.single(SessionUpdate(userId, n, closed = false))
+            val events = batch.toSeq
+            val maxTs = events.map(_.ts.getTime).max
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val s = SessionState(prev.n + events.size,
+              math.max(prev.maxTs, maxTs))
+            state.update(s)
+            state.setTimeoutTimestamp(s.maxTs + 30L * 60000L)
+            Iterator.single(SessionUpdate(userId, s.n, closed = false))
           }
       }
+  }
+
+  case class SessionState(n: Long, maxTs: Long)
+
+  /** Streaming read of the events table (file source). The nanos `ts` is
+    * read as long and converted exactly like the batch path. */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    // file streaming sources take a directory; select just the events
+    // table out of the shared sf dir with a glob filter
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Drive [[windowedAgg]] as a real streaming query over the parquet
@@ -93,28 +125,7 @@ object EventsStream {
     * streaming spec; returns the sink table name. */
   def runWindowedStream(spark: SparkSession, sfDir: String,
       sinkName: String = "events_windowed"): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
-    // file streaming sources take a directory; select just the events
-    // table out of the shared sf dir with a glob filter
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = windowedAgg(stream).writeStream
+    val q = windowedAgg(readEventsStream(spark, sfDir)).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(sinkName)

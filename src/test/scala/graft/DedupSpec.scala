@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the cat naps under the warm sun near the old barn " +
+    "and birds sing in the tall green trees beside the river"
+  private val nearDup = base.replace("lazy", "sleepy")
+  private val exactDup = base.toUpperCase
+  private val other = "completely different content about spark " +
+    "catalyst optimizer rules and distributed shuffle execution " +
+    "with partitions exchanges codegen stages and adaptive plans"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, exactDup), (3L, nearDup), (4L, other))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per canonical fingerprint") {
+    val r = Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(r.map(_.getBoolean(2)).toSeq === Seq(true, false, true, true))
+    assert(r(1).getLong(3) === 1L) // doc 2 is a dup of doc 1
+  }
+
+  test("minhash LSH finds the near-dup pair and nothing else") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash signature has one row and numHashes columns per doc") {
+    val sig = Dedup.minhashSignatures(docs, 3, 16)
+    assert(sig.count() === 4)
+    assert(sig.columns.length === 17)
+  }
+
+  test("simhash pairs finds token-level near-dups") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // same tokens after normalize
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngram jaccard scores the planted pair above threshold") {
+    val r = Dedup.ngramJaccard(docs, threshold = 0.5, maxDf = 3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+      .toMap
+    assert(r.keySet.contains((1L, 2L)) && r((1L, 2L)) === 1.0)
+    assert(r.keySet.contains((1L, 3L)) && r((1L, 3L)) > 0.5)
+    assert(!r.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("embedding near-dup flags only above-threshold neighbors") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f, 0f)), // near-dup of 1
+      (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.embeddingNearDup(vecs, threshold = 0.95)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getBoolean(3))).toMap
+    assert(r(1L)._1 === 2L && r(1L)._2)
+    assert(r(2L)._1 === 1L && r(2L)._2)
+    if (r.contains(3L)) assert(!r(3L)._2)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.PlanJson
+import graft.sources.Tables
+
+/** Reference-parity surface: SPJU operators + fragmentation views
+  * (SURVEY.md §2) and the optimizer behaviors the reference hand-rolled
+  * (§4.1) falling out of Catalyst. */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def init(): Unit = Tables.register(spark, TestSpark.sfDir)
+
+  test("horizontal fragment view reassembles the base table exactly") {
+    init()
+    val base = spark.table("orders")
+    val frag = spark.table("orders_f")
+    assert(frag.count() === base.count())
+    assert(frag.exceptAll(base).isEmpty && base.exceptAll(frag).isEmpty)
+  }
+
+  test("vertical fragment view reassembles all customer rows and columns") {
+    init()
+    val base = spark.table("customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val frag = spark.table("customer_f")
+    assert(frag.exceptAll(base).isEmpty && base.exceptAll(frag).isEmpty)
+  }
+
+  test("fragments are disjoint (UNION ALL == UNION DISTINCT here)") {
+    init()
+    val sites = (0 until 4).map(i => spark.table(s"orders_site$i"))
+    val total = sites.map(_.count()).sum
+    assert(total === spark.table("orders").count())
+  }
+
+  test("selection pushdown reaches the leaf through the fragment union") {
+    init()
+    val df = spark.sql(
+      "SELECT o_orderkey FROM orders_f WHERE o_totalprice > 100000")
+    val kinds = PlanJson.opKinds(df.queryExecution.optimizedPlan)
+    // every leaf must sit directly under a SEL (filter pushed below UNION)
+    val json = PlanJson.optimizedJson(df)
+    assert(!kinds.takeWhile(_ != "UNION").contains("SEL"),
+      s"filter still above the union: $kinds")
+    assert(kinds.count(_ == "LEAF") === 4 && json.contains("o_totalprice"))
+  }
+
+  test("column pruning: scan reads only needed columns") {
+    init()
+    val df = spark.table("lineitem").select("l_orderkey")
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves()
+      .head.schemaString
+    assert(scanSchema.contains("l_orderkey") &&
+      !scanSchema.contains("l_returnflag") &&
+      !scanSchema.contains("l_extendedprice"))
+  }
+
+  test("parquet filter pushdown appears in the physical scan") {
+    init()
+    val df = spark.table("lineitem").filter(col("l_quantity") > 45)
+    val explained = df.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters") &&
+      explained.contains("l_quantity"))
+  }
+
+  test("equi join keeps both sides' columns (reference doJoin shape)") {
+    init()
+    val c = spark.table("customer")
+    val o = spark.table("orders")
+    val j = c.join(o, c("c_custkey") === o("o_custkey"))
+    assert(j.columns.toSet ===
+      (c.columns.toSet ++ o.columns.toSet))
+  }
+
+  test("small-dim join broadcasts (nation is always broadcastable)") {
+    init()
+    val df = spark.table("customer").join(broadcast(spark.table("nation")),
+      col("c_nationkey") === col("n_nationkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("Engine.query returns plans, rows, and statistics") {
+    val eng = new Engine(spark, TestSpark.sfDir)
+    val r = eng.query(
+      "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1 ORDER BY 1")
+    assert(r.rows.length === 5)
+    assert(r.originalPlan.contains("\"OpType\""))
+    assert(r.optimizedPlan.contains("LEAF"))
+    assert(r.statistics.contains("sizeInBytes"))
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

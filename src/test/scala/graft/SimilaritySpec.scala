@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 clusters around orthogonal axes with slight jitter
+  private lazy val corpus = (0 until 30).map { i =>
+    val axis = i % 3
+    val v = new Array[Float](8)
+    v(axis) = 1f
+    v((axis + 3) % 8) = (i % 5) * 0.01f
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns k neighbors in descending cosine") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val r = Similarity.bruteForceTopK(corpus, q, k = 5).collect()
+    assert(r.length === 5)
+    val cosines = r.map(_.getDouble(2)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    // all top-5 of a cluster-0 query are cluster-0 members
+    assert(r.forall(_.getLong(1) % 3 === 0))
+  }
+
+  test("brute-force: every query gets rows, self excluded") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val r = Similarity.bruteForceTopK(corpus, q, k = 3).collect()
+    assert(r.map(_.getLong(0)).distinct.length === 3)
+    assert(!r.exists(x => x.getLong(0) === x.getLong(1)))
+  }
+
+  test("LSH top-k finds the same top-1 as brute force on clustered data") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val bf = Similarity.bruteForceTopK(corpus, q, k = 1).collect()
+    val lsh = Similarity.lshTopK(corpus, q, k = 1, bits = 8, bands = 4)
+      .collect()
+    assert(lsh.nonEmpty)
+    // clustered vectors share buckets → top-1 must match exactly
+    assert(lsh(0).getLong(1) === bf(0).getLong(1))
+  }
+
+  test("LSH candidates are a subset of the corpus scored correctly") {
+    val q = corpus.filter(col("vec_id") === 1)
+    val r = Similarity.lshTopK(corpus, q, k = 30, bits = 8, bands = 2)
+      .collect()
+    assert(r.nonEmpty && r.forall(_.getDouble(2) <= 1.0 + 1e-9))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("windowed agg: streaming file source matches batch (closed windows)") {
+    val sink = EventsStream.runWindowedStream(
+      spark, TestSpark.sfDir, "spec_windowed")
+    val streamed = spark.table(sink)
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val batch = EventsStream.windowedAgg(spark.table("events"))
+    // append mode holds back windows the watermark hasn't passed;
+    // everything emitted must match the batch result exactly
+    val diff = streamed.exceptAll(batch)
+    assert(diff.isEmpty, s"streamed rows not in batch: ${diff.count()}")
+    assert(streamed.count() >= batch.count() - 2)
+  }
+
+  test("batch sessionization splits on the inactivity gap") {
+    import spark.implicits._
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "click", 1.0, ""),
+      (2L, ts(10), 7L, "click", 1.0, ""),
+      (3L, ts(70), 7L, "click", 1.0, ""), // 60-min gap → new session
+      (4L, ts(75), 8L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventsStream.sessionizeBatch(events, gapMin = 30)
+      .orderBy("user_id", "session_idx").collect()
+    assert(r.length === 3)
+    assert(r(0).getLong(0) === 7L && r(0).getLong(2) === 2L) // 2 events
+    assert(r(1).getLong(0) === 7L && r(1).getLong(2) === 1L)
+    assert(r(2).getLong(0) === 8L && r(2).getLong(2) === 1L)
+  }
+
+  test("stateful sessionization runs as a streaming query") {
+    // file source → flatMapGroupsWithState → memory sink, AvailableNow:
+    // process everything queued, then terminate (with
+    // ProcessingTimeTimeout an untriggered query keeps scheduling batches
+    // to evaluate timeouts and processAllAvailable never quiesces)
+    val stream = EventsStream.readEventsStream(spark, TestSpark.sfDir)
+    val updates = EventsStream.sessionizeStateful(spark, stream)
+    val q = updates.writeStream.outputMode("append")
+      .format("memory").queryName("spec_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate")
+    val out = spark.table("spec_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    // per-user max running count must match the batch ground truth
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val truth = spark.table("events").groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.map(_._2).max === truth(u), s"user $u") }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).get(0)
+
+  test("normalize collapses whitespace and lowercases") {
+    assert(one(normalize(col("text")), "  Hello\t WORLD\n x ") ===
+      "hello world x")
+  }
+
+  test("tokens drops empties; tokenCount counts words") {
+    assert(one(tokenCount(col("text")), "a  b   c") === 3)
+    assert(one(tokenCount(col("text")), "   ") === 0)
+  }
+
+  test("word shingles: k-grams, distinct, short-text fallback") {
+    val sh = one(wordShingles(col("text"), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSet === Set("a b c", "b c d"))
+    val short = one(wordShingles(col("text"), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short.toSet === Set("a b"))
+  }
+
+  test("char ngrams cover the normalized text") {
+    val g = one(charNgrams(col("text"), 3), "abcd")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(g.toSet === Set("abc", "bcd"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val a = one(fingerprint(col("text")), "Hello  World")
+    val b = one(fingerprint(col("text")), "hello world")
+    assert(a === b)
+  }
+
+  test("langId picks the dominant marker language") {
+    assert(one(langId(col("text")), "el la de que y en los") === "es")
+    assert(one(langId(col("text")), "the cat and the dog of it") === "en")
+    assert(one(langId(col("text")), "der hund und die katze ist") === "de")
+    assert(one(langId(col("text")), "zzz qqq xxx") === "und")
+  }
+
+  test("quality score is in [0,1] and ranks fluent text higher") {
+    val fluent = one(qualityScore(col("text")),
+      ("the quick brown fox jumps over the lazy dog and then " * 10))
+      .asInstanceOf[Double]
+    val noise = one(qualityScore(col("text")), "@@!! ## 1234 %%")
+      .asInstanceOf[Double]
+    assert(fluent > noise && fluent <= 1.0 && noise >= 0.0)
+  }
+
+  test("ratios handle empty input without dividing by zero") {
+    assert(one(punctRatio(col("text")), "") === 0.0)
+    assert(one(avgWordLen(col("text")), "") === 0.0)
+    assert(one(stopwordRatio(col("text")), "") === 0.0)
+  }
+}

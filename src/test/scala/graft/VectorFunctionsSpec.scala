@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine_sim matches a hand computation") {
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(cosine_sim(col("a"), col("b"))).collect()(0)
+      .getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // dot=1, |a|=|b|=sqrt2
+  }
+
+  test("cosine_sim: identical → 1, orthogonal → 0, mismatch/zero → null") {
+    val df = Seq(
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+    val r = df.select(cosine_sim(col("a"), col("b"))).collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1).getDouble(0)) < 1e-12)
+    val bad = Seq((Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b"))).collect()
+    assert(bad(0).isNullAt(0) && bad(1).isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree") {
+    val data = (0 until 100).map { i =>
+      (Array.tabulate(16)(j => (i * 31 + j).toFloat % 7 - 3),
+        Array.tabulate(16)(j => (i * 17 + j).toFloat % 5 - 2))
+    }
+    val df = data.toDF("a", "b")
+    val codegen = df.select(cosine_sim(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(cosine_sim(col("a"), col("b"))).collect()
+        .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+      codegen.zip(interp).foreach { case (x, y) =>
+        assert(x == y || (x.isNaN && y.isNaN))
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("simhash64 is order-insensitive and content-sensitive") {
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("delta", "gamma", "beta", "alpha"),
+      Seq("alpha", "beta", "gamma", "epsilon")).toDF("toks")
+    val r = df.select(simhash64(col("toks"))).collect().map(_.getLong(0))
+    assert(r(0) === r(1))
+    assert(r(0) !== r(2))
+    // near-identical token sets → small hamming distance
+    val h = java.lang.Long.bitCount(r(0) ^ r(2))
+    assert(h <= 16, s"hamming $h unexpectedly large")
+  }
+
+  test("simhash64 of empty array is null") {
+    val r = Seq(Seq.empty[String]).toDF("toks")
+      .select(simhash64(col("toks"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("hyperplane signature: deterministic, similar vectors collide more") {
+    val base = Array.tabulate(32)(i => math.sin(i.toDouble).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(32)(i => math.cos(i * 3.0).toFloat)
+    val df = Seq(base, base, near, far).toDF("v")
+    val sigs = df.select(hyperplane_sig(col("v"), 16)).collect()
+      .map(_.getLong(0))
+    assert(sigs(0) === sigs(1)) // deterministic
+    val hNear = java.lang.Long.bitCount(sigs(0) ^ sigs(2))
+    val hFar = java.lang.Long.bitCount(sigs(0) ^ sigs(3))
+    assert(hNear < hFar, s"near=$hNear far=$hFar")
+  }
+}
