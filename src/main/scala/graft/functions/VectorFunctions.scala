@@ -197,6 +197,72 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** All k-word shingles of a text, each collapsed to a 64-bit hash, in
+    * one pass: lowercase, split on whitespace, xxhash64 each token, then
+    * chain-hash k consecutive token hashes per shingle. Multiset (not
+    * deduplicated — MinHash is invariant to duplicates; Jaccard callers
+    * `.distinct()` after explode, a distributed dedup that replaces the
+    * O(n²) per-row `array_distinct`). Texts shorter than k words yield
+    * one shingle of all tokens; all-whitespace yields null. */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+      // tokenize without regex: split on any whitespace run
+      val tokenHashes = new java.util.ArrayList[java.lang.Long]()
+      var i = 0
+      val len = s.length
+      while (i < len) {
+        while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+        val start = i
+        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        if (i > start) {
+          val t = UTF8String.fromString(s.substring(start, i))
+          tokenHashes.add(XXH64.hashUnsafeBytes(
+            t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L))
+        }
+      }
+      val n = tokenHashes.size()
+      if (n == 0) return null
+      val m = if (n >= k) n - k + 1 else 1
+      val width = if (n >= k) k else n
+      val out = new Array[Long](m)
+      var s0 = 0
+      while (s0 < m) {
+        var h = 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < width) {
+          h = XXH64.hashLong(tokenHashes.get(s0 + j), h)
+          j += 1
+        }
+        out(s0) = h
+        s0 += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("shingles", this,
+        classOf[ShingleHashes].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // --- Column-level API -------------------------------------------------
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -205,4 +271,6 @@ object VectorFunctions {
     toColumn(SimHash64(toExpression(tokens)))
   def hyperplane_sig(v: Column, bits: Int): Column =
     toColumn(HyperplaneSignature(toExpression(v), bits))
+  def shingle_hashes(text: Column, k: Int): Column =
+    toColumn(ShingleHashes(toExpression(text), k))
 }

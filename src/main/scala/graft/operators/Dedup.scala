@@ -37,18 +37,24 @@ object Dedup {
         when(col("doc_id") =!= col("rep_id"), col("rep_id")).as("dup_of"))
   }
 
+  /** Exploded (doc_id, shingle-hash) pairs — the working representation
+    * for MinHash and Jaccard. Shingling+hashing happens in one custom-
+    * expression pass inside the scan stage; only 8-byte hashes are ever
+    * shuffled. */
+  private def shingleTable(docs: DataFrame, shingleK: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingle_hashes(col("text"), shingleK)).as("sh"))
+
   /** Per-doc MinHash signature: `numHashes` independent min-hashes over
-    * k-word shingles. Computed as explode(shingles) → one map-side-
+    * k-word shingle hashes. Computed as explode → one map-side-
     * combinable min-agg per hash function — a single shuffle keyed by
     * doc_id regardless of numHashes. */
   def minhashSignatures(
       docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
-        explode(wordShingles(col("text"), shingleK)).as("sh"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    shingleTable(docs, shingleK).groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
@@ -102,11 +108,12 @@ object Dedup {
   }
 
   /** Exact Jaccard for given (id_a, id_b) candidate pairs via shingle
-    * inverted join — cost proportional to candidates, not corpus². */
+    * inverted join — cost proportional to candidates, not corpus².
+    * Set semantics via distributed `.distinct()` on the exploded hashes
+    * (replaces per-row O(n²) array_distinct). */
   def verifyJaccard(
       docs: DataFrame, candidates: DataFrame, shingleK: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(wordShingles(col("text"), shingleK)).as("sh"))
+    val sh = shingleTable(docs, shingleK).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val common = candidates
