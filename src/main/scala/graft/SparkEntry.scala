@@ -338,6 +338,178 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // SQL breadth, batch 2: cube/grouping sets, more windows, more scalar
+  // functions, full-outer/cross joins, distinct, pivot, scalar subquery
+  // ---------------------------------------------------------------------
+
+  private def qAggCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D AS spend
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private def qAggMinMax(s: SparkSession, dir: String): DataFrame =
+    // min/max of raw doubles are exact copies of input values — safe to
+    // oracle-compare unrounded (unlike float sums/avgs).
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+      .orderBy("l_returnflag")
+
+  private def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // HLL sketch — the 100 TB path for distinct counts (bounded memory,
+    // mergeable partials). Estimator internals differ per engine →
+    // rows-only; the spec asserts relative error against the exact count.
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  private def qWindowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    // 30-day trailing spend per customer: range frame over integer epoch
+    // seconds (identical semantics in the oracle's RANGE BETWEEN).
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_epoch"))
+      .rangeBetween(-2592000L, 0L)
+    t(s, dir, "orders")
+      .withColumn("o_epoch", unix_timestamp(col("o_orderdate")))
+      .withColumn("spend_30d",
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+      .select("o_custkey", "o_orderkey", "o_epoch", "spend_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("name_digits"),
+        translate(col("c_name"), "#", "-").as("name_dash"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        trim(lit("  x  ")).as("trimmed"),
+        size(split(col("c_name"), "#")).cast("int").as("name_parts"),
+        instr(col("c_name"), "1").cast("int").as("pos_1"),
+        reverse(col("c_name")).as("name_rev"))
+      .orderBy("c_custkey")
+
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  private def qJoinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    // full outer join of two aggregates with disjoint key ranges
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_hi"))
+    val lo = t(s, dir, "orders").filter(col("o_totalprice") < 5000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_lo"))
+    hi.join(lo, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+        coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+      .orderBy("o_custkey")
+  }
+
+  private def qJoinCross(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val st = t(s, dir, "orders").select("o_orderstatus").distinct()
+    r.crossJoin(st)
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy("r_name", "o_orderstatus")
+  }
+
+  private def qSelectDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private def qSetopIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersectAll(
+        o.filter(col("o_totalprice") > 200000).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0L, segs)
+      .orderBy("n_name")
+  }
+
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT 2 * sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     / 100.0D / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private def qSqlCustomFuncs(s: SparkSession, dir: String): DataFrame = {
+    // Custom Catalyst expressions callable from SQL (registered the way
+    // SparkSessionExtensions.injectFunction ships them).
+    Tables.register(s, dir)
+    graft.functions.VectorFunctions.registerSqlFunctions(s)
+    s.sql(
+      """SELECT d.doc_id,
+        |  simhash64(split(lower(d.text), ' ')) AS sim_sig,
+        |  size(shingle_hashes(d.text, 3)) AS n_shingles,
+        |  cosine_sim(e.embedding, e.embedding) AS self_cos
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
   // LLM-data-pipeline surface (BASELINE.json north star; SURVEY.md §7.2
   // M3): dedup, similarity search, text analysis, multimodal, streaming
   // ---------------------------------------------------------------------
@@ -436,6 +608,22 @@ object SparkEntry {
     "case_null" -> (qCaseNull _),
     "subquery_in" -> (qSubqueryIn _),
     "subquery_exists" -> (qSubqueryExists _),
+    // SQL breadth, batch 2
+    "agg_cube" -> (qAggCube _),
+    "agg_grouping_sets" -> (qAggGroupingSets _),
+    "agg_minmax" -> (qAggMinMax _),
+    "agg_approx_distinct" -> (qAggApproxDistinct _),
+    "window_lead_lag" -> (qWindowLeadLag _),
+    "window_range_frame" -> (qWindowRangeFrame _),
+    "string_funcs" -> (qStringFuncs _),
+    "date_funcs" -> (qDateFuncs _),
+    "join_full_outer" -> (qJoinFullOuter _),
+    "join_cross" -> (qJoinCross _),
+    "select_distinct" -> (qSelectDistinct _),
+    "setop_intersect_all" -> (qSetopIntersectAll _),
+    "pivot_segments" -> (qPivot _),
+    "scalar_subquery" -> (qScalarSubquery _),
+    "sql_custom_funcs" -> (qSqlCustomFuncs _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
     "text_quality" -> (qTextQuality _),
@@ -621,6 +809,113 @@ object SparkEntry {
         |                  WHERE o2.o_custkey = c.c_custkey
         |                    AND o2.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+    // SQL breadth, batch 2 oracles
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS spend
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_minmax" ->
+      """SELECT l_returnflag,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  min(l_shipdate) AS first_ship,
+        |  max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        |    (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |     RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) / 100.0 AS spend_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '(\d+)', 1) AS name_digits,
+        |  translate(c_name, '#', '-') AS name_dash,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |  trim('  x  ') AS trimmed,
+        |  CAST(len(string_split(c_name, '#')) AS INTEGER) AS name_parts,
+        |  CAST(instr(c_name, '1') AS INTEGER) AS pos_1,
+        |  reverse(c_name) AS name_rev
+        |FROM customer WHERE c_name LIKE '%1%'
+        |ORDER BY c_custkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(hi.o_custkey, lo.o_custkey) AS o_custkey,
+        |  CAST(coalesce(hi.n_hi, 0) AS BIGINT) AS n_hi,
+        |  CAST(coalesce(lo.n_lo, 0) AS BIGINT) AS n_lo
+        |FROM
+        |  (SELECT o_custkey, count(*) AS n_hi FROM orders
+        |   WHERE o_totalprice > 400000 GROUP BY o_custkey) hi
+        |FULL OUTER JOIN
+        |  (SELECT o_custkey, count(*) AS n_lo FROM orders
+        |   WHERE o_totalprice < 5000 GROUP BY o_custkey) lo
+        |  ON hi.o_custkey = lo.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN
+        |  (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "select_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY o_custkey""".stripMargin,
+    "pivot_segments" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS "BUILDING",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS "FURNITURE",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS "MACHINERY"
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |  (SELECT 2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |     AS BIGINT) / 100.0 / count(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     // LLM-pipeline oracles (DuckDB dialect; ops with no SQL equivalent —
     // minhash/simhash/ngram/embedding/ANN/multimodal — are rows-only)
     "text_stats" ->

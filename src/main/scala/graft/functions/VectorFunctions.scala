@@ -273,4 +273,26 @@ object VectorFunctions {
     toColumn(HyperplaneSignature(toExpression(v), bits))
   def shingle_hashes(text: Column, k: Int): Column =
     toColumn(ShingleHashes(toExpression(text), k))
+
+  /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`) —
+    * the session-local equivalent of shipping them through
+    * `SparkSessionExtensions.injectFunction`. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.bridge.registerFunction
+    registerFunction(spark, "cosine_sim",
+      es => CosineSimilarity(es(0), es(1)))
+    registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    registerFunction(spark, "hyperplane_sig", es =>
+      HyperplaneSignature(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => sys.error(s"bits must be a literal, got $other")
+      }))
+    registerFunction(spark, "shingle_hashes", es =>
+      ShingleHashes(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => sys.error(s"k must be a literal, got $other")
+      }))
+  }
 }
