@@ -26,6 +26,7 @@ object Bench {
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "text_stats",
     "stream_window_agg",
     "events_sessionize")

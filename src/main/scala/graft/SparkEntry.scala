@@ -566,6 +566,11 @@ object SparkEntry {
     Similarity.lshTopK(
       t(s, dir, "embeddings"), annQueries(s, dir), k = 10)
 
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(
+      t(s, dir, "embeddings"), annQueries(s, dir), k = 10,
+      nCentroids = 16, nProbe = 4)
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
@@ -634,6 +639,7 @@ object SparkEntry {
     "dedup_embedding" -> (qDedupEmbedding _),
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
+    "sim_topk_ivf" -> (qSimIvf _),
     "multimodal_pipeline" -> (qMultimodal _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "events_sessionize" -> (qSessionize _),

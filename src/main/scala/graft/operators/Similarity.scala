@@ -78,4 +78,93 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is clustered into
+    * `nCentroids` lists; a query scans only its `nProbe` closest lists,
+    * so scan cost drops to ~nProbe/nCentroids of the corpus.
+    *
+    * The centroid "model" is deliberately tiny and deterministic: seeds
+    * are the vectors with the smallest xxhash64(vec_id) (a seeded sample)
+    * refined by `refineIters` distributed Lloyd steps (assign = argmax
+    * cosine vs broadcast centroids; recenter = per-dimension mean via
+    * posexplode — both shuffle-light). At 100 TB the assignment pass is
+    * one scan and the cluster id becomes a partition/bucket column for
+    * the written index. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      refineIters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+
+    // --- build the centroid model (k × d floats — driver-safe)
+    var centroids: Seq[Seq[Float]] = corpus
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h")
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
+    def withCluster(df: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
+      val centArr = typedLit(cents)
+      val scores = transform(centArr,
+        c => cosine_sim(col("embedding"), c))
+      df.withColumn("_scores", scores)
+        .withColumn("cluster_id",
+          expr("array_position(_scores, array_max(_scores)) - 1")
+            .cast("int"))
+        .drop("_scores")
+    }
+
+    (0 until refineIters).foreach { _ =>
+      val assigned = withCluster(corpus, centroids)
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")))
+        .groupBy("cluster_id", "pos")
+        .agg(avg(col("col")).as("m"))
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("dims"))
+        .select(col("cluster_id"),
+          expr("transform(dims, d -> CAST(d.m AS FLOAT))").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    // --- index: corpus with cluster ids (at scale: persisted, bucketed)
+    val indexed = withCluster(corpus, centroids)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("cluster_id"))
+
+    // --- probe: each query → its nProbe closest clusters
+    val centArr = typedLit(centroids)
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("_scores",
+        transform(centArr, c => cosine_sim(col("q_emb"), c)))
+      .withColumn("_ranked",
+        expr(
+          s"""slice(array_sort(
+             |  zip_with(_scores, sequence(0, ${centroids.size - 1}),
+             |           (s, i) -> struct(-s AS negs, i AS cid))),
+             |  1, $nProbe)""".stripMargin))
+      .withColumn("cluster_id", explode(expr("transform(_ranked, r -> r.cid)")))
+      .drop("_ranked", "_scores")
+
+    val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

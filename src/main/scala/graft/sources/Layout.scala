@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tooling for the 100 TB design story. At scale, layout
+  * decisions — bucketing, partitioning — are what remove the shuffles
+  * that dominate join/agg cost; this is the Spark-native generalization
+  * of the reference's static fragment catalog
+  * (`QueryService.asmx.cs:310-427`), where "which site holds which rows"
+  * becomes "which bucket/partition holds which rows", chosen by key
+  * instead of hardcoded.
+  */
+object Layout {
+
+  /** Drop a managed table AND its on-disk location — a fresh in-memory
+    * catalog doesn't know about leftovers from a previous session, and
+    * CREATE TABLE refuses to reuse an existing managed location. */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
+  /** Persist `df` hash-bucketed (and per-bucket sorted) by `key` into the
+    * session catalog. Two tables bucketed the same way join/aggregate on
+    * the bucket key with NO shuffle — the co-located join the reference
+    * approximated by manual fragment placement. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    dropManaged(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
+  /** Persist `df` directory-partitioned by `partCol` (e.g. order year):
+    * predicates on the partition column prune whole directories at
+    * planning time — the scan never lists, let alone reads, them. */
+  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit = {
+    dropManaged(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCol).saveAsTable(table)
+  }
+
+  /** True if the executed plan contains any shuffle exchange (broadcast
+    * exchanges don't count — they're the cheap kind). */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .exists(l => l.contains("Exchange hashpartitioning") ||
+        l.contains("Exchange rangepartitioning") ||
+        l.contains("Exchange SinglePartition"))
+}
+
+/** Skew mitigation: salted two-phase aggregation. AQE's skew-join
+  * handling covers joins; hot *grouping* keys are handled by salting the
+  * first phase so one key's rows spread over `saltFactor` reducers, then
+  * merging partials. Results are identical; the hot key's work is
+  * parallelized. */
+object Skew {
+
+  /** groupBy(key).count/sum equivalents computed as salt-partial +
+    * final merge. `aggs` maps output name → (partial agg on salted
+    * groups, final merge of partials). */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+      saltFactor: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    salted
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_pc"),
+        sum(round(col(valueCol) * 100).cast("long")).as("_ps"))
+      .groupBy(col(key))
+      .agg(sum("_pc").as("n"),
+        (sum("_ps") / 100.0).as("total"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Layout, Skew, Tables}
+
+/** Scale-layout behaviors: bucketed co-located joins (no shuffle),
+  * partition pruning, salted aggregation equivalence. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def init(): Unit = Tables.register(spark, TestSpark.sfDir)
+
+  test("bucketed tables join and aggregate with no shuffle exchange") {
+    init()
+    Layout.writeBucketed(spark.table("orders"), "orders_b", "o_custkey", 8)
+    Layout.writeBucketed(spark.table("customer")
+      .withColumnRenamed("c_custkey", "o_custkey"), "customer_b",
+      "o_custkey", 8)
+    val noBroadcast = "-1"
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBroadcast)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.table("orders_b")
+        .join(spark.table("customer_b"), Seq("o_custkey"))
+      assert(!Layout.hasShuffle(j), "co-located join should not shuffle:\n" +
+        j.queryExecution.executedPlan.toString)
+      val unbucketed = spark.table("orders")
+        .join(spark.table("customer")
+          .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      assert(Layout.hasShuffle(unbucketed),
+        "control: unbucketed join must shuffle")
+      // bucketed aggregation on the bucket key: also shuffle-free
+      val agg = spark.table("orders_b").groupBy("o_custkey").count()
+      assert(!Layout.hasShuffle(agg))
+      // results identical to the unbucketed path
+      assert(j.count() === unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("partitioned table prunes partitions at plan time") {
+    init()
+    Layout.writePartitioned(
+      spark.table("orders").withColumn("o_year", year(col("o_orderdate"))),
+      "orders_p", "o_year")
+    val pruned = spark.table("orders_p").filter(col("o_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"))
+    // partition count read should be 1 year's worth, not all
+    val all = spark.table("orders_p")
+    assert(pruned.count() < all.count() && pruned.count() > 0)
+    // correctness vs unpartitioned filter
+    val expect = spark.table("orders")
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.count() === expect)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    init()
+    val direct = spark.table("orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("total"))
+    val salted = Skew.saltedCountSum(
+      spark.table("orders"), "o_custkey", "o_totalprice")
+    assert(salted.exceptAll(direct).isEmpty &&
+      direct.exceptAll(salted).isEmpty)
+  }
+}

@@ -44,6 +44,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh(0).getLong(1) === bf(0).getLong(1))
   }
 
+  test("IVF top-1 matches brute force on clustered data") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(corpus, q, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(corpus, q, k = 1,
+      nCentroids = 6, nProbe = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, nn) => assert(nn === bf(qid), s"query $qid") }
+  }
+
+  test("IVF results are deterministic across runs") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val a = Similarity.ivfTopK(corpus, q, k = 3, nCentroids = 6, nProbe = 2)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.ivfTopK(corpus, q, k = 3, nCentroids = 6, nProbe = 2)
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
   test("LSH candidates are a subset of the corpus scored correctly") {
     val q = corpus.filter(col("vec_id") === 1)
     val r = Similarity.lshTopK(corpus, q, k = 30, bits = 8, bands = 2)
