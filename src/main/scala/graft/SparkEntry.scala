@@ -509,6 +509,31 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
+    // Semi-structured access: events.props is a JSON string column.
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_struct"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    // Array-column surface over the embeddings table (scalar outputs
+    // only — float copies and sizes are engine-exact).
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        array_min(col("embedding")).as("min_dim"),
+        array_max(col("embedding")).as("max_dim"),
+        col("label"))
+      .orderBy("vec_id")
+
   // ---------------------------------------------------------------------
   // LLM-data-pipeline surface (BASELINE.json north star; SURVEY.md §7.2
   // M3): dedup, similarity search, text analysis, multimodal, streaming
@@ -629,6 +654,8 @@ object SparkEntry {
     "pivot_segments" -> (qPivot _),
     "scalar_subquery" -> (qScalarSubquery _),
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
+    "json_funcs" -> (qJsonFuncs _),
+    "array_funcs" -> (qArrayFuncs _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
     "text_quality" -> (qTextQuality _),
@@ -922,6 +949,21 @@ object SparkEntry {
         |  (SELECT 2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |     AS BIGINT) / 100.0 / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "json_funcs" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS k,
+        |  CAST(props->>'$.k' AS INTEGER) AS k_struct
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS first_dim,
+        |  list_min(embedding) AS min_dim,
+        |  list_max(embedding) AS max_dim,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // LLM-pipeline oracles (DuckDB dialect; ops with no SQL equivalent —
     // minhash/simhash/ngram/embedding/ANN/multimodal — are rows-only)
     "text_stats" ->

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Source-format breadth beyond the reference's MySQL-only connector
+  * (SURVEY.md §2.1): parquet (primary), csv, json round-trips. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("csv round-trip preserves rows and values") {
+    Tables.register(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val orders = spark.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(orders.schema).csv(dir)
+    assert(back.count() === orders.count())
+    val a = orders.agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    val b = back.agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(a === b)
+  }
+
+  test("json round-trip preserves rows and nested access") {
+    Tables.register(spark, TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val ev = spark.table("events")
+      .select("event_id", "user_id", "event_type", "props")
+    ev.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(ev.schema).json(dir)
+    assert(back.count() === ev.count())
+    val ks = back
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    val expect = ev
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(sum("k")).collect()(0).getLong(0)
+    assert(ks === expect)
+  }
+
+  test("streaming exact dedup drops duplicates within the watermark") {
+    // LLM-pipeline streaming dedup: duplicate the events stream and
+    // dedup by event_id — output must equal the distinct input count.
+    val stream = graft.streaming.EventsStream
+      .readEventsStream(spark, TestSpark.sfDir)
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("spec_dedup_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.table("spec_dedup_stream").count()
+    Tables.register(spark, TestSpark.sfDir)
+    assert(got === spark.table("events").select("event_id")
+      .distinct().count())
+  }
+}
