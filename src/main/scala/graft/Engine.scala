@@ -14,6 +14,34 @@ final case class QueryResult(
     df: DataFrame,
     statistics: String) {
   def rows: Array[Row] = df.collect()
+
+  /** Execute and return (rows, per-node runtime statistics). The stats
+    * JSON carries each physical node's actual output row count — the
+    * reference recorded this per node as `TmpSize` but never surfaced it
+    * (`RPC/RPC/RPC.cs:113,189`, placeholder response
+    * `QueryService.asmx.cs:88`); here it comes from
+    * `executedPlan.metrics` after the run. */
+  def executeWithStats(): (Array[Row], String) = {
+    val out = df.collect()
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // AQE wraps subtrees in QueryStageExec / AdaptiveSparkPlanExec whose
+    // real subplan hangs off a dedicated field, not `children` — unwrap
+    // so the walk sees the operators that actually ran.
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): String =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ =>
+          val rowsMetric = p.metrics.get("numOutputRows")
+            .map(_.value).getOrElse(-1L)
+          val kids = p.children.map(walk).mkString("[", ",", "]")
+          s"""{"node":"${esc(p.nodeName)}","rows":$rowsMetric,""" +
+            s""""children":$kids}"""
+      }
+    (out, walk(df.queryExecution.executedPlan))
+  }
 }
 
 /** Service facade — the Spark-native equivalent of the reference's two web

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Canonical form used by dedup: lowercase, collapse whitespace. */
+  /** Canonical form used by dedup: lowercase, collapse whitespace.
+    * One-pass custom expression (no regex engine); equivalent to
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` on ASCII text. */
   def normalize(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    graft.functions.VectorFunctions.normalize_text(text)
 
   /** Whitespace tokenizer (empty string → empty array, not [""]). */
   def tokens(text: Column): Column =

@@ -263,6 +263,46 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** One-pass text canonicalization: lowercase + collapse any whitespace
+    * run to a single space + trim. Equivalent to
+    * `trim(regexp_replace(lower(x), '\s+', ' '))` but without two regex
+    * engine passes — the normalize step sits under every fingerprint/
+    * dedup scan, so it is hot at corpus scale. */
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (sb.length() > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("norm", this,
+        classOf[NormalizeText].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""${ev.value} = (org.apache.spark.unsafe.types.UTF8String)
+           |  $expr.nullSafeEval($v);""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // --- Column-level API -------------------------------------------------
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -273,6 +313,8 @@ object VectorFunctions {
     toColumn(HyperplaneSignature(toExpression(v), bits))
   def shingle_hashes(text: Column, k: Int): Column =
     toColumn(ShingleHashes(toExpression(text), k))
+  def normalize_text(text: Column): Column =
+    toColumn(NormalizeText(toExpression(text)))
 
   /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`) —
     * the session-local equivalent of shipping them through

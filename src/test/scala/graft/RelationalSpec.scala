@@ -96,4 +96,16 @@ class RelationalSpec extends AnyFunSuite {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("executed statistics carry real per-node row counts") {
+    val eng = new Engine(spark, TestSpark.sfDir)
+    val r = eng.query(
+      "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1")
+    val (rows, stats) = r.executeWithStats()
+    assert(rows.length === 5)
+    assert(stats.contains("\"rows\":"))
+    // at least one node reports a real (non-negative) runtime row count
+    assert("\"rows\":(\\d+)".r.findAllMatchIn(stats)
+      .exists(_.group(1).toLong > 0), stats)
+  }
 }
