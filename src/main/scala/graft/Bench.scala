@@ -17,6 +17,8 @@ object Bench {
     * dedup, simhash dedup, ANN, text stats, windowed events + sessions. */
   val headline: Seq[String] = Seq(
     "agg_q1",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
     "join_multiway",
     "frag_transparency_agg",
     "window_rank",

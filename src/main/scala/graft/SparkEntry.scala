@@ -509,6 +509,47 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
+    // deterministic top-20 (exact micros revenue; ties by orderkey).
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o.o_orderkey,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT)) / 1e6 AS revenue,
+        |  o.o_orderdate
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  private def qLocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q5 shape: 6-way join through the full dimension chain with
+    // fixed-size dims broadcast.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT /*+ BROADCAST(n), BROADCAST(r), BROADCAST(s) */ n.n_name,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT)) / 1e6 AS revenue,
+        |  count(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
+  }
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -656,6 +697,8 @@ object SparkEntry {
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
     "json_funcs" -> (qJsonFuncs _),
     "array_funcs" -> (qArrayFuncs _),
+    "q3_shipping_priority" -> (qShippingPriority _),
+    "q5_supplier_volume" -> (qLocalSupplierVolume _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
     "text_quality" -> (qTextQuality _),
@@ -949,6 +992,35 @@ object SparkEntry {
         |  (SELECT 2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |     AS BIGINT) / 100.0 / count(*) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o.o_orderkey,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT)) AS BIGINT) / 1e6 AS revenue,
+        |  o.o_orderdate
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q5_supplier_volume" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT)) AS BIGINT) / 1e6 AS revenue,
+        |  count(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
     "json_funcs" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS INTEGER) AS k,

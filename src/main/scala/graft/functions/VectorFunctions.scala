@@ -263,6 +263,57 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** All character n-grams of a string, each as a 64-bit hash, one pass
+    * (no substring allocation — rolling window over the char array).
+    * Multiset; Jaccard callers `.distinct()` after explode. Strings
+    * shorter than n yield one hash of the whole string; empty → null. */
+  case class CharNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val len = s.length
+      if (len == 0) return null
+      val m = if (len >= n) len - n + 1 else 1
+      val width = if (len >= n) n else len
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        // FNV-1a over the window's chars — cheap rolling-style hash
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < width) {
+          h ^= s.charAt(i + j).toLong
+          h *= 0x100000001b3L
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("ngrams", this,
+        classOf[CharNgramHashes].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** One-pass text canonicalization: lowercase + collapse any whitespace
     * run to a single space + trim. Equivalent to
     * `trim(regexp_replace(lower(x), '\s+', ' '))` but without two regex
@@ -315,6 +366,8 @@ object VectorFunctions {
     toColumn(ShingleHashes(toExpression(text), k))
   def normalize_text(text: Column): Column =
     toColumn(NormalizeText(toExpression(text)))
+  def char_ngram_hashes(text: Column, n: Int): Column =
+    toColumn(CharNgramHashes(toExpression(text), n))
 
   /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`) —
     * the session-local equivalent of shipping them through

@@ -179,7 +179,8 @@ object Dedup {
       maxDf: Int = 50,
       minShared: Int = 2): DataFrame = {
     val grams = docs.select(col("doc_id"),
-      explode(charNgrams(col("text"), n)).as("g"))
+      explode(char_ngram_hashes(normalize_text(col("text")), n)).as("g"))
+      .distinct()
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val postings = grams.join(rare, Seq("g")).select("doc_id", "g")
