@@ -640,6 +640,25 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
+  private def qCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    // End-to-end LLM-data-prep composition: fingerprint-dedup → quality
+    // gate → language ID → per-language clean-corpus stats. One pass of
+    // scans + two shuffles (dedup window, final agg) — the shape of a
+    // real 100 TB pre-training cleanup job.
+    val docs = t(s, dir, "documents")
+    val deduped = Dedup.exact(docs).filter(col("keep")).select("doc_id")
+    docs.join(deduped, Seq("doc_id"))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .filter(col("quality") > 0.2)
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("total_tokens"))
+      .orderBy("lang_pred")
+  }
+
   private def qStreamWindowAgg(s: SparkSession, dir: String): DataFrame =
     // Batch run of the shared batch/streaming transform (the streaming
     // spec drives the same code through readStream + memory sink).
@@ -711,6 +730,7 @@ object SparkEntry {
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
     "multimodal_pipeline" -> (qMultimodal _),
+    "pipeline_clean_corpus" -> (qCleanCorpus _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "events_sessionize" -> (qSessionize _),
   )

@@ -57,6 +57,35 @@ object EventsStream {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Sliding-window rates: 1-hour windows sliding every 15 minutes —
+    * each event lands in 4 windows. Works in both batch and streaming
+    * (same code path as [[windowedAgg]]). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Stream-stream inner join: purchases joined to the same user's
+    * signups within the watermark bound — the canonical funnel join.
+    * In batch mode the watermark/condition degrade to a plain
+    * range-predicate join. */
+  def purchaseAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"))
+  }
+
   // --- Streaming-only stateful sessionization ---------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

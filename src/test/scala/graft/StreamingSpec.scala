@@ -38,6 +38,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(r(2).getLong(0) === 8L && r(2).getLong(2) === 1L)
   }
 
+  test("sliding windows: each event lands in windowSize/slide windows") {
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val slid = EventsStream.slidingRates(events)
+    val total = slid.agg(sum("n_events")).collect()(0).getLong(0)
+    // 1h window / 15min slide → every event is counted exactly 4 times
+    assert(total === events.count() * 4)
+  }
+
+  test("stream-stream join runs with watermarks on both sides") {
+    val stream = EventsStream.readEventsStream(spark, TestSpark.sfDir)
+    val joined = EventsStream.purchaseAfterSignup(stream)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("spec_funnel")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val streamed = spark.table("spec_funnel").count()
+    // batch ground truth over the same data & predicate
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val batch = EventsStream.purchaseAfterSignup(spark.table("events"))
+      .count()
+    assert(streamed === batch)
+    assert(batch > 0)
+  }
+
   test("stateful sessionization runs as a streaming query") {
     // file source → flatMapGroupsWithState → memory sink, AvailableNow:
     // process everything queued, then terminate (with
