@@ -62,25 +62,34 @@ object TextFunctions {
 
   def charCount(text: Column): Column = length(text).cast("long")
 
+  // Ratios are built on the one-pass TextStats census (no regex passes);
+  // the formulas are exactly the regexp definitions they replaced:
+  // punct = chars not matching [a-z0-9\s] on the lowercased text.
+  private def census(text: Column): Column =
+    graft.functions.VectorFunctions.text_stats(text)
+
   /** Fraction of characters that are not letters/digits/whitespace. */
   def punctRatio(text: Column): Column = {
-    val total = length(text).cast("double")
-    val stripped =
-      length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double")
+    val st = census(text)
+    val total = st.getField("n_chars").cast("double")
+    val stripped = (st.getField("n_chars") - st.getField("n_alnum") -
+      st.getField("n_ws")).cast("double")
     when(total > 0, stripped / total).otherwise(0.0)
   }
 
   def digitRatio(text: Column): Column = {
-    val total = length(text).cast("double")
+    val st = census(text)
+    val total = st.getField("n_chars").cast("double")
     when(total > 0,
-      length(regexp_replace(text, "[^0-9]", "")).cast("double") / total)
+      st.getField("n_digit").cast("double") / total)
       .otherwise(0.0)
   }
 
   def avgWordLen(text: Column): Column = {
-    val n = tokenCount(text).cast("double")
+    val st = census(text)
+    val n = st.getField("n_words").cast("double")
     when(n > 0,
-      length(regexp_replace(normalize(text), " ", "")).cast("double") / n)
+      (st.getField("n_chars") - st.getField("n_ws")).cast("double") / n)
       .otherwise(0.0)
   }
 

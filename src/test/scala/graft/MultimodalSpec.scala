@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
+import graft.sources.Tables
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -50,6 +51,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length === 4)
     assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
     assert(frames.forall(_.frame_bytes.length === 256))
+  }
+
+  test("extracted features compose with the ANN similarity operators") {
+    // multimodal → similarity: stubbed feature vectors feed directly
+    // into the cosine top-k path (schema compatibility is the contract)
+    Tables.register(spark, TestSpark.sfDir)
+    val media = Multimodal.asMedia(
+      spark.table("documents").limit(50))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .toDF("vec_id", "embedding")
+    val q = feats.filter(col("vec_id") === feats.first().getLong(0))
+    val nn = graft.operators.Similarity.bruteForceTopK(feats, q, k = 5)
+      .collect()
+    assert(nn.length === 5)
+    assert(nn.forall(r => r.getDouble(2) <= 1.0 + 1e-9))
   }
 
   test("pipeline stats aggregates per media type") {
