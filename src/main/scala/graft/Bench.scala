@@ -30,6 +30,7 @@ object Bench {
     "sim_topk_lsh",
     "sim_topk_ivf",
     "text_stats",
+    "asof_join",
     "stream_window_agg",
     "events_sessionize")
 

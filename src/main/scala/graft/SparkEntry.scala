@@ -640,6 +640,20 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    // Custom whole-operator extension (LogicalPlan+Strategy+SparkPlan):
+    // each purchase matched to the user's latest preceding signup.
+    // DuckDB's native ASOF JOIN is the oracle.
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    graft.plans.AsOfJoin.join(p, su, p("user_id"), su("s_user"),
+      p("ts"), su("s_ts"))
+      .orderBy("event_id")
+  }
+
   private def qCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     // End-to-end LLM-data-prep composition: fingerprint-dedup → quality
     // gate → language ID → per-language clean-corpus stats. One pass of
@@ -718,6 +732,7 @@ object SparkEntry {
     "array_funcs" -> (qArrayFuncs _),
     "q3_shipping_priority" -> (qShippingPriority _),
     "q5_supplier_volume" -> (qLocalSupplierVolume _),
+    "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
     "text_quality" -> (qTextQuality _),
@@ -1041,6 +1056,14 @@ object SparkEntry {
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT user_id AS s_user, ts AS s_ts FROM events
+        |           WHERE event_type = 'signup') s
+        |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
     "json_funcs" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS INTEGER) AS k,

@@ -13,6 +13,20 @@ object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Resolved logical plan of a DataFrame (attribute references in
+    * Columns taken from the frame line up with this plan's output). */
+  def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Build a DataFrame from a custom logical plan (package-private
+    * `Dataset.ofRows`). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a custom Catalyst expression as a session-local SQL
     * function (`sessionState.functionRegistry` is package-private; this
     * is the classic-API registration path, same as
