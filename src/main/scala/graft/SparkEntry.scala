@@ -635,7 +635,7 @@ object SparkEntry {
   private def qSimIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(
       t(s, dir, "embeddings"), annQueries(s, dir), k = 10,
-      nCentroids = 16, nProbe = 4)
+      nCentroids = 16, nProbe = 8)
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
