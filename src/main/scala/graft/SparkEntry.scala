@@ -613,7 +613,9 @@ object SparkEntry {
     Dedup.minhashLsh(t(s, dir, "documents"))
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"))
+    // 8 bands ⇒ guaranteed recall for Hamming ≤ 5 (planted near-dups in
+    // the testdata span Hamming 0–5, measured by graft.DedupRecall)
+    Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 5, bands = 8)
 
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"))

@@ -138,17 +138,25 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit token-level SimHash (custom codegen'd
-    * Catalyst expression), candidates from 4×16-bit band equality, final
-    * filter on Hamming distance. By the pigeonhole principle, any pair
-    * with Hamming ≤ 3 shares at least one of the 4 bands ⇒ exact recall
-    * for maxHamming ≤ 3. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * Catalyst expression), candidates from band equality, final filter on
+    * Hamming distance. By the pigeonhole principle any pair with
+    * Hamming < `bands` shares at least one band ⇒ exact recall whenever
+    * maxHamming < bands. More bands = higher guaranteed recall but
+    * coarser (64/bands-bit) bucket keys — at web scale use bands=4,
+    * maxHamming=3 (the Manku et al. setting); smaller corpora afford
+    * bands=8 for a ≤7 guarantee. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0 && maxHamming < bands,
+      "need maxHamming < bands (pigeonhole) and bands | 64")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sigs = docs.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)
+          shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
             .as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))

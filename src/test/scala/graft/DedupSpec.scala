@@ -42,7 +42,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash pairs finds token-level near-dups") {
-    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8, bands = 16)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L))) // same tokens after normalize
