@@ -23,7 +23,7 @@ final case class QueryResult(
     * `executedPlan.metrics` after the run. */
   def executeWithStats(): (Array[Row], String) = {
     val out = df.collect()
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def esc(s: String) = PlanJson.jsonEscape(s)
     // AQE wraps subtrees in QueryStageExec / AdaptiveSparkPlanExec whose
     // real subplan hangs off a dedicated field, not `children` — unwrap
     // so the walk sees the operators that actually ran.

@@ -1085,14 +1085,17 @@ object SparkEntry {
     // minhash/simhash/ngram/embedding/ANN/multimodal — are rows-only)
     "text_stats" ->
       """SELECT doc_id,
-        |  CAST(len(string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens,
-        |  CAST(length(replace(trim(regexp_replace(lower(text), '\s+',
-        |    ' ', 'g')), ' ', '')) AS DOUBLE)
-        |    / len(string_split(trim(regexp_replace(lower(text), '\s+',
-        |      ' ', 'g')), ' ')) AS avg_word_len,
-        |  CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
-        |    AS DOUBLE) / length(text) AS punct_ratio,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE
+        |    CAST(len(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS INTEGER) END AS n_tokens,
+        |  CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |    CAST(length(replace(trim(regexp_replace(lower(text), '\s+',
+        |      ' ', 'g')), ' ', '')) AS DOUBLE)
+        |      / len(string_split(trim(regexp_replace(lower(text), '\s+',
+        |        ' ', 'g')), ' ')) END AS avg_word_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+        |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->

@@ -50,11 +50,13 @@ object Dedup {
     * combinable min-agg per hash function — a single shuffle keyed by
     * doc_id regardless of numHashes. */
   def minhashSignatures(
-      docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
+      docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame =
+    signaturesFrom(shingleTable(docs, shingleK), numHashes)
+
+  private def signaturesFrom(st: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    shingleTable(docs, shingleK).groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+    st.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
@@ -75,7 +77,11 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, shingleK, numHashes)
+    // the exploded shingle table feeds signatures AND the verification
+    // joins — persist it so the scan+shingle pipeline runs once, not 4×
+    val st = shingleTable(docs, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesFrom(st, numHashes)
 
     // band key = hash of the band's signature slice
     val bandKeys = (0 until bands).map { b =>
@@ -102,7 +108,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    verifyJaccard(docs, candidates, shingleK)
+    verifyJaccardFrom(st.distinct(), candidates)
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
@@ -112,8 +118,11 @@ object Dedup {
     * Set semantics via distributed `.distinct()` on the exploded hashes
     * (replaces per-row O(n²) array_distinct). */
   def verifyJaccard(
-      docs: DataFrame, candidates: DataFrame, shingleK: Int): DataFrame = {
-    val sh = shingleTable(docs, shingleK).distinct()
+      docs: DataFrame, candidates: DataFrame, shingleK: Int): DataFrame =
+    verifyJaccardFrom(shingleTable(docs, shingleK).distinct(), candidates)
+
+  private def verifyJaccardFrom(
+      sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     val common = candidates
@@ -186,9 +195,12 @@ object Dedup {
       threshold: Double = 0.7,
       maxDf: Int = 50,
       minShared: Int = 2): DataFrame = {
+    // persisted: the exploded ngram table feeds df-pruning, candidate
+    // generation, sizes, and the exact-Jaccard join (4 subtrees)
     val grams = docs.select(col("doc_id"),
       explode(char_ngram_hashes(normalize_text(col("text")), n)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val postings = grams.join(rare, Seq("g")).select("doc_id", "g")

@@ -113,8 +113,11 @@ object Similarity {
 
     def withCluster(df: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
       val centArr = typedLit(cents)
+      // coalesce: cosine_sim is null for zero-norm vectors — without a
+      // floor they would get a null cluster_id and silently vanish from
+      // the index
       val scores = transform(centArr,
-        c => cosine_sim(col("embedding"), c))
+        c => coalesce(cosine_sim(col("embedding"), c), lit(-2.0)))
       df.withColumn("_scores", scores)
         .withColumn("cluster_id",
           expr("array_position(_scores, array_max(_scores)) - 1")
@@ -150,7 +153,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"))
       .withColumn("_scores",
-        transform(centArr, c => cosine_sim(col("q_emb"), c)))
+        transform(centArr,
+          c => coalesce(cosine_sim(col("q_emb"), c), lit(-2.0))))
       .withColumn("_ranked",
         expr(
           s"""slice(array_sort(

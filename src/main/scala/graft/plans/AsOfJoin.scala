@@ -100,6 +100,11 @@ object AsOfJoin {
       val outer = isLeftOuter
 
       val allOut = lOut ++ rOut
+      // project through the nullability-ADJUSTED output attributes: for
+      // left-outer, null-padded right fields must go through writers that
+      // honor nulls (a non-nullable getLong on a null slot silently
+      // reads 0)
+      val outAttrs = output
 
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val lKeyProj = UnsafeProjection.create(Seq(lk0), lOut)
@@ -108,7 +113,7 @@ object AsOfJoin {
         val rTsProj = UnsafeProjection.create(Seq(rt0), rOut)
         // downstream operators require UnsafeRow output — flatten the
         // JoinedRow wrapper through a projection (SortMergeJoin pattern)
-        val outProj = UnsafeProjection.create(allOut, allOut)
+        val outProj = UnsafeProjection.create(outAttrs, allOut)
         val keyOrdering = org.apache.spark.sql.catalyst.expressions
           .RowOrdering.createNaturalAscendingOrdering(Seq(keyDt))
         new Iterator[InternalRow] {
@@ -130,29 +135,41 @@ object AsOfJoin {
             if (pending != null || done) return
             while (pending == null && lIter.hasNext) {
               val l = lIter.next()
-              val lk = lKeyProj(l).copy()
-              val lts = lTsProj(l).getLong(0)
-              // advance right through rows with (key, ts) ≤ (lk, lts)
-              var advancing = true
-              while (advancing && rBuf.hasNext) {
-                val rk = rKeyProj(rBuf.head)
-                val kc = keyOrdering.compare(rk, lk)
-                if (kc < 0) rBuf.next()
-                else if (kc == 0 &&
-                    rTsProj(rBuf.head).getLong(0) <= lts) {
-                  val r = rBuf.next().copy()
-                  candidate = r
-                  candKey = rKeyProj(r).copy()
-                  candTs = rTsProj(r).getLong(0)
-                } else advancing = false
+              val lkRow = lKeyProj(l)
+              val ltRow = lTsProj(l)
+              // SQL join semantics: a null key or ts never matches
+              if (lkRow.isNullAt(0) || ltRow.isNullAt(0)) {
+                if (outer) pending = joined(l, nullRight)
+              } else {
+                val lk = lkRow.copy()
+                val lts = ltRow.getLong(0)
+                // advance right through rows with (key, ts) ≤ (lk, lts);
+                // null-keyed/null-ts right rows are never candidates
+                var advancing = true
+                while (advancing && rBuf.hasNext) {
+                  val rk = rKeyProj(rBuf.head)
+                  if (rk.isNullAt(0) || rTsProj(rBuf.head).isNullAt(0)) {
+                    rBuf.next()
+                  } else {
+                    val kc = keyOrdering.compare(rk, lk)
+                    if (kc < 0) rBuf.next()
+                    else if (kc == 0 &&
+                        rTsProj(rBuf.head).getLong(0) <= lts) {
+                      val r = rBuf.next().copy()
+                      candidate = r
+                      candKey = rKeyProj(r).copy()
+                      candTs = rTsProj(r).getLong(0)
+                    } else advancing = false
+                  }
+                }
+                val matched = candidate != null &&
+                  keyOrdering.compare(candKey, lk) == 0 &&
+                  candTs <= lts &&
+                  (tol <= 0 || lts - candTs <= tol)
+                if (matched) pending = joined(l, candidate)
+                else if (outer) pending = joined(l, nullRight)
+                // inner + no match: skip this left row, keep scanning
               }
-              val matched = candidate != null &&
-                keyOrdering.compare(candKey, lk) == 0 &&
-                candTs <= lts &&
-                (tol <= 0 || lts - candTs <= tol)
-              if (matched) pending = joined(l, candidate)
-              else if (outer) pending = joined(l, nullRight)
-              // inner + no match: skip this left row, keep scanning
             }
             if (pending == null) done = true
           }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   */
 object PlanJson {
 
-  private def esc(s: String): String = s.flatMap {
+  /** JSON string escape shared by every hand-rolled JSON emitter in the
+    * project (plan trees, Verify's oracle dump, executed statistics) —
+    * covers quote, backslash, and ALL control characters. */
+  def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -29,6 +32,8 @@ object PlanJson {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  private def esc(s: String): String = jsonEscape(s)
 
   /** Map a Catalyst node to the reference's 5-op vocabulary where one
     * applies (LEAF/SEL/PROJ/JOIN/UNION, `RPC/RPC/RPC.cs:20-28`); richer

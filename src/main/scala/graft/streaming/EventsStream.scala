@@ -120,7 +120,11 @@ object EventsStream {
             val s = SessionState(prev.n + events.size,
               math.max(prev.maxTs, maxTs))
             state.update(s)
-            state.setTimeoutTimestamp(s.maxTs + 30L * 60000L)
+            // clamp to the watermark: a group fed only late events would
+            // otherwise compute a timeout below the watermark, which
+            // setTimeoutTimestamp rejects, killing the whole query
+            state.setTimeoutTimestamp(math.max(s.maxTs + 30L * 60000L,
+              state.getCurrentWatermarkMs() + 1L))
             Iterator.single(SessionUpdate(userId, s.n, closed = false))
           }
       }
