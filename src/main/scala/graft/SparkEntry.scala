@@ -612,6 +612,13 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"))
 
+  private def qDedupMinhashDecisions(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decisionsFromPairs(docs, Dedup.minhashLsh(docs))
+      .orderBy("doc_id")
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     // 8 bands ⇒ guaranteed recall for Hamming ≤ 5 (planted near-dups in
     // the testdata span Hamming 0–5, measured by graft.DedupRecall)
@@ -740,6 +747,7 @@ object SparkEntry {
     "text_quality" -> (qTextQuality _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),

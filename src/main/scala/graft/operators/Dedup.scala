@@ -146,6 +146,29 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Turn a near-dup pair list into per-doc keep/drop decisions: every
+    * doc maps to the smallest doc_id among its direct neighbors
+    * (including itself) — one shuffle over the pair list. This is
+    * single-round star contraction: chains longer than one hop keep
+    * their sub-representatives (full transitive closure would iterate
+    * to a fixpoint; near-dup clusters are overwhelmingly stars in
+    * practice, so one round is the standard scale/quality tradeoff). */
+  def decisionsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+      .unionByName(
+        pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+    val rep = edges.groupBy("doc_id")
+      .agg(min(col("nb")).as("min_nb"))
+    docs.select(col("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
+          .as("rep_id"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("rep_id")).as("keep"),
+        when(col("doc_id") =!= col("rep_id"), col("rep_id")).as("dup_of"))
+  }
+
   /** SimHash near-dup pairs: 64-bit token-level SimHash (custom codegen'd
     * Catalyst expression), candidates from band equality, final filter on
     * Hamming distance. By the pigeonhole principle any pair with

@@ -59,6 +59,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!r.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("pair list → per-doc keep/drop decisions") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.decisionsFromPairs(docs, pairs)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getBoolean(1)).toSeq ===
+      Seq(true, false, false, true)) // 2,3 dup of 1; 4 kept
+    assert(r(1).getLong(2) === 1L && r(2).getLong(2) === 1L)
+  }
+
   test("embedding near-dup flags only above-threshold neighbors") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),
