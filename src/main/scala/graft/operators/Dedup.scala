@@ -178,20 +178,30 @@ object Dedup {
     * maxHamming=3 (the Manku et al. setting); smaller corpora afford
     * bands=8 for a ≤7 guarantee. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 500): DataFrame = {
     require(64 % bands == 0 && maxHamming < bands,
       "need maxHamming < bands (pigeonhole) and bands | 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sigs = docs.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded0 = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
             .as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // hot-bucket cap: narrow bands on shared-vocabulary corpora can
+    // collide thousands of docs into one band value — vocabulary-level
+    // similarity, not near-dup evidence, and quadratic in bucket size.
+    // The cap trades guaranteed recall in degenerate buckets for a
+    // bounded join (same guard as minhashLsh).
+    val banded = banded0
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
 
     val a = banded.as("a")
     val b = banded.as("b")
