@@ -316,9 +316,11 @@ object VectorFunctions {
 
   /** One-pass character-class census of the lowercased text:
     * (n_chars, n_alnum, n_digit, n_ws, n_words) where n_words counts
-    * non-whitespace runs and the ws class matches Java regex `\s`.
-    * Replaces three separate regexp_replace passes under quality
-    * scoring; exactly reproduces the regex formulas on ASCII text. */
+    * non-whitespace runs and the ws class is `Character.isWhitespace` —
+    * the SAME predicate `NormalizeText` (and therefore the tokenizer)
+    * uses, so n_words always agrees with tokenCount, including on
+    * Unicode whitespace. Replaces three separate regexp_replace passes
+    * under quality scoring; reproduces the regex formulas on ASCII. */
   case class TextStats(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("n_chars", LongType, nullable = false),
@@ -327,9 +329,7 @@ object VectorFunctions {
       StructField("n_ws", LongType, nullable = false),
       StructField("n_words", LongType, nullable = false)))
 
-    private def isWs(c: Char): Boolean = // Java regex \s
-      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
-        c == '\f' || c == '\r'
+    private def isWs(c: Char): Boolean = Character.isWhitespace(c)
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toLowerCase.toString

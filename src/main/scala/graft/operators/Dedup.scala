@@ -76,9 +76,14 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8,
       maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — " +
+        "a remainder would silently drop hash functions and invalidate " +
+        "the 1-(1-J^r)^b recall math")
     val rows = numHashes / bands
     // the exploded shingle table feeds signatures AND the verification
-    // joins — persist it so the scan+shingle pipeline runs once, not 4×
+    // joins — persist it so the scan+shingle pipeline runs once, not 4×;
+    // released before returning (see the localCheckpoint at the end)
     val st = shingleTable(docs, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesFrom(st, numHashes)
@@ -108,9 +113,16 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    verifyJaccardFrom(st.distinct(), candidates)
+    // Materialize eagerly (localCheckpoint: small pair list, blocks are
+    // reference-tracked and GC-cleaned), then release the cached shingle
+    // table — otherwise repeated calls in a long-lived session (Bench
+    // loops, notebooks) accumulate cached blocks indefinitely.
+    val pairs = verifyJaccardFrom(st.distinct(), candidates)
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    st.unpersist(false)
+    pairs
   }
 
   /** Exact Jaccard for given (id_a, id_b) candidate pairs via shingle
@@ -229,7 +241,8 @@ object Dedup {
       maxDf: Int = 50,
       minShared: Int = 2): DataFrame = {
     // persisted: the exploded ngram table feeds df-pruning, candidate
-    // generation, sizes, and the exact-Jaccard join (4 subtrees)
+    // generation, sizes, and the exact-Jaccard join (4 subtrees);
+    // released before returning (see the localCheckpoint at the end)
     val grams = docs.select(col("doc_id"),
       explode(char_ngram_hashes(normalize_text(col("text")), n)).as("g"))
       .distinct()
@@ -255,7 +268,9 @@ object Dedup {
         .withColumnRenamed("g", "g_b"), Seq("id_b"))
       .filter(col("g") === col("g_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    candidates.join(common, Seq("id_a", "id_b"), "left")
+    // eager materialization + unpersist: same cache-release contract as
+    // minhashLsh (the pair list is small; the gram table is not)
+    val pairs = candidates.join(common, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("sz", "n_a"), Seq("id_a"))
@@ -267,6 +282,9 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    grams.unpersist(false)
+    pairs
   }
 
   /** Embedding near-dup: each vector's nearest neighbor by cosine, via

@@ -87,29 +87,62 @@ object Similarity {
     * `nCentroids` lists; a query scans only its `nProbe` closest lists,
     * so scan cost drops to ~nProbe/nCentroids of the corpus.
     *
-    * The centroid "model" is deliberately tiny and deterministic: seeds
-    * are the vectors with the smallest xxhash64(vec_id) (a seeded sample)
-    * refined by `refineIters` distributed Lloyd steps (assign = argmax
-    * cosine vs broadcast centroids; recenter = per-dimension mean via
-    * posexplode — both shuffle-light). At 100 TB the assignment pass is
-    * one scan and the cluster id becomes a partition/bucket column for
-    * the written index. */
+    * The centroid "model" is deliberately tiny and deterministic, and is
+    * trained on a SAMPLE: the `sampleN` vectors with the smallest
+    * xxhash64(vec_id) (a seeded, order-independent sample) are collected
+    * once, then `refineIters` Lloyd steps run driver-side on that sample
+    * — standard practice for IVF index build (train on a sample, assign
+    * distributed) and exactly ONE Spark job for the whole model, versus
+    * one full-corpus assignment + recenter shuffle per iteration. At
+    * 100 TB the distributed assignment pass is one scan and the cluster
+    * id becomes a partition/bucket column for the written index. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int = 10,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      refineIters: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
-
-    // --- build the centroid model (k × d floats — driver-safe)
-    var centroids: Seq[Seq[Float]] = corpus
+      refineIters: Int = 5,
+      sampleN: Int = 1024): DataFrame = {
+    // --- train the centroid model (sampleN × d floats — driver-safe)
+    val sample: Array[Array[Double]] = corpus
       .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h")
-      .limit(nCentroids)
+      .limit(math.max(sampleN, nCentroids))
       .collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    var model: Array[Array[Double]] = sample.take(nCentroids)
+    (0 until refineIters).foreach { _ =>
+      val dim = model(0).length
+      val sums = Array.fill(nCentroids, dim)(0.0)
+      val counts = new Array[Long](nCentroids)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity; var c = 0
+        while (c < nCentroids) {
+          val s = cos(v, model(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      model = model.indices.map { c =>
+        if (counts(c) == 0) model(c) // empty cluster: keep the old seed
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val centroids: Seq[Seq[Float]] = model.map(_.map(_.toFloat).toSeq).toSeq
 
     def withCluster(df: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
       val centArr = typedLit(cents)
@@ -123,23 +156,6 @@ object Similarity {
           expr("array_position(_scores, array_max(_scores)) - 1")
             .cast("int"))
         .drop("_scores")
-    }
-
-    (0 until refineIters).foreach { _ =>
-      val assigned = withCluster(corpus, centroids)
-      val means = assigned
-        .select(col("cluster_id"), posexplode(col("embedding")))
-        .groupBy("cluster_id", "pos")
-        .agg(avg(col("col")).as("m"))
-        .groupBy("cluster_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("dims"))
-        .select(col("cluster_id"),
-          expr("transform(dims, d -> CAST(d.m AS FLOAT))").as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
-      centroids = centroids.indices
-        .map(i => means.getOrElse(i, centroids(i)))
     }
 
     // --- index: corpus with cluster ids (at scale: persisted, bucketed)

@@ -190,6 +190,18 @@ object AsOfJoin {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Idempotent, thread-safe strategy registration. Verify plans queries
+    * from a thread pool over one shared session, so the check-then-act on
+    * `extraStrategies` must be synchronized (per-session monitor) or the
+    * strategy could be appended twice. Call once up front when driving a
+    * session from multiple threads. */
+  def register(spark: SparkSession): Unit = spark.synchronized {
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    }
+  }
+
   /** Public API: as-of join two DataFrames. `tolerance` ≤ 0 = unbounded
     * look-back. Registers the strategy on first use. */
   def join(
@@ -202,10 +214,7 @@ object AsOfJoin {
       toleranceMicros: Long = 0L,
       leftOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfStrategy
-    }
+    register(spark)
     val plan = AsOfJoinPlan(
       bridge.planOf(left), bridge.planOf(right),
       bridge.toExpression(leftKey), bridge.toExpression(rightKey),

@@ -51,12 +51,23 @@ object Layout {
   }
 
   /** True if the executed plan contains any shuffle exchange (broadcast
-    * exchanges don't count — they're the cheap kind). */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.linesIterator
-      .exists(l => l.contains("Exchange hashpartitioning") ||
-        l.contains("Exchange rangepartitioning") ||
-        l.contains("Exchange SinglePartition"))
+    * exchanges don't count — they're the cheap kind). Walks the plan
+    * tree matching node types — robust to plan-string drift — and
+    * unwraps AQE wrappers (AdaptiveSparkPlanExec holds the current
+    * plan; materialized stages hide their exchange inside a leaf
+    * QueryStageExec). */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
 
 /** Skew mitigation: salted two-phase aggregation. AQE's skew-join
