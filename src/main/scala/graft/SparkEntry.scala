@@ -760,6 +760,30 @@ object SparkEntry {
     "events_sessionize" -> (qSessionize _),
   )
 
+  // --- SQL fragments for the text-quality oracles, generated from the
+  // SAME lexicons the implementation uses (TextFunctions) so the oracle
+  // and the engine cannot drift apart.
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ",", "]")
+  private val stopwordsSql: String =
+    sqlList(TextFunctions.englishStopwords)
+  private val langHitsSql: String =
+    TextFunctions.langMarkers.map { case (lang, words) =>
+      s"len(list_filter(${sqlList(words)}, m -> list_contains(toksd, m)))" +
+        s" AS h_$lang"
+    }.mkString(",\n    ")
+  /** Argmax over marker-hit counts, replicating Spark's
+    * greatest-over-structs tie-break: among equal hit counts the
+    * lexicographically LARGEST language code wins. */
+  private val langPredSql: String = {
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val desc = langs.sorted.reverse
+    val whens = desc.init.map(l => s"WHEN h_$l = $best THEN '$l'")
+      .mkString(" ")
+    s"CASE WHEN $best = 0 THEN 'und' $whens ELSE '${desc.last}' END"
+  }
+
   /** DuckDB oracle for each query (same tables, same column names, same
     * total order). */
   def oracleSql: Map[String, String] = Map(
@@ -1089,8 +1113,207 @@ object SparkEntry {
         |  list_max(embedding) AS max_dim,
         |  label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
-    // LLM-pipeline oracles (DuckDB dialect; ops with no SQL equivalent —
-    // minhash/simhash/ngram/embedding/ANN/multimodal — are rows-only)
+    // LLM-pipeline oracles (DuckDB dialect). The set-similarity dedup ops
+    // are oracle-checked by re-deriving the MATH (exact shingle/ngram
+    // Jaccard over raw strings) rather than the algorithm: the LSH band
+    // structure is a candidate pruner whose planted-pair recall is ~1 on
+    // this data, so the emitted pair set must equal the full
+    // threshold-Jaccard pair set (verified bit-exact at sf0.001/0.01/0.1).
+    // Ops whose OUTPUT depends on engine-side hashing (simhash bands,
+    // hyperplane signatures, HLL sketches) or on stubbed decoding
+    // (multimodal) stay rows-only.
+    "sim_topk_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |        CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_dot_product(qe, ce) /
+        |          (sqrt(list_dot_product(qe, qe)) *
+        |           sqrt(list_dot_product(ce, ce))) AS cosine
+        |      FROM c JOIN q ON neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '\\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(n_common AS DOUBLE)
+        |      / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+        |  FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_decisions" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '\\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS doc_id, id_b AS nb FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |rep0 AS (SELECT doc_id, min(nb) AS min_nb FROM edges GROUP BY doc_id),
+        |r AS (SELECT d.doc_id,
+        |        least(d.doc_id, coalesce(rep0.min_nb, d.doc_id)) AS rep_id
+        |      FROM documents d LEFT JOIN rep0 ON d.doc_id = rep0.doc_id)
+        |SELECT doc_id, doc_id = rep_id AS keep,
+        |  CASE WHEN doc_id <> rep_id THEN rep_id END AS dup_of
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH nt AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        |    AS t FROM documents),
+        |gr AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN length(t) >= 8
+        |      THEN list_transform(generate_series(1, length(t) - 7),
+        |                          i -> substr(t, i, 8))
+        |      ELSE [t] END) AS g
+        |    FROM nt) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(n_common AS DOUBLE)
+        |      / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+        |  FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    "text_quality" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(nt, ' '), x -> len(x) > 0) AS toks
+        |  FROM base),
+        |tk2 AS (
+        |  SELECT *, list_distinct(toks) AS toksd,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |      AS n_alnum,
+        |    length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+        |      AS n_digit,
+        |    length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+        |      AS n_ws
+        |  FROM tk),
+        |scored AS (
+        |  SELECT doc_id, lang, toks,
+        |    $langHitsSql,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+        |        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+|[^a-z0-9\\s]+')) AS INTEGER) AS n_subwords,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_ws
+        |      AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+        |      AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio
+        |  FROM tk2)
+        |SELECT doc_id, lang AS lang_label,
+        |  $langPredSql AS lang_pred,
+        |  stopword_ratio, n_subwords,
+        |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 5) * 0.3
+        |    + greatest(0.0, 1.0 - digit_ratio * 5) * 0.2
+        |    + least(stopword_ratio * 3, 1.0) * 0.2 AS quality
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |  FROM documents),
+        |keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS rep
+        |    FROM fp) x
+        |  WHERE doc_id = rep),
+        |base AS (
+        |  SELECT d.doc_id, d.text,
+        |    trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS nt
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+        |tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(nt, ' '), x -> len(x) > 0) AS toks
+        |  FROM base),
+        |tk2 AS (
+        |  SELECT *, list_distinct(toks) AS toksd,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |      AS n_alnum,
+        |    length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+        |      AS n_digit,
+        |    length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+        |      AS n_ws
+        |  FROM tk),
+        |scored AS (
+        |  SELECT doc_id, toks,
+        |    $langHitsSql,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+        |        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_ws
+        |      AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+        |      AS punct_ratio,
+        |    CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio
+        |  FROM tk2),
+        |final AS (
+        |  SELECT doc_id, $langPredSql AS lang_pred, len(toks) AS n_tokens,
+        |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |      + greatest(0.0, 1.0 - punct_ratio * 5) * 0.3
+        |      + greatest(0.0, 1.0 - digit_ratio * 5) * 0.2
+        |      + least(stopword_ratio * 3, 1.0) * 0.2 AS quality
+        |  FROM scored)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM final WHERE quality > 0.2
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN 0 ELSE

@@ -228,54 +228,95 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Character-n-gram Jaccard near-dup pairs. Candidate generation by
-    * inverted index over *discriminative* n-grams only (document
-    * frequency ≤ maxDf — the standard stop-ngram pruning; common n-grams
-    * generate quadratic bucket blowup and no selectivity), candidates =
-    * pairs sharing ≥ minShared such n-grams, then exact Jaccard over the
-    * full n-gram sets. */
+  /** Character-n-gram Jaccard near-dup pairs with EXACT-recall candidate
+    * generation by prefix filtering (AllPairs / PPJoin, Bayardo et al.
+    * WWW'07): each doc's gram set is sorted by the canonical global
+    * order (document frequency asc, gram asc — rarest first) and only
+    * its first `|d| - ceil(t*|d|) + 1` grams are indexed. Any pair with
+    * Jaccard ≥ t must share a gram inside BOTH prefixes (pigeonhole on
+    * the canonical order: the smallest shared gram has at most
+    * |d| - |a∩b| ≤ |d| - t*|d| grams before it in either doc), so the
+    * prefix join loses nothing, while the inverted index shrinks to the
+    * ~(1-t) rarest fraction of each doc — this is what replaces the old
+    * absolute df-cutoff (df ≤ 50), which silently lost recall on short
+    * docs made of common grams once the corpus outgrew the constant. */
   def ngramJaccard(
       docs: DataFrame,
       n: Int = 8,
       threshold: Double = 0.7,
-      maxDf: Int = 50,
-      minShared: Int = 2): DataFrame = {
-    // persisted: the exploded ngram table feeds df-pruning, candidate
-    // generation, sizes, and the exact-Jaccard join (4 subtrees);
+      maxPrefixBucket: Int = 5000): DataFrame = {
+    // EPS guards the float evaluation of the exact-recall bounds:
+    // ceil(0.7 * 60) evaluates to 43 in doubles (0.7*60 =
+    // 42.000000000000007) where the true bound is 42 — without the
+    // epsilon the prefix would be one gram too short and could miss a
+    // real pair. 1e-9 is far below any meaningful bound gap for any
+    // realistic doc size, and erring DOWN only admits extra candidates.
+    val EPS = 1e-9
+    // persisted: the exploded ngram table feeds df-counting, prefix
+    // ranking, and the gram-set verification (3 subtrees);
     // released before returning (see the localCheckpoint at the end)
     val grams = docs.select(col("doc_id"),
       explode(char_ngram_hashes(normalize_text(col("text")), n)).as("g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val postings = grams.join(rare, Seq("g")).select("doc_id", "g")
+    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
 
-    val a = postings.as("a")
-    val b = postings.as("b")
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val wSz = Window.partitionBy("doc_id")
+    val prefix = grams.join(dfTab, Seq("g"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
+      .select("doc_id", "g", "rn", "sz")
+    // hot-gram guard: a gram shared by >maxPrefixBucket PREFIXES means a
+    // degenerate corpus slice (thousands of near-identical short docs);
+    // cap it so one key cannot quadratically explode a task. Default is
+    // high — prefix grams are each doc's rarest (observed max prefix
+    // bucket on the driver testdata at sf0.1: 263 of 5000 docs).
+    val capped = prefix
+      .withColumn("pn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id")))
+      .filter(col("pn") <= maxPrefixBucket)
+      .drop("pn")
+
+    // Candidate edges with the two other exact AllPairs/PPJoin prunes:
+    //  - size filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
+    //  - positional filter: an edge at prefix positions (rn_a, rn_b) can
+    //    witness an overlap of at most min(|a|-rn_a, |b|-rn_b)+1, which
+    //    must reach the required overlap α = t/(1+t)·(|a|+|b|). The
+    //    smallest shared gram of a true pair always passes (all o shared
+    //    grams sit at or after it in both docs), so recall stays exact.
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val alpha = lit(threshold / (1 + threshold)) *
+      (col("a.sz") + col("b.sz")) - EPS
     val candidates = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-      .select("id_a", "id_b")
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz").cast("double") >=
+            lit(threshold) * col("a.sz") - EPS &&
+          col("a.sz").cast("double") >=
+            lit(threshold) * col("b.sz") - EPS &&
+          (least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1)
+            .cast("double") >= alpha)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
 
-    // exact char-ngram Jaccard over full sets
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = candidates
-      .join(grams.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-      .join(grams.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("g", "g_b"), Seq("id_b"))
-      .filter(col("g") === col("g_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // exact char-ngram Jaccard per candidate via gram-SET intersection:
+    // one narrow join per side (candidates × ~2 KB gram arrays) instead
+    // of re-exploding to gram level — shuffle volume stays proportional
+    // to candidates, and the per-pair intersect is a linear hash probe.
+    val sets = grams.groupBy("doc_id")
+      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("sz"))
     // eager materialization + unpersist: same cache-release contract as
     // minhashLsh (the pair list is small; the gram table is not)
-    val pairs = candidates.join(common, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("sz", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sz", "n_b"), Seq("id_b"))
+    val pairs = candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
+        col("sz").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
+        col("sz").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

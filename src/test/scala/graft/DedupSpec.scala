@@ -51,7 +51,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard scores the planted pair above threshold") {
-    val r = Dedup.ngramJaccard(docs, threshold = 0.5, maxDf = 3)
+    val r = Dedup.ngramJaccard(docs, threshold = 0.5)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
       .toMap
     assert(r.keySet.contains((1L, 2L)) && r((1L, 2L)) === 1.0)
