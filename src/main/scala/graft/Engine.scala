@@ -91,6 +91,10 @@ object Engine {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      // library sessions carry the full extension surface (SQL
+      // functions, as-of strategy, as-of filter pushdown) by default —
+      // same wiring a cluster gets from spark.sql.extensions
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -421,25 +421,35 @@ object VectorFunctions {
   def text_stats(text: Column): Column =
     toColumn(TextStats(toExpression(text)))
 
-  /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`) —
-    * the session-local equivalent of shipping them through
-    * `SparkSessionExtensions.injectFunction`. */
-  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.spark.sql.graft.bridge.registerFunction
-    registerFunction(spark, "cosine_sim",
-      es => CosineSimilarity(es(0), es(1)))
-    registerFunction(spark, "simhash64", es => SimHash64(es.head))
-    registerFunction(spark, "hyperplane_sig", es =>
-      HyperplaneSignature(es(0), es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-          v.toString.toInt
-        case other => sys.error(s"bits must be a literal, got $other")
-      }))
-    registerFunction(spark, "shingle_hashes", es =>
-      ShingleHashes(es(0), es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-          v.toString.toInt
-        case other => sys.error(s"k must be a literal, got $other")
-      }))
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.toString.toInt
+    case other => sys.error(s"$what must be a literal, got $other")
   }
+
+  /** Name → builder for every custom expression exposed to SQL. The
+    * single source of truth for both registration paths: session-local
+    * ([[registerSqlFunctions]]) and cluster-wide
+    * (`graft.GraftExtensions` via `spark.sql.extensions`). */
+  val sqlFunctionBuilders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+      "simhash64" -> (es => SimHash64(es.head)),
+      "hyperplane_sig" ->
+        (es => HyperplaneSignature(es(0), litInt(es(1), "bits"))),
+      "shingle_hashes" ->
+        (es => ShingleHashes(es(0), litInt(es(1), "k"))),
+      "char_ngram_hashes" ->
+        (es => CharNgramHashes(es(0), litInt(es(1), "n"))),
+      "normalize_text" -> (es => NormalizeText(es.head)),
+      "text_stats" -> (es => TextStats(es.head)))
+
+  /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`)
+    * on an already-running session — the session-local equivalent of
+    * shipping them through `SparkSessionExtensions.injectFunction`. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctionBuilders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(
+        spark, name, builder)
+    }
 }

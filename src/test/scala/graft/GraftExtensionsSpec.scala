@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoin
+import graft.plans.AsOfJoin.AsOfJoinPlan
+
+/** The cluster-integration path: a session created with
+  * `spark.sql.extensions=graft.GraftExtensions` (the reflective config
+  * every cluster deployment uses) must expose the SQL functions, plan
+  * as-of joins without manual strategy registration, and push left-side
+  * filters through the custom join node. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // A dedicated session: extensions apply at session construction, so
+  // the shared TestSpark session can't be reused. The SparkContext IS
+  // reused (same JVM); active/default session are restored after.
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(s)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("injected SQL functions are callable with no setup code") {
+    withExtSession { s =>
+      val r = s.sql(
+        """SELECT
+          |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c,
+          |  normalize_text('  A   b ') AS n,
+          |  size(shingle_hashes('one two three four', 3)) AS ns
+          |""".stripMargin).head()
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getString(1) === "a b")
+      assert(r.getInt(2) === 2)
+    }
+  }
+
+  test("as-of join plans through the injected strategy alone") {
+    withExtSession { s =>
+      import s.implicits._
+      assert(!s.experimental.extraStrategies.contains(AsOfJoin.AsOfStrategy))
+      val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"))
+        .toDF("key", "ts", "trade")
+      val quotes = Seq((1L, 50L, 9.0), (1L, 150L, 11.0))
+        .toDF("qkey", "qts", "px")
+      val joined = org.apache.spark.sql.graft.bridge.ofRows(s,
+        AsOfJoinPlan(
+          org.apache.spark.sql.graft.bridge.planOf(trades),
+          org.apache.spark.sql.graft.bridge.planOf(quotes),
+          org.apache.spark.sql.graft.bridge.toExpression(trades("key")),
+          org.apache.spark.sql.graft.bridge.toExpression(quotes("qkey")),
+          org.apache.spark.sql.graft.bridge.toExpression(trades("ts")),
+          org.apache.spark.sql.graft.bridge.toExpression(quotes("qts")),
+          0L, false))
+      val rows = joined.orderBy("ts").collect()
+      assert(rows.map(r => (r.getString(2), r.getDouble(5))).toSeq ===
+        Seq(("t1", 9.0), ("t2", 11.0)))
+    }
+  }
+
+  test("left-side filter is pushed below the as-of join node") {
+    withExtSession { s =>
+      // parquet-backed inputs: a pushed filter stays visible as a Filter
+      // over the relation in the optimized plan (LocalRelation inputs
+      // would get constant-folded by ConvertToLocalRelation)
+      val e = graft.sources.Tables.load(s, TestSpark.sfDir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val su = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val joined = AsOfJoin.join(p, su, p("user_id"), su("s_user"),
+        p("ts"), su("s_ts"))
+        .filter(col("value") > 30)
+
+      val optimized = joined.queryExecution.optimizedPlan
+      val joinNodes = optimized.collect { case j: AsOfJoinPlan => j }
+      assert(joinNodes.size === 1)
+      // the value predicate must now live in the join's LEFT subtree…
+      val leftFilters = joinNodes.head.left.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.exists(_.name == "value") => f
+      }
+      assert(leftFilters.nonEmpty,
+        s"expected pushed filter under the join's left side:\n$optimized")
+      // …and no longer sit above the join
+      optimized match {
+        case org.apache.spark.sql.catalyst.plans.logical
+          .Filter(cond, _: AsOfJoinPlan)
+          if cond.references.exists(_.name == "value") =>
+          fail(s"filter not pushed:\n$optimized")
+        case _ =>
+      }
+      // semantics unchanged: pushing the filter equals filtering first
+      val expected = AsOfJoin.join(
+        p.filter(col("value") > 30), su, p("user_id"), su("s_user"),
+        p("ts"), su("s_ts")).count()
+      assert(joined.count() === expected && expected > 0)
+    }
+  }
+}
