@@ -314,6 +314,57 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** All `k` MinHash values of a 64-bit element array in one pass:
+    * output[i] = min over elements e of xxhash64(e, seed = i). Replaces
+    * the explode → k×min-agg formulation, which shuffled every shingle
+    * hash and ran a k-column hash aggregate — this computes the whole
+    * signature inside the scan stage, so the only rows that ever move
+    * are (doc_id, signature). Null/empty input → null (docs with no
+    * shingles can't be banded). */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1)
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val e = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashLong(e, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("minhash", this,
+        classOf[MinHashSignature].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** One-pass character-class census of the lowercased text:
     * (n_chars, n_alnum, n_digit, n_ws, n_words) where n_words counts
     * non-whitespace runs and the ws class is `Character.isWhitespace` —
@@ -420,6 +471,8 @@ object VectorFunctions {
     toColumn(CharNgramHashes(toExpression(text), n))
   def text_stats(text: Column): Column =
     toColumn(TextStats(toExpression(text)))
+  def minhash_sig(elems: Column, k: Int): Column =
+    toColumn(MinHashSignature(toExpression(elems), k))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
@@ -442,7 +495,9 @@ object VectorFunctions {
       "char_ngram_hashes" ->
         (es => CharNgramHashes(es(0), litInt(es(1), "n"))),
       "normalize_text" -> (es => NormalizeText(es.head)),
-      "text_stats" -> (es => TextStats(es.head)))
+      "text_stats" -> (es => TextStats(es.head)),
+      "minhash_sig" ->
+        (es => MinHashSignature(es(0), litInt(es(1), "k"))))
 
   /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`)
     * on an already-running session — the session-local equivalent of

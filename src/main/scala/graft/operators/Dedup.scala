@@ -46,28 +46,30 @@ object Dedup {
       explode(shingle_hashes(col("text"), shingleK)).as("sh"))
 
   /** Per-doc MinHash signature: `numHashes` independent min-hashes over
-    * k-word shingle hashes. Computed as explode → one map-side-
-    * combinable min-agg per hash function — a single shuffle keyed by
-    * doc_id regardless of numHashes. */
+    * k-word shingle hashes, one column per hash function. Both the
+    * shingling and the whole signature are computed by custom
+    * expressions inside the scan stage — no explode, no shuffle. */
   def minhashSignatures(
-      docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame =
-    signaturesFrom(shingleTable(docs, shingleK), numHashes)
-
-  private def signaturesFrom(st: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    st.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      docs: DataFrame, shingleK: Int, numHashes: Int): DataFrame = {
+    val withSig = docs.select(col("doc_id"),
+      minhash_sig(shingle_hashes(col("text"), shingleK), numHashes)
+        .as("mh"))
+      .filter(col("mh").isNotNull)
+    withSig.select(col("doc_id") +:
+      (0 until numHashes).map(i =>
+        element_at(col("mh"), i + 1).as(s"h$i")): _*)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification.
     *
     * numHashes=32 split into 8 bands × 4 rows ⇒ candidate-recall ~1 for
     * J ≥ 0.8 (P(candidate) = 1-(1-J^4)^8 = 0.9996 at J=0.8). Stages:
-    *  1. signatures (1 shuffle);
+    *  1. shingles + signatures fused into the scan stage (custom
+    *     expressions — ZERO shuffle);
     *  2. band keys → explode → self-join per (band, key) bucket with a
-    *     bucket-size cap (2 shuffles, bounded fan-out);
-    *  3. exact Jaccard on candidates via shingle-set intersection join
-    *     (shuffles proportional to candidate count only).
+    *     bucket-size cap (bounded fan-out);
+    *  3. exact Jaccard on candidates via shingle-set array intersection
+    *     (two narrow joins, shuffles proportional to candidate count).
     */
   def minhashLsh(
       docs: DataFrame,
@@ -81,19 +83,25 @@ object Dedup {
         "a remainder would silently drop hash functions and invalidate " +
         "the 1-(1-J^r)^b recall math")
     val rows = numHashes / bands
-    // the exploded shingle table feeds signatures AND the verification
-    // joins — persist it so the scan+shingle pipeline runs once, not 4×;
-    // released before returning (see the localCheckpoint at the end)
-    val st = shingleTable(docs, shingleK)
+    // One scan-stage pass computes shingle multiset + whole signature
+    // (custom expressions, no shuffle); persisted because it feeds both
+    // the banding join and the exact-Jaccard verification. Released
+    // before returning (see the localCheckpoint at the end). At 100 TB
+    // this is the table you'd WRITE once (bucketed by band key) and
+    // reuse across incremental dedup runs.
+    val sigs = docs.select(col("doc_id"),
+      shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = signaturesFrom(st, numHashes)
 
     // band key = hash of the band's signature slice
     val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => element_at(col("mh"), i + 1))
       struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
     }
-    val buckets = sig
+    val buckets = sigs
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
@@ -113,15 +121,32 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
+    // exact shingle-set Jaccard per candidate via array intersection —
+    // two narrow joins (candidates × per-doc shingle arrays) instead of
+    // re-exploding to shingle level; shuffle volume stays proportional
+    // to the candidate count.
+    val sets = sigs.select(col("doc_id"),
+      array_distinct(col("sh")).as("gs"))
+      .withColumn("n", size(col("gs")).cast("long"))
     // Materialize eagerly (localCheckpoint: small pair list, blocks are
     // reference-tracked and GC-cleaned), then release the cached shingle
     // table — otherwise repeated calls in a long-lived session (Bench
     // loops, notebooks) accumulate cached blocks indefinitely.
-    val pairs = verifyJaccardFrom(st.distinct(), candidates)
+    val pairs = candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
       .localCheckpoint(true)
-    st.unpersist(false)
+    sigs.unpersist(false)
     pairs
   }
 

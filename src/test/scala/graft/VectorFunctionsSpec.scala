@@ -69,6 +69,22 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r(0).isNullAt(0))
   }
 
+  test("minhash signature: order/multiplicity-invariant, k mins, null on empty") {
+    val df = Seq(
+      Seq(5L, 9L, 2L, 7L),
+      Seq(7L, 2L, 9L, 5L, 5L, 2L), // same SET, different order + dups
+      Seq(5L, 9L, 2L),             // subset
+      Seq.empty[Long]).toDF("es")
+    val r = df.select(minhash_sig(col("es"), 8)).collect()
+    val s0 = r(0).getSeq[Long](0)
+    assert(s0.length === 8)
+    assert(s0 === r(1).getSeq[Long](0)) // MinHash is a set signature
+    // each subset min-hash is >= the superset's (fewer candidates)
+    val s2 = r(2).getSeq[Long](0)
+    assert(s0.zip(s2).forall { case (a, b) => b >= a })
+    assert(r(3).isNullAt(0))
+  }
+
   test("hyperplane signature: deterministic, similar vectors collide more") {
     val base = Array.tabulate(32)(i => math.sin(i.toDouble).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.01f
