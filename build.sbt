@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight through (no "[info] " log prefix):
+// the bench/verify contract is "print ONE parseable JSON line", and the
+// sbt logger prefix would break any consumer that json-parses stdout.
+run / outputStrategy := Some(StdoutOutput)

@@ -26,6 +26,8 @@ object Bench {
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "pipeline_clean_corpus",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
@@ -41,6 +43,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

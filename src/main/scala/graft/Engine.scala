@@ -96,6 +96,12 @@ object Engine {
       // same wiring a cluster gets from spark.sql.extensions
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // Spark's 10 MB default broadcast threshold predates 100+ GB
+      // executors; 64 MB lets AQE turn e.g. the dedup verification
+      // joins into broadcasts when the build side is genuinely small,
+      // while at corpus scale those sides exceed the threshold and the
+      // planner correctly keeps shuffle joins.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -365,6 +365,111 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** AllPairs/PPJoin prefix selection inside the scan stage: sort the
+    * doc's (distinct) gram hashes by the canonical global order
+    * (document frequency asc, gram asc) and keep the first
+    * `n - ceil(t*n) + 1` — the doc's RAREST grams, the only ones that
+    * need indexing for an exact Jaccard-threshold join.
+    *
+    * `hotDf` is a driver-built model of the most frequent grams (a
+    * bounded "stop-gram list"); grams outside it rank as df=1, ties by
+    * gram value. Any consistent total order preserves the exact-recall
+    * guarantee — df-ordering is the candidate-volume heuristic, so only
+    * the hot end of the distribution needs true counts. This replaces a
+    * full df join + per-doc window sort (two corpus-wide shuffles) with
+    * a per-row sort against a broadcast-sized map. */
+  case class PrefixGrams(child: Expression, hotDf: Map[Long, Long],
+      threshold: Double) extends UnaryExpression {
+    require(threshold > 0 && threshold <= 1)
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val p0 = n - math.ceil(threshold * n - 1e-9).toInt + 1
+      val p = math.min(math.max(p0, 1), n)
+      val gs = new Array[Long](n)
+      var i = 0
+      while (i < n) { gs(i) = arr.getLong(i); i += 1 }
+      val sorted = gs.sortWith { (x, y) =>
+        val wx = hotDf.getOrElse(x, 1L)
+        val wy = hotDf.getOrElse(y, 1L)
+        if (wx != wy) wx < wy else x < y
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(sorted.take(p))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("prefixGrams", this,
+        classOf[PrefixGrams].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** |A ∩ B| for two SORTED long arrays by linear merge — the exact
+    * same count `size(array_intersect(a, b))` returns on distinct
+    * inputs, minus the per-call hash-set build and boxing. Sits in the
+    * hot loop of pair verification (candidates × gram sets), where the
+    * merge is ~5× cheaper than hashing both sides. Inputs MUST be
+    * sorted ascending and duplicate-free (array_sort ∘ array_distinct). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** One-pass character-class census of the lowercased text:
     * (n_chars, n_alnum, n_digit, n_ws, n_words) where n_words counts
     * non-whitespace runs and the ws class is `Character.isWhitespace` —
@@ -473,6 +578,11 @@ object VectorFunctions {
     toColumn(TextStats(toExpression(text)))
   def minhash_sig(elems: Column, k: Int): Column =
     toColumn(MinHashSignature(toExpression(elems), k))
+  def prefix_grams(gs: Column, hotDf: Map[Long, Long],
+      threshold: Double): Column =
+    toColumn(PrefixGrams(toExpression(gs), hotDf, threshold))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>

@@ -21,6 +21,19 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
+  /** Finalize a pair-list result: materialize the UNSORTED pairs first
+    * (the total-order sort's range partitioner samples its child — on an
+    * unmaterialized plan that re-runs the whole verification DAG), then
+    * sort + localCheckpoint (eager; blocks are reference-tracked and
+    * GC-cleaned), then drop the temp cache. */
+  private def finalizePairs(df: DataFrame, sortCols: String*): DataFrame = {
+    val unsorted = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = unsorted.orderBy(sortCols.map(col): _*).localCheckpoint(true)
+    unsorted.unpersist(false)
+    out
+  }
+
   /** Exact dedup by canonical-content fingerprint: every doc keeps its
     * group's min doc_id as `dup_of` (null for the kept representative).
     * One hash-partitioned window — the exact-group analog of a
@@ -105,12 +118,15 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    // cap pathological buckets (hot-key guard at scale)
+    // cap pathological buckets (hot-key guard at scale); persisted
+    // because both sides of the candidate self-join read it — without
+    // the persist the banding window subtree runs twice
     val capped = buckets
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "bkey").orderBy("doc_id")))
       .filter(col("rn") <= maxBucket)
       .drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = capped.as("a")
     val b = capped.as("b")
@@ -121,31 +137,27 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    // exact shingle-set Jaccard per candidate via array intersection —
-    // two narrow joins (candidates × per-doc shingle arrays) instead of
-    // re-exploding to shingle level; shuffle volume stays proportional
-    // to the candidate count.
+    // exact shingle-set Jaccard per candidate via sorted-array merge
+    // intersection — two narrow joins (candidates × per-doc shingle
+    // arrays) instead of re-exploding to shingle level; shuffle volume
+    // stays proportional to the candidate count.
     val sets = sigs.select(col("doc_id"),
-      array_distinct(col("sh")).as("gs"))
+      array_sort(array_distinct(col("sh"))).as("gs"))
       .withColumn("n", size(col("gs")).cast("long"))
-    // Materialize eagerly (localCheckpoint: small pair list, blocks are
-    // reference-tracked and GC-cleaned), then release the cached shingle
-    // table — otherwise repeated calls in a long-lived session (Bench
-    // loops, notebooks) accumulate cached blocks indefinitely.
-    val pairs = candidates
+    val pairs = finalizePairs(candidates
       .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
         col("n").as("n_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
         col("n").as("n_b")), Seq("id_b"))
       .withColumn("n_common",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+        sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
-      .localCheckpoint(true)
+      .filter(col("jaccard") >= threshold),
+      "id_a", "id_b")
+    capped.unpersist(false)
     sigs.unpersist(false)
     pairs
   }
@@ -234,23 +246,29 @@ object Dedup {
     // similarity, not near-dup evidence, and quadratic in bucket size.
     // The cap trades guaranteed recall in degenerate buckets for a
     // bounded join (same guard as minhashLsh).
+    // persisted: both sides of the self-join read it (otherwise the
+    // simhash scan + cap window run twice); eager pair materialization
+    // + unpersist, same cache-release contract as minhashLsh
     val banded = banded0
       .withColumn("rn", row_number().over(
         Window.partitionBy("band", "bkey").orderBy("doc_id")))
       .filter(col("rn") <= maxBucket)
       .drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val pairs = finalizePairs(a.join(b,
         col("a.band") === col("b.band") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming),
+      "id_a", "id_b")
+    banded.unpersist(false)
+    pairs
   }
 
   /** Character-n-gram Jaccard near-dup pairs with EXACT-recall candidate
@@ -269,7 +287,8 @@ object Dedup {
       docs: DataFrame,
       n: Int = 8,
       threshold: Double = 0.7,
-      maxPrefixBucket: Int = 5000): DataFrame = {
+      maxPrefixBucket: Int = 5000,
+      stopGramModelSize: Int = 1 << 16): DataFrame = {
     // EPS guards the float evaluation of the exact-recall bounds:
     // ceil(0.7 * 60) evaluates to 43 in doubles (0.7*60 =
     // 42.000000000000007) where the true bound is 42 — without the
@@ -277,33 +296,54 @@ object Dedup {
     // real pair. 1e-9 is far below any meaningful bound gap for any
     // realistic doc size, and erring DOWN only admits extra candidates.
     val EPS = 1e-9
-    // persisted: the exploded ngram table feeds df-counting, prefix
-    // ranking, and the gram-set verification (3 subtrees);
-    // released before returning (see the localCheckpoint at the end)
-    val grams = docs.select(col("doc_id"),
-      explode(char_ngram_hashes(normalize_text(col("text")), n)).as("g"))
-      .distinct()
+    // Per-doc DISTINCT gram array built inside the scan stage
+    // (array_distinct hashes 64-bit elements — no corpus-wide distinct
+    // shuffle). Persisted because it feeds the stop-gram model, prefix
+    // selection, and the gram-set verification; released before
+    // returning (see the localCheckpoint at the end).
+    val base = docs.select(col("doc_id"),
+      array_sort(array_distinct(
+        char_ngram_hashes(normalize_text(col("text")), n))).as("gs"))
+      .filter(col("gs").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
 
-    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val wSz = Window.partitionBy("doc_id")
-    val prefix = grams.join(dfTab, Seq("g"))
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("sz", count(lit(1)).over(wSz))
-      .filter(col("rn") <=
-        col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1)
-      .select("doc_id", "g", "rn", "sz")
+    // Stop-gram model: true df counts for the HOTTEST grams only (one
+    // skinny map-side-combined aggregate + TakeOrdered). Only the head
+    // of the df distribution matters for prefix ordering; the rare tail
+    // ranks as df=1 with ties by gram value — still a consistent global
+    // total order, so the exact-recall guarantee is untouched. Bounded
+    // size ⇒ driver/executor-safe at any corpus scale (the same shape
+    // as an IVF centroid model). df=1 grams can't form a pair, so df≥2
+    // filters the model.
+    val hotDf: Map[Long, Long] = base
+      .select(explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("g"))
+      .limit(stopGramModelSize)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // prefix postings straight out of the scan stage: per-row sort by
+    // (df, g) + truncate inside PrefixGrams — no corpus-wide df join,
+    // no per-doc window shuffle
+    val prefix = base
+      .select(col("doc_id"), size(col("gs")).as("sz"),
+        posexplode(prefix_grams(col("gs"), hotDf, threshold)))
+      .select(col("doc_id"), col("col").as("g"),
+        (col("pos") + 1).as("rn"), col("sz"))
     // hot-gram guard: a gram shared by >maxPrefixBucket PREFIXES means a
     // degenerate corpus slice (thousands of near-identical short docs);
     // cap it so one key cannot quadratically explode a task. Default is
     // high — prefix grams are each doc's rarest (observed max prefix
     // bucket on the driver testdata at sf0.1: 263 of 5000 docs).
+    // Persisted: BOTH sides of the candidate self-join read this table —
+    // without the persist the df-count + window subtree runs twice.
     val capped = prefix
       .withColumn("pn", row_number().over(
         Window.partitionBy("g").orderBy("doc_id")))
       .filter(col("pn") <= maxPrefixBucket)
       .drop("pn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Candidate edges with the two other exact AllPairs/PPJoin prunes:
     //  - size filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
@@ -327,29 +367,28 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-    // exact char-ngram Jaccard per candidate via gram-SET intersection:
-    // one narrow join per side (candidates × ~2 KB gram arrays) instead
-    // of re-exploding to gram level — shuffle volume stays proportional
-    // to candidates, and the per-pair intersect is a linear hash probe.
-    val sets = grams.groupBy("doc_id")
-      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("sz"))
-    // eager materialization + unpersist: same cache-release contract as
-    // minhashLsh (the pair list is small; the gram table is not)
-    val pairs = candidates
+    // exact char-ngram Jaccard per candidate via sorted-array merge
+    // intersection: one narrow join per side (candidates × ~2 KB gram
+    // arrays) instead of re-exploding to gram level. With AQE + an
+    // honest broadcast threshold these joins turn into broadcasts
+    // whenever the gram-set table is actually small; at corpus scale
+    // they stay shuffles proportional to the candidate count.
+    val sets = base.withColumn("n", size(col("gs")).cast("long"))
+    val pairs = finalizePairs(candidates
       .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
-        col("sz").as("n_a")), Seq("id_a"))
+        col("n").as("n_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
-        col("sz").as("n_b")), Seq("id_b"))
+        col("n").as("n_b")), Seq("id_b"))
       .withColumn("n_common",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+        sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("id_a", "id_b")
-      .localCheckpoint(true)
-    grams.unpersist(false)
+      .filter(col("jaccard") >= threshold),
+      "id_a", "id_b")
+    capped.unpersist(false)
+    base.unpersist(false)
     pairs
   }
 
@@ -362,6 +401,8 @@ object Dedup {
       embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
     val sig = embeddings.select(col("vec_id"), col("embedding"),
       hyperplane_sig(col("embedding"), 16).as("sig"))
+    // persisted: both sides of the self-join read it (otherwise the
+    // hyperplane-signature scan runs twice)
     val banded = sig.select(col("vec_id"), col("embedding"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -369,6 +410,7 @@ object Dedup {
             .as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = banded.as("a")
     val b = banded.as("b")
@@ -381,10 +423,13 @@ object Dedup {
       .distinct()
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine").desc, col("nn_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("nn_id"), col("cosine"),
-        (col("cosine") >= threshold).as("is_dup"))
-      .orderBy("vec_id")
+    val out = finalizePairs(
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("nn_id"), col("cosine"),
+          (col("cosine") >= threshold).as("is_dup")),
+      "vec_id")
+    banded.unpersist(false)
+    out
   }
 }
