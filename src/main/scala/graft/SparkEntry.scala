@@ -550,6 +550,40 @@ object SparkEntry {
         |ORDER BY n.n_name""".stripMargin)
   }
 
+  private def qJoinRangePred(s: SparkSession, dir: String): DataFrame = {
+    // Non-equi band join: signups in the hour BEFORE each high-value
+    // purchase (no key equality — a pure interval predicate). Spark
+    // plans broadcast-nested-loop with the small filtered side
+    // broadcast; at scale the standard rewrite is bucketing both sides
+    // by coarse time bucket and joining bucket-equi + band filter.
+    val e = Tables.load(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase" && col("value") > 95)
+      .select(col("event_id"), col("ts"))
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("ts").as("s_ts"))
+    p.join(su,
+        col("s_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("s_ts") <= col("ts"), "left")
+      .groupBy("event_id", "ts")
+      .agg(count(col("s_ts")).as("n_signups_1h"))
+      .select("event_id", "n_signups_1h")
+      .orderBy("event_id")
+  }
+
+  private def qWindowPercentiles(s: SparkSession, dir: String): DataFrame = {
+    // Relative-rank window functions over a UNIQUE total order (ties
+    // impossible ⇒ the integer-ratio outputs are engine-exact doubles).
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(10).over(w).as("decile"))
+      .orderBy("o_orderkey")
+  }
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -737,6 +771,8 @@ object SparkEntry {
     "pivot_segments" -> (qPivot _),
     "scalar_subquery" -> (qScalarSubquery _),
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
+    "join_range_pred" -> (qJoinRangePred _),
+    "window_percentiles" -> (qWindowPercentiles _),
     "json_funcs" -> (qJsonFuncs _),
     "array_funcs" -> (qArrayFuncs _),
     "q3_shipping_priority" -> (qShippingPriority _),
@@ -1098,6 +1134,25 @@ object SparkEntry {
         |           WHERE event_type = 'signup') s
         |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
         |ORDER BY p.event_id""".stripMargin,
+    "join_range_pred" ->
+      """SELECT p.event_id, count(s.s_ts) AS n_signups_1h
+        |FROM (SELECT event_id, ts FROM events
+        |      WHERE event_type = 'purchase' AND value > 95) p
+        |LEFT JOIN (SELECT ts AS s_ts FROM events
+        |           WHERE event_type = 'signup') s
+        |  ON s.s_ts >= p.ts - INTERVAL 1 HOUR AND s.s_ts <= p.ts
+        |GROUP BY p.event_id, p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "window_percentiles" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS decile
+        |FROM orders
+        |WHERE o_orderkey <= 5000
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "json_funcs" ->
       """SELECT event_id,
         |  CAST(props->>'$.k' AS INTEGER) AS k,
