@@ -584,6 +584,19 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    // TPC-H Q6 shape: pure scan + tight conjunctive filter + one global
+    // sum — the pushdown showcase (every predicate reaches the parquet
+    // reader; no shuffle but the final single-row reduce).
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01") &&
+        col("l_shipdate") < lit("1995-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(microsSum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -777,6 +790,7 @@ object SparkEntry {
     "array_funcs" -> (qArrayFuncs _),
     "q3_shipping_priority" -> (qShippingPriority _),
     "q5_supplier_volume" -> (qLocalSupplierVolume _),
+    "q6_forecast_revenue" -> (qForecastRevenue _),
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
@@ -1126,6 +1140,15 @@ object SparkEntry {
         |WHERE r.r_name = 'ASIA'
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1e6)
+        |      AS BIGINT)) AS BIGINT) / 1e6 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
         |FROM (SELECT event_id, user_id, ts, value FROM events
