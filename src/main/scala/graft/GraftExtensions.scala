@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, ExpressionInfo, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, ExpressionInfo, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.VectorFunctions
@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => PruneColumnsThroughAsOfJoin)
   }
 }
 
@@ -69,5 +70,29 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan]
         val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
         if (rest.isEmpty) pushed else Filter(rest.reduce(And), pushed)
       }
+  }
+}
+
+/** Column pruning through an [[AsOfJoinPlan]]: Catalyst's own
+  * ColumnPruning rule treats unknown nodes conservatively, so without
+  * this a narrow Project above an as-of join still scans EVERY column
+  * of both inputs. Keep only the attributes the projection and the
+  * join's key/timestamp expressions reference; the inserted child
+  * Projects then flow into the normal pruning rules and reach the
+  * parquet readers' ReadSchema. Exactness is trivial — dropped columns
+  * are referenced by nothing above. */
+object PruneColumnsThroughAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTs, j.rightTs)
+          .flatMap(_.references))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val kept = child.output.filter(needed.contains)
+        if (kept.size == child.output.size) child else Project(kept, child)
+      }
+      val (newLeft, newRight) = (prune(j.left), prune(j.right))
+      if (newLeft.eq(j.left) && newRight.eq(j.right)) p
+      else Project(projList, j.copy(left = newLeft, right = newRight))
   }
 }

@@ -75,6 +75,49 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow projection prunes as-of join inputs down to the scan") {
+    withExtSession { s =>
+      val e = graft.sources.Tables.load(s, TestSpark.sfDir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+      val su = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+          col("value").as("s_value"), col("props").as("s_props"))
+      // project only 2 of the left side's 6 columns, none of the
+      // right's payload columns
+      val joined = AsOfJoin.join(p, su, p("user_id"), su("s_user"),
+        p("ts"), su("s_ts"))
+        .select("event_id", "user_id")
+
+      val joinNodes = joined.queryExecution.optimizedPlan.collect {
+        case j: AsOfJoinPlan => j
+      }
+      assert(joinNodes.size === 1)
+      // both children must now emit only needed cols (+ key/ts)
+      assert(joinNodes.head.left.output.map(_.name).toSet ===
+        Set("event_id", "user_id", "ts"))
+      assert(joinNodes.head.right.output.map(_.name).toSet ===
+        Set("s_user", "s_ts"))
+      // ...and the pruning must reach the parquet reader (walk through
+      // AQE wrappers — scans hide inside adaptive/query-stage nodes)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(joined.queryExecution.executedPlan)
+      assert(scans.nonEmpty)
+      scans.foreach { sc =>
+        val read = sc.requiredSchema.fieldNames.toSet
+        assert(!read.contains("props"),
+          s"payload column not pruned from scan: $read")
+      }
+      assert(joined.count() > 0)
+    }
+  }
+
   test("left-side filter is pushed below the as-of join node") {
     withExtSession { s =>
       // parquet-backed inputs: a pushed filter stays visible as a Filter
