@@ -584,6 +584,37 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  private def qLayoutBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // Layout tooling as a declared query: persist both join sides
+    // bucketed by the join key, then join + aggregate THROUGH the
+    // bucketed tables — zero shuffle exchanges (asserted) because the
+    // bucketing IS the exchange, done once at write time. This is the
+    // 100 TB answer to repeated big joins on a stable key, and the
+    // Spark-native generalization of the reference's fixed fragment
+    // placement. Results must equal the plain join (the oracle checks
+    // against the raw tables).
+    Tables.register(s, dir)
+    graft.sources.Layout.writeBucketed(
+      s.table("customer"), "blq_customer", "c_custkey", 8)
+    graft.sources.Layout.writeBucketed(
+      s.table("orders").withColumnRenamed("o_custkey", "c_custkey"),
+      "blq_orders", "c_custkey", 8)
+    val joined = s.table("blq_customer")
+      .join(s.table("blq_orders"), Seq("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        centsSum(col("o_totalprice")).as("spend"))
+      .orderBy("c_custkey")
+    // the whole point: bucket-equi join + same-key agg need no exchange
+    // (the final orderBy is the only range exchange)
+    val noSort = s.table("blq_customer")
+      .join(s.table("blq_orders"), Seq("c_custkey"))
+      .groupBy("c_custkey").agg(count(lit(1)))
+    require(!graft.sources.Layout.hasShuffle(noSort),
+      "bucketed join/agg unexpectedly shuffled")
+    joined
+  }
+
   private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
     // TPC-H Q6 shape: pure scan + tight conjunctive filter + one global
     // sum — the pushdown showcase (every predicate reaches the parquet
@@ -791,6 +822,7 @@ object SparkEntry {
     "q3_shipping_priority" -> (qShippingPriority _),
     "q5_supplier_volume" -> (qLocalSupplierVolume _),
     "q6_forecast_revenue" -> (qForecastRevenue _),
+    "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
@@ -1149,6 +1181,13 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "layout_bucketed_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS spend
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment
+        |ORDER BY c.c_custkey""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
         |FROM (SELECT event_id, user_id, ts, value FROM events
