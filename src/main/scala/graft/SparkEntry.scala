@@ -628,6 +628,28 @@ object SparkEntry {
         .as("revenue"),
         count(lit(1)).as("n_items"))
 
+  private def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q14 shape: lineitem ⋈ part with a conditional ratio-of-sums.
+    // Both sums stay exact integer micros; the single final
+    // 100.0 * promo / total division is the only float op, identical in
+    // both engines given identical longs.
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-09-01") &&
+        col("l_shipdate") < lit("1995-10-01"))
+    val p = t(s, dir, "part")
+    val disc = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 1e6).cast("long")
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type").like("PROMO%"), disc).otherwise(0L))
+          .as("promo_micros"),
+        sum(disc).as("total_micros"))
+      .select(
+        (lit(100.0) * col("promo_micros").cast("double") /
+          col("total_micros").cast("double")).as("promo_pct"),
+        col("promo_micros"), col("total_micros"))
+  }
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -822,6 +844,7 @@ object SparkEntry {
     "q3_shipping_priority" -> (qShippingPriority _),
     "q5_supplier_volume" -> (qLocalSupplierVolume _),
     "q6_forecast_revenue" -> (qForecastRevenue _),
+    "q14_promo_revenue" -> (qPromoRevenue _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
@@ -1181,6 +1204,21 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH x AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+        |      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |           AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_micros,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |         AS BIGINT)) AS BIGINT) AS total_micros
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+        |    AND l.l_shipdate < TIMESTAMP '1995-10-01')
+        |SELECT 100.0 * CAST(promo_micros AS DOUBLE)
+        |    / CAST(total_micros AS DOUBLE) AS promo_pct,
+        |  promo_micros, total_micros
+        |FROM x""".stripMargin,
     "layout_bucketed_join" ->
       """SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
