@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline queries — the scale
+  * contract, pinned: filters reach the parquet reader, projections
+  * prune the read schema, partial aggregation runs map-side, fixed-size
+  * dims broadcast, top-k avoids a global sort. A refactor that silently
+  * regresses any of these still passes row-level correctness; this spec
+  * is what catches it. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = TestSpark.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("scan_leaf: predicate and projection reach the parquet scan") {
+    val p = plan("scan_leaf")
+    assert(p.contains("PushedFilters: ["),
+      "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity"),
+      s"quantity filter not pushed:\n$p")
+    // projection pruning: unreferenced wide columns never read
+    assert(!p.contains("l_comment") && !p.contains("l_shipinstruct"),
+      "scan reads pruned columns")
+  }
+
+  test("q6: every filter pushed, aggregate runs partial then final") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("IsNotNull(l_shipdate)"), s"shipdate not pushed:\n$p")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("agg_q1: map-side partial aggregation before the exchange") {
+    val p = plan("agg_q1")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no partial agg:\n$p")
+  }
+
+  test("join_multiway: fixed-size dimension broadcasts") {
+    assert(plan("join_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("sort_limit_topk: per-partition heaps, no global sort") {
+    val p = plan("sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
+  }
+
+  test("q14: join with part keeps only the 2 needed part columns") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("p_comment") && !p.contains("p_retailprice"),
+      "part scan reads pruned columns")
+  }
+}
