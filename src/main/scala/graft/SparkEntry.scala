@@ -782,6 +782,15 @@ object SparkEntry {
       .orderBy("lang_pred")
   }
 
+  private def qStreamFunnel(s: SparkSession, dir: String): DataFrame =
+    // Batch run of the shared batch/stream funnel join (stream-stream
+    // inner join with watermarks in streaming mode; plain range-
+    // predicate join here). Sorting by EVERY output column gives a
+    // deterministic total order even if two matches tie on a prefix.
+    EventsStream.purchaseAfterSignup(t(s, dir, "events"))
+      .select("p_user", "purchase_ts", "signup_ts", "value")
+      .orderBy("p_user", "purchase_ts", "signup_ts", "value")
+
   private def qStreamWindowAgg(s: SparkSession, dir: String): DataFrame =
     // Batch run of the shared batch/streaming transform (the streaming
     // spec drives the same code through readStream + memory sink).
@@ -862,6 +871,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (qMultimodal _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "stream_window_agg" -> (qStreamWindowAgg _),
+    "stream_funnel_join" -> (qStreamFunnel _),
     "events_sessionize" -> (qSessionize _),
   )
 
@@ -1501,6 +1511,16 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6
         |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_funnel_join" ->
+      """SELECT p.user_id AS p_user, p.ts AS purchase_ts,
+        |  s.ts AS signup_ts, p.value
+        |FROM (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+        |ORDER BY p_user, purchase_ts, signup_ts, value""".stripMargin,
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,
