@@ -782,6 +782,19 @@ object SparkEntry {
       .orderBy("lang_pred")
   }
 
+  private def qSampleSplits(s: SparkSession, dir: String): DataFrame =
+    // Reproducible train/val/test assignment: pure function of the row
+    // key (xxhash64 bucket), so membership survives reruns, reshuffles
+    // and incremental appends. xxhash64 has no DuckDB equivalent
+    // (BIGINT arithmetic there errors on overflow rather than
+    // wrapping) → rows-only here; the reproducibility contract is
+    // spec-asserted (SamplingSpec).
+    graft.operators.Sampling.splitByHash(
+      t(s, dir, "documents"), col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
   private def qStreamFunnel(s: SparkSession, dir: String): DataFrame =
     // Batch run of the shared batch/stream funnel join (stream-stream
     // inner join with watermarks in streaming mode; plain range-
@@ -870,6 +883,7 @@ object SparkEntry {
     "sim_topk_ivf" -> (qSimIvf _),
     "multimodal_pipeline" -> (qMultimodal _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
+    "sample_splits" -> (qSampleSplits _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
     "events_sessionize" -> (qSessionize _),

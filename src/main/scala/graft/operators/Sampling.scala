@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling/splitting for training-data
+  * pipelines. Everything here is a pure function of the row KEY — no
+  * RNG state, no partition dependence — so:
+  *  - the same row lands in the same split on every run, every cluster
+  *    size, every data layout (reshuffles/compaction can't move it);
+  *  - splits are disjoint and exhaustive by construction;
+  *  - downstream incremental runs (new data arriving) keep every old
+  *    row's assignment stable.
+  * That reproducibility is the difference between "sample()" and a
+  * train/val/test contract you can audit at 100 TB. Buckets come from
+  * xxhash64(key) spread over [0, 10000).
+  */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  /** Stable bucket in [0, 10000) for a key column. */
+  def hashBucket(key: Column): Column = pmod(xxhash64(key), lit(Buckets))
+
+  /** Deterministic sample: keep a row iff its key's bucket falls below
+    * fraction*10000. Same key ⇒ same decision, forever. */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(hashBucket(key) < (fraction * Buckets).toLong)
+  }
+
+  /** Disjoint + exhaustive named splits (e.g. train/val/test) by
+    * cumulative bucket ranges. `fractions` must sum to 1 (±1e-9); the
+    * last split absorbs the rounding remainder. Adds a `split` column. */
+  def splitByHash(df: DataFrame, key: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    val b = hashBucket(key)
+    val expr = fractions.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) {
+        case ((name, bound), rest) => when(b < bound, name).otherwise(rest)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum sampling fractions (e.g. downsample the dominant
+    * language, keep the rare ones whole): `fractions` maps stratum
+    * value → keep fraction; strata not in the map are dropped. */
+  def sampleStratified(df: DataFrame, key: Column, stratum: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1))
+    val b = hashBucket(key)
+    val keep = fractions.foldLeft(lit(false)) {
+      case (acc, (value, f)) =>
+        when(stratum === value, b < (f * Buckets).toLong).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+}
