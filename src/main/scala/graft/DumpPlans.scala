@@ -1,0 +1,74 @@
+package graft
+
+/** Dev tool: regenerate PLANS.md — formatted physical plans for the
+  * headline queries with scale commentary. Run:
+  * `sbt "runMain graft.DumpPlans"`. */
+object DumpPlans {
+
+  private val entries: Seq[(String, String)] = Seq(
+    "agg_q1" ->
+      """TPC-H Q1 shape. The shipdate predicate is in `PushedFilters`
+        |(evaluated inside the parquet reader), ReadSchema carries only
+        |the 7 referenced columns, and aggregation runs as
+        |`partial_sum` before the single hash exchange on the group
+        |keys — the map-side combine is what keeps the shuffle tiny at
+        |any scale.""".stripMargin,
+    "q6_forecast_revenue" ->
+      """Pure scan + filter + global sum: every predicate pushed, no
+        |shuffle except the final single-row reduce. The plan to beat
+        |for "how cheap can a 100 TB scan-heavy query be".""".stripMargin,
+    "join_multiway" ->
+      """customer ⋈ orders shuffles on the key; nation (25 rows at ANY
+        |scale factor) is a `BroadcastHashJoin` — no shuffle for the
+        |dimension. AQE picks the orders/customer join side sizes at
+        |runtime.""".stripMargin,
+    "sort_limit_topk" ->
+      """ORDER BY + LIMIT plans as `TakeOrderedAndProject`:
+        |per-partition bounded heaps merged on the driver — no global
+        |sort, memory O(k) per task regardless of input size.""".stripMargin,
+    "asof_join" ->
+      """The custom whole-operator extension. `AsOfJoinExec` declares
+        |ClusteredDistribution + (key, ts) ordering, so
+        |EnsureRequirements inserts the hash exchanges and sorts, then
+        |the merge pass streams both sides with one candidate row of
+        |state per key. Filter pushdown and column pruning through the
+        |node come from the injected optimizer rules (see
+        |GraftExtensions).""".stripMargin,
+    "layout_bucketed_join" ->
+      """Both sides written bucketed by the join key: the join and the
+        |following same-key aggregation have NO shuffle exchange — the
+        |bucketing was the exchange, paid once at write time. The only
+        |exchange in the plan is the final presentation ORDER BY.""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """Shingling + the whole 32-hash MinHash signature are single
+        |custom expressions inside the scan stage (no explode, no
+        |shuffle to build signatures); banding explodes 8 rows per doc;
+        |candidates come from the banded self-join; exact Jaccard runs
+        |per candidate over sorted shingle-set arrays with a codegen'd
+        |merge intersect.""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val spark = Engine.session()
+    val sb = new StringBuilder
+    sb.append(
+      """# PLANS — physical plans of headline queries (sf0.001)
+        |
+        |Regenerate with `sbt "runMain graft.DumpPlans"`. Each section:
+        |why this is the plan we want at 100 TB, then the actual
+        |`explain("formatted")` output (plans are data-size-independent
+        |in shape; AQE refines exchanges at runtime).
+        |""".stripMargin)
+    entries.foreach { case (name, why) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n$why\n\n```\n$plan```\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PLANS.md"), sb.toString)
+    println(s"wrote PLANS.md (${entries.size} plans)")
+    spark.stop()
+  }
+}
