@@ -782,6 +782,15 @@ object SparkEntry {
       .orderBy("lang_pred")
   }
 
+  private def qSkewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    // Hot-grouping-key mitigation: salt the first aggregation phase so
+    // one hot key's rows spread over 16 reducers, then merge partials.
+    // The result is IDENTICAL to the direct groupBy (cents-exact sums
+    // merge associatively) — which is exactly what the oracle checks.
+    graft.sources.Skew.saltedCountSum(
+      t(s, dir, "orders"), "o_custkey", "o_totalprice")
+      .orderBy("o_custkey")
+
   private def qSampleSplits(s: SparkSession, dir: String): DataFrame =
     // Reproducible train/val/test assignment: pure function of the row
     // key (xxhash64 bucket), so membership survives reruns, reshuffles
@@ -868,6 +877,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> (qForecastRevenue _),
     "q14_promo_revenue" -> (qPromoRevenue _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
+    "skew_salted_agg" -> (qSkewSaltedAgg _),
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
@@ -1228,6 +1238,12 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q14_promo_revenue" ->
       """WITH x AS (
         |  SELECT
