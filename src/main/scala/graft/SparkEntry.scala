@@ -552,21 +552,24 @@ object SparkEntry {
 
   private def qJoinRangePred(s: SparkSession, dir: String): DataFrame = {
     // Non-equi band join: signups in the hour BEFORE each high-value
-    // purchase (no key equality — a pure interval predicate). Spark
-    // plans broadcast-nested-loop with the small filtered side
-    // broadcast; at scale the standard rewrite is bucketing both sides
-    // by coarse time bucket and joining bucket-equi + band filter.
+    // purchase (no key equality — a pure interval predicate). Executed
+    // through Ranges.bandJoin: time quantized into band-width buckets,
+    // left exploded into its ≤2 touchable buckets, bucket-equi hash
+    // join + residual filter — the rewrite that replaces Spark's
+    // broadcast nested loop, which cannot survive a large right side.
+    // Outer semantics composed by re-joining counts onto the left.
     val e = Tables.load(s, dir, "events")
     val p = e.filter(col("event_type") === "purchase" && col("value") > 95)
       .select(col("event_id"), col("ts"))
     val su = e.filter(col("event_type") === "signup")
       .select(col("ts").as("s_ts"))
-    p.join(su,
-        col("s_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
-          col("s_ts") <= col("ts"), "left")
-      .groupBy("event_id", "ts")
-      .agg(count(col("s_ts")).as("n_signups_1h"))
-      .select("event_id", "n_signups_1h")
+    val matches = graft.operators.Ranges.bandJoin(
+        p, su, col("ts"), col("s_ts"), -3600L * 1000000L, 0L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_signups_1h"))
+    p.join(matches, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_signups_1h"), lit(0L)).as("n_signups_1h"))
       .orderBy("event_id")
   }
 

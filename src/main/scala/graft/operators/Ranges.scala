@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval/band joins at scale. Spark plans a pure range predicate
+  * (`r.ts BETWEEN l.ts + lower AND l.ts + upper`) as a broadcast
+  * nested loop — O(|L|·|R|) work and a full broadcast of one side,
+  * which dies long before 100 TB. [[bandJoin]] applies the standard
+  * rewrite: quantize time into buckets as wide as the band, explode
+  * each left row into the (≤2) buckets its window can touch, and join
+  * bucket-equi + residual band filter. The nested loop becomes a hash
+  * shuffle join whose cost is rows-in-matching-buckets, and both sides
+  * partition by bucket — no broadcast required.
+  */
+object Ranges {
+
+  /** floorDiv on integral columns, exact for negatives (pmod is always
+    * non-negative, unlike %). The `/` is Spark double division — exact
+    * here because the numerator is a multiple of w and epoch-micros
+    * magnitudes stay far below 2^53 — cast back to long for sequence().
+    */
+  private def floorDiv(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))) / w).cast("long")
+
+  /** Inner band join: rows of `right` whose `rightTs` lies in
+    * `[leftTs + lowerMicros, leftTs + upperMicros]`. Timestamps are
+    * compared at microsecond precision. Each (left, right) match is
+    * emitted exactly once — a right row lives in one bucket, so the
+    * left-side explode cannot duplicate a pair. Compose outer variants
+    * by re-joining the match list to the original left side. */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: Column,
+      rightTs: Column,
+      lowerMicros: Long,
+      upperMicros: Long): DataFrame = {
+    require(upperMicros >= lowerMicros, "empty band")
+    val w = math.max(upperMicros - lowerMicros, 1L)
+    val lo = floorDiv(unix_micros(leftTs) + lowerMicros, w)
+    val hi = floorDiv(unix_micros(leftTs) + upperMicros, w)
+    val l = left.withColumn("_bucket", explode(sequence(lo, hi)))
+    val r = right.withColumn("_bucket",
+      floorDiv(unix_micros(rightTs), w))
+    l.join(r,
+        l("_bucket") === r("_bucket") &&
+          unix_micros(rightTs) >= unix_micros(leftTs) + lowerMicros &&
+          unix_micros(rightTs) <= unix_micros(leftTs) + upperMicros)
+      .drop("_bucket")
+  }
+}
