@@ -794,16 +794,17 @@ object SparkEntry {
       t(s, dir, "orders"), "o_custkey", "o_totalprice")
       .orderBy("o_custkey")
 
+  private val splitFractions =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
   private def qSampleSplits(s: SparkSession, dir: String): DataFrame =
     // Reproducible train/val/test assignment: pure function of the row
     // key (xxhash64 bucket), so membership survives reruns, reshuffles
-    // and incremental appends. xxhash64 has no DuckDB equivalent
-    // (BIGINT arithmetic there errors on overflow rather than
-    // wrapping) → rows-only here; the reproducibility contract is
-    // spec-asserted (SamplingSpec).
+    // and incremental appends. Oracle-checked: the oracle re-derives
+    // XXH64(long) itself in DuckDB SQL (see xxhash64BucketSql — 128-bit
+    // HUGEINT arithmetic mod 2^64), bit-exact against Spark's hash.
     graft.operators.Sampling.splitByHash(
-      t(s, dir, "documents"), col("doc_id"),
-      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      t(s, dir, "documents"), col("doc_id"), splitFractions)
       .select("doc_id", "split")
       .orderBy("doc_id")
 
@@ -926,9 +927,71 @@ object SparkEntry {
     s"CASE WHEN $best = 0 THEN 'und' $whens ELSE '${desc.last}' END"
   }
 
+  /** DuckDB SQL re-derivation of Spark's `pmod(xxhash64(key), 10000)`
+    * for a non-negative BIGINT key: XXH64.hashLong(v, seed=42) in
+    * HUGEINT arithmetic mod 2^64. DuckDB BIGINT errors on overflow
+    * rather than wrapping, and HUGEINT (128-bit) overflows on a full
+    * 64×64 multiply — so multiplication by the (constant) primes is
+    * split into 32-bit halves: ab mod 2^64 =
+    * ((a_hi·b_lo + a_lo·b_hi) mod 2^32)·2^32 + a_lo·b_lo, every term
+    * < 2^66. Rotations become disjoint shift-sums; >>> is `// 2^n`.
+    * Verified bit-exact against the Catalyst XxHash64 expression. */
+  private def xxhash64BucketSql(keyCol: String, table: String): String = {
+    val M = "18446744073709551616" // 2^64
+    val B = "4294967296" // 2^32
+    val (p1, p2, p3, p4, p5) = (
+      BigInt("11400714785074694791"), BigInt("14029467366897019727"),
+      BigInt("1609587929392839161"), BigInt("9650029242287828579"),
+      BigInt("2870177450012600261"))
+    def mulmod(a: String, b: BigInt): String = {
+      val b0 = b % BigInt(2).pow(32); val b1 = b >> 32
+      val hi = s"((($a) // $B) * $b0 + (($a) % $B) * $b1)"
+      s"((($hi) % $B * $B + (($a) % $B) * $b0) % $M)"
+    }
+    def rotl(x: String, r: Int): String =
+      s"((($x) * ${BigInt(2).pow(r)} % $M) + (($x) // ${BigInt(2).pow(64 - r)}))"
+    def shrx(x: String, n: Int): String =
+      s"xor($x, ($x) // ${BigInt(2).pow(n)})"
+    s"""s0 AS (SELECT $keyCol AS k, (42::HUGEINT + $p5 + 8) % $M AS h,
+       |         $keyCol::HUGEINT AS v FROM $table),
+       |s1 AS (SELECT k, h, ${mulmod("v", p2)} AS k1 FROM s0),
+       |s2 AS (SELECT k, h, ${rotl("k1", 31)} AS k1 FROM s1),
+       |s3 AS (SELECT k, h, ${mulmod("k1", p1)} AS k1 FROM s2),
+       |s4 AS (SELECT k, xor(h, k1) AS h FROM s3),
+       |s5 AS (SELECT k, (${mulmod(rotl("h", 27), p1)} + $p4) % $M AS h
+       |       FROM s4),
+       |s6 AS (SELECT k, ${shrx("h", 33)} AS h FROM s5),
+       |s7 AS (SELECT k, ${mulmod("h", p2)} AS h FROM s6),
+       |s8 AS (SELECT k, ${shrx("h", 29)} AS h FROM s7),
+       |s9 AS (SELECT k, ${mulmod("h", p3)} AS h FROM s8),
+       |sa AS (SELECT k, ${shrx("h", 32)} AS h FROM s9),
+       |sg AS (SELECT k,
+       |         CASE WHEN h >= 9223372036854775808 THEN h - $M ELSE h END
+       |           AS s FROM sa),
+       |bk AS (SELECT k,
+       |         CAST(((s % 10000) + 10000) % 10000 AS BIGINT) AS bucket
+       |       FROM sg)""".stripMargin
+  }
+
+  /** CASE expression assigning splits from the cumulative bucket
+    * bounds — generated from the SAME fractions the query uses. */
+  private def splitCaseSql: String = {
+    val bounds = splitFractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val whens = splitFractions.map(_._1).zip(bounds).dropRight(1)
+      .map { case (name, b) => s"WHEN bucket < $b THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${splitFractions.last._1}' END"
+  }
+
   /** DuckDB oracle for each query (same tables, same column names, same
     * total order). */
   def oracleSql: Map[String, String] = Map(
+    "sample_splits" ->
+      s"""WITH ${xxhash64BucketSql("doc_id", "documents")}
+         |SELECT k AS doc_id, $splitCaseSql AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
     "scan_leaf" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem WHERE l_quantity > 45
