@@ -653,6 +653,47 @@ object SparkEntry {
         col("promo_micros"), col("total_micros"))
   }
 
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q10 shape: revenue lost to returned items per customer in a
+    // quarter — 4-way join, broadcast dim, grouped exact-micros revenue,
+    // deterministic top-20.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */ c.c_custkey, c.c_name,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT)) / 1e6 AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1993-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1994-01-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q18 shape: customers with any order above a quantity
+    // threshold — aggregate subquery feeding a semi-join-ish IN filter,
+    // then re-aggregation.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  sum(l.l_quantity) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+        |ORDER BY total_qty DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -879,7 +920,9 @@ object SparkEntry {
     "q3_shipping_priority" -> (qShippingPriority _),
     "q5_supplier_volume" -> (qLocalSupplierVolume _),
     "q6_forecast_revenue" -> (qForecastRevenue _),
+    "q10_returned_items" -> (qReturnedItems _),
     "q14_promo_revenue" -> (qPromoRevenue _),
+    "q18_large_orders" -> (qLargeOrders _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
     "asof_join" -> (qAsofJoin _),
@@ -1310,6 +1353,33 @@ object SparkEntry {
         |    / 100.0 AS total
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT)) AS BIGINT) / 1e6 AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1993-10-01'
+        |  AND o.o_orderdate < TIMESTAMP '1994-01-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  sum(l.l_quantity) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+        |ORDER BY total_qty DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
     "q14_promo_revenue" ->
       """WITH x AS (
         |  SELECT
