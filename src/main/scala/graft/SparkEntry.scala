@@ -858,6 +858,25 @@ object SparkEntry {
       .select("p_user", "purchase_ts", "signup_ts", "value")
       .orderBy("p_user", "purchase_ts", "signup_ts", "value")
 
+  private def qTopkAggregator(s: SparkSession, dir: String): DataFrame = {
+    // The typed Aggregator extension surface as a declared query:
+    // per-customer top-3 orders through the bounded-buffer TopKAggregator
+    // (mergeable partials, no per-group global sort) — must equal the
+    // window row_number formulation, which is the oracle.
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .selectExpr("o_custkey", "o_orderkey", "o_totalprice")
+      .as[(Long, Long, Double)]
+    orders.groupByKey(_._1)
+      .mapValues(x => (x._2, x._3))
+      .agg(new graft.functions.TopKAggregator(3).toColumn.name("ids"))
+      .toDF("o_custkey", "ids")
+      .select(col("o_custkey"), posexplode(col("ids")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("col").as("o_orderkey"))
+      .orderBy("o_custkey", "rk")
+  }
+
   private def qStreamWindowAgg(s: SparkSession, dir: String): DataFrame =
     // Batch run of the shared batch/streaming transform (the streaming
     // spec drives the same code through readStream + memory sink).
@@ -925,6 +944,7 @@ object SparkEntry {
     "q18_large_orders" -> (qLargeOrders _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
+    "topk_aggregator" -> (qTopkAggregator _),
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
@@ -1353,6 +1373,13 @@ object SparkEntry {
         |    / 100.0 AS total
         |FROM orders GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "topk_aggregator" ->
+      """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) x
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name,
         |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
