@@ -771,6 +771,13 @@ object SparkEntry {
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"))
 
+  private def qDedupNgramDecisions(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decisionsFromPairs(docs, Dedup.ngramJaccard(docs))
+      .orderBy("doc_id")
+  }
+
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(s, dir, "embeddings"))
 
@@ -954,6 +961,7 @@ object SparkEntry {
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgram _),
+    "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
@@ -1578,6 +1586,37 @@ object SparkEntry {
         |  JOIN sizes nb ON nb.doc_id = id_b)
         |SELECT id_a, id_b, jaccard FROM j
         |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_decisions" ->
+      """WITH nt AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |    AS t FROM documents),
+        |gr AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN length(t) >= 8
+        |      THEN list_transform(generate_series(1, length(t) - 7),
+        |                          i -> substr(t, i, 8))
+        |      ELSE [t] END) AS g
+        |    FROM nt) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_common AS DOUBLE) >= 0.7),
+        |edges AS (SELECT id_a AS doc_id, id_b AS nb FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |rep0 AS (SELECT doc_id, min(nb) AS min_nb FROM edges GROUP BY doc_id),
+        |r AS (SELECT d.doc_id,
+        |        least(d.doc_id, coalesce(rep0.min_nb, d.doc_id)) AS rep_id
+        |      FROM documents d LEFT JOIN rep0 ON d.doc_id = rep0.doc_id)
+        |SELECT doc_id, doc_id = rep_id AS keep,
+        |  CASE WHEN doc_id <> rep_id THEN rep_id END AS dup_of
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH base AS (
         |  SELECT doc_id, lang, text,
