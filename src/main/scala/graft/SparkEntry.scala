@@ -893,6 +893,11 @@ object SparkEntry {
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     EventsStream.sessionizeBatch(t(s, dir, "events"))
 
+  private def qUserProfiles(s: SparkSession, dir: String): DataFrame =
+    // Batch twin of the mapGroupsWithState streaming upsert — the spec
+    // proves the stream's final state equals this aggregate.
+    EventsStream.userProfileBatch(t(s, dir, "events"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity (SURVEY §2)
@@ -972,6 +977,7 @@ object SparkEntry {
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
     "events_sessionize" -> (qSessionize _),
+    "user_profiles" -> (qUserProfiles _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -1743,6 +1749,12 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6
         |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "user_profiles" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS spend_micros,
+        |  max(ts) AS last_seen
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_funnel_join" ->
       """SELECT p.user_id AS p_user, p.ts AS purchase_ts,
         |  s.ts AS signup_ts, p.value

@@ -132,6 +132,53 @@ object EventsStream {
 
   case class SessionState(n: Long, maxTs: Long)
 
+  // --- Streaming running per-user profile (mapGroupsWithState) ----------
+
+  case class UserProfile(user_id: Long, n_events: Long,
+      spend_micros: Long, last_seen_ms: Long)
+
+  /** Continuously-maintained per-user profile — the streaming-upsert
+    * shape (`mapGroupsWithState`: exactly one output row per updated
+    * key per trigger, vs flatMap's zero-or-many). Value sums are exact
+    * integer micros so the final state equals the batch aggregate
+    * regardless of batch boundaries — the merge is associative, which
+    * is what makes the stream ≡ backfill. */
+  def userProfileStream(spark: SparkSession, events: DataFrame)
+      : Dataset[UserProfile] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[UserProfile]) =>
+          val events = batch.toSeq
+          val prev = state.getOption
+            .getOrElse(UserProfile(userId, 0L, 0L, 0L))
+          val next = UserProfile(
+            userId,
+            prev.n_events + events.size,
+            prev.spend_micros +
+              events.map(e => math.round(e.value * 1e6)).sum,
+            math.max(prev.last_seen_ms, events.map(_.ts.getTime).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch twin of [[userProfileStream]]'s final state — same exact
+    * integer-micros arithmetic, SQL-expressible for the oracle. */
+  def userProfileBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("spend_micros"),
+        max(col("ts")).as("last_seen"))
+      .orderBy("user_id")
+
   /** Streaming read of the events table (file source). The nanos `ts` is
     * read as long and converted exactly like the batch path. */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -86,4 +86,29 @@ class StreamingSpec extends AnyFunSuite {
     out.groupBy(_._1).foreach { case (u, rows) =>
       assert(rows.map(_._2).max === truth(u), s"user $u") }
   }
+
+  test("streaming user profile converges to the batch aggregate") {
+    // mapGroupsWithState upsert stream: the FINAL state per user must
+    // equal the batch groupBy — exact integer-micros sums make the
+    // merge associative, so batch boundaries can't change the result
+    val stream = EventsStream.readEventsStream(spark, TestSpark.sfDir)
+    val updates = EventsStream.userProfileStream(spark, stream)
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("spec_profiles")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate")
+    // last update per user (n_events grows monotonically) = final state
+    val finalState = spark.table("spec_profiles").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val truth = EventsStream.userProfileBatch(spark.table("events"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(finalState.size === truth.size)
+    finalState.foreach { case (u, st) =>
+      assert(st === truth(u), s"user $u") }
+  }
 }
