@@ -472,6 +472,31 @@ object SparkEntry {
       .orderBy("o_custkey")
   }
 
+  private def qSetopExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .exceptAll(
+        o.filter(col("o_totalprice") > 200000).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  private def qJoinLateral(s: SparkSession, dir: String): DataFrame = {
+    // Correlated LATERAL subquery: top-2 nations per region by customer
+    // count — per-row subquery with its own ORDER BY + LIMIT.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT r.r_name, x.n_name, x.n_cust
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n.n_name
+        |  LIMIT 2) x
+        |ORDER BY r.r_name, x.n_cust DESC, x.n_name""".stripMargin)
+  }
+
   private def qPivot(s: SparkSession, dir: String): DataFrame = {
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
       "MACHINERY")
@@ -941,6 +966,8 @@ object SparkEntry {
     "join_cross" -> (qJoinCross _),
     "select_distinct" -> (qSelectDistinct _),
     "setop_intersect_all" -> (qSetopIntersectAll _),
+    "setop_except_all" -> (qSetopExceptAll _),
+    "join_lateral" -> (qJoinLateral _),
     "pivot_segments" -> (qPivot _),
     "scalar_subquery" -> (qScalarSubquery _),
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
@@ -1323,6 +1350,22 @@ object SparkEntry {
         |INTERSECT ALL
         |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
         |ORDER BY o_custkey""".stripMargin,
+    "setop_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY o_custkey""".stripMargin,
+    "join_lateral" ->
+      """SELECT r.r_name, x.n_name, x.n_cust
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, count(*) AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_cust DESC, n.n_name
+        |  LIMIT 2) x
+        |ORDER BY r.r_name, x.n_cust DESC, x.n_name""".stripMargin,
     "pivot_segments" ->
       """SELECT n.n_name,
         |  CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
