@@ -386,6 +386,33 @@ object SparkEntry {
         countDistinct("l_orderkey").as("exact_orders"))
       .orderBy("l_returnflag")
 
+  private def qAggPercentiles(s: SparkSession, dir: String): DataFrame =
+    // EXACT percentiles (sort-based): both engines use the same linear
+    // interpolation at rank (n-1)*p over identical input doubles, so
+    // the outputs are engine-exact. The sketch-based scale path is
+    // agg_approx_quantile.
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .orderBy("o_orderstatus")
+
+  private def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    // Quantile SKETCH (mergeable, bounded memory — the 100 TB path;
+    // like HLL for distinct counts). Estimator internals differ per
+    // engine → rows-only; the exact column rides along so the driver's
+    // dump shows the error envelope.
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)")
+          .as("approx_median"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+      .orderBy("o_orderstatus")
+
   private def qWindowLeadLag(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -958,6 +985,8 @@ object SparkEntry {
     "agg_grouping_sets" -> (qAggGroupingSets _),
     "agg_minmax" -> (qAggMinMax _),
     "agg_approx_distinct" -> (qAggApproxDistinct _),
+    "agg_percentiles" -> (qAggPercentiles _),
+    "agg_approx_quantile" -> (qAggApproxQuantile _),
     "window_lead_lag" -> (qWindowLeadLag _),
     "window_range_frame" -> (qWindowRangeFrame _),
     "string_funcs" -> (qStringFuncs _),
@@ -1286,6 +1315,14 @@ object SparkEntry {
         |  max(l_shipdate) AS last_ship
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS median,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "window_lead_lag" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  lag(o_totalprice, 1) OVER w AS prev_price,
