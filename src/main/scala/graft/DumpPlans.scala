@@ -45,7 +45,19 @@ object DumpPlans {
         |shuffle to build signatures); banding explodes 8 rows per doc;
         |candidates come from the banded self-join; exact Jaccard runs
         |per candidate over sorted shingle-set arrays with a codegen'd
-        |merge intersect.""".stripMargin)
+        |merge intersect.""".stripMargin,
+    "join_range_pred" ->
+      """A pure interval predicate would plan as broadcast nested loop
+        |(O(|L|·|R|), full broadcast). Ranges.bandJoin quantizes time
+        |into band-width buckets, explodes each left row into its ≤2
+        |touchable buckets, and the plan becomes a bucket-equi
+        |hash/sort-merge join + residual filter — shuffle cost
+        |proportional to rows per bucket, no broadcast.""".stripMargin,
+    "q10_returned_items" ->
+      """TPC-H Q10: lineitem⋈orders⋈customer shuffle on keys with
+        |filters pushed to both scans, nation broadcast, exact-micros
+        |revenue aggregated partial→final, deterministic
+        |TakeOrderedAndProject top-20.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
