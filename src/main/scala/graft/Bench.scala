@@ -19,6 +19,8 @@ object Bench {
     "agg_q1",
     "q3_shipping_priority",
     "q5_supplier_volume",
+    "q10_returned_items",
+    "q18_large_orders",
     "join_multiway",
     "frag_transparency_agg",
     "window_rank",
