@@ -425,6 +425,34 @@ object SparkEntry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  private def qWindowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    // Frame-navigation window functions over a unique total order;
+    // last_value needs the full-partition frame (default frame stops at
+    // CURRENT ROW — a classic correctness trap, made explicit here).
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(w).as("first_order"),
+        last("o_orderkey").over(wFull).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def qAggListagg(s: SparkSession, dir: String): DataFrame =
+    // Ordered string aggregation: deterministic because the intra-group
+    // order is total (priority strings are distinct per group by
+    // construction of the distinct pre-aggregate).
+    t(s, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .groupBy("o_orderstatus")
+      .agg(expr(
+        "listagg(o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderpriority)")
+        .as("priorities"))
+      .orderBy("o_orderstatus")
+
   private def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame = {
     // 30-day trailing spend per customer: range frame over integer epoch
     // seconds (identical semantics in the oracle's RANGE BETWEEN).
@@ -988,7 +1016,9 @@ object SparkEntry {
     "agg_percentiles" -> (qAggPercentiles _),
     "agg_approx_quantile" -> (qAggApproxQuantile _),
     "window_lead_lag" -> (qWindowLeadLag _),
+    "window_first_last" -> (qWindowFirstLast _),
     "window_range_frame" -> (qWindowRangeFrame _),
+    "agg_listagg" -> (qAggListagg _),
     "string_funcs" -> (qStringFuncs _),
     "date_funcs" -> (qDateFuncs _),
     "join_full_outer" -> (qJoinFullOuter _),
@@ -1333,6 +1363,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "agg_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, ','
+        |             ORDER BY o_orderpriority) AS priorities
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
