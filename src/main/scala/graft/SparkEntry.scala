@@ -786,6 +786,22 @@ object SparkEntry {
       .filter(col("k") > 50)
       .orderBy("event_id")
 
+  private def qMapFuncs(s: SparkSession, dir: String): DataFrame =
+    // MapType surface: parse the JSON props into map<string,string>,
+    // access/size/membership — scalar outputs keep it oracle-exact.
+    t(s, dir, "events")
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "k").cast("int").as("k"),
+        size(map_keys(col("m"))).cast("int").as("n_keys"),
+        array_contains(map_keys(col("m")), "k").as("has_k"))
+      .filter(col("event_id") <= 5000)
+      .orderBy("event_id")
+
   private def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
     // Array-column surface over the embeddings table (scalar outputs
     // only — float copies and sizes are engine-exact).
@@ -1034,6 +1050,7 @@ object SparkEntry {
     "window_percentiles" -> (qWindowPercentiles _),
     "json_funcs" -> (qJsonFuncs _),
     "array_funcs" -> (qArrayFuncs _),
+    "map_funcs" -> (qMapFuncs _),
     "q3_shipping_priority" -> (qShippingPriority _),
     "q5_supplier_volume" -> (qLocalSupplierVolume _),
     "q6_forecast_revenue" -> (qForecastRevenue _),
@@ -1605,6 +1622,13 @@ object SparkEntry {
         |  CAST(props->>'$.k' AS INTEGER) AS k_struct
         |FROM events
         |WHERE CAST(props->>'$.k' AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "map_funcs" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INTEGER) AS k,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  list_contains(json_keys(props), 'k') AS has_k
+        |FROM events WHERE event_id <= 5000
         |ORDER BY event_id""".stripMargin,
     "array_funcs" ->
       """SELECT vec_id,
