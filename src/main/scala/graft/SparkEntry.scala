@@ -896,6 +896,18 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
+  private def qMultimodalSizes(s: SparkSession, dir: String): DataFrame =
+    // The oracle-checkable slice of the multimodal pipeline: byte
+    // accounting through binary payloads + the Dataset[T] decode
+    // plumbing (payload = utf-8 text bytes, so the oracle can recompute
+    // sizes with octet_length) — proves the binary round-trip loses
+    // nothing even though the decode itself is stubbed.
+    Multimodal.decodeMeta(s, Multimodal.asMedia(t(s, dir, "documents")))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_len").cast("long")).as("total_bytes"))
+      .orderBy("media_type")
+
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     // Custom whole-operator extension (LogicalPlan+Strategy+SparkPlan):
     // each purchase matched to the user's latest preceding signup.
@@ -1075,6 +1087,7 @@ object SparkEntry {
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
     "multimodal_pipeline" -> (qMultimodal _),
+    "multimodal_sizes" -> (qMultimodalSizes _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "stream_window_agg" -> (qStreamWindowAgg _),
@@ -1902,6 +1915,10 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6
         |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "multimodal_sizes" ->
+      """SELECT 'media/' || source AS media_type, count(*) AS n_media,
+        |  CAST(sum(octet_length(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
