@@ -1917,7 +1917,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_sizes" ->
       """SELECT 'media/' || source AS media_type, count(*) AS n_media,
-        |  CAST(sum(octet_length(text)) AS BIGINT) AS total_bytes
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
