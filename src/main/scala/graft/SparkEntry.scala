@@ -1680,7 +1680,7 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, g FROM (
         |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
@@ -1705,7 +1705,7 @@ object SparkEntry {
     "dedup_minhash_decisions" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, g FROM (
         |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
@@ -1735,7 +1735,7 @@ object SparkEntry {
         |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH nt AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
         |    AS t FROM documents),
         |gr AS (
         |  SELECT DISTINCT doc_id, g FROM (

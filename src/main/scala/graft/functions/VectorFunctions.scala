@@ -143,21 +143,26 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Component d of pseudo-random hyperplane p: XXH64(p ⧺ d, seed 7)
+    * mapped to [-1, 1). A pure function of (p, d) — no stored model,
+    * identical on every executor, and (being data-independent) exportable
+    * as literal constants into an external oracle re-derivation. */
+  def hyperplaneComponent(p: Int, d: Int): Double = {
+    val h = XXH64.hashLong(p.toLong << 32 | (d.toLong & 0xffffffffL), 7L)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
   /** Deterministic pseudo-random hyperplane LSH signature for a float
     * vector: bit p of the result is the sign of `v · r_p`, where plane
-    * `r_p`'s components are derived from xxhash64(p, dim index) mapped to
-    * [-1, 1). No stored model, identical on every executor. */
+    * `r_p`'s components are [[hyperplaneComponent]] values. */
   case class HyperplaneSignature(child: Expression, bits: Int)
       extends UnaryExpression {
     require(bits > 0 && bits <= 64)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
 
-    private def planeComponent(p: Int, d: Int): Double = {
-      val h = XXH64.hashLong(p.toLong << 32 | (d.toLong & 0xffffffffL), 7L)
-      // map to [-1, 1)
-      (h.toDouble / Long.MaxValue.toDouble)
-    }
+    private def planeComponent(p: Int, d: Int): Double =
+      hyperplaneComponent(p, d)
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]

@@ -37,16 +37,21 @@ object Ranges {
       lowerMicros: Long,
       upperMicros: Long): DataFrame = {
     require(upperMicros >= lowerMicros, "empty band")
+    // collision-free working-column name: withColumn would silently
+    // REPLACE a user column named "_bucket" and drop() would then strip
+    // the user's data from the output
+    val bcol = Iterator.iterate("_bucket")(_ + "_")
+      .dropWhile(n => left.columns.contains(n) || right.columns.contains(n))
+      .next()
     val w = math.max(upperMicros - lowerMicros, 1L)
     val lo = floorDiv(unix_micros(leftTs) + lowerMicros, w)
     val hi = floorDiv(unix_micros(leftTs) + upperMicros, w)
-    val l = left.withColumn("_bucket", explode(sequence(lo, hi)))
-    val r = right.withColumn("_bucket",
-      floorDiv(unix_micros(rightTs), w))
+    val l = left.withColumn(bcol, explode(sequence(lo, hi)))
+    val r = right.withColumn(bcol, floorDiv(unix_micros(rightTs), w))
     l.join(r,
-        l("_bucket") === r("_bucket") &&
+        l(bcol) === r(bcol) &&
           unix_micros(rightTs) >= unix_micros(leftTs) + lowerMicros &&
           unix_micros(rightTs) <= unix_micros(leftTs) + upperMicros)
-      .drop("_bucket")
+      .drop(bcol)
   }
 }

@@ -96,15 +96,19 @@ object Similarity {
     * one full-corpus assignment + recenter shuffle per iteration. At
     * 100 TB the distributed assignment pass is one scan and the cluster
     * id becomes a partition/bucket column for the written index. */
-  def ivfTopK(
+  /** Train the tiny deterministic IVF centroid model: the `sampleN`
+    * vectors with the smallest xxhash64(vec_id) (a seeded,
+    * order-independent sample) are collected once, then `refineIters`
+    * Lloyd steps run driver-side on that sample — standard practice for
+    * an IVF index build (train on a sample, assign distributed) and
+    * exactly ONE Spark job for the whole model. Returned separately so
+    * callers (and correctness oracles) can capture the model the
+    * assignment actually used. Empty corpus → empty model. */
+  def trainCentroids(
       corpus: DataFrame,
-      queries: DataFrame,
-      k: Int = 10,
       nCentroids: Int = 16,
-      nProbe: Int = 4,
       refineIters: Int = 5,
-      sampleN: Int = 1024): DataFrame = {
-    // --- train the centroid model (sampleN × d floats — driver-safe)
+      sampleN: Int = 1024): Seq[Seq[Float]] = {
     val sample: Array[Array[Double]] = corpus
       .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h")
@@ -121,14 +125,19 @@ object Similarity {
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
+    // degenerate corpora: fewer vectors than requested centroids clamp
+    // the effective centroid count to the sample size (an empty corpus
+    // yields an empty model — the caller falls back to brute force)
+    if (sample.isEmpty) return Seq.empty
     var model: Array[Array[Double]] = sample.take(nCentroids)
+    val kEff = model.length
     (0 until refineIters).foreach { _ =>
       val dim = model(0).length
-      val sums = Array.fill(nCentroids, dim)(0.0)
-      val counts = new Array[Long](nCentroids)
+      val sums = Array.fill(kEff, dim)(0.0)
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         var best = 0; var bestScore = Double.NegativeInfinity; var c = 0
-        while (c < nCentroids) {
+        while (c < kEff) {
           val s = cos(v, model(c))
           if (s > bestScore) { bestScore = s; best = c }
           c += 1
@@ -142,7 +151,21 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    val centroids: Seq[Seq[Float]] = model.map(_.map(_.toFloat).toSeq).toSeq
+    model.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      refineIters: Int = 5,
+      sampleN: Int = 1024,
+      model: Option[Seq[Seq[Float]]] = None): DataFrame = {
+    val centroids: Seq[Seq[Float]] = model.getOrElse(
+      trainCentroids(corpus, nCentroids, refineIters, sampleN))
+    if (centroids.isEmpty) return bruteForceTopK(corpus, queries, k)
 
     def withCluster(df: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
       val centArr = typedLit(cents)

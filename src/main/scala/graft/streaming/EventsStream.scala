@@ -160,8 +160,12 @@ object EventsStream {
           val next = UserProfile(
             userId,
             prev.n_events + events.size,
-            prev.spend_micros +
-              events.map(e => math.round(e.value * 1e6)).sum,
+            // HALF_UP on the shortest-repr decimal — the same rounding as
+            // SQL round() in both Spark and DuckDB (math.round is
+            // floor(x+0.5), which differs for negatives landing on .5)
+            prev.spend_micros + events.map(e =>
+              BigDecimal(e.value * 1e6)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue).sum,
             math.max(prev.last_seen_ms, events.map(_.ts.getTime).max))
           state.update(next)
           next
