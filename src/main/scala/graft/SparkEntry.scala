@@ -888,10 +888,17 @@ object SparkEntry {
     Similarity.lshTopK(
       t(s, dir, "embeddings"), annQueries(s, dir), k = 10)
 
-  private def qSimIvf(s: SparkSession, dir: String): DataFrame =
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    // capture the trained model so oracleSql can embed the exact
+    // centroids this assignment used (Verify dumps oracles after
+    // running every query)
+    val cents = Similarity.trainCentroids(
+      t(s, dir, "embeddings"), nCentroids = 16)
+    ivfModel.set(cents)
     Similarity.ivfTopK(
       t(s, dir, "embeddings"), annQueries(s, dir), k = 10,
-      nCentroids = 16, nProbe = 8)
+      nCentroids = 16, nProbe = 8, model = Some(cents))
+  }
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
@@ -1165,6 +1172,47 @@ object SparkEntry {
        |         CAST(((s % 10000) + 10000) % 10000 AS BIGINT) AS bucket
        |       FROM sg)""".stripMargin
   }
+
+  /** Shortest decimal representation that round-trips to exactly the
+    * same double — DuckDB parses it back bit-identical. */
+  private def dlit(x: Double): String = java.lang.Double.toString(x)
+
+  /** DuckDB re-derivation of `HyperplaneSignature(embedding, bits)` for
+    * an embedding column already cast to DOUBLE[] as `ed`. The plane
+    * components are pure functions of (plane, dim) — data-independent
+    * constants — so they are exported as double literals generated from
+    * the SAME `VectorFunctions.hyperplaneComponent` the Catalyst
+    * expression uses (the lexicon-fragment pattern from the text
+    * oracles). Bit p = sign of the sequential double dot product, which
+    * DuckDB's `list_dot_product` evaluates in the same order as the
+    * expression's loop → bit-identical signs. `dim` is the (fixed)
+    * testdata embedding dimension. */
+  private def hyperplaneSigSql(edCol: String, bits: Int, dim: Int): String = {
+    val terms = (0 until bits).map { p =>
+      val plane = (0 until dim)
+        .map(d => dlit(graft.functions.VectorFunctions.hyperplaneComponent(p, d)))
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"(CASE WHEN list_dot_product($edCol, $plane) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }
+    terms.mkString("(", "\n + ", ")")
+  }
+
+  /** Exact-double cosine between two DOUBLE[] columns — the same
+    * formula the `sim_topk_bruteforce` oracle established as
+    * bit-identical to the fused Catalyst CosineSimilarity loop. */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_dot_product($a, $b) /
+       |  (sqrt(list_dot_product($a, $a)) *
+       |   sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** The IVF centroid model captured by the last `sim_topk_ivf` query
+    * run in this JVM. `Verify` runs every query BEFORE dumping
+    * `oracleSql`, so the oracle embeds exactly the centroids the
+    * assignment used; if the query never ran the entry is omitted and
+    * the driver records a rows-only check (the status quo). */
+  private[graft] val ivfModel =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
 
   /** CASE expression assigning splits from the cumulative bucket
     * bounds — generated from the SAME fractions the query uses. */
@@ -1657,9 +1705,11 @@ object SparkEntry {
     // structure is a candidate pruner whose planted-pair recall is ~1 on
     // this data, so the emitted pair set must equal the full
     // threshold-Jaccard pair set (verified bit-exact at sf0.001/0.01/0.1).
-    // Ops whose OUTPUT depends on engine-side hashing (simhash bands,
-    // hyperplane signatures, HLL sketches) or on stubbed decoding
-    // (multimodal) stay rows-only.
+    // Ops whose output depends on engine-side HASHING are oracled by
+    // re-deriving the hash itself: hyperplane plane components and IVF
+    // centroids are exported as double literals (data-independent
+    // constants / captured model) and the banding + probe + top-k math
+    // recomputed in SQL. Only HLL sketch internals stay rows-only.
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qe
@@ -1677,6 +1727,52 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // LSH ANN: the 16-bit hyperplane signature is re-derived bit-exactly
+    // (plane literals from VectorFunctions.hyperplaneComponent), then the
+    // 8-band × 2-bit banding, bucket join, cosine and top-k recomputed.
+    "sim_topk_lsh" -> {
+      val sig = hyperplaneSigSql("ed", 16, 64)
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |              FROM embeddings),
+         |sg AS (SELECT vec_id, ed, $sig AS sig FROM base),
+         |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+         |cb AS (SELECT vec_id AS neighbor_id, ed AS ce, band,
+         |         (sig >> (band * 2)) & 3 AS bkey FROM sg, bands),
+         |qb AS (SELECT vec_id AS query_id, ed AS qe, band,
+         |         (sig >> (band * 2)) & 3 AS bkey FROM sg, bands
+         |       WHERE vec_id % 50 = 0),
+         |s AS (SELECT DISTINCT query_id, neighbor_id,
+         |        ${cosineSql("qe", "ce")} AS cosine
+         |      FROM cb JOIN qb ON cb.band = qb.band AND cb.bkey = qb.bkey
+         |        AND neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // Embedding near-dup: same signature re-derivation, 4-band × 4-bit
+    // banding, nearest neighbor by (cosine DESC, nn_id) within buckets.
+    "dedup_embedding" -> {
+      val sig = hyperplaneSigSql("ed", 16, 64)
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |              FROM embeddings),
+         |sg AS (SELECT vec_id, ed, $sig AS sig FROM base),
+         |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+         |bb AS (SELECT vec_id, ed, band, (sig >> (band * 4)) & 15 AS bkey
+         |       FROM sg, bands),
+         |s AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         |        ${cosineSql("a.ed", "b.ed")} AS cosine
+         |      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey
+         |        AND a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, nn_id, cosine,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cosine DESC, nn_id) AS rk
+         |      FROM s)
+         |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
     "dedup_minhash_lsh" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
@@ -1952,5 +2048,41 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-  )
+  ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c))
+
+  /** IVF oracle: centroid model exported as double literals (exact
+    * float→double widening), then the assignment argmax, nProbe=8 probe
+    * ranking, probed-cluster scan and top-k all recomputed in SQL. */
+  private def ivfOracleSql(cents: Seq[Seq[Float]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lst = c.map(f => dlit(f.toDouble))
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"($i, $lst)"
+    }.mkString(",\n    ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+       |              FROM embeddings),
+       |cents AS (SELECT * FROM (VALUES
+       |    $rows) t(cid, ce)),
+       |scores AS (SELECT vec_id, ed, cid,
+       |        coalesce(${cosineSql("ed", "ce")}, -2.0) AS score
+       |      FROM base, cents),
+       |ranked AS (SELECT vec_id, ed, cid, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+       |      FROM scores),
+       |assign AS (SELECT vec_id AS neighbor_id, ed AS ce2,
+       |        cid AS cluster_id
+       |      FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, ed AS qe, cid AS cluster_id
+       |      FROM ranked WHERE vec_id % 50 = 0 AND rn <= 8),
+       |s AS (SELECT DISTINCT query_id, neighbor_id,
+       |        ${cosineSql("qe", "ce2")} AS cosine
+       |      FROM assign a JOIN probes p ON a.cluster_id = p.cluster_id
+       |        AND a.neighbor_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 }
