@@ -64,6 +64,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("IVF centroid training is exactly ONE Spark job (sample collect)") {
+    // the 100 TB contract: the model build must not scale with the
+    // corpus — one TakeOrdered sample job, Lloyd runs driver-side on
+    // the collected sample, zero further collects
+    // parquet-backed corpus: a LocalRelation fixture plans differently
+    // (AQE materializes local stages as extra jobs) and would not
+    // exercise the real scan path
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-train-spec").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val sc = spark.sparkContext
+    val group = "ivf-train-spec"
+    sc.setJobGroup(group, "ivf train job count")
+    try Similarity.trainCentroids(pq, nCentroids = 6)
+    finally sc.clearJobGroup()
+    def ids = sc.statusTracker.getJobIdsForGroup(group).toSeq
+    val deadline = System.currentTimeMillis + 10000
+    while (System.currentTimeMillis < deadline && ids.isEmpty)
+      Thread.sleep(50)
+    Thread.sleep(300) // listener bus is async; confirm the count settled
+    assert(ids.size === 1, s"expected 1 training job, saw ${ids.size}")
+  }
+
+  test("IVF survives a corpus smaller than nCentroids and an empty one") {
+    val tiny = corpus.filter(col("vec_id") < 4)
+    val q = tiny.filter(col("vec_id") === 0)
+    val r = Similarity.ivfTopK(tiny, q, k = 3, nCentroids = 16, nProbe = 4)
+      .collect()
+    assert(r.length === 3) // 3 non-self neighbors exist
+    val empty = corpus.filter(col("vec_id") < 0)
+    assert(Similarity.ivfTopK(empty, q, k = 3).collect().isEmpty)
+    assert(Similarity.trainCentroids(empty).isEmpty)
+  }
+
   test("LSH candidates are a subset of the corpus scored correctly") {
     val q = corpus.filter(col("vec_id") === 1)
     val r = Similarity.lshTopK(corpus, q, k = 30, bits = 8, bands = 2)
