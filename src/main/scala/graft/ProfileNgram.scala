@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
 
 /** Dev tool: stage-by-stage timing of the ngramJaccard pipeline at a
@@ -12,7 +11,6 @@ object ProfileNgram {
     val spark = Engine.session()
     val docs = sources.Tables.load(spark, sfDir, "documents")
     val t = 0.7
-    val EPS = 1e-9
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -21,14 +19,14 @@ object ProfileNgram {
     }
 
     val base = docs.select(col("doc_id"),
-      array_distinct(char_ngram_hashes(normalize_text(col("text")), 8))
-        .as("gs"))
+      char_ngram_set(normalize_text(col("text")), 8).as("gs"))
       .filter(col("gs").isNotNull)
       .persist()
     timed("1 base materialize")(base.count())
 
-    val hotDf: Map[Long, Long] = timed("2 hotDf collect") {
-      base.select(explode(col("gs")).as("g"))
+    val hotDf: Map[Long, Long] = timed("2 hotDf collect (sampled)") {
+      base.filter(pmod(xxhash64(col("doc_id")), lit(4)) === 0)
+        .select(explode(col("gs")).as("g"))
         .groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
         .orderBy(col("df").desc, col("g"))
@@ -42,49 +40,45 @@ object ProfileNgram {
         posexplode(prefix_grams(col("gs"), hotDf, t)))
       .select(col("doc_id"), col("col").as("g"),
         (col("pos") + 1).as("rn"), col("sz"))
-    val capped = prefix
-      .withColumn("pn", row_number().over(
-        Window.partitionBy("g").orderBy("doc_id")))
-      .filter(col("pn") <= 5000)
-      .drop("pn")
-      .persist()
-    timed("3 capped materialize")(capped.count())
-
-    val a = capped.as("a"); val b = capped.as("b")
-    val alpha = lit(t / (1 + t)) * (col("a.sz") + col("b.sz")) - EPS
-    val candidates = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz").cast("double") >= lit(t) * col("a.sz") - EPS &&
-          col("a.sz").cast("double") >= lit(t) * col("b.sz") - EPS &&
-          (least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1)
-            .cast("double") >= alpha)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candidates = prefix
+      .groupBy("g")
+      .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
+        .as("ps"))
+      .select(explode(bucket_pairs(col("ps"), 5000, t)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
       .persist()
-    timed("4 candidates")(println("n_cand=" + candidates.count()))
+    timed("3 candidates (group+BucketPairs)")(
+      println("[profile] n_cand=" + candidates.count()))
 
-    val sets = base.withColumn("n", size(col("gs")).cast("long"))
-    val pairs = candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= t)
-    timed("5 verify+count")(println("n_pairs=" + pairs.count()))
-    timed("6 verify+sort+localCheckpoint") {
-      pairs.orderBy("id_a", "id_b").localCheckpoint(true)
+    val gsets: scala.collection.Map[Long, Array[Long]] = timed("4 sets collect") {
+      base.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     }
+    val bc = spark.sparkContext.broadcast(gsets)
+    val pairs = candidates
+      .withColumn("jaccard", broadcast_jaccard(col("id_a"), col("id_b"), bc))
+      .filter(col("jaccard") >= t)
+    timed("5 verify (broadcast lookup)")(
+      println("[profile] n_pairs=" + pairs.count()))
 
-    base.unpersist(); capped.unpersist(); candidates.unpersist()
+    base.unpersist(); candidates.unpersist()
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.add(f"job ${j.jobId}: ${(System.nanoTime() -
+            starts.getOrDefault(j.jobId, System.nanoTime())) / 1e9}%.2f s")
+      })
     val t0 = System.nanoTime()
     val full = graft.operators.Dedup.ngramJaccard(docs)
     println(f"[profile] full one-shot op: ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=" + full.count())
+    Thread.sleep(500)
+    jobs.forEach(s => println("[profile] " + s))
     spark.stop()
   }
 }

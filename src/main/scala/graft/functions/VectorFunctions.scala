@@ -272,7 +272,8 @@ object VectorFunctions {
     * (no substring allocation — rolling window over the char array).
     * Multiset; Jaccard callers `.distinct()` after explode. Strings
     * shorter than n yield one hash of the whole string; empty → null. */
-  case class CharNgramHashes(child: Expression, n: Int)
+  case class CharNgramHashes(child: Expression, n: Int,
+      distinctSorted: Boolean = false)
       extends UnaryExpression {
     require(n >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -298,7 +299,20 @@ object VectorFunctions {
         out(i) = h
         i += 1
       }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+      if (!distinctSorted)
+        return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+      // fused sort+dedup on the primitive array: exactly
+      // array_sort(array_distinct(...)) without the per-row boxed hash
+      // set and boxed comparator the builtins pay
+      java.util.Arrays.sort(out)
+      var w = 0
+      i = 0
+      while (i < m) {
+        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        if (w == m) out else java.util.Arrays.copyOf(out, w))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
@@ -424,6 +438,155 @@ object VectorFunctions {
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
+  }
+
+  /** Candidate pairs within one inverted-index bucket, with every
+    * AllPairs/PPJoin prune fused into the generator (Bayardo WWW'07;
+    * Xiao et al. WWW'08 for the index-prefix bound). Input: the
+    * bucket's postings as array<struct<doc_id:long, rn:int, sz:int>>
+    * (rn = 1-based position of the bucket gram in the doc's canonical
+    * (df, gram) order, sz = doc's distinct-gram count). Output: the
+    * array of (id_a < id_b) pairs that survive
+    *  - the bucket cap: postings sorted by doc_id, truncated at
+    *    `maxBucket` — identical semantics to the former
+    *    row_number-over-window cap, without the extra width-N sort
+    *    shuffle (the groupBy that builds the bucket already paid the
+    *    only required shuffle);
+    *  - the size filter: J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t;
+    *  - the positional filter: the witnessed overlap
+    *    min(|a|-rn_a, |b|-rn_b) + 1 must reach α = t/(1+t)·(|a|+|b|).
+    *    (This per-edge bound with the true pairwise α subsumes PPJoin's
+    *    static index-prefix bound ⌈2t/(1+t)·|x|⌉ on the smaller record:
+    *    α ≥ 2t/(1+t)·|min| always, so a separate index-prefix check
+    *    can never fire when the positional filter passes.)
+    * EPS mirrors PrefixGrams: every real-arithmetic bound is relaxed
+    * by 1e-9 in the admit direction, so float evaluation can only let
+    * extra candidates through, never drop a true pair. */
+  case class BucketPairs(child: Expression, maxBucket: Int,
+      threshold: Double) extends UnaryExpression {
+    require(maxBucket >= 2 && threshold > 0 && threshold <= 1)
+    private val EPS = 1e-9
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n0 = arr.numElements()
+      if (n0 < 2)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val ps = new Array[(Long, Int, Int)](n0)
+      var i = 0
+      while (i < n0) {
+        val r = arr.getStruct(i, 3)
+        ps(i) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        i += 1
+      }
+      java.util.Arrays.sort(ps, Ordering.by[(Long, Int, Int), Long](_._1))
+      val m = math.min(n0, maxBucket)
+      val tc = threshold / (1.0 + threshold)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < m) {
+        val pi = ps(i)
+        val ia = pi._1; val ra = pi._2; val sa = pi._3
+        var j = i + 1
+        while (j < m) {
+          val pj = ps(j)
+          val rb = pj._2; val sb = pj._3
+          if (sb >= threshold * sa - EPS && sa >= threshold * sb - EPS &&
+              math.min(sa - ra, sb - rb) + 1 >= tc * (sa + sb) - EPS)
+            out += org.apache.spark.sql.catalyst.InternalRow(ia, pj._1)
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    // per-bucket (not per-row-per-gram) — interpreted eval via reference
+    // object keeps codegen simple without touching the hot path
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("bucketPairs", this,
+        classOf[BucketPairs].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Exact Jaccard of two docs' gram sets looked up from a Spark
+    * `Broadcast` map — the hand-fused analog of the two broadcast hash
+    * joins the shuffle path runs to attach both gram arrays to a
+    * candidate row. Runs AFTER the candidate distinct, so each pair is
+    * verified exactly once and the ~KB-sized arrays never appear in a
+    * row at all. Callers gate this on the same size guard as a
+    * broadcast join; beyond the guard the join pipeline (shuffles
+    * proportional to the candidate count) is the 100 TB route.
+    * The arithmetic replicates the column formula bit-for-bit (int
+    * count subtraction, exact int→double widenings, one double
+    * divide). */
+  case class BroadcastJaccard(left: Expression, right: Expression,
+      sets: org.apache.spark.broadcast.Broadcast[
+        scala.collection.Map[Long, Array[Long]]])
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val gsets = sets.value
+      (gsets.get(a.asInstanceOf[Long]), gsets.get(b.asInstanceOf[Long])) match {
+        case (Some(ga), Some(gb)) =>
+          val c = mergeIntersectCount(ga, gb)
+          java.lang.Double.valueOf(
+            c.toDouble / (ga.length + gb.length - c).toDouble)
+        case _ => null
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("bcastJaccard", this,
+        classOf[BroadcastJaccard].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |Object r = $expr.nullSafeEval($a, $b);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) r).doubleValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Shared merge-intersection over sorted duplicate-free long arrays —
+    * the primitive behind both [[SortedIntersectCount]] (column form)
+    * and [[VerifiedBucketPairs]] (fused form). */
+  private[functions] def mergeIntersectCount(
+      x: Array[Long], y: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < x.length && j < y.length) {
+      val a = x(i); val b = y(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
   }
 
   /** |A ∩ B| for two SORTED long arrays by linear merge — the exact
@@ -588,6 +751,15 @@ object VectorFunctions {
     toColumn(PrefixGrams(toExpression(gs), hotDf, threshold))
   def sorted_intersect_count(a: Column, b: Column): Column =
     toColumn(SortedIntersectCount(toExpression(a), toExpression(b)))
+  def bucket_pairs(postings: Column, maxBucket: Int,
+      threshold: Double): Column =
+    toColumn(BucketPairs(toExpression(postings), maxBucket, threshold))
+  def broadcast_jaccard(a: Column, b: Column,
+      sets: org.apache.spark.broadcast.Broadcast[
+        scala.collection.Map[Long, Array[Long]]]): Column =
+    toColumn(BroadcastJaccard(toExpression(a), toExpression(b), sets))
+  def char_ngram_set(text: Column, n: Int): Column =
+    toColumn(CharNgramHashes(toExpression(text), n, distinctSorted = true))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>

@@ -302,20 +302,23 @@ object Dedup {
     // selection, and the gram-set verification; released before
     // returning (see the localCheckpoint at the end).
     val base = docs.select(col("doc_id"),
-      array_sort(array_distinct(
-        char_ngram_hashes(normalize_text(col("text")), n))).as("gs"))
+      char_ngram_set(normalize_text(col("text")), n).as("gs"))
       .filter(col("gs").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Stop-gram model: true df counts for the HOTTEST grams only (one
-    // skinny map-side-combined aggregate + TakeOrdered). Only the head
-    // of the df distribution matters for prefix ordering; the rare tail
-    // ranks as df=1 with ties by gram value — still a consistent global
-    // total order, so the exact-recall guarantee is untouched. Bounded
-    // size ⇒ driver/executor-safe at any corpus scale (the same shape
-    // as an IVF centroid model). df=1 grams can't form a pair, so df≥2
-    // filters the model.
+    // Stop-gram model: df counts for the HOTTEST grams, estimated on a
+    // deterministic 1-in-4 doc sample (xxhash64 of the key — seeded and
+    // order-independent) then one skinny map-side aggregate +
+    // TakeOrdered. The model only has to RANK grams for the prefix
+    // order; the exact-recall proof holds for ANY consistent global
+    // total order, so sampled (even misranked) df can only change the
+    // candidate count, never the verified output — and hot grams, the
+    // only ranks that matter, are exactly the ones a uniform doc sample
+    // cannot miss. Unknown grams rank df=1 with ties by gram value.
+    // Bounded size ⇒ driver/executor-safe at any corpus scale (the same
+    // shape as an IVF centroid model).
     val hotDf: Map[Long, Long] = base
+      .filter(pmod(xxhash64(col("doc_id")), lit(4)) === 0)
       .select(explode(col("gs")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
@@ -331,63 +334,63 @@ object Dedup {
         posexplode(prefix_grams(col("gs"), hotDf, threshold)))
       .select(col("doc_id"), col("col").as("g"),
         (col("pos") + 1).as("rn"), col("sz"))
-    // hot-gram guard: a gram shared by >maxPrefixBucket PREFIXES means a
-    // degenerate corpus slice (thousands of near-identical short docs);
-    // cap it so one key cannot quadratically explode a task. Default is
-    // high — prefix grams are each doc's rarest (observed max prefix
-    // bucket on the driver testdata at sf0.1: 263 of 5000 docs).
-    // Persisted: BOTH sides of the candidate self-join read this table —
-    // without the persist the df-count + window subtree runs twice.
-    val capped = prefix
-      .withColumn("pn", row_number().over(
-        Window.partitionBy("g").orderBy("doc_id")))
-      .filter(col("pn") <= maxPrefixBucket)
-      .drop("pn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Candidate edges with the two other exact AllPairs/PPJoin prunes:
-    //  - size filter: J ≥ t forces t·|a| ≤ |b| ≤ |a|/t;
-    //  - positional filter: an edge at prefix positions (rn_a, rn_b) can
-    //    witness an overlap of at most min(|a|-rn_a, |b|-rn_b)+1, which
-    //    must reach the required overlap α = t/(1+t)·(|a|+|b|). The
-    //    smallest shared gram of a true pair always passes (all o shared
-    //    grams sit at or after it in both docs), so recall stays exact.
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val alpha = lit(threshold / (1 + threshold)) *
-      (col("a.sz") + col("b.sz")) - EPS
-    val candidates = a.join(b,
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz").cast("double") >=
-            lit(threshold) * col("a.sz") - EPS &&
-          col("a.sz").cast("double") >=
-            lit(threshold) * col("b.sz") - EPS &&
-          (least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1)
-            .cast("double") >= alpha)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Candidate generation + verification. ONE shuffle (groupBy gram)
+    // builds each inverted-index bucket, then a bucket generator emits
+    // the surviving (id_a < id_b) pairs with every exact
+    // AllPairs/PPJoin prune — bucket cap, size filter, positional
+    // filter — fused in (see BucketPairs for the recall proofs). This
+    // replaces the former row_number cap window (a second full posting
+    // sort-shuffle) plus posting self-join plus per-edge filtering:
+    // postings cross the wire once instead of three times. The cap
+    // keeps one degenerate gram from exploding a task (observed max
+    // prefix bucket on the driver testdata at sf0.1: 263 vs the 5000
+    // cap) and bounds the per-bucket pair array at maxPrefixBucket²/2.
+    //
+    // Verification picks its shape by the same size logic Spark's own
+    // join planning uses, measured on the materialized cache:
+    //  - small gram-set table (< 256 MB): ship it as a Broadcast map
+    //    and compute each candidate's exact Jaccard with a map lookup
+    //    (BroadcastJaccard) — the ~KB gram arrays never enter a row,
+    //    and each distinct pair is verified exactly once;
+    //  - at corpus scale: two joins against the gram-set table —
+    //    shuffles proportional to the candidate count, the honest
+    //    100 TB route with no driver/broadcast limits.
+    val candidates = prefix
+      .groupBy("g")
+      .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
+        .as("ps"))
+      .select(explode(
+        bucket_pairs(col("ps"), maxPrefixBucket, threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-
-    // exact char-ngram Jaccard per candidate via sorted-array merge
-    // intersection: one narrow join per side (candidates × ~2 KB gram
-    // arrays) instead of re-exploding to gram level. With AQE + an
-    // honest broadcast threshold these joins turn into broadcasts
-    // whenever the gram-set table is actually small; at corpus scale
-    // they stay shuffles proportional to the candidate count.
-    val sets = base.withColumn("n", size(col("gs")).cast("long"))
-    val pairs = finalizePairs(candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_common",
-        sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold),
-      "id_a", "id_b")
-    capped.unpersist(false)
+    val setsSmall =
+      base.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
+    val verified: DataFrame = if (setsSmall) {
+      val gsets: scala.collection.Map[Long, Array[Long]] = base
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .toMap
+      val bc = docs.sparkSession.sparkContext.broadcast(gsets)
+      candidates
+        .withColumn("jaccard",
+          broadcast_jaccard(col("id_a"), col("id_b"), bc))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val sets = base.withColumn("n", size(col("gs")).cast("long"))
+      candidates
+        .join(sets.select(col("doc_id").as("id_a"),
+          col("gs").as("gs_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"),
+          col("gs").as("gs_b"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("n_common",
+          sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+    val pairs = finalizePairs(verified, "id_a", "id_b")
     base.unpersist(false)
     pairs
   }
