@@ -527,6 +527,132 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** All (id_a < id_b) pairs within one LSH bucket, given the bucket's
+    * member ids: sort by id, truncate at `maxBucket` (identical
+    * semantics to a row_number-over-window cap without the extra
+    * posting sort-shuffle), emit every pair. The groupBy that builds
+    * the bucket pays the only shuffle candidate generation needs. */
+  case class CappedPairs(child: Expression, maxBucket: Int)
+      extends UnaryExpression {
+    require(maxBucket >= 2)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n0 = arr.numElements()
+      if (n0 < 2)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val ids = arr.toLongArray()
+      java.util.Arrays.sort(ids)
+      val m = math.min(n0, maxBucket)
+      val out = new Array[Any](m * (m - 1) / 2)
+      var k = 0; var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("cappedPairs", this,
+        classOf[CappedPairs].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** SimHash bucket pairs with the Hamming verification fused in:
+    * input is the bucket's array<struct<doc_id:long, sig:long>>; output
+    * every (id_a < id_b, hamming = popcount(sig_a ^ sig_b) ≤ maxHamming)
+    * triple after the same sort-by-id bucket cap as [[CappedPairs]].
+    * The whole near-dup check — candidate generation AND verification —
+    * runs inside the bucket stage because the verification needs
+    * nothing but the two 8-byte signatures already in the posting. */
+  case class HammingPairs(child: Expression, maxBucket: Int,
+      maxHamming: Int) extends UnaryExpression {
+    require(maxBucket >= 2 && maxHamming >= 0)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n0 = arr.numElements()
+      if (n0 < 2)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val ids = new Array[Long](n0)
+      val sigs = new Array[Long](n0)
+      val order = new Array[Integer](n0)
+      var i = 0
+      while (i < n0) {
+        val r = arr.getStruct(i, 2)
+        ids(i) = r.getLong(0); sigs(i) = r.getLong(1)
+        order(i) = Integer.valueOf(i)
+        i += 1
+      }
+      java.util.Arrays.sort(order,
+        java.util.Comparator.comparingLong((x: Integer) => ids(x)))
+      val m = math.min(n0, maxBucket)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < m) {
+        val oi = order(i); val ia = ids(oi); val sa = sigs(oi)
+        var j = i + 1
+        while (j < m) {
+          val oj = order(j)
+          val h = java.lang.Long.bitCount(sa ^ sigs(oj))
+          if (h <= maxHamming)
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              ia, ids(oj), h)
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("hammingPairs", this,
+        classOf[HammingPairs].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object r = $expr.nullSafeEval($v);
+           |if (r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Exact Jaccard of two docs' gram sets looked up from a Spark
     * `Broadcast` map — the hand-fused analog of the two broadcast hash
     * joins the shuffle path runs to attach both gram arrays to a
@@ -754,6 +880,11 @@ object VectorFunctions {
   def bucket_pairs(postings: Column, maxBucket: Int,
       threshold: Double): Column =
     toColumn(BucketPairs(toExpression(postings), maxBucket, threshold))
+  def capped_pairs(ids: Column, maxBucket: Int): Column =
+    toColumn(CappedPairs(toExpression(ids), maxBucket))
+  def hamming_pairs(postings: Column, maxBucket: Int,
+      maxHamming: Int): Column =
+    toColumn(HammingPairs(toExpression(postings), maxBucket, maxHamming))
   def broadcast_jaccard(a: Column, b: Column,
       sets: org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[Long, Array[Long]]]): Column =

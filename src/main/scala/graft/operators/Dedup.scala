@@ -118,46 +118,53 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    // cap pathological buckets (hot-key guard at scale); persisted
-    // because both sides of the candidate self-join read it — without
-    // the persist the banding window subtree runs twice
-    val capped = buckets
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("band", "bkey").orderBy("doc_id")))
-      .filter(col("rn") <= maxBucket)
-      .drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Candidates: ONE shuffle (groupBy band key) builds each bucket,
+    // CappedPairs emits its (id_a < id_b) pairs with the hot-bucket
+    // cap applied inside the generator — replaces the former
+    // row_number cap window + bucket self-join (two more posting
+    // shuffles) with the same candidate set.
+    val candidates = buckets
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(capped_pairs(col("ids"), maxBucket)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
-    // exact shingle-set Jaccard per candidate via sorted-array merge
-    // intersection — two narrow joins (candidates × per-doc shingle
-    // arrays) instead of re-exploding to shingle level; shuffle volume
-    // stays proportional to the candidate count.
+    // exact shingle-set Jaccard per candidate — same size-guarded
+    // choice as ngramJaccard: a small shingle-set table ships as a
+    // Broadcast map and each distinct candidate costs one lookup; at
+    // corpus scale two joins keep shuffle volume proportional to the
+    // candidate count.
     val sets = sigs.select(col("doc_id"),
       array_sort(array_distinct(col("sh"))).as("gs"))
-      .withColumn("n", size(col("gs")).cast("long"))
-    val pairs = finalizePairs(candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_common",
-        sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold),
-      "id_a", "id_b")
-    capped.unpersist(false)
+    val setsSmall =
+      sigs.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
+    val verified: DataFrame = if (setsSmall) {
+      val gsets: scala.collection.Map[Long, Array[Long]] = sets
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .toMap
+      val bc = docs.sparkSession.sparkContext.broadcast(gsets)
+      candidates
+        .withColumn("jaccard",
+          broadcast_jaccard(col("id_a"), col("id_b"), bc))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val nsets = sets.withColumn("n", size(col("gs")).cast("long"))
+      candidates
+        .join(nsets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
+          col("n").as("n_a")), Seq("id_a"))
+        .join(nsets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
+          col("n").as("n_b")), Seq("id_b"))
+        .withColumn("n_common",
+          sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+    val pairs = finalizePairs(verified, "id_a", "id_b")
     sigs.unpersist(false)
     pairs
   }
@@ -234,40 +241,31 @@ object Dedup {
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val sigs = docs.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
-    val banded0 = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
             .as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // hot-bucket cap: narrow bands on shared-vocabulary corpora can
-    // collide thousands of docs into one band value — vocabulary-level
-    // similarity, not near-dup evidence, and quadratic in bucket size.
-    // The cap trades guaranteed recall in degenerate buckets for a
-    // bounded join (same guard as minhashLsh).
-    // persisted: both sides of the self-join read it (otherwise the
-    // simhash scan + cap window run twice); eager pair materialization
-    // + unpersist, same cache-release contract as minhashLsh
-    val banded = banded0
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("band", "bkey").orderBy("doc_id")))
-      .filter(col("rn") <= maxBucket)
-      .drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = finalizePairs(a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming),
+    // ONE shuffle (groupBy band key) builds each bucket; HammingPairs
+    // fuses candidate generation AND verification — the hot-bucket cap
+    // (narrow bands on shared-vocabulary corpora collide thousands of
+    // docs; vocabulary-level similarity, not near-dup evidence, and
+    // quadratic in bucket size) plus the popcount(xor) Hamming filter
+    // run inside the generator, since verification needs nothing but
+    // the two 8-byte signatures already in the posting. No self-join,
+    // no persist, no cap window: the former three posting shuffles are
+    // now one.
+    val pairs = finalizePairs(banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ps"))
+      .select(explode(
+        hamming_pairs(col("ps"), maxBucket, maxHamming)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .distinct(),
       "id_a", "id_b")
-    banded.unpersist(false)
     pairs
   }
 
