@@ -904,11 +904,12 @@ object SparkEntry {
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
   private def qMultimodalSizes(s: SparkSession, dir: String): DataFrame =
-    // The oracle-checkable slice of the multimodal pipeline: byte
-    // accounting through binary payloads + the Dataset[T] decode
-    // plumbing (payload = utf-8 text bytes, so the oracle can recompute
-    // sizes with octet_length) — proves the binary round-trip loses
-    // nothing even though the decode itself is stubbed.
+    // Byte accounting through the REAL binary containers: the payloads
+    // are genuine BMP/WAV files whose sizes follow the container math
+    // (54 + 4-aligned pixel rows / 44 + 2·ch·samples), and the oracle
+    // recomputes exactly those formulas from the text byte length in SQL —
+    // so a single padding byte lost or misparsed anywhere in the
+    // encode → binary column → decode round-trip fails the hash.
     Multimodal.decodeMeta(s, Multimodal.asMedia(t(s, dir, "documents")))
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_media"),
@@ -2011,10 +2012,45 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6
         |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Real-container oracles: the engine encodes genuine BMP (24-bit,
+    // 4-byte-aligned rows) and WAV (PCM-16) payloads whose geometry
+    // derives from the utf-8 byte length of the text (Multimodal
+    // .bmpDims/.wavShape), then decodes them by parsing the actual
+    // headers. The oracle re-derives the same geometry and container
+    // sizes in SQL — strlen() is DuckDB's BYTE length — so the check
+    // covers the full encode → binary column → header-parse round trip.
     "multimodal_sizes" ->
-      """SELECT 'media/' || source AS media_type, count(*) AS n_media,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+        |       ELSE 'audio/wav' END AS media_type,
+        |  count(*) AS n_media,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0
+        |    THEN 54 + ((3 * (1 + strlen(text) % 64) + 3) // 4 * 4)
+        |         * (1 + (strlen(text) * 7) % 64)
+        |    ELSE 44 + strlen(text) * (1 + strlen(text) % 2) * 2
+        |    END) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "multimodal_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+        |         ELSE 'audio/wav' END AS media_type
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_type,
+        |    CASE WHEN media_type = 'image/bmp'
+        |      THEN 54 + ((3 * (1 + n % 64) + 3) // 4 * 4) * (1 + (n * 7) % 64)
+        |      ELSE 44 + n * (1 + n % 2) * 2 END AS byte_len,
+        |    CAST(CASE WHEN media_type = 'image/bmp'
+        |      THEN 1 + n % 64 ELSE n END AS INTEGER) AS width,
+        |    CAST(CASE WHEN media_type = 'image/bmp'
+        |      THEN 1 + (n * 7) % 64
+        |      ELSE 8000 + 1000 * (n % 8) END AS INTEGER) AS height
+        |  FROM m)
+        |SELECT media_type, count(*) AS n_media,
+        |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |  min(width) AS min_w, max(width) AS max_w,
+        |  min(height) AS min_h, max(height) AS max_h
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)

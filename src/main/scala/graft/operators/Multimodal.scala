@@ -1,21 +1,24 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: images/audio/video modeled as opaque
-  * `binary` payload columns with typed metadata, processed by
-  * partition-mapped batch functions (the Scala analog of the
-  * mapInPandas pattern).
+/** Multimodal-column plumbing: images/audio modeled as opaque `binary`
+  * payload columns with typed metadata, processed by partition-mapped
+  * batch functions (the Scala analog of the mapInPandas pattern).
   *
-  * The actual media decode is STUBBED — this container has no image /
-  * audio codecs — with a deterministic fake (metadata and features are
-  * derived from a stable content hash). Everything around the stub is
-  * real and tested: the binary schema, the typed metadata struct, the
-  * `Dataset[T]` encoder plumbing, partition-preserving execution (no
-  * shuffle for per-row media ops), and the explode shape for frame
-  * sampling. Swapping the stub for a real codec changes only the bodies
-  * marked `STUB`.
+  * The payloads are REAL uncompressed containers — 24-bit BI_RGB BMP
+  * images and PCM-16 RIFF/WAVE audio — generated deterministically from
+  * the document text ([[asMedia]]), and the decode path
+  * ([[decodeMeta]]) is a real pure-JVM header parser: magic sniffing,
+  * little-endian field extraction, RIFF chunk walking. No external
+  * codec is needed because both formats store samples raw; a
+  * compressed format (JPEG/FLAC) would swap only the per-format branch
+  * bodies, not the Spark plumbing (binary schema, typed metadata
+  * struct, `Dataset[T]` encoders, partition-preserving execution, the
+  * explode shape for frame sampling).
   */
 object Multimodal {
 
@@ -25,88 +28,239 @@ object Multimodal {
   case class FeatureRow(doc_id: Long, feature: Array[Float])
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** Model documents as media blobs: payload = utf-8 bytes of the text
-    * (stand-in for image/audio bytes), media_type from the source tag. */
-  def asMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      concat(lit("media/"), col("source")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
+  // --- fixture encoding --------------------------------------------------
 
-  private def stableHash(bytes: Array[Byte]): Long = {
-    // FNV-1a 64-bit — cheap, deterministic, dependency-free
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xff).toLong
-      h *= 0x100000001b3L
-      i += 1
+  /** BMP geometry derived from the utf-8 byte length `n` of the source
+    * text — shared with the DuckDB oracle, which re-derives the same
+    * dimensions in SQL and checks them against the REAL header parse. */
+  private[graft] def bmpDims(n: Int): (Int, Int) =
+    (1 + n % 64, 1 + (n * 7) % 64)
+  /** WAV shape from text byte length: one 16-bit sample per byte. */
+  private[graft] def wavShape(n: Int): (Int, Int) =
+    (1 + n % 2, 8000 + 1000 * (n % 8)) // (channels, sampleRate)
+
+  /** A real 24-bit bottom-up BI_RGB BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + 4-byte-aligned pixel rows filled from the text
+    * bytes (cyclic). */
+  private def encodeBmp(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val (w, h) = bmpDims(n)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < rowSize) {
+        buf.put(
+          if (c < 3 * w && n > 0) text((r * 3 * w + c) % n) else 0.toByte)
+        c += 1
+      }
+      r += 1
     }
-    h
+    buf.array()
   }
 
-  /** "Decode" each payload into typed media metadata.
-    * STUB: width/height/channels are derived from a content hash instead
-    * of a real codec. Partition-mapped: no shuffle, constant memory per
-    * batch — the shape a real decoder needs at 100 TB. */
+  /** A real canonical PCM-16 RIFF/WAVE: "fmt " + "data" chunks, one
+    * sample per text byte (centered and scaled to 16 bit). */
+  private def encodeWav(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val (ch, sr) = wavShape(n)
+    val dataSize = n * ch * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(ch.toShort)
+      .putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      val s = (((text(i) & 0xff) - 128) << 8).toShort
+      var c = 0
+      while (c < ch) { buf.putShort(s); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Model documents as media blobs: even doc_id → BMP image, odd →
+    * WAV audio, both genuinely encoded from the text bytes. */
+  def asMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (id % 2 == 0) MediaRow(id, "image/bmp", encodeBmp(bytes))
+          else MediaRow(id, "audio/wav", encodeWav(bytes))
+        }
+      }
+      .toDF()
+  }
+
+  // --- real header parsing ----------------------------------------------
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | (b(off + 1) & 0xff) << 8 |
+      (b(off + 2) & 0xff) << 16 | (b(off + 3) & 0xff) << 24
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  /** (width, height, bitsPerPixel/8, pixelDataOffset, rowSize) from a
+    * BITMAPINFOHEADER BMP. Height may be stored negative (top-down). */
+  private def parseBmp(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    val chan = le16(b, 28) / 8
+    val off = le32(b, 10)
+    val rowSize = (chan * w + 3) / 4 * 4
+    (w, h, chan, off, rowSize)
+  }
+
+  /** Walk RIFF chunks for "fmt " and "data":
+    * (channels, sampleRate, nSamples, dataOffset). */
+  private def parseWav(b: Array[Byte]): (Int, Int, Int, Int) = {
+    var off = 12
+    var ch = 0; var sr = 0; var nSamples = 0; var dataOff = -1
+    while (off + 8 <= b.length) {
+      val size = le32(b, off + 4)
+      val id = new String(b, off, 4, "US-ASCII")
+      if (id == "fmt ") {
+        ch = le16(b, off + 10)
+        sr = le32(b, off + 12)
+      } else if (id == "data" && ch > 0) {
+        nSamples = size / (ch * 2)
+        dataOff = off + 8
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    (ch, sr, nSamples, dataOff)
+  }
+
+  /** Decode each payload into typed media metadata by parsing the REAL
+    * container headers (magic-sniffed, not trusted from media_type).
+    * Images: (width, height, channels) from the BMP header. Audio:
+    * width = sample count, height = sample rate, channels from the fmt
+    * chunk. Partition-mapped: no shuffle, constant memory per batch —
+    * the shape a real decoder needs at 100 TB. */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val h = stableHash(m.payload)                     // STUB decode
-        DecodedRow(m.doc_id, m.media_type, m.payload.length,
-          width = 64 + (math.abs(h) % 1024).toInt,
-          height = 64 + (math.abs(h >> 16) % 1024).toInt,
-          channels = 1 + (math.abs(h >> 32) % 4).toInt)
+        val b = m.payload
+        if (isBmp(b)) {
+          val (w, h, chan, _, _) = parseBmp(b)
+          DecodedRow(m.doc_id, m.media_type, b.length, w, h, chan)
+        } else if (isWav(b)) {
+          val (ch, sr, nSamples, _) = parseWav(b)
+          DecodedRow(m.doc_id, m.media_type, b.length, nSamples, sr, ch)
+        } else DecodedRow(m.doc_id, m.media_type, b.length, 0, 0, 0)
       }
     }
   }
 
-  /** Feature extraction: payload → fixed-size float vector.
-    * STUB: 8 floats from chunk hashes instead of a vision model. The
-    * output schema (`array<float>`) plugs directly into
-    * [[Similarity]] / [[Dedup.embeddingNearDup]]. */
+  /** Feature extraction: payload → fixed-size float vector computed
+    * from the DECODED samples. Images: per-channel means (B, G, R, in
+    * [0,1]) over the real pixel rows (padding skipped) + normalized
+    * geometry. Audio: RMS, mean amplitude and zero-crossing rate over
+    * the real 16-bit samples + normalized shape. The output schema
+    * (`array<float>`) plugs directly into [[Similarity]] /
+    * [[Dedup.embeddingNearDup]]. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[FeatureRow] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
-        val n = 8
-        val f = new Array[Float](n)
-        val step = math.max(1, m.payload.length / n)
-        var i = 0
-        while (i < n) {                                   // STUB features
-          val from = math.min(i * step, m.payload.length)
-          val until = math.min((i + 1) * step, m.payload.length)
-          val h = stableHash(java.util.Arrays.copyOfRange(
-            m.payload, from, until))
-          f(i) = (h.toDouble / Long.MaxValue.toDouble).toFloat
-          i += 1
+        val b = m.payload
+        val f = new Array[Float](8)
+        if (isBmp(b)) {
+          val (w, h, chan, off, rowSize) = parseBmp(b)
+          val sums = new Array[Long](3)
+          var r = 0
+          while (r < h) {
+            var c = 0
+            while (c < w * chan) {
+              sums(c % chan) += b(off + r * rowSize + c) & 0xff
+              c += 1
+            }
+            r += 1
+          }
+          val nPix = math.max(1L, w.toLong * h)
+          f(0) = (sums(0).toDouble / (255.0 * nPix)).toFloat
+          f(1) = (sums(1).toDouble / (255.0 * nPix)).toFloat
+          f(2) = (sums(2).toDouble / (255.0 * nPix)).toFloat
+          f(3) = w / 1024f
+          f(4) = h / 1024f
+          f(5) = chan / 4f
+        } else if (isWav(b)) {
+          val (ch, sr, nSamples, dataOff) = parseWav(b)
+          val total = nSamples * ch
+          var i = 0; var sumSq = 0.0; var sumAbs = 0.0
+          var crossings = 0; var prev = 0
+          while (i < total) {
+            val s = (le16(b, dataOff + i * 2).toShort).toInt
+            sumSq += s.toDouble * s; sumAbs += math.abs(s)
+            if (i > 0 && (s ^ prev) < 0) crossings += 1
+            prev = s
+            i += 1
+          }
+          val n = math.max(1, total)
+          f(0) = (math.sqrt(sumSq / n) / 32768.0).toFloat
+          f(1) = (sumAbs / n / 32768.0).toFloat
+          f(2) = crossings.toFloat / n
+          f(3) = ch / 4f
+          f(4) = sr / 48000f
+          f(5) = nSamples / 65536f
         }
         FeatureRow(m.doc_id, f)
       }
     }
   }
 
-  /** Frame sampling: treat the payload as a "video" and emit every k-th
-    * fixed-size chunk as a frame row (explode shape: one row per frame,
-    * ordered frame_idx). STUB: chunks instead of real frames. */
+  /** Frame sampling against the real container structure: images emit
+    * every `everyK`-th SCANLINE top-down (padding stripped, bottom-up
+    * storage accounted for); audio emits every `everyK`-th block of
+    * `frameSize` samples. Explode shape: one row per frame, ordered
+    * frame_idx. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       frameSize: Int = 256, everyK: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>
-      val nFrames = math.max(1, m.payload.length / frameSize)
-      (0 until nFrames by everyK).map { idx =>
-        val from = idx * frameSize
-        val until = math.min(from + frameSize, m.payload.length)
-        FrameRow(m.doc_id, idx,
-          java.util.Arrays.copyOfRange(m.payload, from, until))
-      }
+      val b = m.payload
+      if (isBmp(b)) {
+        val (w, h, chan, off, rowSize) = parseBmp(b)
+        (0 until h by everyK).map { idx =>
+          val srcRow = h - 1 - idx // bottom-up storage → top-down frames
+          FrameRow(m.doc_id, idx, java.util.Arrays.copyOfRange(
+            b, off + srcRow * rowSize, off + srcRow * rowSize + w * chan))
+        }
+      } else if (isWav(b)) {
+        val (ch, _, nSamples, dataOff) = parseWav(b)
+        val nFrames = math.max(1, nSamples / frameSize)
+        (0 until nFrames by everyK).map { idx =>
+          val from = dataOff + idx * frameSize * ch * 2
+          val until = math.min(from + frameSize * ch * 2, b.length)
+          FrameRow(m.doc_id, idx,
+            java.util.Arrays.copyOfRange(b, from, until))
+        }
+      } else Seq(FrameRow(m.doc_id, 0, b))
     }
   }
 
   /** End-to-end pipeline used by the declared query: media modeling →
-    * stubbed decode → per-type size/shape stats. Aggregation is plain
-    * groupBy — fully distributed, no driver materialization. */
+    * real header decode → per-type size/shape stats. Aggregation is
+    * plain groupBy — fully distributed, no driver materialization. */
   def pipelineStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     val decoded = decodeMeta(spark, asMedia(docs))
     decoded.groupBy("media_type")

@@ -10,52 +10,87 @@ class MultimodalSpec extends AnyFunSuite {
   import spark.implicits._
 
   private lazy val docs = Seq(
-    (1L, "hello world content", "imgsrc"),
-    (2L, "other longer content with many more bytes in it", "audsrc"))
+    (2L, "hello world content", "imgsrc"), // even id → BMP
+    (3L, "other longer content with many more bytes in it", "audsrc"))
     .toDF("doc_id", "text", "source")
 
-  test("asMedia produces binary payload + typed media_type") {
+  test("asMedia emits real containers: BMP magic for images, RIFF/WAVE for audio") {
     val m = Multimodal.asMedia(docs)
     val schema = m.schema.map(f => f.name -> f.dataType.simpleString).toMap
     assert(schema("payload") === "binary")
     val r = m.orderBy("doc_id").collect()
-    assert(new String(r(0).getAs[Array[Byte]]("payload"), "UTF-8")
-      === "hello world content")
-    assert(r(0).getString(1) === "media/imgsrc")
+    val bmp = r(0).getAs[Array[Byte]]("payload")
+    assert(r(0).getString(1) === "image/bmp")
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    val wav = r(1).getAs[Array[Byte]]("payload")
+    assert(r(1).getString(1) === "audio/wav")
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") === "WAVE")
   }
 
-  test("stub decode is deterministic and partition-mapped (no shuffle)") {
+  test("decodeMeta parses the real headers back to the encoded geometry") {
     val m = Multimodal.asMedia(docs)
-    val d1 = Multimodal.decodeMeta(spark, m).orderBy("doc_id").collect()
-    val d2 = Multimodal.decodeMeta(spark, m).orderBy("doc_id").collect()
-    assert(d1.toSeq === d2.toSeq)
-    assert(d1.forall(r => r.width >= 64 && r.height >= 64 &&
-      r.channels >= 1 && r.channels <= 4))
+    val d = Multimodal.decodeMeta(spark, m).orderBy("doc_id").collect()
+    // BMP: dims derive from utf-8 length via bmpDims
+    val nImg = "hello world content".getBytes("UTF-8").length
+    val (w, h) = Multimodal.bmpDims(nImg)
+    assert(d(0).width === w && d(0).height === h && d(0).channels === 3)
+    assert(d(0).byte_len === d(0).byte_len.toLong.toInt)
+    // WAV: width = samples (one per byte), height = sample rate
+    val nAud =
+      "other longer content with many more bytes in it".getBytes("UTF-8").length
+    val (ch, sr) = Multimodal.wavShape(nAud)
+    assert(d(1).width === nAud && d(1).height === sr && d(1).channels === ch)
+    // decode is partition-mapped: no shuffle in the plan
     val plan = Multimodal.decodeMeta(spark, m)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
-  test("feature extraction emits fixed-size float vectors") {
-    val f = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs))
-      .collect()
-    assert(f.forall(_.feature.length === 8))
-    assert(f.forall(_.feature.forall(v => v >= -1f && v <= 1f)))
+  test("decoded byte_len equals the real container size formulas") {
+    val d = Multimodal.decodeMeta(spark, Multimodal.asMedia(docs))
+      .orderBy("doc_id").collect()
+    val nImg = "hello world content".getBytes("UTF-8").length
+    val (w, h) = Multimodal.bmpDims(nImg)
+    assert(d(0).byte_len === 54 + (3 * w + 3) / 4 * 4 * h)
+    val nAud =
+      "other longer content with many more bytes in it".getBytes("UTF-8").length
+    val (ch, _) = Multimodal.wavShape(nAud)
+    assert(d(1).byte_len === 44 + nAud * ch * 2)
   }
 
-  test("frame sampling emits every k-th fixed-size chunk") {
-    val big = Seq((1L, "x" * 2048, "vid")).toDF("doc_id", "text", "source")
-    val frames = Multimodal.sampleFrames(spark, Multimodal.asMedia(big),
+  test("feature extraction computes real channel/sample statistics") {
+    val f = Multimodal.extractFeatures(spark, Multimodal.asMedia(docs))
+      .orderBy("doc_id").collect()
+    assert(f.forall(_.feature.length === 8))
+    // image channel means land strictly inside (0,1) for ascii text pixels
+    assert(f(0).feature.take(3).forall(v => v > 0f && v < 1f))
+    // audio RMS is positive and bounded for non-silent samples
+    assert(f(1).feature(0) > 0f && f(1).feature(0) <= 1f)
+    assert(f(1).feature(2) >= 0f && f(1).feature(2) <= 1f) // zero-cross rate
+  }
+
+  test("frame sampling walks the real structure (scanlines / sample blocks)") {
+    // image: one frame per everyK-th scanline, each w*3 bytes
+    val img = Seq((2L, "z" * 100, "img")).toDF("doc_id", "text", "source")
+    val (w, h) = Multimodal.bmpDims(100)
+    val imgFrames = Multimodal.sampleFrames(spark, Multimodal.asMedia(img),
+      everyK = 2).collect()
+    assert(imgFrames.length === (h + 1) / 2)
+    assert(imgFrames.forall(_.frame_bytes.length === w * 3))
+    // audio: every 2nd block of 256 samples
+    val aud = Seq((3L, "x" * 2048, "aud")).toDF("doc_id", "text", "source")
+    val audFrames = Multimodal.sampleFrames(spark, Multimodal.asMedia(aud),
       frameSize = 256, everyK = 2).collect()
-    // 2048/256 = 8 frames, every 2nd → 4
-    assert(frames.length === 4)
-    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
-    assert(frames.forall(_.frame_bytes.length === 256))
+    val (ch, _) = Multimodal.wavShape(2048)
+    assert(audFrames.length === 4) // 2048/256 = 8 frames, every 2nd
+    assert(audFrames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
+    assert(audFrames.forall(_.frame_bytes.length === 256 * ch * 2))
   }
 
   test("extracted features compose with the ANN similarity operators") {
-    // multimodal → similarity: stubbed feature vectors feed directly
-    // into the cosine top-k path (schema compatibility is the contract)
+    // multimodal → similarity: real feature vectors feed directly into
+    // the cosine top-k path (schema compatibility is the contract)
     Tables.register(spark, TestSpark.sfDir)
     val media = Multimodal.asMedia(
       spark.table("documents").limit(50))
