@@ -1137,22 +1137,34 @@ object SparkEntry {
     * ((a_hi·b_lo + a_lo·b_hi) mod 2^32)·2^32 + a_lo·b_lo, every term
     * < 2^66. Rotations become disjoint shift-sums; >>> is `// 2^n`.
     * Verified bit-exact against the Catalyst XxHash64 expression. */
+  // --- XXH64-in-DuckDB building blocks (shared by the bucket-split,
+  // simhash and custom-function oracles). DuckDB BIGINT errors on
+  // overflow and HUGEINT (128-bit) overflows on a full 64×64 multiply,
+  // so multiplication by the constant primes splits into 32-bit halves
+  // (every term < 2^66); rotations are disjoint shift-sums; >>> is
+  // `// 2^n`. Verified bit-exact against the Catalyst XXH64 class.
+  private val xxhM = "18446744073709551616" // 2^64
+  private val xxhB = "4294967296" // 2^32
+  private val (xxhP1, xxhP2, xxhP3, xxhP4, xxhP5) = (
+    BigInt("11400714785074694791"), BigInt("14029467366897019727"),
+    BigInt("1609587929392839161"), BigInt("9650029242287828579"),
+    BigInt("2870177450012600261"))
+  private def xxhMulmod(a: String, b: BigInt): String = {
+    val b0 = b % BigInt(2).pow(32); val b1 = b >> 32
+    val hi = s"((($a) // $xxhB) * $b0 + (($a) % $xxhB) * $b1)"
+    s"((($hi) % $xxhB * $xxhB + (($a) % $xxhB) * $b0) % $xxhM)"
+  }
+  private def xxhRotl(x: String, r: Int): String =
+    s"((($x) * ${BigInt(2).pow(r)} % $xxhM) + (($x) // ${BigInt(2).pow(64 - r)}))"
+  private def xxhShrx(x: String, n: Int): String =
+    s"xor($x, ($x) // ${BigInt(2).pow(n)})"
+
   private def xxhash64BucketSql(keyCol: String, table: String): String = {
-    val M = "18446744073709551616" // 2^64
-    val B = "4294967296" // 2^32
-    val (p1, p2, p3, p4, p5) = (
-      BigInt("11400714785074694791"), BigInt("14029467366897019727"),
-      BigInt("1609587929392839161"), BigInt("9650029242287828579"),
-      BigInt("2870177450012600261"))
-    def mulmod(a: String, b: BigInt): String = {
-      val b0 = b % BigInt(2).pow(32); val b1 = b >> 32
-      val hi = s"((($a) // $B) * $b0 + (($a) % $B) * $b1)"
-      s"((($hi) % $B * $B + (($a) % $B) * $b0) % $M)"
-    }
-    def rotl(x: String, r: Int): String =
-      s"((($x) * ${BigInt(2).pow(r)} % $M) + (($x) // ${BigInt(2).pow(64 - r)}))"
-    def shrx(x: String, n: Int): String =
-      s"xor($x, ($x) // ${BigInt(2).pow(n)})"
+    val M = xxhM
+    val (p1, p2, p3, p4, p5) = (xxhP1, xxhP2, xxhP3, xxhP4, xxhP5)
+    def mulmod(a: String, b: BigInt): String = xxhMulmod(a, b)
+    def rotl(x: String, r: Int): String = xxhRotl(x, r)
+    def shrx(x: String, n: Int): String = xxhShrx(x, n)
     s"""s0 AS (SELECT $keyCol AS k, (42::HUGEINT + $p5 + 8) % $M AS h,
        |         $keyCol::HUGEINT AS v FROM $table),
        |s1 AS (SELECT k, h, ${mulmod("v", p2)} AS k1 FROM s0),
@@ -1214,6 +1226,105 @@ object SparkEntry {
     * the driver records a rows-only check (the status quo). */
   private[graft] val ivfModel =
     new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
+
+  /** DuckDB re-derivation of `XXH64.hashUnsafeBytes(token, seed 42)` —
+    * Spark's `xxhash64` over strings and the hash inside SimHash64 —
+    * for ASCII tokens of 0..8 bytes (the testdata tokenizer caps words
+    * at 8 chars; `strlen` guards every stage so longer input would
+    * surface as a hash mismatch, not silent corruption). Expects a CTE
+    * `toks(…carry…, w)`; produces stages `x0..x8, xh` where `xh` has
+    * the carry columns + `h` (HUGEINT, the unsigned 64-bit hash).
+    * Short-input XXH64: optional one 8-byte word round, optional one
+    * 4-byte round, up to three 1-byte rounds (unrolled, CASE-guarded),
+    * then the avalanche — byte order little-endian like the JVM reads.
+    * Verified bit-exact against XXH64.hashUnsafeBytes for lengths
+    * 1..8. */
+  private def xxh64TokenChainSql(first: String, rest: String): String = {
+    val M = xxhM
+    val (p1, p2, p3, p4, p5) = (xxhP1, xxhP2, xxhP3, xxhP4, xxhP5)
+    def pw(n: Int) = BigInt(2).pow(n)
+    s"""x0 AS (SELECT $first, strlen(w) AS len,
+       |        ascii(substr(w,1,1))::HUGEINT AS b1,
+       |        ascii(substr(w,2,1))::HUGEINT AS b2,
+       |        ascii(substr(w,3,1))::HUGEINT AS b3,
+       |        ascii(substr(w,4,1))::HUGEINT AS b4,
+       |        ascii(substr(w,5,1))::HUGEINT AS b5,
+       |        ascii(substr(w,6,1))::HUGEINT AS b6,
+       |        ascii(substr(w,7,1))::HUGEINT AS b7,
+       |        ascii(substr(w,8,1))::HUGEINT AS b8
+       |       FROM toks),
+       |x1 AS (SELECT $rest, len, b1, b2, b3, b4, b5, b6, b7,
+       |        (42::HUGEINT + $p5 + len) % $M AS h,
+       |        b1 + b2*256 + b3*65536 + b4*16777216 + b5*${pw(32)}
+       |          + b6*${pw(40)} + b7*${pw(48)} + b8*${pw(56)} AS k8,
+       |        b1 + b2*256 + b3*65536 + b4*16777216 AS k4
+       |       FROM x0),
+       |x2 AS (SELECT $rest, len, b1, b2, b3, b4, b5, b6, b7, k4,
+       |        CASE WHEN len = 8
+       |          THEN (${xxhMulmod(xxhRotl(
+               s"xor(h, ${xxhMulmod(xxhRotl(xxhMulmod("k8", p2), 31), p1)})",
+               27), p1)} + $p4) % $M
+       |          ELSE h END AS h
+       |       FROM x1),
+       |x3 AS (SELECT $rest, len, b1, b2, b3, b5, b6, b7,
+       |        CASE WHEN len >= 4 AND len < 8
+       |          THEN (${xxhMulmod(xxhRotl(
+               s"xor(h, ${xxhMulmod("k4", p1)})", 23), p2)} + $p3) % $M
+       |          ELSE h END AS h
+       |       FROM x2),
+       |x4 AS (SELECT $rest, len, b2, b3, b6, b7,
+       |        CASE WHEN len < 8 AND (CASE WHEN len >= 4 THEN 5 ELSE 1 END) <= len
+       |          THEN ${xxhMulmod(xxhRotl(
+               s"xor(h, (CASE WHEN len >= 4 THEN b5 ELSE b1 END) * $p5 % $M)",
+               11), p1)}
+       |          ELSE h END AS h
+       |       FROM x3),
+       |x5 AS (SELECT $rest, len, b3, b7,
+       |        CASE WHEN len < 8 AND (CASE WHEN len >= 4 THEN 6 ELSE 2 END) <= len
+       |          THEN ${xxhMulmod(xxhRotl(
+               s"xor(h, (CASE WHEN len >= 4 THEN b6 ELSE b2 END) * $p5 % $M)",
+               11), p1)}
+       |          ELSE h END AS h
+       |       FROM x4),
+       |x6 AS (SELECT $rest, len,
+       |        CASE WHEN len < 8 AND (CASE WHEN len >= 4 THEN 7 ELSE 3 END) <= len
+       |          THEN ${xxhMulmod(xxhRotl(
+               s"xor(h, (CASE WHEN len >= 4 THEN b7 ELSE b3 END) * $p5 % $M)",
+               11), p1)}
+       |          ELSE h END AS h
+       |       FROM x5),
+       |x7 AS (SELECT $rest, ${xxhMulmod(xxhShrx("h", 33), p2)} AS h FROM x6),
+       |x8 AS (SELECT $rest, ${xxhMulmod(xxhShrx("h", 29), p3)} AS h FROM x7),
+       |xh AS (SELECT $rest, ${xxhShrx("h", 32)} AS h FROM x8)""".stripMargin
+  }
+
+  /** 64-bit SimHash over per-doc token hashes in SQL: the token-hash
+    * chain above feeds 64 per-bit vote sums (+1 if bit set, -1
+    * otherwise, exactly SimHash64's loop) and the signature re-packs
+    * the positive votes. Produces CTEs through `sig(doc_id, sim_sig)`
+    * with sim_sig as signed BIGINT (two's complement of the unsigned
+    * sum, matching the Catalyst expression's long). Expects
+    * `toks(doc_id, w)`. */
+  private def simhashSigSql: String = {
+    def pw(n: Int) = BigInt(2).pow(n)
+    val votes = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h // ${pw(j)}) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n        ")
+    val sigSum = (0 until 64)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${pw(j)}::HUGEINT " +
+        "ELSE 0::HUGEINT END")
+      .mkString("(", "\n         + ", ")")
+    s"""${xxh64TokenChainSql("doc_id", "doc_id")},
+       |votes AS (SELECT doc_id,
+       |        $votes
+       |       FROM xh GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigSum AS s FROM votes),
+       |sig AS (SELECT doc_id,
+       |        CAST(CASE WHEN s >= ${pw(63)} THEN s - $xxhM ELSE s END
+       |          AS BIGINT) AS sim_sig
+       |       FROM sg)""".stripMargin
+  }
 
   /** CASE expression assigning splits from the cumulative bucket
     * bounds — generated from the SAME fractions the query uses. */
@@ -1711,6 +1822,61 @@ object SparkEntry {
     // centroids are exported as double literals (data-independent
     // constants / captured model) and the banding + probe + top-k math
     // recomputed in SQL. Only HLL sketch internals stay rows-only.
+    // SimHash oracles: XXH64.hashUnsafeBytes(token, 42) is re-derived
+    // byte-for-byte in HUGEINT SQL (xxh64TokenChainSql), the 64 bit
+    // votes and signature re-packed, then banding / capping / Hamming
+    // recomputed — the complete simhash pipeline independently in
+    // DuckDB.
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |      ' '),
+         |    t -> strlen(t) > 0)) AS w
+         |  FROM documents),
+         |$simhashSigSql,
+         |bands AS (SELECT * FROM (VALUES
+         |    (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
+         |    (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT),
+         |    (5, 1099511627776::HUGEINT), (6, 281474976710656::HUGEINT),
+         |    (7, 72057594037927936::HUGEINT)) t(band, dv)),
+         |sigu AS (SELECT doc_id, sim_sig,
+         |    CASE WHEN sim_sig < 0 THEN sim_sig::HUGEINT + $xxhM
+         |         ELSE sim_sig::HUGEINT END AS s FROM sig),
+         |banded AS (SELECT doc_id, sim_sig, band, (s // dv) % 256 AS bkey
+         |    FROM sigu, bands),
+         |capped AS (SELECT * FROM (
+         |    SELECT doc_id, sim_sig, band, bkey, row_number() OVER (
+         |      PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM banded)
+         |    WHERE rn <= 500),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sim_sig, b.sim_sig)) AS INTEGER)
+         |      AS hamming
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |      AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 5 ORDER BY id_a, id_b""".stripMargin,
+    "sql_custom_funcs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents),
+         |$simhashSigSql,
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |       FROM embeddings)
+         |SELECT d.doc_id,
+         |  coalesce(sig.sim_sig, 0) AS sim_sig,
+         |  CAST(CASE WHEN len(list_filter(
+         |      regexp_split_to_array(lower(d.text), '\\s'),
+         |      t -> strlen(t) > 0)) >= 3
+         |    THEN len(list_filter(regexp_split_to_array(lower(d.text), '\\s'),
+         |      t -> strlen(t) > 0)) - 2
+         |    ELSE 1 END AS INTEGER) AS n_shingles,
+         |  ${cosineSql("ed", "ed")} AS self_cos
+         |FROM documents d
+         |JOIN e2 ON d.doc_id = e2.vec_id
+         |LEFT JOIN sig ON sig.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qe
