@@ -1,12 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, ExpressionInfo, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.CosineSimilarity
 import graft.plans.AsOfJoin.{AsOfJoinPlan, AsOfStrategy}
 
 /** The library's cluster-wide integration point: set
@@ -41,6 +44,110 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     ext.injectOptimizerRule(_ => PruneColumnsThroughAsOfJoin)
+    ext.injectOptimizerRule(sp => RewriteCosineThresholdJoin(sp))
+  }
+}
+
+/** OPT-IN rewrite of a declarative similarity join into its banded-LSH
+  * physical shape: an inner join whose condition contains
+  * `cosine_sim(a, b) >= t` (a from the left, b from the right) becomes
+  * a hash equi-join on hyperplane-LSH band keys — each side computes a
+  * 16-bit signature at scan time, explodes into 8 × 2-bit band keys,
+  * and only rows colliding in some band are ever paired; the original
+  * condition (cosine threshold included) remains as the residual
+  * filter. A pair sharing several bands is emitted exactly once, at
+  * its smallest shared band (the canonical-band conjunct checks that
+  * no earlier band collides), so no global dedup shuffle is needed.
+  *
+  * This completes the reference's declarative identity — SQL in,
+  * optimized plan out (`DistributedQueryService/QueryService.asmx.cs:
+  * 497-506`) — for the similarity-join extension surface: users write
+  * the O(n²) predicate; the engine plans the banded join that survives
+  * 100 TB (the nested-loop alternative broadcasts a full side and
+  * compares every pair).
+  *
+  * Enabled per session with `spark.graft.cosineRewrite.enabled=true`
+  * and deliberately OFF by default: banding is a recall tradeoff
+  * (a qualifying pair sharing no band is lost — the standard LSH
+  * contract, tunable via the band structure), not a strict
+  * equivalence, so the user must ask for it. */
+case class RewriteCosineThresholdJoin(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  private val bits = 16
+  private val bands = 8
+  private val bandBits = bits / bands
+  private val bandMask = (1L << bandBits) - 1
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf
+        .get("spark.graft.cosineRewrite.enabled", "false").toBoolean) plan
+    else plan.transformUp {
+      // the __graft_ guard keeps the rule from re-matching its own
+      // output on the optimizer's next fixed-point iteration
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !cond.references.exists(_.name.startsWith("__graft_")) =>
+        cosineSides(cond, left, right)
+          .map { case (a, b) => rewrite(j, a, b) }
+          .getOrElse(j)
+    }
+  }
+
+  /** The (leftVector, rightVector) of the first conjunct shaped
+    * `cosine_sim(x, y) >= t` / `> t` whose vector sides split cleanly
+    * across the join inputs. */
+  private def cosineSides(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    def sides(c: CosineSimilarity): Option[(Expression, Expression)] =
+      if (c.left.references.subsetOf(left.outputSet) &&
+          c.right.references.subsetOf(right.outputSet))
+        Some((c.left, c.right))
+      else if (c.right.references.subsetOf(left.outputSet) &&
+          c.left.references.subsetOf(right.outputSet))
+        Some((c.right, c.left))
+      else None
+    splitConjunctivePredicates(cond).iterator.flatMap {
+      case GreaterThanOrEqual(c: CosineSimilarity, Literal(_, DoubleType)) =>
+        sides(c)
+      case GreaterThan(c: CosineSimilarity, Literal(_, DoubleType)) =>
+        sides(c)
+      case _ => None
+    }.nextOption()
+  }
+
+  private def rewrite(j: Join, aVec: Expression,
+      bVec: Expression): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.bridge
+    def banded(plan: LogicalPlan, vec: Expression, side: String) = {
+      val df = bridge.ofRows(spark, plan)
+        .withColumn(s"__graft_sig_$side", bridge.toColumn(
+          VectorFunctions.HyperplaneSignature(vec, bits)))
+      df.withColumn(s"__graft_bk_$side",
+          explode(array((0 until bands).map(bb =>
+            struct(lit(bb).as("band"),
+              shiftright(col(s"__graft_sig_$side"), bb * bandBits)
+                .bitwiseAND(bandMask).as("key"))): _*)))
+        .withColumn(s"__graft_band_$side", col(s"__graft_bk_$side.band"))
+        .withColumn(s"__graft_key_$side", col(s"__graft_bk_$side.key"))
+    }
+    val lb = banded(j.left, aVec, "l")
+    val rb = banded(j.right, bVec, "r")
+    // canonical band: emit a pair only at its smallest shared band
+    val noEarlier = expr(
+      s"""__graft_band_l = 0 OR NOT exists(
+         |  sequence(0, __graft_band_l - 1),
+         |  b -> (shiftright(__graft_sig_l, b * $bandBits) & $bandMask)
+         |     = (shiftright(__graft_sig_r, b * $bandBits) & $bandMask))"""
+        .stripMargin)
+    val joined = lb.join(rb,
+        col("__graft_band_l") === col("__graft_band_r") &&
+          col("__graft_key_l") === col("__graft_key_r") &&
+          noEarlier &&
+          bridge.toColumn(j.condition.get),
+        "inner")
+      .select((j.left.output ++ j.right.output)
+        .map(a => bridge.toColumn(a)): _*)
+    bridge.planOf(joined)
   }
 }
 

@@ -900,6 +900,27 @@ object SparkEntry {
       nCentroids = 16, nProbe = 8, model = Some(cents))
   }
 
+  private def qCosineThresholdJoin(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The DECLARATIVE similarity join: the user writes the O(n²)
+    // cosine-threshold predicate; the opt-in RewriteCosineThresholdJoin
+    // optimizer rule plans the banded-LSH hash join (plan shape pinned
+    // by GraftExtensionsSpec). The oracle re-derives the banded
+    // semantics — signature, band collision, canonical first band,
+    // residual cosine filter — independently in DuckDB.
+    s.conf.set("spark.graft.cosineRewrite.enabled", "true")
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    import graft.functions.VectorFunctions.cosine_sim
+    a.join(b,
+        cosine_sim(col("emb_a"), col("emb_b")) >= 0.4 &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_sim(col("emb_a"), col("emb_b")).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
@@ -1094,6 +1115,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
+    "join_cosine_threshold" -> (qCosineThresholdJoin _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
@@ -1918,6 +1940,28 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, neighbor_id, cosine, rank FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // Declarative cosine-threshold join: the oracle re-derives the
+    // BANDED semantics the opt-in optimizer rewrite plans — signature,
+    // 8 × 2-bit band collision, canonical (smallest) shared band for
+    // exactly-once emission, residual cosine ≥ t filter.
+    "join_cosine_threshold" -> {
+      val sig = hyperplaneSigSql("ed", 16, 64)
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+         |              FROM embeddings),
+         |sg AS (SELECT vec_id, ed, $sig AS sig FROM base),
+         |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+         |bb AS (SELECT vec_id, ed, sig, band,
+         |         (sig >> (band * 2)) & 3 AS bkey FROM sg, bands),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |        ${cosineSql("a.ed", "b.ed")} AS cosine
+         |      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey
+         |        AND a.vec_id < b.vec_id
+         |        AND (a.band = 0 OR len(list_filter(range(0, a.band),
+         |          x -> ((a.sig >> (x * 2)) & 3)
+         |             = ((b.sig >> (x * 2)) & 3))) = 0))
+         |SELECT id_a, id_b, cosine FROM p
+         |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
     // Embedding near-dup: same signature re-derivation, 4-band × 4-bit
     // banding, nearest neighbor by (cosine DESC, nn_id) within buckets.

@@ -118,6 +118,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine-threshold join rewrites to a banded hash join (opt-in)") {
+    withExtSession { s =>
+      import s.implicits._
+      def vec(axis: Int): Array[Float] = {
+        val v = new Array[Float](8); v(axis) = 1f; v
+      }
+      val rows = (0 until 12).map(i => (i.toLong, vec(i % 3)))
+      val a = rows.toDF("id_a", "emb_a")
+      val b = rows.toDF("id_b", "emb_b")
+      import graft.functions.VectorFunctions.cosine_sim
+      def q = a.join(b,
+          cosine_sim(col("emb_a"), col("emb_b")) >= 0.9 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+
+      s.conf.set("spark.graft.cosineRewrite.enabled", "false")
+      val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      // without the rule the O(n²) predicate plans as a nested loop
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+
+      s.conf.set("spark.graft.cosineRewrite.enabled", "true")
+      val rewritten = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"expected an equi join on band keys:\n$plan")
+      // identical in-cluster vectors share every band → recall 1, and
+      // the canonical-band conjunct emits each pair exactly once:
+      // 3 clusters × C(4,2) = 18, equal to the exact nested-loop result
+      assert(rewritten === exact)
+      assert(exact.size === 18)
+      s.conf.unset("spark.graft.cosineRewrite.enabled")
+    }
+  }
+
   test("left-side filter is pushed below the as-of join node") {
     withExtSession { s =>
       // parquet-backed inputs: a pushed filter stays visible as a Filter
