@@ -921,6 +921,17 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  private def qStreamMinhashPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    // A REAL streaming run through the driver gate: the documents table
+    // streams through the stateful band-bucket dedup and the emitted
+    // pair set must equal the batch minhash pair SQL (same oracle as
+    // dedup_minhash_lsh).
+    val sink = graft.streaming.DocsStream.runMinhashStream(
+      s, dir, "stream_minhash_pairs_sink")
+    s.table(sink).distinct().orderBy("id_a", "id_b")
+  }
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.pipelineStats(s, t(s, dir, "documents"))
 
@@ -1122,6 +1133,7 @@ object SparkEntry {
     "sample_splits" -> (qSampleSplits _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
+    "stream_minhash_pairs" -> (qStreamMinhashPairs _),
     "events_sessionize" -> (qSessionize _),
     "user_profiles" -> (qUserProfiles _),
   )
@@ -1984,31 +1996,10 @@ object SparkEntry {
          |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
     },
-    "dedup_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, g FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-        |      THEN list_transform(generate_series(1, len(w) - 2),
-        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |      ELSE [array_to_string(w, ' ')] END) AS g
-        |    FROM toks) u),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (
-        |  SELECT id_a, id_b,
-        |    CAST(n_common AS DOUBLE)
-        |      / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
-        |  FROM common
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b)
-        |SELECT id_a, id_b, jaccard FROM j
-        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" -> minhashPairsOracle,
+    // The incremental (streaming) twin must converge to the same pair
+    // set as the batch operator — the oracle IS the batch pair SQL.
+    "stream_minhash_pairs" -> minhashPairsOracle,
     "dedup_minhash_decisions" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
@@ -2295,6 +2286,37 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c))
+
+  /** Exact shingle-Jaccard pair set (threshold 0.8) re-derived from the
+    * raw strings — the oracle for BOTH the batch minhash-LSH pair op
+    * and its streaming twin (the LSH band structure is a candidate
+    * pruner with planted-pair recall ~1 on this data, so the emitted
+    * set must equal the full threshold-Jaccard set). */
+  private def minhashPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+      |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |      THEN list_transform(generate_series(1, len(w) - 2),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [array_to_string(w, ' ')] END) AS g
+      |    FROM toks) u),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_common AS DOUBLE)
+      |      / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+      |  FROM common
+      |  JOIN sizes na ON na.doc_id = id_a
+      |  JOIN sizes nb ON nb.doc_id = id_b)
+      |SELECT id_a, id_b, jaccard FROM j
+      |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   /** IVF oracle: centroid model exported as double literals (exact
     * float→double widening), then the assignment argmax, nProbe=8 probe

@@ -703,7 +703,7 @@ object VectorFunctions {
   /** Shared merge-intersection over sorted duplicate-free long arrays —
     * the primitive behind both [[SortedIntersectCount]] (column form)
     * and [[VerifiedBucketPairs]] (fused form). */
-  private[functions] def mergeIntersectCount(
+  private[graft] def mergeIntersectCount(
       x: Array[Long], y: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < x.length && j < y.length) {

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.{minhash_sig, shingle_hashes}
+
+/** Streaming deduplication over a documents stream: the incremental
+  * twin of [[graft.operators.Dedup.minhashLsh]].
+  *
+  * Each arriving document is shingled and MinHash-signed in the scan
+  * stage (same custom expressions as the batch path), exploded into
+  * its LSH band keys, and routed to per-(band, bucket) state via
+  * `flatMapGroupsWithState` — the same shape a 100 TB incremental
+  * pipeline needs: the dedup index lives as keyed streaming state
+  * (RocksDB-backed on a real cluster), new documents only ever compare
+  * against the members of their own buckets, and emitted pairs are
+  * verified with the exact same merge-intersection Jaccard as batch.
+  *
+  * Every function of the data is identical to the batch operator, so
+  * stream output ≡ batch `minhashLsh` pairs on the same corpus (proved
+  * in StreamingSpec; the driver oracle checks the stream against the
+  * batch pair SQL directly). State is unbounded by design — an
+  * incremental dedup index must remember everything it has admitted;
+  * production deployments bound it by partitioning the corpus epoch
+  * (or watermark-expiring stale buckets), not by forgetting members
+  * mid-epoch.
+  */
+object DocsStream {
+
+  case class BandedDoc(band: Int, bkey: Int, doc_id: Long, gs: Array[Long])
+  case class PairOut(id_a: Long, id_b: Long, jaccard: Double)
+  case class Member(id: Long, gs: Array[Long])
+  case class BucketState(members: List[Member])
+
+  /** Streaming read of the documents table (file source). */
+  def readDocsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Incremental MinHash-LSH near-dup pairs. Emits each (id_a < id_b,
+    * exact Jaccard ≥ threshold) pair as soon as the later member of the
+    * pair arrives; a pair colliding in several bands is emitted once
+    * per band (downstream `distinct` dedups, exactly like the batch
+    * candidate pipeline). Within a micro-batch, members are admitted in
+    * doc_id order, so in-batch pairs are found too; the `maxBucket` cap
+    * mirrors the batch hot-bucket guard. */
+  def minhashPairsStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): Dataset[PairOut] = {
+    import spark.implicits._
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = docs.select(col("doc_id"),
+        shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
+      .withColumn("gs", array_sort(array_distinct(col("sh"))))
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => element_at(col("mh"), i + 1))
+      struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
+    }
+    sigs
+      .select(col("doc_id"), col("gs"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc_id"), col("gs"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState[BucketState, PairOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int), batch: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PairOut]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!members.exists(_.id == d.doc_id)) {
+              members.foreach { m =>
+                val c = VectorFunctions.mergeIntersectCount(m.gs, d.gs)
+                val j = c.toDouble /
+                  (m.gs.length + d.gs.length - c).toDouble
+                if (j >= threshold)
+                  out += PairOut(math.min(m.id, d.doc_id),
+                    math.max(m.id, d.doc_id), j)
+              }
+              if (members.size < maxBucket)
+                members = Member(d.doc_id, d.gs) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.iterator
+      }
+  }
+
+  /** Drive [[minhashPairsStream]] synchronously to completion over the
+    * parquet documents dir (memory sink); returns the sink name. */
+  def runMinhashStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_minhash_pairs"): String = {
+    val q = minhashPairsStream(spark, readDocsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
+}

@@ -111,4 +111,20 @@ class StreamingSpec extends AnyFunSuite {
     finalState.foreach { case (u, st) =>
       assert(st === truth(u), s"user $u") }
   }
+
+  test("streaming minhash dedup emits exactly the batch pair set") {
+    val sink = graft.streaming.DocsStream.runMinhashStream(
+      spark, TestSpark.sfDir, "spec_minhash_pairs")
+    val streamed = spark.table(sink).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val batch = graft.operators.Dedup.minhashLsh(spark.table("documents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // same banding, same exact-Jaccard math, same threshold → the
+    // incremental index must converge to the batch pair set, doubles
+    // included
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
