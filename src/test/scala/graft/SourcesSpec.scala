@@ -60,4 +60,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(got === spark.table("events").select("event_id")
       .distinct().count())
   }
+
+  test("jdbc seam routes table loads through the JDBC reader when configured") {
+    // No database exists in this sandbox; the seam is proved by ROUTING:
+    // with the url set, the load must go to the JDBC source (which then
+    // fails to find a driver for the bogus url) instead of parquet.
+    spark.conf.set("spark.graft.jdbc.url", "jdbc:nosuchdb://nowhere/db")
+    try {
+      val e = intercept[Exception] {
+        Tables.load(spark, TestSpark.sfDir, "nation").collect()
+      }
+      val msg = (e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+        .toLowerCase
+      assert(msg.contains("driver") || msg.contains("jdbc"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.jdbc.url")
+    // and with the url unset, the parquet path still works
+    assert(Tables.load(spark, TestSpark.sfDir, "nation").count() === 25)
+  }
 }
