@@ -43,9 +43,29 @@ object DumpPlans {
       """Shingling + the whole 32-hash MinHash signature are single
         |custom expressions inside the scan stage (no explode, no
         |shuffle to build signatures); banding explodes 8 rows per doc;
-        |candidates come from the banded self-join; exact Jaccard runs
-        |per candidate over sorted shingle-set arrays with a codegen'd
-        |merge intersect.""".stripMargin,
+        |ONE groupBy-per-bucket shuffle feeds the CappedPairs generator
+        |(bucket cap fused in — no cap window, no self-join), and each
+        |distinct candidate is verified with one BroadcastJaccard map
+        |lookup when the shingle-set table fits the 256 MB guard
+        |(shuffled joins proportional to candidates otherwise).""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """Exact-recall AllPairs/PPJoin: per-doc prefix grams selected in
+        |the scan stage against a bounded sampled stop-gram model; one
+        |groupBy-per-gram shuffle feeds BucketPairs, which fuses the
+        |bucket cap and the size + positional prunes into the pair
+        |loop; distinct candidates then verify via BroadcastJaccard
+        |lookups (or size-guarded joins at corpus scale). Postings
+        |cross the wire once; the ~2 KB gram arrays never enter a
+        |row on the small-table path.""".stripMargin,
+    "join_cosine_threshold" ->
+      """The declarative similarity join: the user writes
+        |`cosine_sim(a, b) >= t` — an O(n²) predicate Spark would plan
+        |as a broadcast nested loop — and the opt-in
+        |RewriteCosineThresholdJoin rule replans it as a hash equi-join
+        |on 8×2-bit hyperplane band keys with the original predicate as
+        |residual filter and canonical-band exactly-once emission. The
+        |plan below shows the banded equi join; no nested loop
+        |appears.""".stripMargin,
     "join_range_pred" ->
       """A pure interval predicate would plan as broadcast nested loop
         |(O(|L|·|R|), full broadcast). Ranges.bandJoin quantizes time
