@@ -774,6 +774,128 @@ object SparkEntry {
         |LIMIT 100""".stripMargin)
   }
 
+  private def qPriorityOrders(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q4 shape: orders in a quarter with at least one LATE
+    // lineitem (shipped > 30 days after the order date — the testdata
+    // has no commit/receipt dates), counted per priority. EXISTS plans
+    // as a left-semi join with a non-equi conjunct.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private def qNationVolume(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q7 shape: bilateral trade volume between two nations by
+    // ship year — lineitem joins BOTH a supplier-side and a (orders →
+    // customer) buyer-side nation; the two 25-row nation dims
+    // broadcast; revenue stays exact integer micros until the final
+    // division.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |JOIN nation sn ON su.s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  private def qPriorityClass(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q12 shape: per line status (the testdata has no ship
+    // mode), how many lines belong to urgent/high-priority orders vs
+    // the rest, over one ship year — the conditional two-way count.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT l.l_linestatus,
+        |  count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l.l_linestatus""".stripMargin)
+  }
+
+  private def qCustDist(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q13: the order-count distribution over ALL customers —
+    // left join (zero-order customers kept, one non-equi exclusion
+    // conjunct in the join condition), per-customer count, then the
+    // histogram of counts.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |      AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  private def qDisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q19 shape: revenue under a disjunction of brand/size/
+    // quantity triples — the OR-of-ANDs predicate that tests
+    // disjunctive pushdown planning; one exact-micros global sum.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
+  }
+
+  private def qIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q22 shape: positive-balance customers ABOVE the average
+    // positive balance with no orders at all, grouped by nation.
+    // The average comparison is exact: cents·n > total_cents in
+    // integers (a float avg would differ between engines in the last
+    // bits — partial-sum order — and could flip boundary customers).
+    Tables.register(s, dir)
+    s.sql(
+      """WITH bal AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey,
+        |  count(*) AS numcust,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM customer c CROSS JOIN bal
+        |WHERE c.c_acctbal > 0
+        |  AND CAST(round(c.c_acctbal * 100) AS BIGINT) * bal.n_pos
+        |      > bal.total_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin)
+  }
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -1109,6 +1231,12 @@ object SparkEntry {
     "q10_returned_items" -> (qReturnedItems _),
     "q14_promo_revenue" -> (qPromoRevenue _),
     "q18_large_orders" -> (qLargeOrders _),
+    "q4_priority_orders" -> (qPriorityOrders _),
+    "q7_nation_volume" -> (qNationVolume _),
+    "q12_priority_class" -> (qPriorityClass _),
+    "q13_custdist" -> (qCustDist _),
+    "q19_disjunctive_revenue" -> (qDisjunctiveRevenue _),
+    "q22_idle_customers" -> (qIdleCustomers _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
     "topk_aggregator" -> (qTopkAggregator _),
@@ -1774,6 +1902,81 @@ object SparkEntry {
         |GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
         |ORDER BY total_qty DESC, o.o_orderkey
         |LIMIT 100""".stripMargin,
+    "q4_priority_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |JOIN nation sn ON su.s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l.l_linestatus,
+        |  count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |        THEN 1 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l.l_linestatus""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |      AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH bal AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_cents
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_nationkey,
+        |  count(*) AS numcust,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM customer c CROSS JOIN bal
+        |WHERE c.c_acctbal > 0
+        |  AND CAST(round(c.c_acctbal * 100) AS BIGINT) * bal.n_pos
+        |      > bal.total_cents
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin,
     "q14_promo_revenue" ->
       """WITH x AS (
         |  SELECT
