@@ -896,6 +896,52 @@ object SparkEntry {
         |ORDER BY c.c_nationkey""".stripMargin)
   }
 
+  private def qUnpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    // Wide → long reshaping (the inverse of pivot): UNPIVOT three
+    // measure columns into (metric, value) rows. The oracle re-derives
+    // the SEMANTICS with a manual UNION ALL de-pivot rather than
+    // DuckDB's UNPIVOT syntax — dialect-independent equivalence.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, metric, value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        l_extendedprice, l_discount
+        |      FROM lineitem WHERE l_orderkey <= 200)
+        |UNPIVOT (value FOR metric IN (
+        |  l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+  }
+
+  private def qRegexFuncs(s: SparkSession, dir: String): DataFrame =
+    // Regex scalar surface: extract / replace / match over customer
+    // and part names (simple patterns identical under Java regex and
+    // RE2).
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        col("c_name").rlike("^Customer#0*[0-9]+$").as("well_formed"))
+      .orderBy("c_custkey")
+
+  private def qGroupingId(s: SparkSession, dir: String): DataFrame = {
+    // GROUPING()/grouping_id over a rollup: distinguishes "NULL because
+    // subtotal" from a real NULL key. The oracle re-derives the flags
+    // from key nullness (valid here: both keys are non-null in the
+    // data).
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
   private def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
     // Semi-structured access: events.props is a JSON string column.
     t(s, dir, "events")
@@ -1237,6 +1283,9 @@ object SparkEntry {
     "q13_custdist" -> (qCustDist _),
     "q19_disjunctive_revenue" -> (qDisjunctiveRevenue _),
     "q22_idle_customers" -> (qIdleCustomers _),
+    "unpivot_metrics" -> (qUnpivotMetrics _),
+    "regex_funcs" -> (qRegexFuncs _),
+    "grouping_id" -> (qGroupingId _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
     "topk_aggregator" -> (qTopkAggregator _),
@@ -1977,6 +2026,36 @@ object SparkEntry {
         |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c.c_nationkey
         |ORDER BY c.c_nationkey""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |             l_extendedprice, l_discount
+        |           FROM lineitem WHERE l_orderkey <= 200)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |    l_quantity AS value FROM w
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |    l_extendedprice FROM w
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM w) u
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "regex_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(c_name, '^Customer#0*[0-9]+$') AS well_formed
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin,
+    "grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q14_promo_revenue" ->
       """WITH x AS (
         |  SELECT
