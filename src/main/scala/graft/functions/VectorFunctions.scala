@@ -410,16 +410,24 @@ object VectorFunctions {
       if (n == 0) return null
       val p0 = n - math.ceil(threshold * n - 1e-9).toInt + 1
       val p = math.min(math.max(p0, 1), n)
-      val gs = new Array[Long](n)
+      // one df lookup per gram (not per comparison): sort (weight, gram)
+      // pairs with a primitive-friendly comparator
+      val pairs = new Array[Array[Long]](n)
       var i = 0
-      while (i < n) { gs(i) = arr.getLong(i); i += 1 }
-      val sorted = gs.sortWith { (x, y) =>
-        val wx = hotDf.getOrElse(x, 1L)
-        val wy = hotDf.getOrElse(y, 1L)
-        if (wx != wy) wx < wy else x < y
+      while (i < n) {
+        val g = arr.getLong(i)
+        pairs(i) = Array(hotDf.getOrElse(g, 1L), g)
+        i += 1
       }
-      org.apache.spark.sql.catalyst.util.ArrayData
-        .toArrayData(sorted.take(p))
+      java.util.Arrays.sort(pairs,
+        (a: Array[Long], b: Array[Long]) => {
+          val c = java.lang.Long.compare(a(0), b(0))
+          if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+        })
+      val out = new Array[Long](p)
+      i = 0
+      while (i < p) { out(i) = pairs(i)(1); i += 1 }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
