@@ -48,4 +48,112 @@ class PropertySpec extends AnyFunSuite {
       assert(fragmented === base, s"threshold $t")
     }
   }
+
+  // --- bucket-pair generator expressions vs naive models ----------------
+  // The fused candidate generators (cap + prunes inside one expression)
+  // must agree with straightforward reference implementations on random
+  // buckets — catches sort/cap/indexing bugs independently of any
+  // corpus.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+  import graft.functions.VectorFunctions.{BucketPairs, CappedPairs, HammingPairs}
+
+  private def structArray(rows: Seq[InternalRow],
+      fields: Seq[StructField]): Literal =
+    Literal(new GenericArrayData(rows.toArray[Any]),
+      ArrayType(StructType(fields)))
+
+  test("BucketPairs equals the naive capped + size/positional filter") {
+    val EPS = 1e-9
+    val genPosting = for {
+      id <- Gen.choose(0L, 40L)
+      sz <- Gen.choose(1, 50)
+      rn <- Gen.choose(1, sz)
+    } yield (id, rn, sz)
+    (0 until 40).foreach { i =>
+      val raw = (0 until 14).flatMap(k => genPosting(
+        Gen.Parameters.default, Seed(100L * i + k)))
+      val ps = raw.groupBy(_._1).map(_._2.head).toSeq // unique doc ids
+      val t = 0.7
+      val cap = 6
+      val expr = BucketPairs(structArray(
+        ps.map { case (id, rn, sz) => InternalRow(id, rn, sz) },
+        Seq(StructField("doc_id", LongType), StructField("rn", IntegerType),
+          StructField("sz", IntegerType))), cap, t)
+      val got = {
+        val r = expr.eval(InternalRow.empty).asInstanceOf[ArrayData]
+        (0 until r.numElements())
+          .map(k => (r.getStruct(k, 2).getLong(0), r.getStruct(k, 2).getLong(1)))
+          .sorted
+      }
+      val sorted = ps.sortBy(_._1).take(cap)
+      val want = (for {
+        a <- sorted.indices; b <- a + 1 until sorted.size
+        (ia, ra, sa) = sorted(a); (ib, rb, sb) = sorted(b)
+        if sb >= t * sa - EPS && sa >= t * sb - EPS &&
+          math.min(sa - ra, sb - rb) + 1 >=
+            t / (1 + t) * (sa + sb) - EPS
+      } yield (ia, ib)).sorted
+      assert(got === want, s"case $i postings=$ps")
+    }
+  }
+
+  test("CappedPairs equals the naive sorted-cap all-pairs") {
+    (0 until 40).foreach { i =>
+      val ids = (0 until 10).flatMap(k => Gen.choose(0L, 25L)
+        .apply(Gen.Parameters.default, Seed(999L * i + k))).distinct
+      val cap = 5
+      val expr = CappedPairs(
+        Literal(new GenericArrayData(ids.toArray), ArrayType(LongType)),
+        cap)
+      val got = {
+        val r = expr.eval(InternalRow.empty).asInstanceOf[ArrayData]
+        (0 until r.numElements())
+          .map(k => (r.getStruct(k, 2).getLong(0), r.getStruct(k, 2).getLong(1)))
+          .sorted
+      }
+      val sorted = ids.sorted.take(cap)
+      val want = (for {
+        a <- sorted.indices; b <- a + 1 until sorted.size
+      } yield (sorted(a), sorted(b))).sorted
+      assert(got === want, s"case $i ids=$ids")
+    }
+  }
+
+  test("HammingPairs equals the naive popcount filter") {
+    (0 until 40).foreach { i =>
+      val raw = (0 until 9).flatMap { k =>
+        for {
+          id <- Gen.choose(0L, 30L)
+            .apply(Gen.Parameters.default, Seed(5L * i + k))
+          sig <- Gen.choose(Long.MinValue, Long.MaxValue)
+            .apply(Gen.Parameters.default, Seed(77L * i + k))
+        } yield (id, sig)
+      }
+      val ps = raw.groupBy(_._1).map(_._2.head).toSeq
+      val cap = 6
+      val maxHamming = 34 // ~half the bits: random sigs yield both sides
+      val expr = HammingPairs(structArray(
+        ps.map { case (id, sig) => InternalRow(id, sig) },
+        Seq(StructField("doc_id", LongType), StructField("sig", LongType))),
+        cap, maxHamming)
+      val got = {
+        val r = expr.eval(InternalRow.empty).asInstanceOf[ArrayData]
+        (0 until r.numElements()).map { k =>
+          val s = r.getStruct(k, 3)
+          (s.getLong(0), s.getLong(1), s.getInt(2))
+        }.sorted
+      }
+      val sorted = ps.sortBy(_._1).take(cap)
+      val want = (for {
+        a <- sorted.indices; b <- a + 1 until sorted.size
+        h = java.lang.Long.bitCount(sorted(a)._2 ^ sorted(b)._2)
+        if h <= maxHamming
+      } yield (sorted(a)._1, sorted(b)._1, h)).sorted
+      assert(got === want, s"case $i")
+    }
+  }
 }
