@@ -189,11 +189,12 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("hpsig", this,
         classOf[HyperplaneSignature].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ((Long) r).longValue(); }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Long) $r).longValue(); }
          """.stripMargin
       })
     }
@@ -254,12 +255,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("shingles", this,
         classOf[ShingleHashes].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -319,12 +321,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("ngrams", this,
         classOf[CharNgramHashes].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -370,12 +373,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("minhash", this,
         classOf[MinHashSignature].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -434,12 +438,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("prefixGrams", this,
         classOf[PrefixGrams].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -521,12 +526,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("bucketPairs", this,
         classOf[BucketPairs].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -575,12 +581,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("cappedPairs", this,
         classOf[CappedPairs].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -647,12 +654,13 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("hammingPairs", this,
         classOf[HammingPairs].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
-           |Object r = $expr.nullSafeEval($v);
-           |if (r == null) { ${ev.isNull} = true; }
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
            |else { ${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -694,11 +702,12 @@ object VectorFunctions {
         : ExprCode = {
       val expr = ctx.addReferenceObj("bcastJaccard", this,
         classOf[BroadcastJaccard].getName)
+      val r = ctx.freshName("r")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |Object r = $expr.nullSafeEval($a, $b);
-           |if (r == null) { ${ev.isNull} = true; }
-           |else { ${ev.value} = ((Double) r).doubleValue(); }
+           |Object $r = $expr.nullSafeEval($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) $r).doubleValue(); }
          """.stripMargin
       })
     }

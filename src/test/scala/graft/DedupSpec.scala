@@ -17,14 +17,25 @@ class DedupSpec extends AnyFunSuite {
     "catalyst optimizer rules and distributed shuffle execution " +
     "with partitions exchanges codegen stages and adaptive plans"
 
+  // doc 5: same content as doc 1 but with tab / newline / multi-space
+  // whitespace runs — normalization must canonicalize it to an exact dup
+  // (the round-2 oracle-regex defect was masked by single-spaced corpora;
+  // this fixture keeps whitespace handling exercised)
+  private val messyWhitespace = base
+    .replaceFirst(" ", "\t\t").replaceFirst("the lazy", "the\n lazy")
+    .replace("green trees", "green   trees") + "  "
+
   private lazy val docs = Seq(
-    (1L, base), (2L, exactDup), (3L, nearDup), (4L, other))
+    (1L, base), (2L, exactDup), (3L, nearDup), (4L, other),
+    (5L, messyWhitespace))
     .toDF("doc_id", "text")
 
   test("exact dedup keeps min doc_id per canonical fingerprint") {
     val r = Dedup.exact(docs).orderBy("doc_id").collect()
-    assert(r.map(_.getBoolean(2)).toSeq === Seq(true, false, true, true))
+    assert(r.map(_.getBoolean(2)).toSeq ===
+      Seq(true, false, true, true, false))
     assert(r(1).getLong(3) === 1L) // doc 2 is a dup of doc 1
+    assert(r(4).getLong(3) === 1L) // whitespace-mangled doc 5 too
   }
 
   test("minhash LSH finds the near-dup pair and nothing else") {
@@ -37,7 +48,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash signature has one row and numHashes columns per doc") {
     val sig = Dedup.minhashSignatures(docs, 3, 16)
-    assert(sig.count() === 4)
+    assert(sig.count() === 5)
     assert(sig.columns.length === 17)
   }
 
@@ -65,7 +76,7 @@ class DedupSpec extends AnyFunSuite {
     val r = Dedup.decisionsFromPairs(docs, pairs)
       .orderBy("doc_id").collect()
     assert(r.map(_.getBoolean(1)).toSeq ===
-      Seq(true, false, false, true)) // 2,3 dup of 1; 4 kept
+      Seq(true, false, false, true, true)) // 2,3 dup of 1; 4,5 kept
     assert(r(1).getLong(2) === 1L && r(2).getLong(2) === 1L)
   }
 
