@@ -896,6 +896,21 @@ object SparkEntry {
         |ORDER BY c.c_nationkey""".stripMargin)
   }
 
+  private def qTextFingerprints(s: SparkSession, dir: String): DataFrame = {
+    // Winnowing document fingerprints (rolling-hash k-grams + window
+    // minima — the MOSS local fingerprint). Scan-stage only: both the
+    // positional FNV-1a 8-gram hashes and the O(m) deque winnowing are
+    // custom expressions; nothing shuffles but the final presentation
+    // sort. The oracle re-derives the FNV-1a rolling hashes themselves
+    // in HUGEINT SQL and recomputes every window's leftmost minimum.
+    import graft.functions.VectorFunctions.{char_ngram_hashes, normalize_text, winnowed_fingerprints}
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(winnowed_fingerprints(
+        char_ngram_hashes(normalize_text(col("text")), 8), 8)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
   private def qUnpivotMetrics(s: SparkSession, dir: String): DataFrame = {
     // Wide → long reshaping (the inverse of pivot): UNPIVOT three
     // measure columns into (metric, value) rows. The oracle re-derives
@@ -1283,6 +1298,7 @@ object SparkEntry {
     "q13_custdist" -> (qCustDist _),
     "q19_disjunctive_revenue" -> (qDisjunctiveRevenue _),
     "q22_idle_customers" -> (qIdleCustomers _),
+    "text_fingerprints" -> (qTextFingerprints _),
     "unpivot_metrics" -> (qUnpivotMetrics _),
     "regex_funcs" -> (qRegexFuncs _),
     "grouping_id" -> (qGroupingId _),
@@ -2026,6 +2042,7 @@ object SparkEntry {
         |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c.c_nationkey
         |ORDER BY c.c_nationkey""".stripMargin,
+    "text_fingerprints" -> winnowingOracleSql,
     "unpivot_metrics" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,
         |             l_extendedprice, l_discount
@@ -2568,6 +2585,57 @@ object SparkEntry {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c))
+
+  /** DuckDB re-derivation of the winnowing fingerprint pipeline: the
+    * FNV-1a 8-gram rolling hashes themselves (xor-then-multiply per
+    * char, CASE-guarded for texts shorter than the gram width), then
+    * every window's LEFTMOST minimum via a single lexicographic
+    * `min(biased(h)·2^32 + pos)` key — biased by 2^63 because the
+    * engine compares hashes as SIGNED longs — then DISTINCT
+    * selections. Windows and
+    * edge cases (one window for texts with fewer grams than the
+    * window) mirror WinnowedFingerprints exactly; validated against a
+    * reference implementation on tie-heavy and short inputs. */
+  private def winnowingOracleSql: String = {
+    val M = xxhM
+    val fnvOff = BigInt("14695981039346656037") // 0xcbf29ce484222325
+    val fnvP = BigInt("1099511628211") // 0x100000001b3
+    val stages = (0 until 8).map { j =>
+      val step = xxhMulmod(
+        s"xor(h, ascii(substr(t, p + $j, 1))::HUGEINT)", fnvP)
+      s"f${j + 1} AS (SELECT doc_id, t, width, p, m,\n" +
+        s"  CASE WHEN $j < width THEN $step ELSE h END AS h FROM f$j)"
+    }.mkString(",\n")
+    s"""WITH nt AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, least(8, strlen(t)) AS width,
+       |    CASE WHEN strlen(t) >= 8 THEN strlen(t) - 7 ELSE 1 END AS m
+       |  FROM nt WHERE strlen(t) > 0),
+       |f0 AS (SELECT doc_id, t, width, p, m, $fnvOff::HUGEINT AS h
+       |       FROM base, unnest(generate_series(1, m)) AS u(p)),
+       |$stages,
+       |gr AS (SELECT doc_id, p, m, h FROM f8),
+       |wn AS (SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, unnest(generate_series(least(8, m), m)) AS i
+       |    FROM base)),
+       |sel AS (SELECT w.doc_id, w.i,
+       |    min((CASE WHEN g.h >= 9223372036854775808
+       |         THEN g.h - 9223372036854775808
+       |         ELSE g.h + 9223372036854775808 END)
+       |        * $xxhB::HUGEINT + g.p) AS key
+       |  FROM wn w JOIN gr g ON g.doc_id = w.doc_id
+       |    AND g.p BETWEEN greatest(1, w.i - 7) AND w.i
+       |  GROUP BY w.doc_id, w.i),
+       |fps AS (SELECT DISTINCT doc_id, CAST(key % $xxhB AS BIGINT) AS p
+       |        FROM sel)
+       |SELECT f.doc_id, CAST(f.p - 1 AS INTEGER) AS pos,
+       |  CAST(CASE WHEN g.h >= 9223372036854775808 THEN g.h - $M ELSE g.h
+       |    END AS BIGINT) AS fp
+       |FROM fps f JOIN gr g ON g.doc_id = f.doc_id AND g.p = f.p
+       |ORDER BY f.doc_id, pos""".stripMargin
+  }
 
   /** Exact shingle-Jaccard pair set (threshold 0.8) re-derived from the
     * raw strings — the oracle for BOTH the batch minhash-LSH pair op

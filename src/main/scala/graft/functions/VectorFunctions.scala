@@ -541,6 +541,75 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    * the MOSS algorithm): over the POSITIONAL k-gram hash sequence,
+    * slide a window of `w` hashes and select each window's LEFTMOST
+    * minimum; consecutive windows selecting the same position emit one
+    * fingerprint. Guarantees: any shared substring of length ≥ k+w-1
+    * yields at least one shared fingerprint, and selected positions
+    * are at most w apart — the standard local document fingerprint for
+    * plagiarism/near-dup detection at a fraction of the full gram set.
+    * Output: array<struct<pos:int, fp:long>> in position order.
+    * Minima are by SIGNED long order (the natural Long ordering — any
+    * total order works for winnowing; external re-derivations must
+    * match it). O(m) via a monotone deque (equal hashes keep the
+    * earliest position, so the front IS the leftmost minimum). */
+  case class WinnowedFingerprints(child: Expression, w: Int)
+      extends UnaryExpression {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m == 0) return null
+      val hs = arr.toLongArray()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      // deque of positions, hashes increasing front→back; strict `>`
+      // pop keeps the earliest occurrence of equal minima at the front
+      val deque = new java.util.ArrayDeque[Integer]()
+      var lastSel = -1
+      var i = 0
+      while (i < m) {
+        while (!deque.isEmpty && hs(deque.peekLast) > hs(i))
+          deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst <= i - w) deque.pollFirst()
+        if (i >= w - 1 || i == m - 1) { // short inputs: one final window
+          val sel = deque.peekFirst.intValue()
+          if (sel != lastSel) {
+            out += org.apache.spark.sql.catalyst.InternalRow(sel, hs(sel))
+            lastSel = sel
+          }
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("winnow", this,
+        classOf[WinnowedFingerprints].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All (id_a < id_b) pairs within one LSH bucket, given the bucket's
     * member ids: sort by id, truncate at `maxBucket` (identical
     * semantics to a row_number-over-window cap without the extra
@@ -897,6 +966,8 @@ object VectorFunctions {
   def bucket_pairs(postings: Column, maxBucket: Int,
       threshold: Double): Column =
     toColumn(BucketPairs(toExpression(postings), maxBucket, threshold))
+  def winnowed_fingerprints(hashes: Column, w: Int): Column =
+    toColumn(WinnowedFingerprints(toExpression(hashes), w))
   def capped_pairs(ids: Column, maxBucket: Int): Column =
     toColumn(CappedPairs(toExpression(ids), maxBucket))
   def hamming_pairs(postings: Column, maxBucket: Int,

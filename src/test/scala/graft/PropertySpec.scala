@@ -123,6 +123,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowedFingerprints equals the naive per-window leftmost-min") {
+    import graft.functions.VectorFunctions.WinnowedFingerprints
+    (0 until 40).foreach { i =>
+      // alternate small ranges (plenty of ties — the hard case for the
+      // leftmost-min deque invariant) with full-range longs (negative
+      // hashes — pins the SIGNED comparison semantics)
+      val m = 1 + i % 19
+      val hs =
+        if (i % 2 == 0)
+          (0 until m).flatMap(k => Gen.choose(0L, 9L)
+            .apply(Gen.Parameters.default, Seed(31L * i + k)))
+        else
+          (0 until m).flatMap(k => Gen.choose(Long.MinValue, Long.MaxValue)
+            .apply(Gen.Parameters.default, Seed(31L * i + k)))
+      val w = 4
+      val expr = WinnowedFingerprints(
+        Literal(new GenericArrayData(hs.toArray), ArrayType(LongType)), w)
+      val got = {
+        val r = expr.eval(InternalRow.empty).asInstanceOf[ArrayData]
+        (0 until r.numElements())
+          .map(k => (r.getStruct(k, 2).getInt(0), r.getStruct(k, 2).getLong(1)))
+      }
+      val want = {
+        val sels = (math.min(w, hs.size) - 1 until hs.size).map { end =>
+          val lo = math.max(0, end - w + 1)
+          val window = hs.slice(lo, end + 1)
+          lo + window.indexOf(window.min) // leftmost minimum
+        }
+        sels.distinct.map(p => (p, hs(p)))
+      }
+      assert(got === want, s"case $i hs=$hs")
+      // the winnowing guarantee: selected positions at most w apart
+      got.map(_._1).sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= w)
+        case _ =>
+      }
+    }
+  }
+
   test("HammingPairs equals the naive popcount filter") {
     (0 until 40).foreach { i =>
       val raw = (0 until 9).flatMap { k =>
