@@ -1091,17 +1091,23 @@ object SparkEntry {
     // by GraftExtensionsSpec). The oracle re-derives the banded
     // semantics — signature, band collision, canonical first band,
     // residual cosine filter — independently in DuckDB.
-    s.conf.set("spark.graft.cosineRewrite.enabled", "true")
     val e = t(s, dir, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     import graft.functions.VectorFunctions.cosine_sim
-    a.join(b,
+    val df = a.join(b,
         cosine_sim(col("emb_a"), col("emb_b")) >= 0.4 &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine_sim(col("emb_a"), col("emb_b")).as("cosine"))
       .orderBy("id_a", "id_b")
+    // scope the opt-in flag to THIS query: execute the banded plan
+    // eagerly while the flag is on (downstream consumers would replan
+    // a lazy frame AFTER the finally, losing the rewrite), then
+    // restore — other queries in the shared session keep exact joins
+    s.conf.set("spark.graft.cosineRewrite.enabled", "true")
+    try df.localCheckpoint(true)
+    finally s.conf.set("spark.graft.cosineRewrite.enabled", "false")
   }
 
   private def qStreamMinhashPairs(s: SparkSession, dir: String)

@@ -788,7 +788,8 @@ object VectorFunctions {
 
   /** Shared merge-intersection over sorted duplicate-free long arrays —
     * the primitive behind both [[SortedIntersectCount]] (column form)
-    * and [[VerifiedBucketPairs]] (fused form). */
+    * and [[BroadcastJaccard]] (broadcast-map form), also used directly
+    * by the streaming dedup's in-state verification. */
   private[graft] def mergeIntersectCount(
       x: Array[Long], y: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0

@@ -34,6 +34,68 @@ object Dedup {
     out
   }
 
+  /** The MinHash LSH band-key columns for a signature column `mh`:
+    * band b's key is the hash of its `rows`-wide signature slice.
+    * Shared between the batch operator and the streaming twin so the
+    * two bandings cannot drift apart (the stream ≡ batch oracle
+    * depends on byte-identical keys). */
+  private[graft] def minhashBandKeys(
+      mh: Column, bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => element_at(mh, i + 1))
+      struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
+    }
+
+  /** Exact-Jaccard verification of distinct candidate pairs against a
+    * per-doc sorted-distinct gram-set table, with the execution shape
+    * picked by an estimated size guard (shared by minhashLsh and
+    * ngramJaccard so the two paths cannot diverge):
+    *  - `setsSmall`: the gram sets ship as a Spark Broadcast map and
+    *    each candidate costs one [[graft.functions.VectorFunctions
+    *    .BroadcastJaccard]] lookup — the ~KB arrays never enter a row.
+    *    The verified pairs are eagerly materialized (localCheckpoint in
+    *    [[finalizePairs]]) and the broadcast destroyed before
+    *    returning, so no block-manager state outlives the call;
+    *  - otherwise: two joins against the gram-set table — shuffles
+    *    proportional to the candidate count, no driver/broadcast
+    *    limits. The honest 100 TB route. */
+  private def verifiedJaccardPairs(
+      sets: DataFrame,
+      candidates: DataFrame,
+      threshold: Double,
+      setsSmall: Boolean): DataFrame = {
+    if (setsSmall) {
+      val gsets: scala.collection.Map[Long, Array[Long]] = sets
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+        .toMap
+      val bc = sets.sparkSession.sparkContext.broadcast(gsets)
+      val pairs = finalizePairs(candidates
+        .withColumn("jaccard",
+          broadcast_jaccard(col("id_a"), col("id_b"), bc))
+        .filter(col("jaccard") >= threshold),
+        "id_a", "id_b")
+      bc.destroy() // pairs are checkpointed; the lookup never re-runs
+      pairs
+    } else {
+      val nsets = sets.withColumn("n", size(col("gs")).cast("long"))
+      finalizePairs(candidates
+        .join(nsets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
+          col("n").as("n_a")), Seq("id_a"))
+        .join(nsets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
+          col("n").as("n_b")), Seq("id_b"))
+        .withColumn("n_common",
+          sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
+        .select(col("id_a"), col("id_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold),
+        "id_a", "id_b")
+    }
+  }
+
   /** Exact dedup by canonical-content fingerprint: every doc keeps its
     * group's min doc_id as `dup_of` (null for the kept representative).
     * One hash-partitioned window — the exact-group analog of a
@@ -108,14 +170,12 @@ object Dedup {
       .filter(col("mh").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // band key = hash of the band's signature slice
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows)
-        .map(i => element_at(col("mh"), i + 1))
-      struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
-    }
+    // band key = hash of the band's signature slice (construction
+    // shared with the streaming twin — see minhashBandKeys)
     val buckets = sigs
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"),
+        explode(array(minhashBandKeys(col("mh"), bands, rows): _*))
+          .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
     // Candidates: ONE shuffle (groupBy band key) builds each bucket,
@@ -130,41 +190,19 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
-    // exact shingle-set Jaccard per candidate — same size-guarded
-    // choice as ngramJaccard: a small shingle-set table ships as a
-    // Broadcast map and each distinct candidate costs one lookup; at
-    // corpus scale two joins keep shuffle volume proportional to the
-    // candidate count.
+    // exact shingle-set Jaccard per candidate via the shared
+    // size-guarded verifier. The guard must hold BEFORE anything has
+    // materialized `sigs`, so it derives from the accurately-known
+    // parquet source size with a conservative expansion margin: the
+    // shingle multiset carries one 8-byte hash per word, which bounds
+    // its bytes by ~8× the (compressed) text bytes for any realistic
+    // corpus — overshooting only flips to the shuffle path early,
+    // never to an oversized driver collect.
     val sets = sigs.select(col("doc_id"),
       array_sort(array_distinct(col("sh"))).as("gs"))
-    val setsSmall =
-      sigs.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
-    val verified: DataFrame = if (setsSmall) {
-      val gsets: scala.collection.Map[Long, Array[Long]] = sets
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-        .toMap
-      val bc = docs.sparkSession.sparkContext.broadcast(gsets)
-      candidates
-        .withColumn("jaccard",
-          broadcast_jaccard(col("id_a"), col("id_b"), bc))
-        .filter(col("jaccard") >= threshold)
-    } else {
-      val nsets = sets.withColumn("n", size(col("gs")).cast("long"))
-      candidates
-        .join(nsets.select(col("doc_id").as("id_a"), col("gs").as("gs_a"),
-          col("n").as("n_a")), Seq("id_a"))
-        .join(nsets.select(col("doc_id").as("id_b"), col("gs").as("gs_b"),
-          col("n").as("n_b")), Seq("id_b"))
-        .withColumn("n_common",
-          sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
-        .select(col("id_a"), col("id_b"),
-          (col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-            .as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    }
-    val pairs = finalizePairs(verified, "id_a", "id_b")
+    val setsSmall = docs.queryExecution.optimizedPlan.stats.sizeInBytes *
+      8 < (256L << 20)
+    val pairs = verifiedJaccardPairs(sets, candidates, threshold, setsSmall)
     sigs.unpersist(false)
     pairs
   }
@@ -344,15 +382,9 @@ object Dedup {
     // prefix bucket on the driver testdata at sf0.1: 263 vs the 5000
     // cap) and bounds the per-bucket pair array at maxPrefixBucket²/2.
     //
-    // Verification picks its shape by the same size logic Spark's own
-    // join planning uses, measured on the materialized cache:
-    //  - small gram-set table (< 256 MB): ship it as a Broadcast map
-    //    and compute each candidate's exact Jaccard with a map lookup
-    //    (BroadcastJaccard) — the ~KB gram arrays never enter a row,
-    //    and each distinct pair is verified exactly once;
-    //  - at corpus scale: two joins against the gram-set table —
-    //    shuffles proportional to the candidate count, the honest
-    //    100 TB route with no driver/broadcast limits.
+    // Verification via the shared size-guarded verifier; the guard can
+    // use the REAL materialized cache stats here, because the hotDf
+    // model job above has already materialized `base`.
     val candidates = prefix
       .groupBy("g")
       .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
@@ -363,32 +395,7 @@ object Dedup {
       .distinct()
     val setsSmall =
       base.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
-    val verified: DataFrame = if (setsSmall) {
-      val gsets: scala.collection.Map[Long, Array[Long]] = base
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-        .toMap
-      val bc = docs.sparkSession.sparkContext.broadcast(gsets)
-      candidates
-        .withColumn("jaccard",
-          broadcast_jaccard(col("id_a"), col("id_b"), bc))
-        .filter(col("jaccard") >= threshold)
-    } else {
-      val sets = base.withColumn("n", size(col("gs")).cast("long"))
-      candidates
-        .join(sets.select(col("doc_id").as("id_a"),
-          col("gs").as("gs_a"), col("n").as("n_a")), Seq("id_a"))
-        .join(sets.select(col("doc_id").as("id_b"),
-          col("gs").as("gs_b"), col("n").as("n_b")), Seq("id_b"))
-        .withColumn("n_common",
-          sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
-        .select(col("id_a"), col("id_b"),
-          (col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-            .as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-    }
-    val pairs = finalizePairs(verified, "id_a", "id_b")
+    val pairs = verifiedJaccardPairs(base, candidates, threshold, setsSmall)
     base.unpersist(false)
     pairs
   }

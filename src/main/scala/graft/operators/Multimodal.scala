@@ -119,34 +119,46 @@ object Multimodal {
       b(11) == 'E'
 
   /** (width, height, bitsPerPixel/8, pixelDataOffset, rowSize) from a
-    * BITMAPINFOHEADER BMP. Height may be stored negative (top-down). */
-  private def parseBmp(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    * BITMAPINFOHEADER BMP, or None for a header whose geometry cannot
+    * be walked safely (non-positive dims, unsupported bpp, pixel data
+    * past the buffer) — magic sniffing admits arbitrary binary, so the
+    * parser must reject rather than index out of bounds. Height may be
+    * stored negative (top-down). */
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     val w = le32(b, 18)
     val h = math.abs(le32(b, 22))
     val chan = le16(b, 28) / 8
     val off = le32(b, 10)
-    val rowSize = (chan * w + 3) / 4 * 4
-    (w, h, chan, off, rowSize)
+    if (w <= 0 || h <= 0 || chan < 1 || chan > 4 || off < 54) return None
+    val rowSize = (chan.toLong * w + 3) / 4 * 4
+    if (rowSize > Int.MaxValue ||
+      off.toLong + rowSize * h > b.length) return None
+    Some((w, h, chan, off, rowSize.toInt))
   }
 
   /** Walk RIFF chunks for "fmt " and "data":
-    * (channels, sampleRate, nSamples, dataOffset). */
-  private def parseWav(b: Array[Byte]): (Int, Int, Int, Int) = {
-    var off = 12
+    * (channels, sampleRate, nSamples, dataOffset), or None when no
+    * valid PCM-16 fmt+data pair is found. Chunk sizes are untrusted:
+    * a non-positive or overflowing size ends the walk instead of
+    * spinning or walking backwards. */
+  private def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    var off = 12L
     var ch = 0; var sr = 0; var nSamples = 0; var dataOff = -1
     while (off + 8 <= b.length) {
-      val size = le32(b, off + 4)
-      val id = new String(b, off, 4, "US-ASCII")
+      val size = le32(b, off.toInt + 4).toLong & 0xffffffffL
+      val id = new String(b, off.toInt, 4, "US-ASCII")
       if (id == "fmt ") {
-        ch = le16(b, off + 10)
-        sr = le32(b, off + 12)
-      } else if (id == "data" && ch > 0) {
-        nSamples = size / (ch * 2)
-        dataOff = off + 8
+        ch = le16(b, off.toInt + 10)
+        sr = le32(b, off.toInt + 12)
+      } else if (id == "data" && ch >= 1 && ch <= 8 &&
+          off + 8 + size <= b.length) {
+        nSamples = (size / (ch * 2)).toInt
+        dataOff = off.toInt + 8
       }
       off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
     }
-    (ch, sr, nSamples, dataOff)
+    if (ch >= 1 && ch <= 8 && dataOff >= 0) Some((ch, sr, nSamples, dataOff))
+    else None
   }
 
   /** Decode each payload into typed media metadata by parsing the REAL
@@ -160,13 +172,16 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
         val b = m.payload
-        if (isBmp(b)) {
-          val (w, h, chan, _, _) = parseBmp(b)
-          DecodedRow(m.doc_id, m.media_type, b.length, w, h, chan)
-        } else if (isWav(b)) {
-          val (ch, sr, nSamples, _) = parseWav(b)
-          DecodedRow(m.doc_id, m.media_type, b.length, nSamples, sr, ch)
-        } else DecodedRow(m.doc_id, m.media_type, b.length, 0, 0, 0)
+        val parsed =
+          if (isBmp(b)) parseBmp(b).map { case (w, h, chan, _, _) =>
+            DecodedRow(m.doc_id, m.media_type, b.length, w, h, chan)
+          }
+          else if (isWav(b)) parseWav(b).map { case (ch, sr, nSamples, _) =>
+            DecodedRow(m.doc_id, m.media_type, b.length, nSamples, sr, ch)
+          }
+          else None
+        parsed.getOrElse(
+          DecodedRow(m.doc_id, m.media_type, b.length, 0, 0, 0))
       }
     }
   }
@@ -184,9 +199,11 @@ object Multimodal {
       it.map { m =>
         val b = m.payload
         val f = new Array[Float](8)
-        if (isBmp(b)) {
-          val (w, h, chan, off, rowSize) = parseBmp(b)
-          val sums = new Array[Long](3)
+        if (isBmp(b) && parseBmp(b).isDefined) {
+          val (w, h, chan, off, rowSize) = parseBmp(b).get
+          // sized by the parsed channel count (1..4 admitted), summed
+          // per channel; only the first three means are reported
+          val sums = new Array[Long](math.max(chan, 3))
           var r = 0
           while (r < h) {
             var c = 0
@@ -203,8 +220,8 @@ object Multimodal {
           f(3) = w / 1024f
           f(4) = h / 1024f
           f(5) = chan / 4f
-        } else if (isWav(b)) {
-          val (ch, sr, nSamples, dataOff) = parseWav(b)
+        } else if (isWav(b) && parseWav(b).isDefined) {
+          val (ch, sr, nSamples, dataOff) = parseWav(b).get
           val total = nSamples * ch
           var i = 0; var sumSq = 0.0; var sumAbs = 0.0
           var crossings = 0; var prev = 0
@@ -238,15 +255,15 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>
       val b = m.payload
-      if (isBmp(b)) {
-        val (w, h, chan, off, rowSize) = parseBmp(b)
+      if (isBmp(b) && parseBmp(b).isDefined) {
+        val (w, h, chan, off, rowSize) = parseBmp(b).get
         (0 until h by everyK).map { idx =>
           val srcRow = h - 1 - idx // bottom-up storage → top-down frames
           FrameRow(m.doc_id, idx, java.util.Arrays.copyOfRange(
             b, off + srcRow * rowSize, off + srcRow * rowSize + w * chan))
         }
-      } else if (isWav(b)) {
-        val (ch, _, nSamples, dataOff) = parseWav(b)
+      } else if (isWav(b) && parseWav(b).isDefined) {
+        val (ch, _, nSamples, dataOff) = parseWav(b).get
         val nFrames = math.max(1, nSamples / frameSize)
         (0 until nFrames by everyK).map { idx =>
           val from = dataOff + idx * frameSize * ch * 2

@@ -56,7 +56,10 @@ object DocsStream {
     * per band (downstream `distinct` dedups, exactly like the batch
     * candidate pipeline). Within a micro-batch, members are admitted in
     * doc_id order, so in-batch pairs are found too; the `maxBucket` cap
-    * mirrors the batch hot-bucket guard. */
+    * keeps the smallest doc_ids (evicting the largest member), so the
+    * retained set converges to the batch cap's choice under any arrival
+    * order — see the in-body note for the append-mode caveat when the
+    * cap actually binds. */
   def minhashPairsStream(
       spark: SparkSession,
       docs: DataFrame,
@@ -73,11 +76,10 @@ object DocsStream {
       .withColumn("mh", minhash_sig(col("sh"), numHashes))
       .filter(col("mh").isNotNull)
       .withColumn("gs", array_sort(array_distinct(col("sh"))))
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows)
-        .map(i => element_at(col("mh"), i + 1))
-      struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
-    }
+    // banding construction SHARED with the batch operator — the
+    // stream ≡ batch guarantee depends on byte-identical band keys
+    val bandKeys =
+      graft.operators.Dedup.minhashBandKeys(col("mh"), bands, rows)
     sigs
       .select(col("doc_id"), col("gs"),
         explode(array(bandKeys: _*)).as("bk"))
@@ -101,8 +103,22 @@ object DocsStream {
                   out += PairOut(math.min(m.id, d.doc_id),
                     math.max(m.id, d.doc_id), j)
               }
+              // keep-smallest eviction: the retained member set
+              // CONVERGES to the batch cap's "smallest maxBucket ids"
+              // regardless of arrival order. (Exact pair parity under
+              // cap pressure is impossible in append mode — a pair
+              // already emitted against a later-evicted member cannot
+              // be retracted — so under a binding cap the stream emits
+              // a SUPERSET of the batch pairs; on corpora where the
+              // cap never binds, the sets are identical.)
               if (members.size < maxBucket)
                 members = Member(d.doc_id, d.gs) :: members
+              else {
+                val worst = members.maxBy(_.id)
+                if (d.doc_id < worst.id)
+                  members = Member(d.doc_id, d.gs) ::
+                    members.filterNot(_.id == worst.id)
+              }
             }
           }
           state.update(BucketState(members))
