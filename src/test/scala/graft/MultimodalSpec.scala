@@ -103,6 +103,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nn.forall(r => r.getDouble(2) <= 1.0 + 1e-9))
   }
 
+  test("hostile payloads neither hang nor throw: unknown-format fallback") {
+    // magic sniffing admits arbitrary binary — a RIFF chunk with a huge
+    // size field, a zero-dimension BMP, and plain garbage must all take
+    // the graceful unknown-format path (the RIFF walk previously could
+    // spin on a negative size)
+    val evilWav = {
+      val b = new Array[Byte](64)
+      System.arraycopy("RIFF".getBytes, 0, b, 0, 4)
+      System.arraycopy("WAVE".getBytes, 0, b, 8, 4)
+      System.arraycopy("fmt ".getBytes, 0, b, 12, 4)
+      b(16) = -8; b(17) = -1; b(18) = -1; b(19) = -1 // size 0xFFFFFFF8
+      b
+    }
+    val evilBmp = {
+      val b = new Array[Byte](64)
+      b(0) = 'B'; b(1) = 'M' // all geometry fields zero
+      b
+    }
+    val junk = Array.fill[Byte](64)(0x5a)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", evilWav),
+      Multimodal.MediaRow(2L, "image/bmp", evilBmp),
+      Multimodal.MediaRow(3L, "application/junk", junk))
+      .toDF()
+    val d = Multimodal.decodeMeta(spark, media).orderBy("doc_id").collect()
+    assert(d.forall(r => r.width === 0 && r.height === 0 &&
+      r.channels === 0))
+    assert(d.forall(_.byte_len === 64))
+    // features and frames degrade instead of crashing
+    val f = Multimodal.extractFeatures(spark, media).collect()
+    assert(f.forall(_.feature.length === 8))
+    val fr = Multimodal.sampleFrames(spark, media).collect()
+    assert(fr.length === 3) // one whole-payload fallback frame each
+  }
+
   test("pipeline stats aggregates per media type") {
     val r = Multimodal.pipelineStats(spark, docs).collect()
     assert(r.length === 2)

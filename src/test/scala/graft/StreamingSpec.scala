@@ -112,6 +112,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(st === truth(u), s"user $u") }
   }
 
+  test("streaming dedup bucket cap keeps the smallest ids under any arrival order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // identical texts → every doc lands in the same buckets; arrive
+    // LARGEST ids first with cap 2 — keep-smallest eviction must
+    // converge state to the smallest ids, matching the batch cap
+    val text = "the same exact text for every single document here"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.DocsStream.minhashPairsStream(
+      spark, in.toDF().toDF("doc_id", "text"), maxBucket = 2)
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName("spec_cap_evict").start()
+    in.addData((5L, text), (4L, text))
+    q.processAllAvailable()
+    in.addData((3L, text), (2L, text), (1L, text))
+    q.processAllAvailable()
+    // probe: doc 0 pairs against whatever state survived — if eviction
+    // converged to {1, 2}, it sees exactly those; stale {4, 5} state
+    // would answer (0,4)/(0,5)
+    in.addData((0L, text))
+    q.processAllAvailable()
+    q.stop()
+    val withProbe = spark.table("spec_cap_evict")
+      .filter(col("id_a") === 0L).select("id_b").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(withProbe === Set(1L, 2L))
+  }
+
   test("streaming minhash dedup emits exactly the batch pair set") {
     val sink = graft.streaming.DocsStream.runMinhashStream(
       spark, TestSpark.sfDir, "spec_minhash_pairs")
