@@ -15,6 +15,13 @@ final case class QueryResult(
     statistics: String) {
   def rows: Array[Row] = df.collect()
 
+  /** Graphviz DOT renderings of the two plan trees — the engine-side
+    * analog of the reference's JointJS plan picture
+    * (`DistributedQueryService/index.js:86-120`); pipe through
+    * `dot -Tsvg`. The JSON fields remain the machine contract. */
+  def originalDot: String = PlanJson.originalDot(df)
+  def optimizedDot: String = PlanJson.optimizedDot(df)
+
   /** Execute and return (rows, per-node runtime statistics). The stats
     * JSON carries each physical node's actual output row count — the
     * reference recorded this per node as `TmpSize` but never surfaced it

@@ -86,4 +86,47 @@ object PlanJson {
   /** Flat list of op kinds in pre-order — handy for plan-shape asserts. */
   def opKinds(p: LogicalPlan): Seq[String] =
     opType(p) +: p.children.flatMap(opKinds)
+
+  /** Graphviz DOT rendering of a plan tree — the engine-side analog of
+    * the reference's JointJS plan visualization
+    * (`DistributedQueryService/index.js:86-120`): one box per operator
+    * labeled `OpType` + (truncated) condition/table, edges child →
+    * parent in execution order. Pipe through `dot -Tsvg` for the
+    * picture; the JSON surface remains the machine contract. */
+  def toDot(p: LogicalPlan, title: String = "plan"): String = {
+    // DOT-string escaping (quotes + backslashes); the \n line break is
+    // appended AFTER escaping so it reaches DOT as a label newline
+    def descape(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sb = new StringBuilder
+    sb.append(s"""digraph "${descape(title)}" {\n""")
+    sb.append("  rankdir=BT;\n  node [shape=box, fontname=monospace];\n")
+    var n = 0
+    def walk(q: LogicalPlan): Int = {
+      val id = n; n += 1
+      val cond = condition(q)
+      val tab = tabName(q)
+      val head = descape(
+        opType(q) + (if (tab.nonEmpty) s" [$tab]" else ""))
+      val body =
+        if (cond.isEmpty) ""
+        else "\\n" + descape(
+          if (cond.length > 48) cond.take(45) + "..." else cond)
+      sb.append(s"""  n$id [label="$head$body"];\n""")
+      q.children.foreach { c =>
+        val cid = walk(c)
+        sb.append(s"  n$cid -> n$id;\n")
+      }
+      id
+    }
+    walk(p)
+    sb.append("}\n")
+    sb.toString
+  }
+
+  /** Original/optimized DOT pair, mirroring the JSON pair. */
+  def originalDot(df: DataFrame): String =
+    toDot(df.queryExecution.analyzed, "original")
+  def optimizedDot(df: DataFrame): String =
+    toDot(df.queryExecution.optimizedPlan, "optimized")
 }

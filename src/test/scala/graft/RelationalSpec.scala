@@ -91,6 +91,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.originalPlan.contains("\"OpType\""))
     assert(r.optimizedPlan.contains("LEAF"))
     assert(r.statistics.contains("sizeInBytes"))
+    // DOT plan pictures (the reference's JointJS view, engine-side):
+    // well-formed digraph, one box per operator, child → parent edges
+    val dot = r.optimizedDot
+    assert(dot.startsWith("digraph"))
+    assert(dot.contains("[label=\"AGG"))
+    assert(dot.contains("->"))
+    assert(r.originalDot.contains("[label="))
   }
 
   test("entry flagship query returns rows") {
