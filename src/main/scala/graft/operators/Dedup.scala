@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.BoundedMinCollect.bounded_min_collect
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 
@@ -76,7 +77,12 @@ object Dedup {
           broadcast_jaccard(col("id_a"), col("id_b"), bc))
         .filter(col("jaccard") >= threshold),
         "id_a", "id_b")
-      bc.destroy() // pairs are checkpointed; the lookup never re-runs
+      // unpersist (not destroy): frees the executor-side blocks now that
+      // the pairs are checkpointed, but keeps the driver-side value
+      // re-broadcastable — if a checkpointed partition is ever lost to
+      // executor death, recomputation re-fetches the broadcast instead
+      // of dying on a destroyed-broadcast SparkException
+      bc.unpersist(blocking = false)
       pairs
     } else {
       val nsets = sets.withColumn("n", size(col("gs")).cast("long"))
@@ -185,7 +191,7 @@ object Dedup {
     // shuffles) with the same candidate set.
     val candidates = buckets
       .groupBy("band", "bkey")
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(bounded_min_collect(col("doc_id"), maxBucket).as("ids"))
       .select(explode(capped_pairs(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
@@ -297,7 +303,8 @@ object Dedup {
     // now one.
     val pairs = finalizePairs(banded
       .groupBy("band", "bkey")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ps"))
+      .agg(bounded_min_collect(struct(col("doc_id"), col("sig")), maxBucket)
+        .as("ps"))
       .select(explode(
         hamming_pairs(col("ps"), maxBucket, maxHamming)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
@@ -387,8 +394,9 @@ object Dedup {
     // model job above has already materialized `base`.
     val candidates = prefix
       .groupBy("g")
-      .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
-        .as("ps"))
+      .agg(bounded_min_collect(
+        struct(col("doc_id").as("doc_id"), col("rn"), col("sz")),
+        maxPrefixBucket).as("ps"))
       .select(explode(
         bucket_pairs(col("ps"), maxPrefixBucket, threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))

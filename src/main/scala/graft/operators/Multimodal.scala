@@ -148,6 +148,10 @@ object Multimodal {
       val size = le32(b, off.toInt + 4).toLong & 0xffffffffL
       val id = new String(b, off.toInt, 4, "US-ASCII")
       if (id == "fmt ") {
+        // the 16-byte PCM fmt body must actually fit in the buffer: a
+        // hostile chunk header placed in the last few bytes would
+        // otherwise index past the end — reject, don't crash the task
+        if (off + 16 > b.length || size < 16) return None
         ch = le16(b, off.toInt + 10)
         sr = le32(b, off.toInt + 12)
       } else if (id == "data" && ch >= 1 && ch <= 8 &&

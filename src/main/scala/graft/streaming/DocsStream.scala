@@ -109,8 +109,10 @@ object DocsStream {
               // cap pressure is impossible in append mode — a pair
               // already emitted against a later-evicted member cannot
               // be retracted — so under a binding cap the stream emits
-              // a SUPERSET of the batch pairs; on corpora where the
-              // cap never binds, the sets are identical.)
+              // a SUPERSET of the batch pairs. The driver-gated query
+              // therefore runs UNCAPPED — see runMinhashStream — and
+              // this eviction path exists for state-bounded
+              // deployments that accept the superset.)
               if (members.size < maxBucket)
                 members = Member(d.doc_id, d.gs) :: members
               else {
@@ -127,10 +129,17 @@ object DocsStream {
   }
 
   /** Drive [[minhashPairsStream]] synchronously to completion over the
-    * parquet documents dir (memory sink); returns the sink name. */
+    * parquet documents dir (memory sink); returns the sink name.
+    * Runs UNCAPPED by default: with no bucket cap the append-mode
+    * eviction caveat vanishes and stream ≡ batch pair set holds
+    * unconditionally (which is what the driver oracle asserts) — pass a
+    * finite `maxBucket` only when bounding state matters more than
+    * exact batch parity. */
   def runMinhashStream(spark: SparkSession, sfDir: String,
-      sinkName: String = "docs_minhash_pairs"): String = {
-    val q = minhashPairsStream(spark, readDocsStream(spark, sfDir))
+      sinkName: String = "docs_minhash_pairs",
+      maxBucket: Int = Int.MaxValue): String = {
+    val q = minhashPairsStream(spark, readDocsStream(spark, sfDir),
+      maxBucket = maxBucket)
       .writeStream
       .outputMode("append")
       .format("memory")

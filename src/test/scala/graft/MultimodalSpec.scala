@@ -122,10 +122,25 @@ class MultimodalSpec extends AnyFunSuite {
       b
     }
     val junk = Array.fill[Byte](64)(0x5a)
+    // a fmt chunk HEADER that fits in the buffer while its 16-byte PCM
+    // body does not: junk chunk of size 36 at offset 12 walks to a
+    // 'fmt ' header starting at offset 56 of a 64-byte buffer — the
+    // truncated body must be rejected, not indexed out of bounds
+    val truncatedFmt = {
+      val b = new Array[Byte](64)
+      System.arraycopy("RIFF".getBytes, 0, b, 0, 4)
+      System.arraycopy("WAVE".getBytes, 0, b, 8, 4)
+      System.arraycopy("JUNK".getBytes, 0, b, 12, 4)
+      b(16) = 36 // chunk size 36 → next chunk header at offset 56
+      System.arraycopy("fmt ".getBytes, 0, b, 56, 4)
+      b(60) = 16 // claimed fmt size 16, but only 0 body bytes remain
+      b
+    }
     val media = Seq(
       Multimodal.MediaRow(1L, "audio/wav", evilWav),
       Multimodal.MediaRow(2L, "image/bmp", evilBmp),
-      Multimodal.MediaRow(3L, "application/junk", junk))
+      Multimodal.MediaRow(3L, "application/junk", junk),
+      Multimodal.MediaRow(4L, "audio/wav", truncatedFmt))
       .toDF()
     val d = Multimodal.decodeMeta(spark, media).orderBy("doc_id").collect()
     assert(d.forall(r => r.width === 0 && r.height === 0 &&
@@ -135,7 +150,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(spark, media).collect()
     assert(f.forall(_.feature.length === 8))
     val fr = Multimodal.sampleFrames(spark, media).collect()
-    assert(fr.length === 3) // one whole-payload fallback frame each
+    assert(fr.length === 4) // one whole-payload fallback frame each
   }
 
   test("pipeline stats aggregates per media type") {
