@@ -896,6 +896,93 @@ object SparkEntry {
         |ORDER BY c.c_nationkey""".stripMargin)
   }
 
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q8 shape: one nation's share of a region's part-type trade
+    // by order year — the deepest join tree in the suite (lineitem +
+    // part + supplier + orders + customer + both nation roles +
+    // region). The three tiny dims broadcast; revenue stays exact
+    // integer micros and the share is ONE double division of two
+    // identical longs per year.
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_micros
+        |           ELSE 0 END) AS BIGINT) AS nation_micros,
+        |  CAST(sum(vol_micros) AS BIGINT) AS total_micros,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_micros
+        |           ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(vol_micros) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT year(o.o_orderdate) AS o_year,
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT) AS vol_micros,
+        |    sn.n_name AS nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = cn.n_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o.o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+        |    AND p.p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin)
+  }
+
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    // the view-over-aggregate + scalar-max pattern. Revenue is exact
+    // integer micros so the `= max` comparison cannot be perturbed by
+    // float summation order.
+    Tables.register(s, dir)
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS total_micros
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_micros
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_micros = (SELECT max(total_micros) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q17 shape (schema-adapted: brand + type stand in for the
+    // missing p_container): average yearly revenue lost if
+    // below-one-fifth-of-average-quantity orders stopped. The
+    // per-part average filter is decorrelated into one aggregate join
+    // (the scale-correct plan for a correlated AVG subquery), and the
+    // one-fifth comparison is EXACT integer arithmetic on quantity
+    // cents — qty < avg/5  ⇔  5·n·qty_cents < sum_cents — so no float
+    // average can flip a boundary row between engines.
+    Tables.register(s, dir)
+    s.sql(
+      """WITH pq AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_qc
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_micros,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 1e6) AS BIGINT))
+        |    AS DOUBLE) / 7e6 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN pq ON pq.l_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+        |  AND CAST(round(l.l_quantity * 100) AS BIGINT) * pq.n * 5
+        |      < pq.sum_qc""".stripMargin)
+  }
+
   private def qTextFingerprints(s: SparkSession, dir: String): DataFrame = {
     // Winnowing document fingerprints (rolling-hash k-grams + window
     // minima — the MOSS local fingerprint). Scan-stage only: both the
@@ -1004,7 +1091,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   import graft.functions.TextFunctions
-  import graft.operators.{Dedup, Multimodal, Similarity}
+  import graft.operators.{BloomJoin, Dedup, Multimodal, Similarity}
   import graft.streaming.EventsStream
 
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
@@ -1119,6 +1206,49 @@ object SparkEntry {
     val sink = graft.streaming.DocsStream.runMinhashStream(
       s, dir, "stream_minhash_pairs_sink")
     s.table(sink).distinct().orderBy("id_a", "id_b")
+  }
+
+  private def qStreamDedupExact(s: SparkSession, dir: String)
+      : DataFrame = {
+    // A REAL streaming run through the driver gate: documents stream
+    // through the stateful per-fingerprint dedup and the emitted
+    // keep/dup_of decisions must equal batch Dedup.exact (same oracle
+    // minus the fp column).
+    val sink = graft.streaming.DocsStream.runExactDedupStream(
+      s, dir, "stream_dedup_exact_sink")
+    s.table(sink).orderBy("doc_id")
+  }
+
+  private def qMultimodalPng(s: SparkSession, dir: String): DataFrame =
+    // The COMPRESSED container: every document becomes a real 8-bit RGB
+    // PNG (zlib-deflated IDAT, CRC'd chunks, scanline filters rotating
+    // through all five standard types), then the full decode — CRC
+    // walk, inflate, de-filter — must recover the original pixels. The
+    // oracle re-derives geometry AND the pixel-byte checksum from the
+    // raw text in SQL, so one wrong byte anywhere in the
+    // deflate → inflate → unfilter round trip fails the hash.
+    Multimodal.pngPixelStats(s,
+      Multimodal.asPngMedia(t(s, dir, "documents")))
+      .orderBy("doc_id").toDF()
+
+  private def qBloomPrefilterJoin(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Runtime Bloom pre-filtering of a fact-dim join: the dim keys
+    // (high-balance suppliers) become a broadcast Bloom filter applied
+    // inside the lineitem scan stage, so non-matching fact rows never
+    // shuffle; the exact join then removes the false positives. The
+    // oracle is the PLAIN join SQL — the bloom path must be invisible
+    // in the result, only in the shuffled volume.
+    val li = t(s, dir, "lineitem")
+    val dim = t(s, dir, "supplier").filter(col("s_acctbal") > 8000)
+    BloomJoin.prefilteredEquiJoin(li, "l_suppkey", dim, "s_suppkey",
+        expectedItems = 1024)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 1e6).cast("long")).cast("long").as("revenue_micros"))
+      .orderBy("s_suppkey")
   }
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -1304,11 +1434,15 @@ object SparkEntry {
     "q13_custdist" -> (qCustDist _),
     "q19_disjunctive_revenue" -> (qDisjunctiveRevenue _),
     "q22_idle_customers" -> (qIdleCustomers _),
+    "q8_market_share" -> (qMarketShare _),
+    "q15_top_supplier" -> (qTopSupplier _),
+    "q17_small_qty_revenue" -> (qSmallQtyRevenue _),
     "text_fingerprints" -> (qTextFingerprints _),
     "unpivot_metrics" -> (qUnpivotMetrics _),
     "regex_funcs" -> (qRegexFuncs _),
     "grouping_id" -> (qGroupingId _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
+    "bloom_prefilter_join" -> (qBloomPrefilterJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
     "topk_aggregator" -> (qTopkAggregator _),
     "asof_join" -> (qAsofJoin _),
@@ -1328,11 +1462,13 @@ object SparkEntry {
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
+    "multimodal_png" -> (qMultimodalPng _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
+    "stream_dedup_exact" -> (qStreamDedupExact _),
     "events_sessionize" -> (qSessionize _),
     "user_profiles" -> (qUserProfiles _),
   )
@@ -2048,6 +2184,65 @@ object SparkEntry {
         |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c.c_nationkey
         |ORDER BY c.c_nationkey""".stripMargin,
+    // DuckDB year() is BIGINT where Spark's is INT — cast oracle-side
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_micros
+        |           ELSE 0 END) AS BIGINT) AS nation_micros,
+        |  CAST(sum(vol_micros) AS BIGINT) AS total_micros,
+        |  CAST(CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_micros
+        |           ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(vol_micros) AS BIGINT) AS DOUBLE)
+        |    AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |      AS BIGINT) AS vol_micros,
+        |    sn.n_name AS nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = su.s_nationkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = cn.n_regionkey
+        |  WHERE r.r_name = 'ASIA'
+        |    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o.o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+        |    AND p.p_type = 'ECONOMY') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+        |      AS BIGINT)) AS BIGINT) AS total_micros
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_micros
+        |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        |WHERE r.total_micros = (SELECT max(total_micros) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pq AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_qc
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 1e6) AS BIGINT))
+        |    AS BIGINT) AS sum_micros,
+        |  CAST(CAST(sum(CAST(round(l.l_extendedprice * 1e6) AS BIGINT))
+        |    AS BIGINT) AS DOUBLE) / 7e6 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN pq ON pq.l_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+        |  AND CAST(round(l.l_quantity * 100) AS BIGINT) * pq.n * 5
+        |      < pq.sum_qc""".stripMargin,
     "text_fingerprints" -> winnowingOracleSql,
     "unpivot_metrics" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,
@@ -2101,6 +2296,17 @@ object SparkEntry {
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY c.c_custkey, c.c_mktsegment
         |ORDER BY c.c_custkey""".stripMargin,
+    // Bloom pre-filtering must be invisible in the result: the oracle
+    // is the plain fact-dim join (no false negatives; false positives
+    // die in the exact join).
+    "bloom_prefilter_join" ->
+      """SELECT s.s_suppkey, s.s_name, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_acctbal > 8000
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY s.s_suppkey""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
         |FROM (SELECT event_id, user_id, ts, value FROM events
@@ -2512,6 +2718,19 @@ object SparkEntry {
         |SELECT doc_id, fp, doc_id = rep AS keep,
         |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
         |FROM g ORDER BY doc_id""".stripMargin,
+    // The incremental exact-dedup twin must emit the batch decisions —
+    // the oracle is the batch exact-dedup SQL without the fp column.
+    "stream_dedup_exact" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+        |  FROM f)
+        |SELECT doc_id, doc_id = rep AS keep,
+        |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
+        |FROM g ORDER BY doc_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
@@ -2557,6 +2776,30 @@ object SparkEntry {
         |  min(width) AS min_w, max(width) AS max_w,
         |  min(height) AS min_h, max(height) AS max_h
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // PNG round trip: geometry is f(strlen) like the other containers,
+    // and px_sum re-derives the cyclic text-byte pixel fill — full
+    // cycles × the text's byte sum plus the leftover prefix sum. The
+    // engine-side number comes from real inflate + de-filtering, so
+    // equality proves the compressed round trip byte-for-byte.
+    "multimodal_png" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |    CAST(1 + strlen(text) % 60 AS INTEGER) AS width,
+        |    CAST(1 + (strlen(text) * 11) % 47 AS INTEGER) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, width, height, n,
+        |    3 * width * height AS m,
+        |    list_aggregate(list_transform(generate_series(1, n),
+        |      i -> ascii(substring(text, i, 1))), 'sum') AS sum_all,
+        |    CASE WHEN (3 * width * height) % n = 0 THEN 0
+        |      ELSE list_aggregate(list_transform(
+        |        generate_series(1, (3 * width * height) % n),
+        |        i -> ascii(substring(text, i, 1))), 'sum') END AS sum_rem
+        |  FROM d)
+        |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
+        |  CAST((m // n) * sum_all + sum_rem AS BIGINT) AS px_sum
+        |FROM s ORDER BY doc_id""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)

@@ -87,6 +87,238 @@ object Multimodal {
     buf.array()
   }
 
+  /** PNG geometry from the utf-8 byte length `n` — shared with the
+    * DuckDB oracle like [[bmpDims]]. Height ≥ 5 whenever n ≥ 4, so all
+    * five PNG filter types appear in any realistic payload. */
+  private[graft] def pngDims(n: Int): (Int, Int) =
+    (1 + n % 60, 1 + (n * 11) % 47)
+
+  private val PNG_SIG =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(c.update)
+    c.getValue.toInt
+  }
+
+  private def chunk(buf: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    val t = typ.getBytes("US-ASCII")
+    val crc = ByteBuffer.allocate(4).putInt(crc32(t, data)).array()
+    buf.write(len); buf.write(t); buf.write(data); buf.write(crc)
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A real 8-bit RGB PNG (the COMPRESSED container the BMP/WAV pair
+    * lacks): IHDR + zlib-deflated IDAT + IEND, CRC32 on every chunk.
+    * Pixels are the text bytes cycled over w·h RGB samples; each
+    * scanline is filtered with filter type `row % 5`, so a decoder
+    * must reverse all five standard filters (None/Sub/Up/Average/
+    * Paeth) to recover the data. The compressed stream is split into
+    * two IDAT chunks (the spec allows any split; decoders must
+    * concatenate). */
+  private[graft] def encodePng(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val (w, h) = pngDims(n)
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    var r = 0
+    while (r < h) {
+      val f = r % 5
+      raw(r * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = if (n > 0) text((r * stride + x) % n) & 0xff else 0
+        val left = if (x >= bpp)
+          (if (n > 0) text((r * stride + x - bpp) % n) & 0xff else 0) else 0
+        val up = if (r > 0)
+          (if (n > 0) text(((r - 1) * stride + x) % n) & 0xff else 0) else 0
+        val ul = if (r > 0 && x >= bpp)
+          (if (n > 0) text(((r - 1) * stride + x - bpp) % n) & 0xff else 0)
+        else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(r * (1 + stride) + 1 + x) = filtered.toByte
+        x += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished())
+      comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = comp.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PNG_SIG)
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk(out, "IHDR", ihdr)
+    val split = idat.length / 2
+    chunk(out, "IDAT", java.util.Arrays.copyOfRange(idat, 0, split))
+    chunk(out, "IDAT",
+      java.util.Arrays.copyOfRange(idat, split, idat.length))
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) << 24 | (b(off + 1) & 0xff) << 16 |
+      (b(off + 2) & 0xff) << 8 | (b(off + 3) & 0xff)
+
+  private[graft] def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (0 until 8).forall(i => b(i) == PNG_SIG(i))
+
+  /** Full PNG decode: CRC-checked chunk walk, IHDR parse, multi-IDAT
+    * zlib inflate, per-scanline de-filtering of all five standard
+    * filter types. Returns (width, height, channels, pixels) with
+    * `pixels` the recovered raw samples (row-major, no filter bytes),
+    * or None for anything invalid — bad signature, truncated or
+    * CRC-corrupt chunks, non-8-bit or interlaced images, an inflated
+    * size that disagrees with the header, or a geometry too large to
+    * buffer (untrusted input must be bounded, not trusted). */
+  private[graft] def parsePng(
+      b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (!isPng(b)) return None
+    var off = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenIend = false
+    while (!seenIend && off + 12 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crcStored = be32(b, off + 8 + len)
+      val crcReal = {
+        val c = new java.util.zip.CRC32
+        c.update(b, off + 4, 4 + len)
+        c.getValue.toInt
+      }
+      if (crcStored != crcReal) return None // corrupt chunk
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(b, off + 8); h = be32(b, off + 12)
+          val bitDepth = b(off + 16) & 0xff
+          channels = (b(off + 17) & 0xff) match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return None // palette / invalid
+          }
+          val interlace = b(off + 20) & 0xff
+          if (bitDepth != 8 || interlace != 0) return None
+          if (w <= 0 || h <= 0 ||
+            w.toLong * h * channels > (1L << 26)) return None
+          seenIhdr = true
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => seenIend = true
+        case _ => // ancillary chunk: CRC already checked, skip
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr || !seenIend) return None
+    val stride = w * channels
+    val expect = h * (1 + stride)
+    val raw = new Array[Byte](expect)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < expect && !inflater.finished()) {
+        val k = inflater.inflate(raw, got, expect - got)
+        if (k == 0 && inflater.needsInput()) return None // truncated
+        got += k
+      }
+      if (got != expect || inflater.getRemaining > 0) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // de-filter in place into the output pixel array
+    val pixels = new Array[Byte](h * stride)
+    val bpp = channels
+    var r = 0
+    while (r < h) {
+      val f = raw(r * (1 + stride)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(r * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) pixels(r * stride + x - bpp) & 0xff else 0
+        val up = if (r > 0) pixels((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= bpp)
+          pixels((r - 1) * stride + x - bpp) & 0xff else 0
+        val rec = f match {
+          case 0 => v
+          case 1 => v + left
+          case 2 => v + up
+          case 3 => v + (left + up) / 2
+          case 4 => v + paeth(left, up, ul)
+        }
+        pixels(r * stride + x) = rec.toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some((w, h, channels, pixels))
+  }
+
+  /** Model ALL documents as PNG images (the compressed-container
+    * variant of [[asMedia]]). */
+  def asPngMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          MediaRow(id, "image/png", encodePng(text.getBytes("UTF-8")))
+        }
+      }
+      .toDF()
+  }
+
+  case class PngStatsRow(doc_id: Long, width: Int, height: Int,
+      channels: Int, px_sum: Long)
+
+  /** Decode PNG payloads through the FULL pipeline — CRC walk, inflate,
+    * de-filter — and emit the recovered geometry plus the sum of all
+    * recovered pixel bytes. The checksum is a function of the original
+    * (pre-compression) pixels, so an external oracle that never runs
+    * zlib can still verify the decompression + de-filtering round trip
+    * byte-for-byte. Partition-mapped, no shuffle. */
+  def pngPixelStats(spark: SparkSession, media: DataFrame)
+      : Dataset[PngStatsRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        parsePng(m.payload) match {
+          case Some((w, h, c, px)) =>
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            PngStatsRow(m.doc_id, w, h, c, s)
+          case None => PngStatsRow(m.doc_id, 0, 0, 0, -1L)
+        }
+      }
+    }
+  }
+
   /** Model documents as media blobs: even doc_id → BMP image, odd →
     * WAV audio, both genuinely encoded from the text bytes. */
   def asMedia(docs: DataFrame): DataFrame = {
@@ -183,6 +415,9 @@ object Multimodal {
           else if (isWav(b)) parseWav(b).map { case (ch, sr, nSamples, _) =>
             DecodedRow(m.doc_id, m.media_type, b.length, nSamples, sr, ch)
           }
+          else if (isPng(b)) parsePng(b).map { case (w, h, chan, _) =>
+            DecodedRow(m.doc_id, m.media_type, b.length, w, h, chan)
+          }
           else None
         parsed.getOrElse(
           DecodedRow(m.doc_id, m.media_type, b.length, 0, 0, 0))
@@ -221,6 +456,23 @@ object Multimodal {
           f(0) = (sums(0).toDouble / (255.0 * nPix)).toFloat
           f(1) = (sums(1).toDouble / (255.0 * nPix)).toFloat
           f(2) = (sums(2).toDouble / (255.0 * nPix)).toFloat
+          f(3) = w / 1024f
+          f(4) = h / 1024f
+          f(5) = chan / 4f
+        } else if (isPng(b) && parsePng(b).isDefined) {
+          // channel means over the RECOVERED (inflated + de-filtered)
+          // samples — the compressed-format twin of the BMP branch
+          val (w, h, chan, px) = parsePng(b).get
+          val sums = new Array[Long](math.max(chan, 3))
+          var i = 0
+          while (i < px.length) {
+            sums(i % chan) += px(i) & 0xff
+            i += 1
+          }
+          val nPix = math.max(1L, w.toLong * h)
+          f(0) = (sums(0).toDouble / (255.0 * nPix)).toFloat
+          f(1) = (sums(1 % chan).toDouble / (255.0 * nPix)).toFloat
+          f(2) = (sums(2 % chan).toDouble / (255.0 * nPix)).toFloat
           f(3) = w / 1024f
           f(4) = h / 1024f
           f(5) = chan / 4f
@@ -265,6 +517,14 @@ object Multimodal {
           val srcRow = h - 1 - idx // bottom-up storage → top-down frames
           FrameRow(m.doc_id, idx, java.util.Arrays.copyOfRange(
             b, off + srcRow * rowSize, off + srcRow * rowSize + w * chan))
+        }
+      } else if (isPng(b) && parsePng(b).isDefined) {
+        // scanlines come back already top-down and padding-free from
+        // the de-filtering decode
+        val (w, h, chan, px) = parsePng(b).get
+        (0 until h by everyK).map { idx =>
+          FrameRow(m.doc_id, idx, java.util.Arrays.copyOfRange(
+            px, idx * w * chan, (idx + 1) * w * chan))
         }
       } else if (isWav(b) && parseWav(b).isDefined) {
         val (ch, _, nSamples, dataOff) = parseWav(b).get

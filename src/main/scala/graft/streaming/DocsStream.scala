@@ -34,6 +34,8 @@ object DocsStream {
   case class PairOut(id_a: Long, id_b: Long, jaccard: Double)
   case class Member(id: Long, gs: Array[Long])
   case class BucketState(members: List[Member])
+  case class FpDoc(doc_id: Long, fp: String)
+  case class DecisionOut(doc_id: Long, keep: Boolean, dup_of: Option[Long])
 
   /** Streaming read of the documents table (file source). */
   def readDocsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -126,6 +128,60 @@ object DocsStream {
           state.update(BucketState(members))
           out.iterator
       }
+  }
+
+  /** Incremental EXACT dedup: the streaming twin of
+    * [[graft.operators.Dedup.exact]]. Documents are fingerprinted in
+    * the scan stage (same canonical md5-of-normalized-text as batch),
+    * routed to per-fingerprint state via `flatMapGroupsWithState`, and
+    * each doc is decided against the smallest doc_id its fingerprint
+    * group has seen — O(8 bytes) of state per distinct fingerprint,
+    * the exact-dedup index an incremental 100 TB ingest pipeline keeps
+    * (RocksDB-backed on a real cluster). Within a micro-batch, docs
+    * are admitted in doc_id order, so stream decisions ≡ batch
+    * decisions whenever each fingerprint's smallest doc_id arrives in
+    * the group's first batch (trivially true in a single-batch run;
+    * append mode cannot retract a keep once a smaller id arrives
+    * later — the same epoch caveat as every append-mode dedup). */
+  def exactDecisionsStream(
+      spark: SparkSession, docs: DataFrame): Dataset[DecisionOut] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[FpDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, DecisionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[FpDoc], state: GroupState[Long]) =>
+          var rep = state.getOption.getOrElse(Long.MaxValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DecisionOut]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (d.doc_id < rep) {
+              rep = d.doc_id
+              out += DecisionOut(d.doc_id, keep = true, None)
+            } else if (d.doc_id > rep) {
+              out += DecisionOut(d.doc_id, keep = false, Some(rep))
+            } // d.doc_id == rep: replayed row, already decided
+          }
+          state.update(rep)
+          out.iterator
+      }
+  }
+
+  /** Drive [[exactDecisionsStream]] synchronously to completion over
+    * the parquet documents dir (memory sink); returns the sink name. */
+  def runExactDedupStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_exact_decisions"): String = {
+    val q = exactDecisionsStream(spark, readDocsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
   }
 
   /** Drive [[minhashPairsStream]] synchronously to completion over the

@@ -153,6 +153,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.length === 4) // one whole-payload fallback frame each
   }
 
+  test("png round trip: inflate + de-filter recovers the exact pixels") {
+    // long enough that height ≥ 5 → all five scanline filter types
+    // (None/Sub/Up/Average/Paeth) are exercised by the decode
+    var text = ("real compressed container round trip " * 8).trim
+    while (Multimodal.pngDims(text.getBytes("UTF-8").length)._2 < 5)
+      text += "x"
+    val bytes = text.getBytes("UTF-8")
+    val png = Multimodal.encodePng(bytes)
+    val (w, h) = Multimodal.pngDims(bytes.length)
+    assert(h >= 5)
+    val Some((pw, ph, pc, px)) = Multimodal.parsePng(png)
+    assert((pw, ph, pc) === (w, h, 3))
+    assert(px.length === w * h * 3)
+    px.zipWithIndex.foreach { case (p, i) =>
+      assert(p === bytes(i % bytes.length), s"pixel $i")
+    }
+  }
+
+  test("png decode rejects corruption instead of returning wrong data") {
+    val bytes = "some document text that becomes pixels".getBytes("UTF-8")
+    val png = Multimodal.encodePng(bytes)
+    // flip one byte inside the first IDAT body → CRC must catch it
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 8 + 4) = (corrupt(8 + 25 + 8 + 4) ^ 0x40).toByte
+    assert(Multimodal.parsePng(corrupt).isEmpty)
+    // truncate mid-IDAT → chunk walk must reject, not crash
+    assert(Multimodal.parsePng(
+      java.util.Arrays.copyOfRange(png, 0, png.length / 2)).isEmpty)
+    // valid signature + garbage body
+    val junk = new Array[Byte](64)
+    System.arraycopy(png, 0, junk, 0, 8)
+    assert(Multimodal.parsePng(junk).isEmpty)
+  }
+
+  test("png flows through decodeMeta / features / frames") {
+    val media = Multimodal.asPngMedia(docs)
+    val d = Multimodal.decodeMeta(spark, media).orderBy("doc_id").collect()
+    d.foreach { r =>
+      val n = docs.filter(col("doc_id") === r.doc_id)
+        .select("text").collect().head.getString(0)
+        .getBytes("UTF-8").length
+      assert((r.width, r.height, r.channels) ===
+        (Multimodal.pngDims(n)._1, Multimodal.pngDims(n)._2, 3))
+    }
+    val f = Multimodal.extractFeatures(spark, media).collect()
+    assert(f.forall(r => r.feature(5) === 3 / 4f)) // channels/4
+    assert(f.forall(r => r.feature(0) > 0f)) // real channel means
+    val fr = Multimodal.sampleFrames(spark, media, everyK = 2).collect()
+    assert(fr.nonEmpty)
+    // each frame is one de-filtered scanline: w*3 bytes
+    fr.foreach { r =>
+      val n = docs.filter(col("doc_id") === r.doc_id)
+        .select("text").collect().head.getString(0)
+        .getBytes("UTF-8").length
+      assert(r.frame_bytes.length === Multimodal.pngDims(n)._1 * 3)
+    }
+  }
+
   test("pipeline stats aggregates per media type") {
     val r = Multimodal.pipelineStats(spark, docs).collect()
     assert(r.length === 2)

@@ -156,4 +156,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming exact dedup emits exactly the batch decisions") {
+    val sink = graft.streaming.DocsStream.runExactDedupStream(
+      spark, TestSpark.sfDir, "spec_exact_decisions")
+    val streamed = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val batch = graft.operators.Dedup.exact(spark.table("documents"))
+      .select("doc_id", "keep", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    // same canonical fingerprint, same min-id representative → the
+    // per-fingerprint state must reproduce every batch decision
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming exact dedup state carries representatives across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val decisions = graft.streaming.DocsStream.exactDecisionsStream(
+      spark, in.toDF().toDF("doc_id", "text"))
+    val q = decisions.writeStream.outputMode("append")
+      .format("memory").queryName("spec_exact_state").start()
+    in.addData((1L, "same text"), (7L, "other text"))
+    q.processAllAvailable()
+    in.addData((9L, "same  TEXT")) // normalizes to doc 1's fingerprint
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_exact_state").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got === Seq((1L, true, -1L), (7L, true, -1L), (9L, false, 1L)))
+  }
 }
