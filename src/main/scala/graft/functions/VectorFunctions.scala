@@ -738,6 +738,119 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Per-member best cosine neighbor within one LSH bucket, candidate
+    * generation and scoring fused (the embedding analog of
+    * [[HammingPairs]]). Input: the bucket's postings as
+    * array<struct<vec_id:long, embedding:array<float>>>. Output: one
+    * struct<vec_id, nn_id, cosine> per member that has at least one
+    * scorable neighbor — the member's best (cosine DESC, nn_id ASC)
+    * neighbor in the bucket. Emits O(m) rows from the O(m²) in-bucket
+    * comparisons, so a downstream per-vector reduce sees ≤ bands rows
+    * per vector instead of whole buckets. Sort-by-id bucket cap as in
+    * the other generators. The cosine replicates [[CosineSimilarity]]
+    * bit-for-bit (sequential double accumulation, one divide);
+    * degenerate members (null / zero-norm / length-mismatched vectors)
+    * score null and are skipped. */
+  case class CosineBucketBest(child: Expression, maxBucket: Int)
+      extends UnaryExpression {
+    require(maxBucket >= 2)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("nn_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n0 = arr.numElements()
+      if (n0 < 2)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val ids = new Array[Long](n0)
+      val vecs = new Array[Array[Float]](n0)
+      val order = new Array[Integer](n0)
+      var i = 0
+      while (i < n0) {
+        val r = arr.getStruct(i, 2)
+        ids(i) = r.getLong(0)
+        vecs(i) = if (r.isNullAt(1)) null else r.getArray(1).toFloatArray()
+        order(i) = Integer.valueOf(i)
+        i += 1
+      }
+      java.util.Arrays.sort(order,
+        java.util.Comparator.comparingLong((x: Integer) => ids(x)))
+      val m = math.min(n0, maxBucket)
+      // norms once per member, same accumulation order as
+      // CosineSimilarity's nx/ny loops
+      val norms = new Array[Double](n0)
+      i = 0
+      while (i < m) {
+        val v = vecs(order(i))
+        if (v != null) {
+          var s = 0.0; var d = 0
+          while (d < v.length) {
+            val x = v(d).toDouble; s += x * x; d += 1
+          }
+          norms(order(i)) = s
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < m) {
+        val oi = order(i); val vi = vecs(oi)
+        if (vi != null && norms(oi) != 0.0) {
+          var bestId = -1L
+          var bestCos = Double.NegativeInfinity
+          var j = 0
+          while (j < m) {
+            if (j != i) {
+              val oj = order(j); val vj = vecs(oj)
+              if (vj != null && vj.length == vi.length &&
+                norms(oj) != 0.0) {
+                var dot = 0.0; var d = 0
+                while (d < vi.length) {
+                  dot += vi(d).toDouble * vj(d).toDouble; d += 1
+                }
+                val cos = dot /
+                  (math.sqrt(norms(oi)) * math.sqrt(norms(oj)))
+                if (cos > bestCos ||
+                  (cos == bestCos && ids(oj) < bestId)) {
+                  bestCos = cos; bestId = ids(oj)
+                }
+              }
+            }
+            j += 1
+          }
+          if (bestId >= 0)
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              ids(oi), bestId, bestCos)
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("cosineBest", this,
+        classOf[CosineBucketBest].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Exact Jaccard of two docs' gram sets looked up from a Spark
     * `Broadcast` map — the hand-fused analog of the two broadcast hash
     * joins the shuffle path runs to attach both gram arrays to a
@@ -974,6 +1087,8 @@ object VectorFunctions {
   def hamming_pairs(postings: Column, maxBucket: Int,
       maxHamming: Int): Column =
     toColumn(HammingPairs(toExpression(postings), maxBucket, maxHamming))
+  def cosine_bucket_best(postings: Column, maxBucket: Int): Column =
+    toColumn(CosineBucketBest(toExpression(postings), maxBucket))
   def broadcast_jaccard(a: Column, b: Column,
       sets: org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[Long, Array[Long]]]): Column =

@@ -409,43 +409,51 @@ object Dedup {
   }
 
   /** Embedding near-dup: each vector's nearest neighbor by cosine, via
-    * hyperplane-LSH blocking (16-bit signature, band-split 4×4 bits) with
-    * a brute-force fallback within buckets; emits (vec_id, nn_id, cosine,
-    * is_dup = cosine ≥ threshold). Always one row per vector that shares
-    * ≥1 band — callers wanting hard dedup filter on is_dup. */
+    * hyperplane-LSH blocking (16-bit signature, band-split 4×4 bits);
+    * emits (vec_id, nn_id, cosine, is_dup = cosine ≥ threshold), one
+    * row per vector that shares ≥1 band — callers wanting hard dedup
+    * filter on is_dup.
+    *
+    * Same fused shape as the other candidate generators: ONE shuffle
+    * (groupBy band key) builds each bucket with a bounded collect,
+    * [[graft.functions.VectorFunctions.CosineBucketBest]] scores the
+    * bucket and emits only each member's best in-bucket neighbor
+    * (O(m) rows from O(m²) comparisons), and a skinny per-vector
+    * max-struct reduce picks the winner across bands. Replaces the
+    * former persist + banded self-join + distinct + full window — two
+    * large shuffles and a cache — with one posting shuffle and one
+    * ≤ 4-rows-per-vector reduce. Degenerate vectors (null/zero-norm)
+    * cannot be scored and are skipped; `maxBucket` caps pathological
+    * buckets (keep-smallest ids, the shared cap semantics). */
   def embeddingNearDup(
-      embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val sig = embeddings.select(col("vec_id"), col("embedding"),
-      hyperplane_sig(col("embedding"), 16).as("sig"))
-    // persisted: both sides of the self-join read it (otherwise the
-    // hyperplane-signature scan runs twice)
-    val banded = sig.select(col("vec_id"), col("embedding"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), b * 4).bitwiseAND(0xfL)
-            .as("bkey"))): _*)).as("bk"))
+      embeddings: DataFrame, threshold: Double = 0.95,
+      maxBucket: Int = 4096): DataFrame = {
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        hyperplane_sig(col("embedding"), 16).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 4).bitwiseAND(0xfL)
+              .as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val scored = a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
-        cosine_sim(col("a.embedding"), col("b.embedding")).as("cosine"))
-      .distinct()
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("nn_id"))
-    val out = finalizePairs(
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("nn_id"), col("cosine"),
-          (col("cosine") >= threshold).as("is_dup")),
+    val best = banded
+      .groupBy("band", "bkey")
+      .agg(bounded_min_collect(
+        struct(col("vec_id"), col("embedding")), maxBucket).as("ps"))
+      .select(explode(cosine_bucket_best(col("ps"), maxBucket)).as("p"))
+      .select(col("p.vec_id").as("vec_id"), col("p.nn_id").as("nn_id"),
+        col("p.cosine").as("cosine"))
+    // winner across bands: max over (cosine, -nn_id) is exactly
+    // (cosine DESC, nn_id ASC) — deterministic without a window
+    finalizePairs(
+      best.groupBy("vec_id")
+        .agg(max(struct(col("cosine"), (-col("nn_id")).as("negid")))
+          .as("m"))
+        .select(col("vec_id"), (-col("m.negid")).as("nn_id"),
+          col("m.cosine").as("cosine"),
+          (col("m.cosine") >= threshold).as("is_dup")),
       "vec_id")
-    banded.unpersist(false)
-    out
   }
 }
