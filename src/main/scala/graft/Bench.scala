@@ -19,9 +19,11 @@ object Bench {
     "agg_q1",
     "q3_shipping_priority",
     "q5_supplier_volume",
+    "q8_market_share",
     "q10_returned_items",
     "q18_large_orders",
     "join_multiway",
+    "bloom_prefilter_join",
     "frag_transparency_agg",
     "window_rank",
     "sort_limit_topk",

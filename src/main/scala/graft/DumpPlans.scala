@@ -77,7 +77,29 @@ object DumpPlans {
       """TPC-H Q10: lineitem⋈orders⋈customer shuffle on keys with
         |filters pushed to both scans, nation broadcast, exact-micros
         |revenue aggregated partial→final, deterministic
-        |TakeOrderedAndProject top-20.""".stripMargin)
+        |TakeOrderedAndProject top-20.""".stripMargin,
+    "q8_market_share" ->
+      """TPC-H Q8, the deepest join tree in the suite (8 relations).
+        |The selective filters (p_type, region, the order-date range)
+        |are pushed into their scans. At this SF every non-fact side
+        |fits the broadcast threshold, so the whole tree plans as
+        |seven BroadcastHashJoins over one lineitem scan — zero
+        |shuffles before the final per-year aggregate. At 100 TB the
+        |orders/customer sides outgrow the threshold and AQE flips
+        |exactly those two joins to key shuffles while the true dims
+        |(part/supplier/nation/region) stay broadcast — the join
+        |ORDER already feeds lineitem through the selective dims
+        |first, which is what survives a 1000-executor fact
+        |table.""".stripMargin,
+    "bloom_prefilter_join" ->
+      """Runtime Bloom pre-filtering: the dim keys (one skinny
+        |aggregate job, driver-bounded model like IVF centroids)
+        |become a broadcast Bloom filter evaluated as a custom
+        |codegen'd predicate INSIDE the lineitem scan stage — the
+        |`bloommightcontain` filter sits directly on the scan, before
+        |any exchange, so non-matching fact rows are dropped at the
+        |source instead of being shuffled to a join. The exact join
+        |then removes false positives; result ≡ plain join.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

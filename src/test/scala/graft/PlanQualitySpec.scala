@@ -56,4 +56,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("p_comment") && !p.contains("p_retailprice"),
       "part scan reads pruned columns")
   }
+
+  test("q8: selective predicates pushed, dims broadcast, no loop join") {
+    val p = plan("q8_market_share")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"p_type filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dims do not broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "degenerate join in Q8")
+  }
+
+  test("bloom_prefilter_join: bloom predicate filters the fact scan " +
+      "stage before any exchange") {
+    val p = plan("bloom_prefilter_join")
+    // the custom predicate must appear as a Filter over the lineitem
+    // scan (same stage — no exchange between them), not after a join
+    val iFilter = p.indexOf("bloommightcontain(l_suppkey")
+    assert(iFilter >= 0, s"no bloom predicate on the fact side:\n$p")
+    val iExchange = p.indexOf("Exchange")
+    assert(iExchange < 0 || iFilter > iExchange,
+      "bloom filter should sit below every exchange in the plan tree " +
+        s"(tree prints top-down):\n$p")
+    val scanAfter = p.indexOf("Scan parquet", iFilter)
+    assert(scanAfter >= 0 && p.substring(iFilter, scanAfter)
+      .linesIterator.size <= 6,
+      s"bloom filter not adjacent to the fact scan:\n$p")
+  }
 }
