@@ -1091,7 +1091,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   import graft.functions.TextFunctions
-  import graft.operators.{BloomJoin, Dedup, Multimodal, Similarity}
+  import graft.operators.{BloomJoin, Dedup, HeavyHitters, Multimodal, Similarity}
   import graft.streaming.EventsStream
 
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
@@ -1143,6 +1143,25 @@ object SparkEntry {
     Dedup.decisionsFromPairs(docs, Dedup.ngramJaccard(docs))
       .orderBy("doc_id")
   }
+
+  private def qDedupCcDecisions(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Transitive closure over the minhash near-dup pair graph: chains
+    // A~B~C collapse to min(A,B,C) (decisionsFromPairs is the
+    // one-round approximation; this is the fixpoint). The oracle
+    // recomputes the closure with a recursive CTE over the exact
+    // Jaccard pair set.
+    val docs = t(s, dir, "documents")
+    Dedup.connectedComponents(docs, Dedup.minhashLsh(docs))
+      .orderBy("doc_id")
+  }
+
+  private def qTextHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    // Two bounded passes (Misra–Gries sketch → exact rescore of ≤ 64
+    // candidates); the oracle is the naive full groupBy top-20, which
+    // the sketch pipeline must reproduce EXACTLY whenever the k-th
+    // frequency clears the N/(capacity+1) undercount bound.
+    HeavyHitters.topTokens(t(s, dir, "documents"), k = 20, capacity = 64)
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(s, dir, "embeddings"))
@@ -1455,7 +1474,9 @@ object SparkEntry {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgram _),
     "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
+    "dedup_cc_decisions" -> (qDedupCcDecisions _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "text_heavy_hitters" -> (qTextHeavyHitters _),
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
@@ -2542,6 +2563,53 @@ object SparkEntry {
         |SELECT doc_id, doc_id = rep_id AS keep,
         |  CASE WHEN doc_id <> rep_id THEN rep_id END AS dup_of
         |FROM r ORDER BY doc_id""".stripMargin,
+    // Transitive closure (connected components): the recursive CTE
+    // computes full reachability over the exact-Jaccard pair graph, so
+    // every doc maps to the MINIMUM id in its component — what the
+    // iterated min-label propagation must converge to.
+    "dedup_cc_decisions" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |    FROM toks) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_common AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS rep
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, doc_id = rep AS keep,
+        |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
+        |FROM comp ORDER BY doc_id""".stripMargin,
+    // Heavy hitters: the oracle is the NAIVE full group-count top-k —
+    // the sketch pipeline must reproduce it exactly.
+    "text_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n FROM t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH nt AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

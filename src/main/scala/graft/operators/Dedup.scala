@@ -269,6 +269,55 @@ object Dedup {
         when(col("doc_id") =!= col("rep_id"), col("rep_id")).as("dup_of"))
   }
 
+  /** Full transitive-closure dedup decisions: every doc's
+    * representative is the MINIMUM doc_id in its connected component
+    * of the near-dup pair graph. [[decisionsFromPairs]] is one
+    * star-contraction round (chains longer than one hop keep
+    * sub-representatives); this iterates min-label propagation to the
+    * fixpoint, so A~B~C all map to min(A,B,C) no matter the chain
+    * length. Each round costs two key-partitioned shuffles (neighbor
+    * min + label join) and one O(1)-row convergence aggregate; labels
+    * only ever decrease, so the component-sum fixpoint test is exact.
+    * Rounds needed = the pair graph's path diameter — near-dup
+    * clusters are stars/short chains in practice, so 2–3 rounds;
+    * `maxIter` bounds adversarial chains. Every round's frame is
+    * localCheckpointed (eager) so the plan stays constant-size instead
+    * of doubling per iteration. */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // re-read every round
+    var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    // decimal sum: overflow-proof fixpoint metric at any corpus size
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+        .select(labels("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"),
+      (col("doc_id") === col("comp")).as("keep"),
+      when(col("doc_id") =!= col("comp"), col("comp")).as("dup_of"))
+  }
+
   /** SimHash near-dup pairs: 64-bit token-level SimHash (custom codegen'd
     * Catalyst expression), candidates from band equality, final filter on
     * Hamming distance. By the pigeonhole principle any pair with

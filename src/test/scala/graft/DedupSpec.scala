@@ -70,6 +70,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!r.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("connected components collapse chains to the component minimum") {
+    val chainDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // path 1-2-3-4 plus isolated 5, 6: one-round star contraction maps
+    // 4 → 3, the closure must map the whole path to 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chainDocs, pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(cc === Seq((1L, true, -1L), (2L, false, 1L), (3L, false, 1L),
+      (4L, false, 1L), (5L, true, -1L), (6L, true, -1L)))
+    // the one-round approximation demonstrably differs on the chain end
+    val oneRound = Dedup.decisionsFromPairs(chainDocs, pairs)
+      .filter(col("doc_id") === 4L).collect()(0).getLong(2)
+    assert(oneRound === 3L)
+  }
+
   test("pair list → per-doc keep/drop decisions") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MisraGriesSketch.misra_gries
+import graft.operators.HeavyHitters
+
+class HeavyHittersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // skewed synthetic stream: token i appears ~N/(i+1) times (zipf-ish),
+  // vocabulary 1000 >> sketch capacity 32
+  private lazy val stream: Seq[String] = (0 until 1000).flatMap { i =>
+    Seq.fill(2000 / (i + 1))(f"tok$i%04d")
+  }
+
+  test("sketch never misses an item above the N/(capacity+1) bound") {
+    val capacity = 32
+    val df = stream.toDF("tok").repartition(7)
+    val sketch = df.agg(misra_gries(col("tok"), capacity))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val surviving = sketch.map(_.getString(0)).toSet
+    assert(sketch.size <= capacity)
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val mustSurvive = exact.filter(_._2 > n / (capacity + 1)).keySet
+    assert(mustSurvive.nonEmpty)
+    assert(mustSurvive.subsetOf(surviving),
+      s"missing: ${mustSurvive -- surviving}")
+  }
+
+  test("two-pass heavy hitters equals the naive exact top-k") {
+    val docs = stream.grouped(97).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = HeavyHitters.topTokens(docs, k = 10, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+    assert(got === want)
+  }
+
+  test("estimates undercount by at most N/(capacity+1)") {
+    val capacity = 16
+    val df = stream.toDF("tok").repartition(5)
+    val sketch = df.agg(misra_gries(col("tok"), capacity))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val n = stream.size
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    sketch.foreach { r =>
+      val (tok, est) = (r.getString(0), r.getLong(1))
+      val truth = exact(tok)
+      assert(est <= truth, s"$tok overestimated: $est > $truth")
+      assert(truth - est <= n / (capacity + 1),
+        s"$tok undercounted past the bound: $est vs $truth")
+    }
+  }
+}
