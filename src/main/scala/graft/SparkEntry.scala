@@ -1189,6 +1189,17 @@ object SparkEntry {
       nCentroids = 16, nProbe = 8, model = Some(cents))
   }
 
+  private def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    // Product quantization + exact rerank: candidates ranked on the
+    // COMPRESSED code table (8 codes per vector), exact cosine only on
+    // the top-64 per query. Model captured like the IVF centroids so
+    // the oracle embeds the exact codebooks this encode used.
+    val pq = Similarity.trainPq(t(s, dir, "embeddings")).get
+    pqModel.set(pq)
+    Similarity.pqTopK(t(s, dir, "embeddings"), annQueries(s, dir),
+      k = 10, model = Some(pq))
+  }
+
   private def qCosineThresholdJoin(s: SparkSession, dir: String)
       : DataFrame = {
     // The DECLARATIVE similarity join: the user writes the O(n²)
@@ -1480,6 +1491,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
+    "sim_topk_pq" -> (qSimPq _),
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
@@ -1616,6 +1628,65 @@ object SparkEntry {
     * the driver records a rows-only check (the status quo). */
   private[graft] val ivfModel =
     new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
+
+  /** The PQ model captured by the last `sim_topk_pq` run — same
+    * capture-then-lazily-export contract as [[ivfModel]]. */
+  private[graft] val pqModel =
+    new java.util.concurrent.atomic.AtomicReference[Similarity.PqModel](null)
+
+  /** PQ oracle: codebooks and their half-norms exported as double
+    * literals, then the whole pipeline — per-subspace argmax encode,
+    * left-nested ADC sum, top-`rerank` prelim rank, exact-cosine
+    * rerank, top-k — recomputed in SQL. Every float expression is the
+    * same sequence of IEEE ops the Catalyst expressions run, so codes,
+    * ADC scores and the final ranking agree bit-for-bit. */
+  private def pqOracleSql(pq: Similarity.PqModel): String = {
+    val m = pq.numSubspaces
+    val sub = pq.subDim
+    def cbLit(mm: Int): String = pq.codebooks(mm)
+      .map(c => c.map(dlit).mkString("[", ",", "]"))
+      .mkString("CAST([", ",\n        ", "] AS DOUBLE[][])")
+    def hnLit(mm: Int): String =
+      pq.halfNorms(mm).map(dlit).mkString("CAST([", ",", "] AS DOUBLE[])")
+    val codeExprs = (0 until m).map { mm =>
+      val a = mm * sub + 1; val b = (mm + 1) * sub
+      val kMax = pq.codebooks(mm).size - 1
+      s"""list_sort(list_transform(generate_series(0, $kMax), k ->
+         |      {'negs': -(list_dot_product(ed[$a:$b], (${cbLit(mm)})[k+1])
+         |                 - (${hnLit(mm)})[k+1]), 'k': k}))[1].k""".stripMargin
+    }.mkString("[", ",\n    ", "]")
+    val adcTerms = (0 until m).map { mm =>
+      val a = mm * sub + 1; val b = (mm + 1) * sub
+      s"list_dot_product(qe[$a:$b], (${cbLit(mm)})[codes[${mm + 1}] + 1])"
+    }
+    // left-nested sum pins the same accumulation order as PqAdc
+    val adc = adcTerms.tail.foldLeft(s"(${adcTerms.head})") {
+      (acc, t) => s"($acc + $t)"
+    }
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+       |              FROM embeddings),
+       |enc AS (SELECT vec_id, ed,
+       |    $codeExprs AS codes
+       |  FROM base),
+       |q AS (SELECT vec_id AS query_id, ed AS qe FROM base
+       |      WHERE vec_id % 50 = 0),
+       |cand AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    e.ed AS ce, q.qe,
+       |    $adc AS adc
+       |  FROM enc e, q WHERE e.vec_id <> q.query_id),
+       |pre AS (SELECT query_id, neighbor_id, ce, qe, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id)
+       |    AS prelim FROM cand),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${cosineSql("qe", "ce")} AS cosine
+       |  FROM pre WHERE prelim <= 64),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB re-derivation of `XXH64.hashUnsafeBytes(token, seed 42)` —
     * Spark's `xxhash64` over strings and the hash inside SimHash64 —
@@ -2901,7 +2972,8 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-  ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c))
+  ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c)) ++
+    Option(pqModel.get).map(pq => "sim_topk_pq" -> pqOracleSql(pq))
 
   /** DuckDB re-derivation of the winnowing fingerprint pipeline: the
     * FNV-1a 8-gram rolling hashes themselves (xor-then-multiply per

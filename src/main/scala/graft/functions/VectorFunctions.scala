@@ -738,6 +738,124 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Product-quantization encoder: split the vector into `M` equal
+    * subspaces and store, per subspace, the index of the codebook
+    * centroid maximizing `dot(sub, c) − ‖c‖²/2` (the argmin-L2
+    * assignment rewritten so an external SQL oracle can reproduce it
+    * from one sequential dot product and one exported literal — both
+    * engines evaluate the identical float expression, so they agree
+    * even at near-ties; exact ties pick the smallest index). Output:
+    * array<int> of M codes — at 100 TB, 4–8 bits per subspace turns a
+    * 256-byte embedding into a handful of bytes, and the code table
+    * (not the vectors) is what the candidate scan reads. */
+  case class PqEncode(child: Expression,
+      codebooks: Seq[Seq[Seq[Double]]], halfNorms: Seq[Seq[Double]])
+      extends UnaryExpression {
+    private val m = codebooks.size
+    private val subDim = codebooks.head.head.size
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subDim) return null
+      val codes = new Array[Int](m)
+      var mm = 0
+      while (mm < m) {
+        val cb = codebooks(mm); val hn = halfNorms(mm)
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var k = 0
+        while (k < cb.size) {
+          val c = cb(k)
+          var dot = 0.0
+          var d = 0
+          while (d < subDim) {
+            dot += v.getFloat(mm * subDim + d).toDouble * c(d)
+            d += 1
+          }
+          val s = dot - hn(k)
+          if (s > bestScore) { bestScore = s; best = k }
+          k += 1
+        }
+        codes(mm) = best
+        mm += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("pqEncode", this,
+        classOf[PqEncode].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Asymmetric-distance (ADC) score of a PQ-coded vector against a
+    * raw query: Σ over subspaces of `dot(q_sub, codebook[m][code_m])`
+    * — the approximate dot product used to rank candidates before the
+    * exact rerank. Accumulation order (subspaces ascending, one
+    * sequential dot each) is pinned so the SQL oracle's left-nested
+    * sum of `list_dot_product`s reproduces it bit-for-bit. */
+  case class PqAdc(left: Expression, right: Expression,
+      codebooks: Seq[Seq[Seq[Double]]]) extends BinaryExpression {
+    private val m = codebooks.size
+    private val subDim = codebooks.head.head.size
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(q: Any, codesIn: Any): Any = {
+      val v = q.asInstanceOf[ArrayData]
+      val codes = codesIn.asInstanceOf[ArrayData]
+      if (v.numElements() != m * subDim || codes.numElements() != m)
+        return null
+      var s = 0.0
+      var mm = 0
+      while (mm < m) {
+        val c = codebooks(mm)(codes.getInt(mm))
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) {
+          dot += v.getFloat(mm * subDim + d).toDouble * c(d)
+          d += 1
+        }
+        s += dot
+        mm += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |Object $r = $expr.nullSafeEval($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) $r).doubleValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Per-member best cosine neighbor within one LSH bucket, candidate
     * generation and scoring fused (the embedding analog of
     * [[HammingPairs]]). Input: the bucket's postings as
@@ -1089,6 +1207,12 @@ object VectorFunctions {
     toColumn(HammingPairs(toExpression(postings), maxBucket, maxHamming))
   def cosine_bucket_best(postings: Column, maxBucket: Int): Column =
     toColumn(CosineBucketBest(toExpression(postings), maxBucket))
+  def pq_encode(emb: Column, codebooks: Seq[Seq[Seq[Double]]],
+      halfNorms: Seq[Seq[Double]]): Column =
+    toColumn(PqEncode(toExpression(emb), codebooks, halfNorms))
+  def pq_adc(qEmb: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toColumn(PqAdc(toExpression(qEmb), toExpression(codes), codebooks))
   def broadcast_jaccard(a: Column, b: Column,
       sets: org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[Long, Array[Long]]]): Column =

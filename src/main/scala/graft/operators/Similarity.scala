@@ -154,6 +154,126 @@ object Similarity {
     model.map(_.map(_.toFloat).toSeq).toSeq
   }
 
+  /** Product-quantization model: `codebooks(m)(k)` is centroid k of
+    * subspace m; `halfNorms(m)(k) = ‖c‖²/2` precomputed once so the
+    * encode argmax (`dot − halfNorm`) uses exactly the doubles the
+    * SQL oracle re-derivation embeds as literals. */
+  case class PqModel(codebooks: Seq[Seq[Seq[Double]]]) {
+    val numSubspaces: Int = codebooks.size
+    val subDim: Int = codebooks.head.head.size
+    val halfNorms: Seq[Seq[Double]] = codebooks.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.size) { s += c(i) * c(i); i += 1 }
+      0.5 * s
+    })
+  }
+
+  /** Train PQ codebooks on a deterministic sample (same
+    * smallest-xxhash64 sample and driver-side Lloyd refinement as
+    * [[trainCentroids]], run independently per subspace with L2
+    * distance — the standard PQ construction). ONE Spark job for the
+    * whole model; empty corpus → None. */
+  def trainPq(
+      corpus: DataFrame,
+      numSubspaces: Int = 8,
+      codebookSize: Int = 16,
+      refineIters: Int = 10,
+      sampleN: Int = 1024): Option[PqModel] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h")
+      .limit(math.max(sampleN, codebookSize))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    if (sample.isEmpty) return None
+    val dim = sample(0).length
+    require(dim % numSubspaces == 0,
+      s"dim $dim must split into $numSubspaces equal subspaces")
+    val subDim = dim / numSubspaces
+
+    def l2(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) {
+        val d = a(off + i) - c(i); s += d * d; i += 1
+      }
+      s
+    }
+
+    val books = (0 until numSubspaces).map { m =>
+      val off = m * subDim
+      var model: Array[Array[Double]] = sample.take(codebookSize)
+        .map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
+      val kEff = model.length
+      (0 until refineIters).foreach { _ =>
+        val sums = Array.fill(kEff, subDim)(0.0)
+        val counts = new Array[Long](kEff)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < kEff) {
+            val d = l2(v, off, model(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < subDim) { sums(best)(d) += v(off + d); d += 1 }
+        }
+        model = model.indices.map { c =>
+          if (counts(c) == 0) model(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      model.map(_.toSeq).toSeq
+    }
+    Some(PqModel(books))
+  }
+
+  /** PQ approximate top-k with exact rerank: the candidate scan reads
+    * only the compressed code table (M small ints per vector instead
+    * of the full embedding — the memory/IO axis LSH and IVF don't
+    * touch), ranks by the ADC approximate dot product, keeps
+    * `rerank` candidates per query, and reranks those with exact
+    * cosine. At 100 TB the code table is ~64× smaller than the
+    * vectors and combines with the IVF cluster column for a classic
+    * IVF-PQ index; here the two stages are separate operators.
+    * Output schema matches the other ANN paths. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      numSubspaces: Int = 8,
+      codebookSize: Int = 16,
+      rerank: Int = 64,
+      model: Option[PqModel] = None): DataFrame = {
+    import graft.functions.VectorFunctions.{pq_adc, pq_encode}
+    val pq = model.orElse(trainPq(corpus, numSubspaces, codebookSize))
+      .getOrElse(return bruteForceTopK(corpus, queries, k))
+
+    val indexed = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      pq_encode(col("embedding"), pq.codebooks, pq.halfNorms).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+
+    val cand = indexed.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
+        pq_adc(col("q_emb"), col("codes"), pq.codebooks).as("adc"),
+        col("q_emb"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val reranked = cand
+      .withColumn("prelim", row_number().over(wAdc))
+      .filter(col("prelim") <= rerank)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -105,4 +105,43 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     assert(r.nonEmpty && r.forall(_.getDouble(2) <= 1.0 + 1e-9))
   }
+
+  test("PQ with rerank covering the corpus equals brute force exactly") {
+    // the ADC prelim stage cannot drop anything when rerank >= corpus,
+    // so the exact-cosine rerank must reproduce brute force verbatim
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopK(corpus, q, k = 5,
+        numSubspaces = 4, codebookSize = 8, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("PQ codes are bounded and the model is deterministic") {
+    import graft.functions.VectorFunctions.pq_encode
+    val Some(pq) = Similarity.trainPq(corpus, numSubspaces = 4,
+      codebookSize = 8)
+    val Some(pq2) = Similarity.trainPq(corpus, numSubspaces = 4,
+      codebookSize = 8)
+    assert(pq.codebooks === pq2.codebooks)
+    val codes = corpus.select(
+        pq_encode(col("embedding"), pq.codebooks, pq.halfNorms).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length === 4 &&
+      c.forall(k => k >= 0 && k < 8)))
+  }
+
+  test("PQ top-1 matches brute force on clustered data at tight rerank") {
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopK(corpus, q, k = 1,
+        numSubspaces = 4, codebookSize = 8, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.bruteForceTopK(corpus, q, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
 }
