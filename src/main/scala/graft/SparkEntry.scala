@@ -1339,6 +1339,23 @@ object SparkEntry {
       t(s, dir, "orders"), "o_custkey", "o_totalprice")
       .orderBy("o_custkey")
 
+  private def qJoinSkewSalted(s: SparkSession, dir: String): DataFrame =
+    // Hot-JOIN-key mitigation: compose the join key with a
+    // deterministic per-row salt and replicate the dim once per salt
+    // value, so one hot supplier's lineitems spread over 8 reducers.
+    // Result ≡ the plain join (the oracle), only the shuffle layout
+    // changes.
+    graft.sources.Skew.saltedEquiJoin(
+        t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey",
+        xxhash64(col("l_orderkey"), col("l_linenumber")), 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 1e6).cast("long")).cast("long").as("revenue_micros"))
+      .orderBy("s_nationkey")
+
   private val splitFractions =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
@@ -1474,6 +1491,7 @@ object SparkEntry {
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "bloom_prefilter_join" -> (qBloomPrefilterJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
+    "join_skew_salted" -> (qJoinSkewSalted _),
     "topk_aggregator" -> (qTopkAggregator _),
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
@@ -2161,6 +2179,14 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1995-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // Salting must be invisible in the result — plain join oracle.
+    "join_skew_salted" ->
+      """SELECT s.s_nationkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS revenue_micros
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey
+        |ORDER BY s.s_nationkey""".stripMargin,
     "skew_salted_agg" ->
       """SELECT o_custkey, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout tooling for the 100 TB design story. At scale, layout
@@ -91,5 +91,27 @@ object Skew {
       .groupBy(col(key))
       .agg(sum("_pc").as("n"),
         (sum("_ps") / 100.0).as("total"))
+  }
+
+  /** Skew-salted equi-join: a hot join key sends ALL its fact rows to
+    * one reducer in a plain shuffle join; salting composes the join
+    * key with a deterministic per-row salt (so one key's rows spread
+    * over `saltFactor` reducers) and replicates each build-side row
+    * once per salt value. Result ≡ the plain inner join — each fact
+    * row meets each matching dim row in exactly one salt slot. Use
+    * when the build side is too big to broadcast and AQE's runtime
+    * skew split isn't available (e.g. the join feeds a co-partitioned
+    * downstream op). `saltExpr` must be deterministic per fact row
+    * (e.g. a hash of its primary key — NOT rand(), which breaks
+    * retry/replay semantics at scale). */
+  def saltedEquiJoin(fact: DataFrame, factKey: String,
+      dim: DataFrame, dimKey: String, saltExpr: Column,
+      saltFactor: Int = 8): DataFrame = {
+    val f = fact.withColumn("_salt",
+      pmod(saltExpr, lit(saltFactor.toLong)).cast("int"))
+    val d = dim.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    f.join(d, f(factKey) === d(dimKey) && f("_salt") === d("_salt"))
+      .drop("_salt")
   }
 }

@@ -69,4 +69,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty &&
       direct.exceptAll(salted).isEmpty)
   }
+
+  test("salted equi-join equals the plain join") {
+    init()
+    val li = spark.table("lineitem")
+    val sup = spark.table("supplier")
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+    val salted = Skew.saltedEquiJoin(li, "l_suppkey", sup, "s_suppkey",
+        xxhash64(col("l_orderkey"), col("l_linenumber")), saltFactor = 4)
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+    assert(salted.exceptAll(plain).isEmpty &&
+      plain.exceptAll(salted).isEmpty)
+    assert(plain.count() > 0 && salted.count() === plain.count())
+  }
 }
