@@ -1412,6 +1412,12 @@ object SparkEntry {
     // proves the stream's final state equals this aggregate.
     EventsStream.userProfileBatch(t(s, dir, "events"))
 
+  private def qEventsResample(s: SparkSession, dir: String): DataFrame =
+    // Fixed-grid resample with explicit gap semantics: every (hour,
+    // event_type) cell present, zero-filled counts/sums and a
+    // forward-filled last observation (IGNORE NULLS running window).
+    graft.operators.TimeSeries.resampleHourly(t(s, dir, "events"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity (SURVEY §2)
@@ -1521,6 +1527,7 @@ object SparkEntry {
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
     "stream_dedup_exact" -> (qStreamDedupExact _),
     "events_sessionize" -> (qSessionize _),
+    "events_resample_1h" -> (qEventsResample _),
     "user_profiles" -> (qUserProfiles _),
   )
 
@@ -2998,6 +3005,31 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Fixed hourly grid with explicit gaps: spine × keys left-joined
+    // against the real hourly aggregate; zero-fill for count/sum,
+    // IGNORE NULLS running last for the forward fill.
+    "events_resample_1h" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+        |            date_trunc('hour', max(ts)) AS t1 FROM events),
+        |spine AS (SELECT unnest(generate_series(t0, t1,
+        |            INTERVAL 1 HOUR)) AS hour FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sm
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.hour, g.event_type,
+        |  coalesce(h.n, 0) AS n_events,
+        |  coalesce(h.sm, 0) AS sum_micros,
+        |  last_value(h.sm IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS ffill_micros
+        |FROM (SELECT hour, event_type FROM spine, types) g
+        |LEFT JOIN hourly h
+        |  ON h.hour = g.hour AND h.event_type = g.event_type
+        |ORDER BY g.hour, g.event_type""".stripMargin,
   ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c)) ++
     Option(pqModel.get).map(pq => "sim_topk_pq" -> pqOracleSql(pq))
 

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization over the events table: resample onto a
+  * fixed hourly grid, with explicit gap semantics — the step between
+  * raw event logs and anything windowed/longitudinal (rates, SLOs,
+  * training curves). A plain `groupBy(hour)` silently OMITS empty
+  * buckets; most downstream math (moving averages, deltas, joins
+  * against other series) needs them PRESENT, either zero-filled
+  * (count/sum semantics) or forward-filled (last-observation-carried-
+  * forward for gauge-like values).
+  *
+  * Shape: one aggregate for the bounds (1 row), a `sequence()` spine
+  * exploded from it (declarative — no driver collect), the distinct
+  * key set, and one left join of the real hourly aggregate onto the
+  * spine×keys grid. Everything shuffles on (hour, key) only; the
+  * forward-fill is a running `last(…, ignoreNulls)` window per key —
+  * at 100 TB the grid is tiny compared to the events and the window
+  * partitions by series key, so no stage depends on total history
+  * size. */
+object TimeSeries {
+
+  /** Hourly resample of (ts, event_type, value): every (hour, type)
+    * cell of the full time range is present — `n_events`/`sum_micros`
+    * zero-filled, `ffill_micros` carrying the last observed hour's sum
+    * forward (null until a series' first observation). */
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("t0"),
+      date_trunc("hour", max(col("ts"))).as("t1"))
+    val spine = bounds.select(
+      explode(sequence(col("t0"), col("t1"), expr("interval 1 hour")))
+        .as("hour"))
+    val keys = events.select(col("event_type")).distinct()
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("sm"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(keys)
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sm"), lit(0L)).as("sum_micros"),
+        last(col("sm"), ignoreNulls = true).over(w).as("ffill_micros"))
+      .orderBy("hour", "event_type")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+
+  test("resample fills gaps with zeros and carries sums forward") {
+    val events = Seq(
+      (ts(0, 10), "click", 2.0),
+      (ts(0, 40), "click", 3.0),
+      // hours 1 and 2 have no clicks at all
+      (ts(3, 5), "click", 7.0),
+      (ts(1, 0), "view", 10.0))
+      .toDF("ts", "event_type", "value")
+    val r = TimeSeries.resampleHourly(events).collect()
+      .map(x => (x.getTimestamp(0).toString.take(13), x.getString(1),
+        x.getLong(2), x.getLong(3),
+        if (x.isNullAt(4)) null else x.getLong(4)))
+    // full 4-hour × 2-type grid: 8 cells, no hour missing
+    assert(r.length === 8)
+    val click = r.filter(_._2 == "click")
+    assert(click.map(_._3).toSeq === Seq(2L, 0L, 0L, 1L))
+    assert(click.map(_._4).toSeq === Seq(5000000L, 0L, 0L, 7000000L))
+    // forward fill: the empty hours carry hour 0's sum
+    assert(click.map(_._5).toSeq ===
+      Seq(5000000L, 5000000L, 5000000L, 7000000L))
+    // view starts at hour 1 → hour 0 has no observation to carry
+    val view = r.filter(_._2 == "view")
+    assert(view.map(_._5).toSeq === Seq(null, 10000000L, 10000000L,
+      10000000L))
+  }
+
+  test("a series with no gaps is the plain hourly aggregate") {
+    val events = (0 until 3).flatMap(h =>
+      Seq((ts(h), "click", 1.0), (ts(h, 30), "click", 1.0)))
+      .toDF("ts", "event_type", "value")
+    val r = TimeSeries.resampleHourly(events).collect()
+    assert(r.length === 3)
+    assert(r.forall(_.getLong(2) == 2L))
+    assert(r.forall(x => x.getLong(3) == x.getLong(4)))
+  }
+}
