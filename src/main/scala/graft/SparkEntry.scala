@@ -1412,6 +1412,12 @@ object SparkEntry {
     // proves the stream's final state equals this aggregate.
     EventsStream.userProfileBatch(t(s, dir, "events"))
 
+  private def qProfileNumeric(s: SparkSession, dir: String): DataFrame =
+    // One-scan per-column profile (row/null/distinct counts + ranges);
+    // the multi-COUNT(DISTINCT) plans as a single Expand aggregate.
+    graft.operators.Profile.numeric(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   private def qEventsResample(s: SparkSession, dir: String): DataFrame =
     // Fixed-grid resample with explicit gap semantics: every (hour,
     // event_type) cell present, zero-filled counts/sums and a
@@ -1528,6 +1534,7 @@ object SparkEntry {
     "stream_dedup_exact" -> (qStreamDedupExact _),
     "events_sessionize" -> (qSessionize _),
     "events_resample_1h" -> (qEventsResample _),
+    "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
   )
 
@@ -3005,6 +3012,21 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // One UNION ALL branch per profiled column — the naive per-column
+    // formulation the one-scan Expand aggregate must reproduce.
+    "profile_numeric" -> {
+      val branch = (c: String) =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_name")
+    },
     // Fixed hourly grid with explicit gaps: spine × keys left-joined
     // against the real hourly aggregate; zero-fill for count/sum,
     // IGNORE NULLS running last for the forward fill.
