@@ -1200,6 +1200,21 @@ object SparkEntry {
       k = 10, model = Some(pq))
   }
 
+  private def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    // The composed index: IVF restricts the scan to the probed
+    // clusters, PQ codes are the only per-row payload the candidate
+    // scan reads, exact cosine reranks the top-64. Both models
+    // captured so the oracle replays cluster assignment, probing,
+    // encode and ADC with the exact literals this run used.
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, nCentroids = 16)
+    val pq = Similarity.trainPq(e).get
+    ivfpqModels.set((cents, pq))
+    Similarity.ivfPqTopK(e, annQueries(s, dir), k = 10,
+      nCentroids = 16, nProbe = 8,
+      ivfModel = Some(cents), pqModel = Some(pq))
+  }
+
   private def qCosineThresholdJoin(s: SparkSession, dir: String)
       : DataFrame = {
     // The DECLARATIVE similarity join: the user writes the O(n²)
@@ -1522,6 +1537,7 @@ object SparkEntry {
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
     "sim_topk_pq" -> (qSimPq _),
+    "sim_topk_ivfpq" -> (qSimIvfPq _),
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
@@ -1666,35 +1682,96 @@ object SparkEntry {
   private[graft] val pqModel =
     new java.util.concurrent.atomic.AtomicReference[Similarity.PqModel](null)
 
+  /** Centroids + PQ model captured by the last `sim_topk_ivfpq` run. */
+  private[graft] val ivfpqModels = new java.util.concurrent.atomic
+    .AtomicReference[(Seq[Seq[Float]], Similarity.PqModel)](null)
+
+  /** IVF-PQ oracle: the IVF assignment/probe CTEs and the PQ
+    * encode/ADC expressions composed — candidates are (probed cluster)
+    * ∩ (ADC top-64), final ranking exact cosine. */
+  private def ivfPqOracleSql(
+      cents: Seq[Seq[Float]], pq: Similarity.PqModel): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lst = c.map(f => dlit(f.toDouble))
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"($i, $lst)"
+    }.mkString(",\n    ")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+       |              FROM embeddings),
+       |cents AS (SELECT * FROM (VALUES
+       |    $rows) t(cid, ce)),
+       |scores AS (SELECT vec_id, ed, cid,
+       |        coalesce(${cosineSql("ed", "ce")}, -2.0) AS score
+       |      FROM base, cents),
+       |ranked AS (SELECT vec_id, ed, cid, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+       |      FROM scores),
+       |assign AS (SELECT vec_id AS neighbor_id, ed AS ce2,
+       |        cid AS cluster_id
+       |      FROM ranked WHERE rn = 1),
+       |enc AS (SELECT vec_id,
+       |    ${pqCodesExpr(pq)} AS codes
+       |  FROM base),
+       |probes AS (SELECT vec_id AS query_id, ed AS qe, cid AS cluster_id
+       |      FROM ranked WHERE vec_id % 50 = 0 AND rn <= 8),
+       |cand AS (SELECT p.query_id, a.neighbor_id, a.ce2, p.qe,
+       |    ${pqAdcSql(pq, "p.qe", "e.codes")} AS adc
+       |  FROM assign a
+       |  JOIN enc e ON e.vec_id = a.neighbor_id
+       |  JOIN probes p ON a.cluster_id = p.cluster_id
+       |    AND a.neighbor_id <> p.query_id),
+       |pre AS (SELECT query_id, neighbor_id, ce2, qe, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, neighbor_id)
+       |    AS prelim FROM cand),
+       |s AS (SELECT query_id, neighbor_id,
+       |    ${cosineSql("qe", "ce2")} AS cosine
+       |  FROM pre WHERE prelim <= 64),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rank FROM r
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** PQ oracle: codebooks and their half-norms exported as double
     * literals, then the whole pipeline — per-subspace argmax encode,
     * left-nested ADC sum, top-`rerank` prelim rank, exact-cosine
     * rerank, top-k — recomputed in SQL. Every float expression is the
     * same sequence of IEEE ops the Catalyst expressions run, so codes,
     * ADC scores and the final ranking agree bit-for-bit. */
-  private def pqOracleSql(pq: Similarity.PqModel): String = {
-    val m = pq.numSubspaces
-    val sub = pq.subDim
-    def cbLit(mm: Int): String = pq.codebooks(mm)
+  private def pqCbLit(pq: Similarity.PqModel, mm: Int): String =
+    pq.codebooks(mm)
       .map(c => c.map(dlit).mkString("[", ",", "]"))
       .mkString("CAST([", ",\n        ", "] AS DOUBLE[][])")
-    def hnLit(mm: Int): String =
-      pq.halfNorms(mm).map(dlit).mkString("CAST([", ",", "] AS DOUBLE[])")
-    val codeExprs = (0 until m).map { mm =>
-      val a = mm * sub + 1; val b = (mm + 1) * sub
+  private def pqHnLit(pq: Similarity.PqModel, mm: Int): String =
+    pq.halfNorms(mm).map(dlit).mkString("CAST([", ",", "] AS DOUBLE[])")
+
+  /** The per-subspace argmax code list for a DOUBLE[] column `ed`. */
+  private def pqCodesExpr(pq: Similarity.PqModel): String =
+    (0 until pq.numSubspaces).map { mm =>
+      val a = mm * pq.subDim + 1; val b = (mm + 1) * pq.subDim
       val kMax = pq.codebooks(mm).size - 1
       s"""list_sort(list_transform(generate_series(0, $kMax), k ->
-         |      {'negs': -(list_dot_product(ed[$a:$b], (${cbLit(mm)})[k+1])
-         |                 - (${hnLit(mm)})[k+1]), 'k': k}))[1].k""".stripMargin
+         |      {'negs': -(list_dot_product(ed[$a:$b], (${pqCbLit(pq, mm)})[k+1])
+         |                 - (${pqHnLit(pq, mm)})[k+1]), 'k': k}))[1].k""".stripMargin
     }.mkString("[", ",\n    ", "]")
-    val adcTerms = (0 until m).map { mm =>
-      val a = mm * sub + 1; val b = (mm + 1) * sub
-      s"list_dot_product(qe[$a:$b], (${cbLit(mm)})[codes[${mm + 1}] + 1])"
+
+  /** Left-nested ADC sum over a query column `qe` and a code-list
+    * column `codes` — pins the same accumulation order as PqAdc. */
+  private def pqAdcSql(pq: Similarity.PqModel, qe: String,
+      codes: String): String = {
+    val terms = (0 until pq.numSubspaces).map { mm =>
+      val a = mm * pq.subDim + 1; val b = (mm + 1) * pq.subDim
+      s"list_dot_product($qe[$a:$b], " +
+        s"(${pqCbLit(pq, mm)})[$codes[${mm + 1}] + 1])"
     }
-    // left-nested sum pins the same accumulation order as PqAdc
-    val adc = adcTerms.tail.foldLeft(s"(${adcTerms.head})") {
-      (acc, t) => s"($acc + $t)"
-    }
+    terms.tail.foldLeft(s"(${terms.head})")((acc, t) => s"($acc + $t)")
+  }
+
+  private def pqOracleSql(pq: Similarity.PqModel): String = {
+    val codeExprs = pqCodesExpr(pq)
+    val adc = pqAdcSql(pq, "qe", "codes")
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
        |              FROM embeddings),
        |enc AS (SELECT vec_id, ed,
@@ -3053,7 +3130,10 @@ object SparkEntry {
         |  ON h.hour = g.hour AND h.event_type = g.event_type
         |ORDER BY g.hour, g.event_type""".stripMargin,
   ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c)) ++
-    Option(pqModel.get).map(pq => "sim_topk_pq" -> pqOracleSql(pq))
+    Option(pqModel.get).map(pq => "sim_topk_pq" -> pqOracleSql(pq)) ++
+    Option(ivfpqModels.get).map { case (c, pq) =>
+      "sim_topk_ivfpq" -> ivfPqOracleSql(c, pq)
+    }
 
   /** DuckDB re-derivation of the winnowing fingerprint pipeline: the
     * FNV-1a 8-gram rolling hashes themselves (xor-then-multiply per

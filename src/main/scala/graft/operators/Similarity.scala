@@ -274,6 +274,93 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus-side IVF cluster assignment (argmax centroid cosine;
+    * zero-norm vectors floored to -2 so they keep a cluster). */
+  private def withCluster(df: DataFrame,
+      cents: Seq[Seq[Float]]): DataFrame = {
+    val centArr = typedLit(cents)
+    // coalesce: cosine_sim is null for zero-norm vectors — without a
+    // floor they would get a null cluster_id and silently vanish from
+    // the index
+    val scores = transform(centArr,
+      c => coalesce(cosine_sim(col("embedding"), c), lit(-2.0)))
+    df.withColumn("_scores", scores)
+      .withColumn("cluster_id",
+        expr("array_position(_scores, array_max(_scores)) - 1")
+          .cast("int"))
+      .drop("_scores")
+  }
+
+  /** Query-side probe list: each query exploded to its `nProbe`
+    * closest clusters, as (query_id, q_emb, cluster_id). */
+  private def probesFor(queries: DataFrame, cents: Seq[Seq[Float]],
+      nProbe: Int): DataFrame = {
+    val centArr = typedLit(cents)
+    queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .withColumn("_scores",
+        transform(centArr,
+          c => coalesce(cosine_sim(col("q_emb"), c), lit(-2.0))))
+      .withColumn("_ranked",
+        expr(
+          s"""slice(array_sort(
+             |  zip_with(_scores, sequence(0, ${cents.size - 1}),
+             |           (s, i) -> struct(-s AS negs, i AS cid))),
+             |  1, $nProbe)""".stripMargin))
+      .withColumn("cluster_id",
+        explode(expr("transform(_ranked, r -> r.cid)")))
+      .drop("_ranked", "_scores")
+  }
+
+  /** IVF-PQ: the composed index — each inverted list stores PQ codes,
+    * so a probe reads `nProbe/nCentroids` of the corpus AND touches
+    * only compressed codes; exact vectors are read for the top-`rerank`
+    * candidates per query. This is the classic web-scale ANN layout
+    * (cluster column = partition/bucket key, code column = the scan
+    * payload). Candidate set = IVF probe ∩ ADC ranking; final ranking
+    * exact. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 8,
+      rerank: Int = 64,
+      ivfModel: Option[Seq[Seq[Float]]] = None,
+      pqModel: Option[PqModel] = None): DataFrame = {
+    import graft.functions.VectorFunctions.{pq_adc, pq_encode}
+    val cents = ivfModel.getOrElse(trainCentroids(corpus, nCentroids))
+    val pq = pqModel.orElse(trainPq(corpus))
+      .getOrElse(return bruteForceTopK(corpus, queries, k))
+    if (cents.isEmpty) return bruteForceTopK(corpus, queries, k)
+
+    val indexed = withCluster(corpus, cents)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("cluster_id"),
+        pq_encode(col("embedding"), pq.codebooks, pq.halfNorms)
+          .as("codes"))
+    val probes = probesFor(queries, cents, nProbe)
+    // each neighbor lives in exactly one cluster → no duplicate pairs
+    val cand = indexed.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
+        col("q_emb"),
+        pq_adc(col("q_emb"), col("codes"), pq.codebooks).as("adc"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val reranked = cand
+      .withColumn("prelim", row_number().over(wAdc))
+      .filter(col("prelim") <= rerank)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -287,41 +374,13 @@ object Similarity {
       trainCentroids(corpus, nCentroids, refineIters, sampleN))
     if (centroids.isEmpty) return bruteForceTopK(corpus, queries, k)
 
-    def withCluster(df: DataFrame, cents: Seq[Seq[Float]]): DataFrame = {
-      val centArr = typedLit(cents)
-      // coalesce: cosine_sim is null for zero-norm vectors — without a
-      // floor they would get a null cluster_id and silently vanish from
-      // the index
-      val scores = transform(centArr,
-        c => coalesce(cosine_sim(col("embedding"), c), lit(-2.0)))
-      df.withColumn("_scores", scores)
-        .withColumn("cluster_id",
-          expr("array_position(_scores, array_max(_scores)) - 1")
-            .cast("int"))
-        .drop("_scores")
-    }
-
     // --- index: corpus with cluster ids (at scale: persisted, bucketed)
     val indexed = withCluster(corpus, centroids)
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("cluster_id"))
 
     // --- probe: each query → its nProbe closest clusters
-    val centArr = typedLit(centroids)
-    val probes = queries
-      .select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))
-      .withColumn("_scores",
-        transform(centArr,
-          c => coalesce(cosine_sim(col("q_emb"), c), lit(-2.0))))
-      .withColumn("_ranked",
-        expr(
-          s"""slice(array_sort(
-             |  zip_with(_scores, sequence(0, ${centroids.size - 1}),
-             |           (s, i) -> struct(-s AS negs, i AS cid))),
-             |  1, $nProbe)""".stripMargin))
-      .withColumn("cluster_id", explode(expr("transform(_ranked, r -> r.cid)")))
-      .drop("_ranked", "_scores")
+    val probes = probesFor(queries, centroids, nProbe)
 
     val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -144,4 +144,36 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
   }
+
+  test("IVF-PQ with full probes and full rerank equals brute force") {
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val got = Similarity.ivfPqTopK(corpus, q, k = 5,
+        nCentroids = 4, nProbe = 4, rerank = 1000,
+        pqModel = Similarity.trainPq(corpus, numSubspaces = 4,
+          codebookSize = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("IVF-PQ probes restrict the candidate clusters") {
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val r = Similarity.ivfPqTopK(corpus, q, k = 3,
+      nCentroids = 4, nProbe = 1, rerank = 8,
+      pqModel = Similarity.trainPq(corpus, numSubspaces = 4,
+        codebookSize = 8))
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // clustered fixture: with 1 probe the top-1 still matches brute
+    // force (the nearest neighbor shares the query's cluster)
+    val top1 = rows.filter(_.getInt(3) == 1)
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = Similarity.bruteForceTopK(corpus, q, k = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(top1 === want)
+  }
 }
