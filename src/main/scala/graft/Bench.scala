@@ -35,6 +35,7 @@ object Bench {
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "sim_topk_ivf",
+    "sim_topk_pq",
     "text_stats",
     "asof_join",
     "stream_window_agg",

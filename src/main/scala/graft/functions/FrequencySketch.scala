@@ -120,7 +120,12 @@ case class MisraGriesSketch(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.counts.size)
-    buf.counts.forEach { (k, v) => out.writeUTF(k); out.writeLong(v) }
+    // length-prefixed raw UTF-8, not writeUTF: a hostile "token" over
+    // 64 KB would make writeUTF throw and fail the task
+    buf.counts.forEach { (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -130,7 +135,12 @@ case class MisraGriesSketch(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.counts.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

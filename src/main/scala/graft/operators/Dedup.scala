@@ -293,9 +293,13 @@ object Dedup {
     var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
     // decimal sum: overflow-proof fixpoint metric at any corpus size
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")))
+    // (empty input sums to null → normalize to 0 so an empty docs
+    // table converges on the first round instead of NPEing)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("comp").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

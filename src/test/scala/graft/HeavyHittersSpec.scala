@@ -41,6 +41,20 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("empty corpus and oversized tokens survive") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(HeavyHitters.topTokens(empty, k = 5, capacity = 8)
+      .collect().isEmpty)
+    // a single 100 KB "token" must round-trip the sketch's partial
+    // buffer serialization (writeUTF would throw at 64 KB)
+    val big = "x" * 100000
+    val docs = Seq((1L, s"$big $big small"), (2L, s"$big small"))
+      .toDF("doc_id", "text").repartition(3)
+    val r = HeavyHitters.topTokens(docs, k = 2, capacity = 8)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq((big, 3L), ("small", 2L)))
+  }
+
   test("estimates undercount by at most N/(capacity+1)") {
     val capacity = 16
     val df = stream.toDF("tok").repartition(5)
