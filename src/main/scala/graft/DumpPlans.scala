@@ -91,6 +91,20 @@ object DumpPlans {
         |ORDER already feeds lineitem through the selective dims
         |first, which is what survives a 1000-executor fact
         |table.""".stripMargin,
+    "sim_topk_pq" ->
+      """Product-quantization ANN: the corpus side carries only
+        |(neighbor_id, codes, embedding-for-rerank); candidate scoring
+        |is the PqAdc expression over the 8-code array against the
+        |broadcast query set — at scale the rerank embeddings live in a
+        |separate fetch, and the candidate scan reads a table ~64×
+        |narrower than the vectors. Two windows: ADC prelim top-64,
+        |then exact-cosine top-k on survivors only.""".stripMargin,
+    "profile_numeric" ->
+      """All-column dataset profile in ONE scan: the multiple exact
+        |COUNT(DISTINCT)s plan as a single Expand (each input row fans
+        |out once per distinct-aggregate) feeding one two-phase
+        |aggregate — not one scan per column. The explode to long
+        |format touches a single 1-row driver-side array.""".stripMargin,
     "bloom_prefilter_join" ->
       """Runtime Bloom pre-filtering: the dim keys (one skinny
         |aggregate job, driver-bounded model like IVF centroids)

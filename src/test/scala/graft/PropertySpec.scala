@@ -123,6 +123,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CosineBucketBest equals the naive per-member best neighbor") {
+    import graft.functions.VectorFunctions.CosineBucketBest
+    import org.apache.spark.sql.types.{FloatType, StructField, StructType}
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NaN
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0 until 25).foreach { i =>
+      val n = 3 + i % 6
+      val members: Seq[(Long, Array[Float])] = (0 until n).map { j =>
+        val id = Gen.choose(0L, 30L)
+          .apply(Gen.Parameters.default, Seed(7L * i + j)).get
+        val v = (0 until 4).map(d => Gen.choose(-1.0f, 1.0f)
+          .apply(Gen.Parameters.default, Seed(100L * i + 10L * j + d))
+          .get).toArray
+        (id, v)
+      }.distinctBy(_._1)
+      val cap = 4
+      val rowType = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val postings = new GenericArrayData(members.map { case (id, v) =>
+        InternalRow(id, new GenericArrayData(v.map(x => x: Any)))
+      }.toArray[Any])
+      val expr = CosineBucketBest(
+        Literal(postings, ArrayType(rowType)), cap)
+      val r = expr.eval(InternalRow.empty).asInstanceOf[ArrayData]
+      val got = (0 until r.numElements()).map { k =>
+        val s = r.getStruct(k, 3)
+        (s.getLong(0), s.getLong(1), s.getDouble(2))
+      }.sortBy(_._1)
+      // naive model: cap = keep the `cap` smallest ids, then per
+      // member argmax cosine with (cosine DESC, id ASC) tie-break
+      val capped = members.sortBy(_._1).take(cap)
+      val want = capped.flatMap { case (id, v) =>
+        val cands = capped.filter(_._1 != id)
+          .map { case (oid, ov) => (oid, cos(v, ov)) }
+          .filterNot(_._2.isNaN)
+        if (cands.isEmpty) None
+        else Some {
+          val best = cands.minBy { case (oid, c) => (-c, oid) }
+          (id, best._1, best._2)
+        }
+      }.sortBy(_._1)
+      assert(got === want, s"case $i members=${members.map(_._1)}")
+    }
+  }
+
   test("WinnowedFingerprints equals the naive per-window leftmost-min") {
     import graft.functions.VectorFunctions.WinnowedFingerprints
     (0 until 40).foreach { i =>
