@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.VectorFunctions
-import graft.functions.VectorFunctions.CosineSimilarity
+import graft.functions.VectorFunctions.{CosineSimilarity, JaccardSim}
 import graft.plans.AsOfJoin.{AsOfJoinPlan, AsOfStrategy}
 
 /** The library's cluster-wide integration point: set
@@ -45,6 +45,100 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     ext.injectOptimizerRule(_ => PruneColumnsThroughAsOfJoin)
     ext.injectOptimizerRule(sp => RewriteCosineThresholdJoin(sp))
+    ext.injectOptimizerRule(sp => RewriteJaccardThresholdJoin(sp))
+  }
+}
+
+/** OPT-IN rewrite of a declarative text-similarity join into its
+  * prefix-filtered physical shape: an inner join whose condition
+  * contains `text_jaccard(a, b, n) >= t` (a from the left, b from the
+  * right) becomes a hash equi-join on AllPairs prefix grams — each
+  * side normalizes, hashes and sorts its n-gram set at scan time,
+  * keeps only the `|d| − ⌈t·|d|⌉ + 1` smallest grams (the prefix
+  * bound), and explodes those; only rows sharing a prefix gram are
+  * ever paired, with the original condition left as the residual
+  * filter. A pair sharing several prefix grams is emitted exactly
+  * once, at the SMALLEST shared gram (the canonical-gram conjunct).
+  *
+  * Unlike the LSH cosine rewrite this is a STRICT equivalence: by the
+  * prefix-filtering theorem (Bayardo et al., WWW'07 — any pair with
+  * Jaccard ≥ t shares a gram within both prefixes under ANY consistent
+  * global gram order; plain gram-value order is used here), the
+  * rewritten join returns exactly the rows of the nested-loop
+  * original. Opt-in (`spark.graft.jaccardRewrite.enabled=true`)
+  * because replanning a user's predicate should still be a visible
+  * choice, not magic. */
+case class RewriteJaccardThresholdJoin(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf
+        .get("spark.graft.jaccardRewrite.enabled", "false").toBoolean) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !cond.references.exists(_.name.startsWith("__graft_")) =>
+        jaccardParts(cond, left, right)
+          .map { case (a, b, n, t) => rewrite(j, a, b, n, t) }
+          .getOrElse(j)
+    }
+  }
+
+  /** (leftText, rightText, n, threshold) of the first conjunct shaped
+    * `text_jaccard(x, y, n) >= t` / `> t` splitting cleanly across the
+    * join inputs. */
+  private def jaccardParts(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Int, Double)] = {
+    def sides(js: JaccardSim, t: Double)
+        : Option[(Expression, Expression, Int, Double)] =
+      if (js.left.references.subsetOf(left.outputSet) &&
+          js.right.references.subsetOf(right.outputSet))
+        Some((js.left, js.right, js.n, t))
+      else if (js.right.references.subsetOf(left.outputSet) &&
+          js.left.references.subsetOf(right.outputSet))
+        Some((js.right, js.left, js.n, t))
+      else None
+    splitConjunctivePredicates(cond).iterator.flatMap {
+      case GreaterThanOrEqual(js: JaccardSim, Literal(t, DoubleType)) =>
+        sides(js, t.asInstanceOf[Double])
+      case GreaterThan(js: JaccardSim, Literal(t, DoubleType)) =>
+        sides(js, t.asInstanceOf[Double])
+      case _ => None
+    }.nextOption()
+  }
+
+  private def rewrite(j: Join, aText: Expression, bText: Expression,
+      n: Int, t: Double): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.bridge
+    // prefix selection against the EMPTY df model: all grams rank
+    // df=1, ties by gram value — a consistent global order, which is
+    // all the exact-recall proof needs (a trained stop-gram model only
+    // shrinks candidate volume, never correctness)
+    def withPrefix(plan: LogicalPlan, textE: Expression, side: String) =
+      bridge.ofRows(spark, plan)
+        .withColumn(s"__graft_pg_$side", bridge.toColumn(
+          VectorFunctions.PrefixGrams(
+            VectorFunctions.CharNgramHashes(
+              VectorFunctions.NormalizeText(textE), n,
+              distinctSorted = true),
+            Map.empty, t)))
+        .withColumn(s"__graft_g_$side",
+          explode(col(s"__graft_pg_$side")))
+    val lb = withPrefix(j.left, aText, "l")
+    val rb = withPrefix(j.right, bText, "r")
+    // canonical gram: emit a pair only at the smallest shared prefix
+    // gram (prefix arrays are sorted ascending, so the min of the
+    // intersection is well-defined and cheap on prefix-sized arrays)
+    val canonical = col("__graft_g_l") ===
+      array_min(array_intersect(col("__graft_pg_l"), col("__graft_pg_r")))
+    val joined = lb.join(rb,
+        col("__graft_g_l") === col("__graft_g_r") &&
+          canonical &&
+          bridge.toColumn(j.condition.get),
+        "inner")
+      .select((j.left.output ++ j.right.output)
+        .map(a => bridge.toColumn(a)): _*)
+    bridge.planOf(joined)
   }
 }
 

@@ -1242,6 +1242,30 @@ object SparkEntry {
     finally s.conf.set("spark.graft.cosineRewrite.enabled", "false")
   }
 
+  private def qJoinJaccardThreshold(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The declarative TEXT similarity join: the user writes the O(n²)
+    // text_jaccard predicate; the opt-in RewriteJaccardThresholdJoin
+    // rule replans it as the AllPairs prefix-filtered equi-join with
+    // exactly-once canonical-gram emission — a STRICT equivalence
+    // (exact recall), unlike the LSH cosine rewrite. Same flag-scoping
+    // discipline as qCosineThresholdJoin: execute eagerly while the
+    // flag is on.
+    import graft.functions.VectorFunctions.text_jaccard
+    val d = t(s, dir, "documents")
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val df = a.join(b,
+        text_jaccard(col("text_a"), col("text_b"), 8) >= 0.7 &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        text_jaccard(col("text_a"), col("text_b"), 8).as("jaccard"))
+      .orderBy("id_a", "id_b")
+    s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+    try df.localCheckpoint(true)
+    finally s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
+  }
+
   private def qStreamMinhashPairs(s: SparkSession, dir: String)
       : DataFrame = {
     // A REAL streaming run through the driver gate: the documents table
@@ -1539,6 +1563,7 @@ object SparkEntry {
     "sim_topk_pq" -> (qSimPq _),
     "sim_topk_ivfpq" -> (qSimIvfPq _),
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
+    "join_jaccard_threshold" -> (qJoinJaccardThreshold _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
     "multimodal_png" -> (qMultimodalPng _),
@@ -2798,31 +2823,12 @@ object SparkEntry {
         |    '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
         |SELECT tok, count(*) AS n FROM t
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH nt AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
-        |    AS t FROM documents),
-        |gr AS (
-        |  SELECT DISTINCT doc_id, g FROM (
-        |    SELECT doc_id, unnest(CASE WHEN length(t) >= 8
-        |      THEN list_transform(generate_series(1, length(t) - 7),
-        |                          i -> substr(t, i, 8))
-        |      ELSE [t] END) AS g
-        |    FROM nt) u),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (
-        |  SELECT id_a, id_b,
-        |    CAST(n_common AS DOUBLE)
-        |      / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
-        |  FROM common
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b)
-        |SELECT id_a, id_b, jaccard FROM j
-        |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramPairsOracle,
+    // The declarative text_jaccard(a,b,8) >= 0.7 join — replanned by
+    // RewriteJaccardThresholdJoin into the prefix-filtered equi-join —
+    // must return EXACTLY the pipeline's pair set (the rewrite is a
+    // strict equivalence, so they share one oracle).
+    "join_jaccard_threshold" -> ngramPairsOracle,
     "dedup_ngram_decisions" ->
       """WITH nt AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
@@ -3185,6 +3191,36 @@ object SparkEntry {
        |FROM fps f JOIN gr g ON g.doc_id = f.doc_id AND g.p = f.p
        |ORDER BY f.doc_id, pos""".stripMargin
   }
+
+  /** Exact 8-gram-Jaccard pair set (threshold 0.7) re-derived from the
+    * raw strings — shared by the ngram dedup pipeline and the
+    * declarative `text_jaccard` threshold join (the prefix-filter
+    * rewrite is exact, so both must produce this set verbatim). */
+  private def ngramPairsOracle: String =
+    """WITH nt AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+      |    AS t FROM documents),
+      |gr AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(CASE WHEN length(t) >= 8
+      |      THEN list_transform(generate_series(1, length(t) - 7),
+      |                          i -> substr(t, i, 8))
+      |      ELSE [t] END) AS g
+      |    FROM nt) u),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM gr a JOIN gr b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_common AS DOUBLE)
+      |      / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+      |  FROM common
+      |  JOIN sizes na ON na.doc_id = id_a
+      |  JOIN sizes nb ON nb.doc_id = id_b)
+      |SELECT id_a, id_b, jaccard FROM j
+      |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin
 
   /** Exact shingle-Jaccard pair set (threshold 0.8) re-derived from the
     * raw strings — the oracle for BOTH the batch minhash-LSH pair op

@@ -270,6 +270,43 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Shared n-gram hashing core (FNV-1a over each n-char window; a
+    * short string yields one hash of the whole string; empty → null),
+    * optionally fused sort+dedup — exactly
+    * `array_sort(array_distinct(...))` without the per-row boxed hash
+    * set and boxed comparator the builtins pay. One implementation
+    * shared by [[CharNgramHashes]] and [[JaccardSim]] so the
+    * declarative predicate and the pipeline operator cannot drift. */
+  private[graft] def charNgramHashesOf(
+      s: String, n: Int, distinctSorted: Boolean): Array[Long] = {
+    val len = s.length
+    if (len == 0) return null
+    val m = if (len >= n) len - n + 1 else 1
+    val width = if (len >= n) n else len
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < width) {
+        h ^= s.charAt(i + j).toLong
+        h *= 0x100000001b3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    if (!distinctSorted) return out
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == m) out else java.util.Arrays.copyOf(out, w)
+  }
+
   /** All character n-grams of a string, each as a 64-bit hash, one pass
     * (no substring allocation — rolling window over the char array).
     * Multiset; Jaccard callers `.distinct()` after explode. Strings
@@ -282,39 +319,10 @@ object VectorFunctions {
     override def nullable: Boolean = true
 
     override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val len = s.length
-      if (len == 0) return null
-      val m = if (len >= n) len - n + 1 else 1
-      val width = if (len >= n) n else len
-      val out = new Array[Long](m)
-      var i = 0
-      while (i < m) {
-        // FNV-1a over the window's chars — cheap rolling-style hash
-        var h = 0xcbf29ce484222325L
-        var j = 0
-        while (j < width) {
-          h ^= s.charAt(i + j).toLong
-          h *= 0x100000001b3L
-          j += 1
-        }
-        out(i) = h
-        i += 1
-      }
-      if (!distinctSorted)
-        return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-      // fused sort+dedup on the primitive array: exactly
-      // array_sort(array_distinct(...)) without the per-row boxed hash
-      // set and boxed comparator the builtins pay
-      java.util.Arrays.sort(out)
-      var w = 0
-      i = 0
-      while (i < m) {
-        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-        i += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-        if (w == m) out else java.util.Arrays.copyOf(out, w))
+      val out = VectorFunctions.charNgramHashesOf(
+        input.asInstanceOf[UTF8String].toString, n, distinctSorted)
+      if (out == null) null
+      else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
@@ -1137,26 +1145,32 @@ object VectorFunctions {
     * `trim(regexp_replace(lower(x), '\s+', ' '))` but without two regex
     * engine passes — the normalize step sits under every fingerprint/
     * dedup scan, so it is hot at corpus scale. */
+  /** Canonicalization core shared by [[NormalizeText]] and
+    * [[JaccardSim]]: lowercase + collapse whitespace runs + trim. */
+  private[graft] def normalizeStringOf(input: UTF8String): String = {
+    val s = input.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length() > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   case class NormalizeText(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
 
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toLowerCase.toString
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = 0
-      var pendingSpace = false
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (Character.isWhitespace(c)) {
-          if (sb.length() > 0) pendingSpace = true
-        } else {
-          if (pendingSpace) { sb.append(' '); pendingSpace = false }
-          sb.append(c)
-        }
-        i += 1
-      }
-      UTF8String.fromString(sb.toString)
-    }
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        VectorFunctions.normalizeStringOf(input.asInstanceOf[UTF8String]))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
         : ExprCode = {
@@ -1170,6 +1184,57 @@ object VectorFunctions {
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
+  }
+
+  /** Character-n-gram set Jaccard of two RAW text columns in one
+    * expression: normalize (lowercase, collapse whitespace), hash each
+    * n-char window (FNV-1a), sort+dedup, merge-intersect — the exact
+    * value the [[graft.operators.Dedup.ngramJaccard]] pipeline assigns
+    * a pair, computable as a plain predicate. This is the declarative
+    * entry point: `text_jaccard(a.text, b.text, 8) >= t` in a join
+    * condition is an O(n²) nested-loop predicate as written, and the
+    * opt-in `RewriteJaccardThresholdJoin` optimizer rule replans it as
+    * the prefix-filtered equi-join (EXACT recall — unlike the LSH
+    * cosine rewrite this is a strict equivalence). Null/empty text →
+    * null (no gram set to compare). */
+  case class JaccardSim(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    require(n >= 1)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = charNgramHashesOf(
+        normalizeStringOf(a.asInstanceOf[UTF8String]), n,
+        distinctSorted = true)
+      val sb = charNgramHashesOf(
+        normalizeStringOf(b.asInstanceOf[UTF8String]), n,
+        distinctSorted = true)
+      if (sa == null || sb == null) null
+      else {
+        val c = mergeIntersectCount(sa, sb)
+        java.lang.Double.valueOf(
+          c.toDouble / (sa.length + sb.length - c).toDouble)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("jaccardSim", this,
+        classOf[JaccardSim].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |Object $r = $expr.nullSafeEval($a, $b);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = ((Double) $r).doubleValue(); }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
   }
 
   // --- Column-level API -------------------------------------------------
@@ -1219,6 +1284,8 @@ object VectorFunctions {
     toColumn(BroadcastJaccard(toExpression(a), toExpression(b), sets))
   def char_ngram_set(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n, distinctSorted = true))
+  def text_jaccard(a: Column, b: Column, n: Int): Column =
+    toColumn(JaccardSim(toExpression(a), toExpression(b), n))
 
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
@@ -1243,7 +1310,9 @@ object VectorFunctions {
       "normalize_text" -> (es => NormalizeText(es.head)),
       "text_stats" -> (es => TextStats(es.head)),
       "minhash_sig" ->
-        (es => MinHashSignature(es(0), litInt(es(1), "k"))))
+        (es => MinHashSignature(es(0), litInt(es(1), "k"))),
+      "text_jaccard" ->
+        (es => JaccardSim(es(0), es(1), litInt(es(2), "n"))))
 
   /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`)
     * on an already-running session — the session-local equivalent of

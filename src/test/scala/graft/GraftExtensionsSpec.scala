@@ -157,6 +157,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard-threshold join rewrites to a prefix equi-join, exactly") {
+    withExtSession { s =>
+      import s.implicits._
+      val base = "the quick brown fox jumps over the lazy dog near " +
+        "the old red barn while birds sing in the tall trees"
+      val docs = Seq(
+        (1L, base),
+        (2L, base.replace("lazy", "sleepy")),
+        (3L, base.toUpperCase), // normalization → exact dup of 1
+        (4L, "completely different text about catalyst optimizer " +
+          "rules and distributed shuffle execution with partitions"))
+        .toDF("id", "text")
+      val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
+      import graft.functions.VectorFunctions.text_jaccard
+      def q = a.join(b,
+          text_jaccard(col("text_a"), col("text_b"), 8) >= 0.5 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
+      val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+      val rewritten = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"expected a prefix-gram equi join:\n$plan")
+      // STRICT equivalence (prefix-filtering theorem): same pairs, and
+      // each emitted exactly once via the canonical-gram conjunct
+      assert(rewritten === exact)
+      assert(exact === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      s.conf.unset("spark.graft.jaccardRewrite.enabled")
+    }
+  }
+
   test("left-side filter is pushed below the as-of join node") {
     withExtSession { s =>
       // parquet-backed inputs: a pushed filter stays visible as a Filter
