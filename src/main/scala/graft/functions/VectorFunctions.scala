@@ -1312,7 +1312,13 @@ object VectorFunctions {
       "minhash_sig" ->
         (es => MinHashSignature(es(0), litInt(es(1), "k"))),
       "text_jaccard" ->
-        (es => JaccardSim(es(0), es(1), litInt(es(2), "n"))))
+        (es => JaccardSim(es(0), es(1), litInt(es(2), "n"))),
+      // aggregates: the analyzer wraps a bare AggregateFunction into
+      // an AggregateExpression, so the same builder registry works
+      "bounded_min_collect" ->
+        (es => BoundedMinCollect(es(0), litInt(es(1), "max"))),
+      "misra_gries" ->
+        (es => MisraGriesSketch(es(0), litInt(es(1), "capacity"))))
 
   /** Expose the custom expressions to SQL (`SELECT cosine_sim(a, b)…`)
     * on an already-running session — the session-local equivalent of

@@ -52,6 +52,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("injected SQL aggregates: bounded_min_collect and misra_gries") {
+    withExtSession { s =>
+      import s.implicits._
+      Seq(5L, 3L, 9L, 1L, 7L).toDF("k").createOrReplaceTempView("ks")
+      val kept = s.sql("SELECT bounded_min_collect(k, 3) FROM ks")
+        .head().getSeq[Long](0)
+      assert(kept === Seq(1L, 3L, 5L))
+      Seq("a", "b", "a", "c", "a", "b").toDF("t")
+        .createOrReplaceTempView("ts")
+      val mg = s.sql(
+        "SELECT misra_gries(t, 2) FROM ts").head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      // capacity 2 on a 3-item stream: the majority item survives with
+      // a positive estimate
+      assert(mg.nonEmpty && mg.head.getString(0) === "a")
+      assert(s.sql("SELECT text_jaccard('same text', 'same  TEXT', 4)")
+        .head().getDouble(0) === 1.0)
+    }
+  }
+
   test("as-of join plans through the injected strategy alone") {
     withExtSession { s =>
       import s.implicits._
