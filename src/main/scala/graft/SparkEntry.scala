@@ -1144,6 +1144,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qDedupMinhashIncrement(s: SparkSession, dir: String)
+      : DataFrame =
+    // Epoch merge: docs with doc_id % 5 = 0 are "today's increment";
+    // emitted pairs must be exactly the threshold-Jaccard pairs
+    // touching the increment (old×old pairs belong to the previous
+    // epoch's run and are not re-verified).
+    Dedup.minhashLshIncrement(
+      t(s, dir, "documents"), col("doc_id") % 5 === 0)
+
   private def qDedupCcDecisions(s: SparkSession, dir: String)
       : DataFrame = {
     // Transitive closure over the minhash near-dup pair graph: chains
@@ -1551,6 +1560,7 @@ object SparkEntry {
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
+    "dedup_minhash_increment" -> (qDedupMinhashIncrement _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgram _),
     "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
@@ -2742,6 +2752,11 @@ object SparkEntry {
          |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
     },
     "dedup_minhash_lsh" -> minhashPairsOracle,
+    // Epoch merge: the same exact pair set restricted to pairs with at
+    // least one increment member.
+    "dedup_minhash_increment" ->
+      (minhashPairsOracle.replace("WHERE jaccard >= 0.8",
+        "WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)")),
     // The incremental (streaming) twin must converge to the same pair
     // set as the batch operator — the oracle IS the batch pair SQL.
     "stream_minhash_pairs" -> minhashPairsOracle,

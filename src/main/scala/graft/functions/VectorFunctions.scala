@@ -673,6 +673,76 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** [[CappedPairs]] variant for INCREMENTAL dedup: postings carry an
+    * is_new flag (array<struct<doc_id:long, is_new:boolean>>) and only
+    * pairs touching at least one NEW member are emitted — the old×old
+    * pairs were produced when the old epoch was deduplicated, so an
+    * epoch merge must not re-emit (or re-verify) them. Same sort-by-id
+    * bucket cap as every other generator. */
+  case class FlaggedCappedPairs(child: Expression, maxBucket: Int)
+      extends UnaryExpression {
+    require(maxBucket >= 2)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n0 = arr.numElements()
+      if (n0 < 2)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      val ids = new Array[Long](n0)
+      val isNew = new Array[Boolean](n0)
+      val order = new Array[Integer](n0)
+      var i = 0
+      while (i < n0) {
+        val r = arr.getStruct(i, 2)
+        ids(i) = r.getLong(0); isNew(i) = r.getBoolean(1)
+        order(i) = Integer.valueOf(i)
+        i += 1
+      }
+      java.util.Arrays.sort(order,
+        java.util.Comparator.comparingLong((x: Integer) => ids(x)))
+      val m = math.min(n0, maxBucket)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      i = 0
+      while (i < m) {
+        val oi = order(i)
+        var j = i + 1
+        while (j < m) {
+          val oj = order(j)
+          if (isNew(oi) || isNew(oj))
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              ids(oi), ids(oj))
+          j += 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("flaggedPairs", this,
+        classOf[FlaggedCappedPairs].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object $r = $expr.nullSafeEval($v);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** SimHash bucket pairs with the Hamming verification fused in:
     * input is the bucket's array<struct<doc_id:long, sig:long>>; output
     * every (id_a < id_b, hamming = popcount(sig_a ^ sig_b) ≤ maxHamming)
@@ -1267,6 +1337,8 @@ object VectorFunctions {
     toColumn(WinnowedFingerprints(toExpression(hashes), w))
   def capped_pairs(ids: Column, maxBucket: Int): Column =
     toColumn(CappedPairs(toExpression(ids), maxBucket))
+  def flagged_capped_pairs(postings: Column, maxBucket: Int): Column =
+    toColumn(FlaggedCappedPairs(toExpression(postings), maxBucket))
   def hamming_pairs(postings: Column, maxBucket: Int,
       maxHamming: Int): Column =
     toColumn(HammingPairs(toExpression(postings), maxBucket, maxHamming))

@@ -213,6 +213,58 @@ object Dedup {
     pairs
   }
 
+  /** INCREMENTAL MinHash-LSH epoch merge: near-dup pairs between a NEW
+    * document increment and the full corpus (old ∪ new), WITHOUT
+    * re-emitting or re-verifying old×old pairs — the previous epoch's
+    * dedup already produced those. This is the batch form of the real
+    * ingest loop (the streaming twin keeps the index as keyed state;
+    * this one re-reads it): at 100 TB the old side's signatures are
+    * the persisted dedup index (written bucketed by band key), the new
+    * increment is a day's crawl, and the work is proportional to
+    * buckets the increment actually touches — a bucket of only old
+    * members generates nothing.
+    *
+    * `isNew` marks increment rows (any deterministic predicate of the
+    * row). Emitted pairs: exactly the threshold-Jaccard pairs with at
+    * least one new member, same banding/cap/verification as
+    * [[minhashLsh]]. */
+  def minhashLshIncrement(
+      docs: DataFrame,
+      isNew: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = docs.select(col("doc_id"), isNew.as("is_new"),
+      shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs
+      .select(col("doc_id"), col("is_new"),
+        explode(array(minhashBandKeys(col("mh"), bands, rows): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("is_new"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val candidates = buckets
+      .groupBy("band", "bkey")
+      .agg(bounded_min_collect(
+        struct(col("doc_id"), col("is_new")), maxBucket).as("ps"))
+      .select(explode(flagged_capped_pairs(col("ps"), maxBucket)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val sets = sigs.select(col("doc_id"),
+      array_sort(array_distinct(col("sh"))).as("gs"))
+    val setsSmall = docs.queryExecution.optimizedPlan.stats.sizeInBytes *
+      8 < (256L << 20)
+    val pairs = verifiedJaccardPairs(sets, candidates, threshold, setsSmall)
+    sigs.unpersist(false)
+    pairs
+  }
+
   /** Exact Jaccard for given (id_a, id_b) candidate pairs via shingle
     * inverted join — cost proportional to candidates, not corpus².
     * Set semantics via distributed `.distinct()` on the exploded hashes

@@ -70,6 +70,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!r.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("incremental epoch merge emits exactly the increment's pairs") {
+    // treat doc 5 as "today's increment": the merge must find 5's
+    // pairs against the old corpus and emit NO old×old pair
+    val full = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashLshIncrement(docs, col("doc_id") === 5L,
+        threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter { case (a, b) => a == 5L || b == 5L })
+    assert(inc.nonEmpty)
+    // an increment of nothing emits nothing
+    assert(Dedup.minhashLshIncrement(docs, lit(false), threshold = 0.5)
+      .count() === 0L)
+  }
+
   test("connected components collapse chains to the component minimum") {
     val chainDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // path 1-2-3-4 plus isolated 5, 6: one-round star contraction maps
