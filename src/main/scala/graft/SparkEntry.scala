@@ -1466,6 +1466,22 @@ object SparkEntry {
     graft.operators.Profile.numeric(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  private def qEventsSessionWindow(s: SparkSession, dir: String)
+      : DataFrame =
+    // Spark's BUILTIN gap sessionization (session_window merges
+    // overlapping [ts, ts+gap) windows — streaming-capable as-is). The
+    // oracle re-derives the same sessions with the lag/cumsum
+    // formulation, so this pins builtin ≡ hand-rolled ≡ DuckDB:
+    // window.start = first event, window.end = last event + gap.
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end_gap"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   private def qEventsResample(s: SparkSession, dir: String): DataFrame =
     // Fixed-grid resample with explicit gap semantics: every (hour,
     // event_type) cell present, zero-filled counts/sums and a
@@ -1585,6 +1601,7 @@ object SparkEntry {
     "stream_dedup_exact" -> (qStreamDedupExact _),
     "events_sessionize" -> (qSessionize _),
     "events_resample_1h" -> (qEventsResample _),
+    "events_session_window" -> (qEventsSessionWindow _),
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
   )
@@ -3125,6 +3142,32 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // The builtin session_window must produce the SAME sessions as the
+    // lag/cumsum derivation: start = first event, end = last + gap.
+    // boundary: session_window is HALF-OPEN [start, last+gap) — an
+    // event exactly gap after its predecessor starts a NEW session, so
+    // the re-derivation splits on >= gap (the custom events_sessionize
+    // operator uses > gap; both are valid gap conventions, pinned
+    // explicitly per query)
+    "events_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_idx
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+        |  count(*) AS n_events
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     // Fixed hourly grid with explicit gaps: spine × keys left-joined
     // against the real hourly aggregate; zero-fill for count/sum,
     // IGNORE NULLS running last for the forward fill.

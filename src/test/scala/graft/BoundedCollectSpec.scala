@@ -67,6 +67,22 @@ class BoundedCollectSpec extends AnyFunSuite {
     assert(bounded.nonEmpty)
   }
 
+  test("degenerate hot bucket: 500k colliding rows, O(cap) buffers") {
+    // the scenario the bounded collect exists for — every row lands in
+    // ONE group; collect_list would materialize all 500k in a single
+    // aggregation buffer before any downstream cap could truncate
+    val hot = spark.range(500000)
+      .selectExpr("0 AS g", "id * 7919 % 1000003 AS k")
+    val got = hot.groupBy("g")
+      .agg(bounded_min_collect(col("k"), 50).as("ks"))
+      .collect()(0).getSeq[Long](1)
+    // 7919 is invertible mod the prime 1000003, so keys are unique and
+    // the retained set is exactly the 50 smallest
+    val want = (0L until 500000L).map(_ * 7919 % 1000003)
+      .sorted.take(50)
+    assert(got === want)
+  }
+
   test("empty groups and null inputs") {
     val ndf = Seq((0, Some(5L)), (0, None), (1, None))
       .toDF("g", "k")
