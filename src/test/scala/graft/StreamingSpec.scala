@@ -174,6 +174,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("builtin session_window streams with a watermark, equal to batch") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.EventsStream
+      .readEventsStream(spark, TestSpark.sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("spec_session_window").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_session_window").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    val events = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+    val batchRows = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .collect()
+    val batch = batchRows
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    // append mode only emits sessions whose END the watermark has
+    // passed: wm = max(ts) − 1h. Sessions ending in the final hour of
+    // event time stay in state forever, so stream is a SUBSET of batch;
+    // every session strictly older than the watermark must have flushed.
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 3600_000L)
+    val closed = batchRows
+      .filter(_.getTimestamp(2).before(cutoff))
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    assert(streamed.subsetOf(batch))
+    assert(closed.subsetOf(streamed))
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming exact dedup state carries representatives across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
