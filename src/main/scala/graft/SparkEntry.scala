@@ -983,6 +983,42 @@ object SparkEntry {
         |      < pq.sum_qc""".stripMargin)
   }
 
+  private def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q21 shape (schema-adapted: the testdata has no commit/
+    // receipt dates, so "kept waiting" = shipped more than 75 days
+    // after the order date, as Q4 adapted with 30): suppliers in one
+    // nation who were the ONLY late supplier on a finished
+    // multi-supplier order. The EXISTS plans as a left-semi join and
+    // the NOT EXISTS as a left-anti join, both on l_orderkey with a
+    // non-equi suppkey conjunct; lateness is computed ONCE in the CTE
+    // so neither subquery re-correlates on the outer order date.
+    Tables.register(s, dir)
+    s.sql(
+      """WITH ll AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAYS
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN ll l1 ON s.s_suppkey = l1.l_suppkey AND l1.late = 1
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |  AND EXISTS (
+        |    SELECT 1 FROM ll l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ll l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late = 1)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   private def qTextFingerprints(s: SparkSession, dir: String): DataFrame = {
     // Winnowing document fingerprints (rolling-hash k-grams + window
     // minima — the MOSS local fingerprint). Scan-stage only: both the
@@ -1560,6 +1596,7 @@ object SparkEntry {
     "q8_market_share" -> (qMarketShare _),
     "q15_top_supplier" -> (qTopSupplier _),
     "q17_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "q21_waiting_suppliers" -> (qWaitingSuppliers _),
     "text_fingerprints" -> (qTextFingerprints _),
     "unpivot_metrics" -> (qUnpivotMetrics _),
     "regex_funcs" -> (qRegexFuncs _),
@@ -2504,6 +2541,30 @@ object SparkEntry {
         |WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
         |  AND CAST(round(l.l_quantity * 100) AS BIGINT) * pq.n * 5
         |      < pq.sum_qc""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH ll AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s
+        |JOIN ll l1 ON s.s_suppkey = l1.l_suppkey AND l1.late = 1
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_3'
+        |  AND EXISTS (
+        |    SELECT 1 FROM ll l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ll l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late = 1)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 100""".stripMargin,
     "text_fingerprints" -> winnowingOracleSql,
     "unpivot_metrics" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -104,6 +104,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q21 waiting suppliers equals an independent window derivation") {
+    init()
+    val got = SparkEntry.queries("q21_waiting_suppliers")(
+      spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // independent formulation: per finished order count distinct
+    // suppliers and distinct LATE suppliers with one window pass; a
+    // line qualifies iff it is late, the order is multi-supplier, and
+    // its supplier is the order's only late one.
+    val ll = spark.sql(
+      """SELECT l.l_orderkey, l.l_suppkey,
+        |  CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAYS
+        |       THEN 1 ELSE 0 END AS late
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F'""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+    val want = ll
+      .withColumn("n_supp",
+        size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late") === 1, col("l_suppkey")))
+          .over(w)))
+      .filter(col("late") === 1 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .join(spark.table("supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(spark.table("nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("executed statistics carry real per-node row counts") {
     val eng = new Engine(spark, TestSpark.sfDir)
     val r = eng.query(
