@@ -698,6 +698,34 @@ object SparkEntry {
     joined
   }
 
+  private def qLayoutZorder(s: SparkSession, dir: String): DataFrame = {
+    // Z-order layout as a declared query: the Morton z-value of
+    // (l_partkey, l_suppkey) over data-derived bounds (one tiny agg,
+    // broadcast) — a pure codegen'd column expression the oracle
+    // re-derives bit by bit in DuckDB. The physical claim — files
+    // written in z-range order prune on BOTH dimensions' min/max
+    // stats, strictly better than a single-column sort on the
+    // dimension it ignores — is asserted in LayoutSpec's skipping
+    // demo over real written files.
+    import graft.sources.ZOrder
+    val li = t(s, dir, "lineitem")
+    val bounds = broadcast(li.agg(
+      min("l_partkey").as("alo"), max("l_partkey").as("ahi"),
+      min("l_suppkey").as("blo"), max("l_suppkey").as("bhi")))
+    val withCells = li.crossJoin(bounds).select(
+      col("l_orderkey"), col("l_linenumber"),
+      ZOrder.zCell(col("l_partkey"), col("alo"), col("ahi"), 8)
+        .as("cell_p"),
+      ZOrder.zCell(col("l_suppkey"), col("blo"), col("bhi"), 8)
+        .as("cell_s"))
+    withCells.select(
+      col("l_orderkey"), col("l_linenumber"), col("cell_p"),
+      col("cell_s"),
+      ZOrder.interleaveBits(col("cell_p"), col("cell_s"), 8).as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(1000)
+  }
+
   private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
     // TPC-H Q6 shape: pure scan + tight conjunctive filter + one global
     // sum — the pushdown showcase (every predicate reaches the parquet
@@ -1443,6 +1471,12 @@ object SparkEntry {
   private val splitFractions =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
+  // ListMap: sampleStratified folds the map in iteration order and a
+  // LATER entry wins on (impossible here) stratum overlap — pin the
+  // order so the Spark plan and the oracle CASE agree structurally.
+  private val stratifiedFractions = scala.collection.immutable.ListMap(
+    "en" -> 0.25, "zh" -> 0.8, "es" -> 1.0, "de" -> 0.5)
+
   private def qSampleSplits(s: SparkSession, dir: String): DataFrame =
     // Reproducible train/val/test assignment: pure function of the row
     // key (xxhash64 bucket), so membership survives reruns, reshuffles
@@ -1452,6 +1486,20 @@ object SparkEntry {
     graft.operators.Sampling.splitByHash(
       t(s, dir, "documents"), col("doc_id"), splitFractions)
       .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    // Per-stratum deterministic downsampling — the rebalancing move of
+    // every training-data pipeline (downsample the dominant language,
+    // keep the rare ones whole). Same pure-function-of-key contract as
+    // sample_splits: a row's keep decision never changes across runs,
+    // layouts, or incremental appends. Strata absent from the map
+    // ('fr') are dropped entirely. Oracle re-derives XXH64(doc_id) in
+    // HUGEINT SQL and applies the same bucket thresholds.
+    graft.operators.Sampling.sampleStratified(
+      t(s, dir, "documents"), col("doc_id"), col("lang"),
+      stratifiedFractions)
+      .select("doc_id", "lang")
       .orderBy("doc_id")
 
   private def qStreamFunnel(s: SparkSession, dir: String): DataFrame =
@@ -1602,6 +1650,7 @@ object SparkEntry {
     "regex_funcs" -> (qRegexFuncs _),
     "grouping_id" -> (qGroupingId _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
+    "layout_zorder" -> (qLayoutZorder _),
     "bloom_prefilter_join" -> (qBloomPrefilterJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
     "join_skew_salted" -> (qJoinSkewSalted _),
@@ -1632,6 +1681,7 @@ object SparkEntry {
     "multimodal_png" -> (qMultimodalPng _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
+    "sample_stratified" -> (qSampleStratified _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
@@ -1997,13 +2047,55 @@ object SparkEntry {
     s"CASE $whens ELSE '${splitFractions.last._1}' END"
   }
 
+  /** CASE arm per stratum with the SAME `(f * 10000).toLong` threshold
+    * the Spark-side Sampling.sampleStratified computes — generated from
+    * the shared map so the two sides cannot drift. */
+  private def stratifiedKeepSql: String = {
+    val arms = stratifiedFractions.map { case (lang, f) =>
+      s"WHEN '$lang' THEN bucket < ${(f * 10000L).toLong}"
+    }.mkString("\n    ")
+    s"CASE lang $arms ELSE FALSE END"
+  }
+
+  /** Bit-interleave of two cell columns in DuckDB SQL — the same
+    * disjoint-bit OR fold ZOrder.interleaveBits builds as Catalyst
+    * expressions, generated for the same `bits`. */
+  private def interleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})",
+        s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " | ", ")")
+
   /** DuckDB oracle for each query (same tables, same column names, same
     * total order). */
   def oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH bnd AS (
+         |  SELECT min(l_partkey) AS alo, max(l_partkey) AS ahi,
+         |         min(l_suppkey) AS blo, max(l_suppkey) AS bhi
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(floor((least(greatest(l_partkey, alo), ahi) - alo)
+         |      * 256.0 / (ahi - alo + 1)) AS BIGINT) AS cell_p,
+         |    CAST(floor((least(greatest(l_suppkey, blo), bhi) - blo)
+         |      * 256.0 / (bhi - blo + 1)) AS BIGINT) AS cell_s
+         |  FROM lineitem CROSS JOIN bnd)
+         |SELECT l_orderkey, l_linenumber, cell_p, cell_s,
+         |  ${interleaveSql("cell_p", "cell_s", 8)} AS zval
+         |FROM c
+         |ORDER BY zval, l_orderkey, l_linenumber
+         |LIMIT 1000""".stripMargin,
     "sample_splits" ->
       s"""WITH ${xxhash64BucketSql("doc_id", "documents")}
          |SELECT k AS doc_id, $splitCaseSql AS split
          |FROM bk ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH ${xxhash64BucketSql("doc_id", "documents")}
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN bk ON bk.k = d.doc_id
+         |WHERE $stratifiedKeepSql
+         |ORDER BY d.doc_id""".stripMargin,
     "scan_leaf" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem WHERE l_quantity > 45

@@ -70,6 +70,76 @@ object Layout {
   }
 }
 
+/** Z-order (Morton-curve) layout: cluster a table on TWO dimensions at
+  * once so min/max file statistics prune on EITHER predicate column.
+  * A single-column sort gives perfect pruning on that column and none
+  * on any other; interleaving the bits of both columns' normalized
+  * cell numbers keeps every file to a small rectangle of the 2-D key
+  * space, so a selective filter on either column overlaps only the
+  * files whose rectangle crosses it (~sqrt(files) instead of all of
+  * them). This is the layout lever behind "OPTIMIZE ZORDER BY" in
+  * lakehouse engines, expressed as plain Spark: the z-value is a pure
+  * codegen'd column expression, the write is repartitionByRange on it.
+  * At 100 TB this is the difference between a two-predicate scan
+  * reading every file and reading a band of them — parquet row-group
+  * stats and file listing both skip on the same min/max math this
+  * module demonstrates per-file.
+  */
+object ZOrder {
+
+  /** Normalized cell number in [0, 2^bits) for `c` over [lo, hi] —
+    * values are clamped, then mapped by exact double arithmetic
+    * (exact for spans below 2^52, i.e. any realistic key domain).
+    * lo/hi are Columns so callers can derive bounds from the data
+    * itself (one tiny agg, broadcast everywhere). */
+  def zCell(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    floor((least(greatest(c, lo), hi) - lo).cast("double") *
+      (1L << bits).toDouble / (hi - lo + lit(1)).cast("double"))
+      .cast("long")
+
+  /** Interleave the low `bits` bits of two cell numbers: bit i of `a`
+    * lands at 2i, bit i of `b` at 2i+1. Disjoint targets, so the OR
+    * fold stays a single whole-stage-codegen expression tree. */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "z-value must fit a long")
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-value of (a, b) over explicit inclusive bounds. */
+  def zValue(a: Column, aLo: Column, aHi: Column,
+      b: Column, bLo: Column, bHi: Column, bits: Int): Column =
+    interleaveBits(zCell(a, aLo, aHi, bits), zCell(b, bLo, bHi, bits), bits)
+
+  /** Write `df` into `nFiles` parquet files, each holding a contiguous
+    * z-range of (cols). Range partitioning samples real quantiles, so
+    * files are balanced even under key skew. */
+  def writeZOrdered(df: DataFrame, path: String, z: Column,
+      nFiles: Int): Unit =
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-file min/max of two columns — the same statistics parquet
+    * footers carry, materialized for the skipping arithmetic. */
+  def fileStats(spark: SparkSession, path: String,
+      a: String, b: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(a).as("a_min"), max(a).as("a_max"),
+        min(b).as("b_min"), max(b).as("b_max"))
+
+  /** How many files a range predicate lo..hi on the column tracked as
+    * (minCol, maxCol) CANNOT skip — the files a real scan would read. */
+  def overlappingFiles(stats: DataFrame, minCol: String, maxCol: String,
+      lo: Long, hi: Long): Long =
+    stats.filter(col(maxCol) >= lo && col(minCol) <= hi).count()
+}
+
 /** Skew mitigation: salted two-phase aggregation. AQE's skew-join
   * handling covers joins; hot *grouping* keys are handled by salting the
   * first phase so one key's rows spread over `saltFactor` reducers, then

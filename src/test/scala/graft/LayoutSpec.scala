@@ -58,6 +58,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
+  test("z-order files prune on BOTH dimensions; linear sort only one") {
+    init()
+    import graft.sources.ZOrder
+    val li = spark.table("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val Array(alo, ahi, blo, bhi) = li.agg(
+      min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val nFiles = 16
+    val zPath = "/tmp/graft-spec-zorder"
+    val linPath = "/tmp/graft-spec-linear"
+    ZOrder.writeZOrdered(li, zPath,
+      ZOrder.zValue(col("l_partkey"), lit(alo), lit(ahi),
+        col("l_suppkey"), lit(blo), lit(bhi), 8), nFiles)
+    // control: perfectly sorted on partkey alone
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linPath)
+    val zStats = ZOrder.fileStats(spark, zPath, "l_partkey", "l_suppkey")
+      .cache()
+    val lStats = ZOrder.fileStats(spark, linPath, "l_partkey", "l_suppkey")
+      .cache()
+    // a ~5%-wide predicate in the middle of each domain
+    def mid(lo: Long, hi: Long): (Long, Long) = {
+      val w = math.max(1L, (hi - lo + 1) / 20)
+      val c = lo + (hi - lo) / 2
+      (c, c + w - 1)
+    }
+    val (plo, phi) = mid(alo, ahi)
+    val (slo, shi) = mid(blo, bhi)
+    val zPart = ZOrder.overlappingFiles(zStats, "a_min", "a_max", plo, phi)
+    val zSupp = ZOrder.overlappingFiles(zStats, "b_min", "b_max", slo, shi)
+    val lPart = ZOrder.overlappingFiles(lStats, "a_min", "a_max", plo, phi)
+    val lSupp = ZOrder.overlappingFiles(lStats, "b_min", "b_max", slo, shi)
+    // linear layout: perfect on its sort column, useless on the other
+    assert(lPart <= 3, s"linear partkey pruning: $lPart")
+    assert(lSupp === nFiles.toLong,
+      s"linear layout should NOT prune on suppkey: $lSupp")
+    // z-order: real pruning on BOTH dimensions
+    assert(zPart < nFiles, s"z partkey files: $zPart")
+    assert(zSupp < nFiles, s"z suppkey files: $zSupp")
+    assert(zSupp < lSupp, "z-order must beat linear on the off-sort dim")
+    // and the data survives the round trip
+    assert(spark.read.parquet(zPath).count() === li.count())
+    zStats.unpersist(); lStats.unpersist()
+  }
+
   test("salted aggregation equals direct aggregation") {
     init()
     val direct = spark.table("orders").groupBy("o_custkey")
