@@ -1169,6 +1169,29 @@ object SparkEntry {
       TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  private def qTextTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    // BPE-style pre-tokenization (GPT-2 pattern shape): the
+    // segmentation every byte-pair tokenizer runs before merges —
+    // contraction suffixes / space-prefixed letter runs / digit runs /
+    // punctuation runs / whitespace runs, ordered alternation. The
+    // pattern is lookahead-free so the DuckDB oracle evaluates the
+    // IDENTICAL pattern string under RE2 (TextFunctionsSpec pins the
+    // per-alternative behavior on crafted fixtures the corpus lacks:
+    // contractions, digits, punctuation, newlines). Entirely
+    // scan-stage; only (doc_id, 4 ints) ever shuffle for the sort.
+    val toks = TextFunctions.bpePretokens(col("text"))
+    val content =
+      filter(toks, tk => length(translate(tk, " \t\n\r", "")) > 0)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_pretok"),
+      size(content).as("n_content"),
+      size(array_distinct(content)).as("n_distinct"),
+      aggregate(content, lit(0L),
+        (acc, tk) => acc + length(tk).cast("long")).as("content_chars"))
+      .orderBy("doc_id")
+  }
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     // Language-ID heuristic + composite quality score (not SQL-
     // expressible in the oracle dialect → rows-only check).
@@ -1359,6 +1382,28 @@ object SparkEntry {
     val sink = graft.streaming.DocsStream.runExactDedupStream(
       s, dir, "stream_dedup_exact_sink")
     s.table(sink).orderBy("doc_id")
+  }
+
+  private def qStreamHeavyHitters(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Streaming vocabulary statistics: per-shard Misra–Gries summaries
+    // as flatMapGroupsWithState state (O(shards·capacity) total, vs an
+    // unbounded-vocabulary streaming groupBy-count), then the exact
+    // epoch-close rescore of the candidate union — which must equal
+    // the naive batch top-k EXACTLY (same oracle as
+    // text_heavy_hitters). The only collect is the candidate set,
+    // bounded by shards·capacity·batches.
+    val sink = graft.streaming.DocsStream.runHeavyHitterStream(
+      s, dir, "stream_hh_sink")
+    val cands = s.table(sink).select("tok").distinct()
+      .collect().map(_.getString(0))
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(cands.toSeq: _*))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
   }
 
   private def qMultimodalPng(s: SparkSession, dir: String): DataFrame =
@@ -1658,6 +1703,7 @@ object SparkEntry {
     "asof_join" -> (qAsofJoin _),
     // LLM-pipeline surface (SURVEY §7.2 M3 / BASELINE.json north star)
     "text_stats" -> (qTextStats _),
+    "text_tokens_bpe" -> (qTextTokensBpe _),
     "text_quality" -> (qTextQuality _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
@@ -1686,6 +1732,7 @@ object SparkEntry {
     "stream_funnel_join" -> (qStreamFunnel _),
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
     "stream_dedup_exact" -> (qStreamDedupExact _),
+    "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "events_sessionize" -> (qSessionize _),
     "events_resample_1h" -> (qEventsResample _),
     "events_session_window" -> (qEventsSessionWindow _),
@@ -3008,6 +3055,14 @@ object SparkEntry {
         |    '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
         |SELECT tok, count(*) AS n FROM t
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    // The streaming MG-candidates + exact-rescore pipeline must land on
+    // the identical exact top-k — same naive oracle as the batch twin.
+    "stream_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n FROM t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "dedup_ngram_jaccard" -> ngramPairsOracle,
     // The declarative text_jaccard(a,b,8) >= 0.7 join — replanned by
     // RewriteJaccardThresholdJoin into the prefix-filtered equi-join —
@@ -3154,6 +3209,27 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The IDENTICAL pattern string the engine compiles under Java
+    // regex (TextFunctions.BpePretokenPattern), evaluated by RE2:
+    // lookahead-free, explicit whitespace classes, ordered
+    // alternation — both engines segment byte-for-byte identically.
+    "text_tokens_bpe" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+|[ \t\n\r]+'
+        |  ) AS toks FROM documents),
+        |ct AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks,
+        |      x -> length(translate(x, E' \t\n\r', '')) > 0) AS content
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_pretok,
+        |  CAST(len(content) AS INTEGER) AS n_content,
+        |  CAST(len(list_distinct(content)) AS INTEGER) AS n_distinct,
+        |  CAST(coalesce(list_sum(list_transform(content,
+        |    x -> length(x))), 0) AS BIGINT) AS content_chars
+        |FROM ct ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH f AS (
         |  SELECT doc_id,

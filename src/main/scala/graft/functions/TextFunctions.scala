@@ -30,6 +30,24 @@ object TextFunctions {
       split(lower(text), "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
       t => length(trim(t)) > 0))
 
+  /** GPT-2-style BPE pre-tokenizer pattern, lookahead-free so the same
+    * pattern string evaluates identically under Java regex and RE2
+    * (both use ordered leftmost-first alternation; no lookarounds, no
+    * shorthand classes whose definitions differ between engines —
+    * whitespace is the explicit class [ \t\n\r]). Alternatives, in
+    * match-priority order: English contraction suffixes, optionally
+    * space-prefixed letter runs, digit runs, punctuation runs, then
+    * bare whitespace runs. */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  /** BPE-style pre-tokenization (the segmentation step every byte-pair
+    * tokenizer runs before merges): array of pre-token strings,
+    * including whitespace-run tokens. Codegen'd builtin — the regex
+    * scan stays inside the scan stage. */
+  def bpePretokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePretokenPattern), lit(0))
+
   /** k-word shingles of the normalized text: array of space-joined
     * k-grams (distinct). The unit MinHash/Jaccard dedup operates on. */
   def wordShingles(text: Column, k: Int): Column = {

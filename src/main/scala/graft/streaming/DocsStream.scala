@@ -205,4 +205,76 @@ object DocsStream {
     q.stop()
     sinkName
   }
+
+  case class TokShard(shard: Int, tok: String)
+  case class HHCand(shard: Int, tok: String, est: Long)
+
+  /** Streaming heavy-hitter CANDIDATE tracking: per-shard Misra–Gries
+    * summaries held as keyed streaming state. Tokens are sharded by
+    * `xxhash64(tok) mod shards`, so every occurrence of a token lands
+    * in one shard and the classic MG invariant gives a PER-SHARD
+    * undercount bound of N_shard/(capacity+1) ≤ the global bound — a
+    * corpus-level heavy hitter is always present in its shard's final
+    * summary, under ANY arrival order. State is O(capacity) per shard
+    * regardless of stream length (the whole point vs a streaming
+    * groupBy-count whose state is the unbounded vocabulary). After
+    * each micro-batch the shard emits its current summary, so the
+    * sink's distinct tokens are a superset of the final summaries —
+    * candidates for the exact epoch-close rescore, never the answer
+    * itself (MG estimates undercount; only the rescore is exact). */
+  def heavyHitterCandidatesStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      shards: Int = 8,
+      capacity: Int = 64): Dataset[HHCand] = {
+    import spark.implicits._
+    docs
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(shards)).cast("int")
+        .as("shard"), col("tok"))
+      .as[TokShard]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[Map[String, Long], HHCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[TokShard],
+            state: GroupState[Map[String, Long]]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          m ++= state.getOption.getOrElse(Map.empty)
+          batch.foreach { t =>
+            m.get(t.tok) match {
+              case Some(c) => m(t.tok) = c + 1
+              case None if m.size < capacity => m(t.tok) = 1L
+              case None =>
+                // decrement-all: the O(capacity) MG eviction step
+                val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                m.foreach { case (k, c) =>
+                  if (c == 1L) dead += k else m(k) = c - 1
+                }
+                dead.foreach(m.remove)
+            }
+          }
+          state.update(m.toMap)
+          m.iterator.map { case (tok, est) => HHCand(shard, tok, est) }
+      }
+  }
+
+  /** Drive [[heavyHitterCandidatesStream]] synchronously to completion
+    * over the parquet documents dir (memory sink); returns the sink
+    * name. The caller runs the exact rescore over the closed epoch —
+    * see SparkEntry's stream_heavy_hitters. */
+  def runHeavyHitterStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_heavy_hitters",
+      shards: Int = 8, capacity: Int = 64): String = {
+    val q = heavyHitterCandidatesStream(spark,
+      readDocsStream(spark, sfDir), shards, capacity)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
 }

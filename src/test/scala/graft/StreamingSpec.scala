@@ -235,4 +235,43 @@ class StreamingSpec extends AnyFunSuite {
         if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
     assert(got === Seq((1L, true, -1L), (7L, true, -1L), (9L, false, 1L)))
   }
+
+  test("streaming heavy hitters: MG state + rescore is exact across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Skewed vocabulary larger than capacity·shards, split across
+    // micro-batches so summaries must merge through state. With
+    // capacity 4 / 2 shards the sketch can hold ≤ 8 of the 30 distinct
+    // tokens — yet the rescored top-5 must be exact: the true heavy
+    // tokens clear the per-shard N/(capacity+1) bound.
+    val heavy = Seq("alpha" -> 40, "beta" -> 30, "gamma" -> 25,
+      "delta" -> 20, "epsi" -> 15)
+    val noise = (0 until 25).map(i => s"n$i" -> 1)
+    val toks = scala.util.Random.shuffle(
+      scala.collection.immutable.List((heavy ++ noise).flatMap {
+        case (t, n) => Seq.fill(n)(t) }: _*))
+    val (b1, b2) = toks.splitAt(toks.size / 2)
+    val in = MemoryStream[(Long, String)]
+    val cands = graft.streaming.DocsStream.heavyHitterCandidatesStream(
+      spark, in.toDF().toDF("doc_id", "text"), shards = 2, capacity = 4)
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("spec_hh_cands").start()
+    in.addData((1L, b1.mkString(" ")))
+    q.processAllAvailable()
+    in.addData((2L, b2.mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    val candSet = spark.table("spec_hh_cands").select("tok").distinct()
+      .collect().map(_.getString(0)).toSet
+    // every true heavy hitter survived the bounded sketch
+    heavy.foreach { case (t, _) => assert(candSet.contains(t), t) }
+    // exact rescore over the closed epoch reproduces the naive top-5
+    val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val want = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
+    val got = toks.filter(candSet.contains)
+      .groupBy(identity).view.mapValues(_.size).toMap
+      .toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
+    assert(got === want)
+  }
 }

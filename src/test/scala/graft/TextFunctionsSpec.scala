@@ -63,4 +63,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one(avgWordLen(col("text")), "") === 0.0)
     assert(one(stopwordRatio(col("text")), "") === 0.0)
   }
+
+  private def pretoks(text: String): Seq[String] =
+    one(bpePretokens(col("text")), text)
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+
+  test("bpe pretokens: contraction suffixes split off") {
+    assert(pretoks("don't stop") === Seq("don", "'t", " stop"))
+    assert(pretoks("we'll they've") ===
+      Seq("we", "'ll", " they", "'ve"))
+  }
+
+  test("bpe pretokens: letter/digit/punct runs segment separately") {
+    assert(pretoks("abc123def") === Seq("abc", "123", "def"))
+    assert(pretoks("hello, world!!") ===
+      Seq("hello", ",", " world", "!!"))
+    assert(pretoks("v2.0-rc1") ===
+      Seq("v", "2", ".", "0", "-", "rc", "1"))
+  }
+
+  test("bpe pretokens: whitespace runs are their own tokens") {
+    assert(pretoks("a \n b") === Seq("a", " \n ", "b"))
+    assert(pretoks("x\t\ty") === Seq("x", "\t\t", "y"))
+    assert(pretoks("") === Seq.empty)
+    assert(pretoks("   ") === Seq("   "))
+  }
+
+  test("bpe pretokens: every input character lands in exactly one token") {
+    val samples = Seq("don't v2.0, stop!\nnew-line\t9 lives",
+      "  leading and trailing  ", "CamelCase MiXeD 42x")
+    samples.foreach { s => assert(pretoks(s).mkString === s) }
+  }
 }
