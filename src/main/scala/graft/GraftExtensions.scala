@@ -90,7 +90,12 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
       right: LogicalPlan): Option[(Expression, Expression, Int, Double)] = {
     def sides(js: JaccardSim, t: Double)
         : Option[(Expression, Expression, Int, Double)] =
-      if (js.left.references.subsetOf(left.outputSet) &&
+      // PrefixGrams requires 0 < t <= 1; a degenerate threshold
+      // (t <= 0 selects everything, t > 1 nothing) would throw inside
+      // the optimizer for a query that executes fine unrewritten —
+      // leave those joins alone.
+      if (t <= 0.0 || t > 1.0) None
+      else if (js.left.references.subsetOf(left.outputSet) &&
           js.right.references.subsetOf(right.outputSet))
         Some((js.left, js.right, js.n, t))
       else if (js.right.references.subsetOf(left.outputSet) &&

@@ -1391,15 +1391,16 @@ object SparkEntry {
     // unbounded-vocabulary streaming groupBy-count), then the exact
     // epoch-close rescore of the candidate union — which must equal
     // the naive batch top-k EXACTLY (same oracle as
-    // text_heavy_hitters). The only collect is the candidate set,
-    // bounded by shards·capacity·batches.
+    // text_heavy_hitters). The rescore is a BROADCAST SEMI-JOIN
+    // against the (shards·capacity·batches)-bounded candidate table —
+    // not an N-literal `In` filter, whose expression tree would grow
+    // with the candidate count; nothing is collected to the driver.
     val sink = graft.streaming.DocsStream.runHeavyHitterStream(
       s, dir, "stream_hh_sink")
     val cands = s.table(sink).select("tok").distinct()
-      .collect().map(_.getString(0))
     t(s, dir, "documents")
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin(cands.toSeq: _*))
+      .join(broadcast(cands), Seq("tok"), "left_semi")
       .groupBy("tok")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
@@ -3303,25 +3304,36 @@ object SparkEntry {
     // and px_sum re-derives the cyclic text-byte pixel fill — full
     // cycles × the text's byte sum plus the leftover prefix sum. The
     // engine-side number comes from real inflate + de-filtering, so
-    // equality proves the compressed round trip byte-for-byte.
+    // equality proves the compressed round trip byte-for-byte. The
+    // engine cycles UTF-8 BYTES, so the oracle extracts bytes too
+    // (hex(encode(text)) + nibble lookup; strpos is 1-based and
+    // returns 0 on miss, so '123456789ABCDEF' maps '0'→0 … 'F'→15) —
+    // exact for any Unicode text, not just ASCII — and guards n = 0
+    // (the engine fills zero pixels for an empty document).
     "multimodal_png" ->
       """WITH d AS (
-        |  SELECT doc_id, text, strlen(text) AS n,
+        |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n,
         |    CAST(1 + strlen(text) % 60 AS INTEGER) AS width,
         |    CAST(1 + (strlen(text) * 11) % 47 AS INTEGER) AS height
         |  FROM documents),
         |s AS (
         |  SELECT doc_id, width, height, n,
         |    3 * width * height AS m,
-        |    list_aggregate(list_transform(generate_series(1, n),
-        |      i -> ascii(substring(text, i, 1))), 'sum') AS sum_all,
-        |    CASE WHEN (3 * width * height) % n = 0 THEN 0
+        |    CASE WHEN n = 0 THEN 0 ELSE
+        |      list_aggregate(list_transform(generate_series(1, n),
+        |        i -> strpos('123456789ABCDEF', substring(hx, 2*i-1, 1)) * 16
+        |           + strpos('123456789ABCDEF', substring(hx, 2*i, 1))),
+        |        'sum') END AS sum_all,
+        |    CASE WHEN n = 0 OR (3 * width * height) % n = 0 THEN 0
         |      ELSE list_aggregate(list_transform(
         |        generate_series(1, (3 * width * height) % n),
-        |        i -> ascii(substring(text, i, 1))), 'sum') END AS sum_rem
+        |        i -> strpos('123456789ABCDEF', substring(hx, 2*i-1, 1)) * 16
+        |           + strpos('123456789ABCDEF', substring(hx, 2*i, 1))),
+        |        'sum') END AS sum_rem
         |  FROM d)
         |SELECT doc_id, width, height, CAST(3 AS INTEGER) AS channels,
-        |  CAST((m // n) * sum_all + sum_rem AS BIGINT) AS px_sum
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE (m // n) * sum_all + sum_rem END AS BIGINT) AS px_sum
         |FROM s ORDER BY doc_id""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,

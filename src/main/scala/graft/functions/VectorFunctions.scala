@@ -903,7 +903,11 @@ object VectorFunctions {
       var s = 0.0
       var mm = 0
       while (mm < m) {
-        val c = codebooks(mm)(codes.getInt(mm))
+        val code = codes.getInt(mm)
+        // corrupt/foreign code arrays yield null like every other
+        // malformed input here, instead of failing the task
+        if (code < 0 || code >= codebooks(mm).size) return null
+        val c = codebooks(mm)(code)
         var dot = 0.0
         var d = 0
         while (d < subDim) {

@@ -334,7 +334,10 @@ object Dedup {
     * clusters are stars/short chains in practice, so 2–3 rounds;
     * `maxIter` bounds adversarial chains. Every round's frame is
     * localCheckpointed (eager) so the plan stays constant-size instead
-    * of doubling per iteration. */
+    * of doubling per iteration. Throws `IllegalStateException` if the
+    * fixpoint is not reached within `maxIter` rounds — silently
+    * returning partial labels would violate the documented
+    * minimum-id-in-component contract with no signal. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -369,6 +372,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: min-label propagation did not converge " +
+          s"within $maxIter rounds (pair-graph path diameter exceeds " +
+          s"maxIter); raise maxIter — partial labels would break the " +
+          s"min-id-in-component contract")
     labels.select(col("doc_id"),
       (col("doc_id") === col("comp")).as("keep"),
       when(col("doc_id") =!= col("comp"), col("comp")).as("dup_of"))

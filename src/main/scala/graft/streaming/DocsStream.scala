@@ -154,17 +154,23 @@ object DocsStream {
       .flatMapGroupsWithState[Long, DecisionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, batch: Iterator[FpDoc], state: GroupState[Long]) =>
-          var rep = state.getOption.getOrElse(Long.MaxValue)
+          // presence tracked with Option, not a sentinel value — a
+          // legitimate doc_id == Long.MaxValue must still get a keep
+          // decision, not be mistaken for a replayed row
+          var rep: Option[Long] = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[DecisionOut]
           batch.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (d.doc_id < rep) {
-              rep = d.doc_id
-              out += DecisionOut(d.doc_id, keep = true, None)
-            } else if (d.doc_id > rep) {
-              out += DecisionOut(d.doc_id, keep = false, Some(rep))
-            } // d.doc_id == rep: replayed row, already decided
+            rep match {
+              case Some(r) if d.doc_id == r =>
+                () // replayed row, already decided
+              case Some(r) if d.doc_id > r =>
+                out += DecisionOut(d.doc_id, keep = false, Some(r))
+              case _ => // first doc for this fingerprint, or a new min
+                rep = Some(d.doc_id)
+                out += DecisionOut(d.doc_id, keep = true, None)
+            }
           }
-          state.update(rep)
+          rep.foreach(state.update)
           out.iterator
       }
   }

@@ -104,6 +104,20 @@ class DedupSpec extends AnyFunSuite {
     assert(oneRound === 3L)
   }
 
+  test("connected components: non-convergence throws, never returns " +
+      "partial labels") {
+    val chainDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 6-path needs several propagation rounds; maxIter = 1 cannot
+    // reach the fixpoint and must signal, not silently hand back
+    // labels that violate the min-id-in-component contract
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chainDocs, pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("pair list → per-doc keep/drop decisions") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")

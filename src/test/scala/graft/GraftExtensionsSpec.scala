@@ -219,6 +219,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate jaccard thresholds are left unrewritten, not crashed") {
+    withExtSession { s =>
+      import s.implicits._
+      val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+        .toDF("id", "text")
+      val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
+      import graft.functions.VectorFunctions.text_jaccard
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+      // t <= 0 selects every pair and t > 1 none — both outside
+      // PrefixGrams' (0, 1] domain; the rule must skip them so the
+      // query still executes (unrewritten) instead of throwing in
+      // the optimizer
+      val every = a.join(b,
+        text_jaccard(col("text_a"), col("text_b"), 3) >= 0.0 &&
+          col("id_a") < col("id_b")).count()
+      assert(every === 1L)
+      val none = a.join(b,
+        text_jaccard(col("text_a"), col("text_b"), 3) > 1.0).count()
+      assert(none === 0L)
+      s.conf.unset("spark.graft.jaccardRewrite.enabled")
+    }
+  }
+
   test("left-side filter is pushed below the as-of join node") {
     withExtSession { s =>
       // parquet-backed inputs: a pushed filter stays visible as a Filter

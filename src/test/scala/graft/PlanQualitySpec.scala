@@ -82,4 +82,15 @@ class PlanQualitySpec extends AnyFunSuite {
       .linesIterator.size <= 6,
       s"bloom filter not adjacent to the fact scan:\n$p")
   }
+
+  test("stream_heavy_hitters: epoch-close rescore is a broadcast " +
+      "semi-join against the candidate table, not an N-literal In") {
+    val p = plan("stream_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"rescore should broadcast-semi-join the candidates:\n$p")
+    // a literal-list filter would print as `tok#… IN (…)` / INSET —
+    // its expression tree grows with the candidate count
+    assert(!p.contains(" IN (") && !p.toLowerCase.contains("inset"),
+      s"rescore still filters by literal candidate list:\n$p")
+  }
 }

@@ -236,6 +236,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq((1L, true, -1L), (7L, true, -1L), (9L, false, 1L)))
   }
 
+  test("streaming exact dedup: doc_id == Long.MaxValue is a real " +
+      "document, not a missing-state sentinel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val decisions = graft.streaming.DocsStream.exactDecisionsStream(
+      spark, in.toDF().toDF("doc_id", "text"))
+    val q = decisions.writeStream.outputMode("append")
+      .format("memory").queryName("spec_exact_maxid").start()
+    in.addData((Long.MaxValue, "edge text"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_exact_maxid").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    // a sentinel-based implementation silently drops this decision
+    assert(got === Seq((Long.MaxValue, true)))
+  }
+
   test("streaming heavy hitters: MG state + rescore is exact across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

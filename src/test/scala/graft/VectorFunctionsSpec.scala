@@ -97,4 +97,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val hFar = java.lang.Long.bitCount(sigs(0) ^ sigs(3))
     assert(hNear < hFar, s"near=$hNear far=$hFar")
   }
+
+  test("pq_adc: out-of-range code yields null like other malformed " +
+      "input, not a task failure") {
+    // m = 1 subspace, k = 2 centroids, subDim = 2
+    val cb = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val df = Seq(
+      (Array(1f, 2f), Array(1)),  // valid: dot with centroid (0,1) = 2
+      (Array(1f, 2f), Array(5)),  // foreign code, past the codebook
+      (Array(1f, 2f), Array(-1))) // corrupt code
+      .toDF("q", "codes")
+    val r = df.select(pq_adc(col("q"), col("codes"), cb)).collect()
+    assert(r(0).getDouble(0) === 2.0)
+    assert(r(1).isNullAt(0), "code 5 of a 2-entry codebook must be null")
+    assert(r(2).isNullAt(0), "negative code must be null")
+  }
 }
