@@ -1047,6 +1047,163 @@ object SparkEntry {
         |LIMIT 100""".stripMargin)
   }
 
+  /** The testdata has no `partsupp` table, so the Q2/Q9/Q11/Q16/Q20
+    * family derives one deterministically from lineitem: a
+    * part-supplier pair's supply cost is the cheapest extended price
+    * either ever shipped at (exact integer cents), its available
+    * quantity the pair's lifetime shipped quantity (exact quantity
+    * cents). Both are exact-integer aggregates, so Spark and the
+    * DuckDB oracle agree bit-for-bit and every downstream comparison
+    * (min-cost equality, value thresholds, half-volume tests) is
+    * unperturbable by float summation order. */
+  private val partsuppCte =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS ps_cost_cents,
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+      |      AS BIGINT) AS ps_avail_qc
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)""".stripMargin
+
+  private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    // offering the minimum supply cost — the correlated scalar
+    // MIN-subquery pattern (the subquery re-joins supplier/nation/
+    // region per outer part). Catalyst decorrelates it into an
+    // aggregate-then-join; cost is exact cents so `= min` cannot be
+    // perturbed. s_suppkey closes the total order (acctbal ties).
+    Tables.register(s, dir)
+    s.sql(
+      s"""WITH $partsuppCte
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+        |  ps.ps_cost_cents, s.s_suppkey
+        |FROM part p
+        |JOIN ps ON p.p_partkey = ps.ps_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE p.p_size = 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+        |  AND ps.ps_cost_cents = (
+        |    SELECT min(ps2.ps_cost_cents)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+        |  s.s_suppkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q9 shape: per-nation per-year profit on a part family —
+    // the deep multi-way join (lineitem × part × supplier × orders ×
+    // nation × derived partsupp). Profit = revenue − cost·qty, all in
+    // exact integer micros (cost cents × qty cents × 100 = micros), so
+    // the per-group sums hash-match despite double source columns.
+    Tables.register(s, dir)
+    s.sql(
+      s"""WITH $partsuppCte
+        |SELECT nation, o_year,
+        |  CAST(sum(amount_micros) AS BIGINT) AS sum_profit_micros
+        |FROM (
+        |  SELECT n.n_name AS nation,
+        |    CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |        AS BIGINT)
+        |      - ps.ps_cost_cents
+        |        * CAST(round(l.l_quantity * 100) AS BIGINT) * 100
+        |      AS amount_micros
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN ps ON ps.ps_partkey = l.l_partkey
+        |    AND ps.ps_suppkey = l.l_suppkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  private def qImportantStock(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q11 shape: parts whose stock value at one nation's
+    // suppliers exceeds a fixed fraction of that nation's total stock
+    // value — the HAVING-against-global-scalar pattern, here as a
+    // WHERE over a reused CTE so the grand total is computed from the
+    // SAME frame the per-part values come from. value_u is the exact
+    // integer cost·qty product; ×1000 stays far below BIGINT range.
+    Tables.register(s, dir)
+    s.sql(
+      s"""WITH $partsuppCte,
+        |v AS (
+        |  SELECT ps.ps_partkey,
+        |    CAST(sum(ps.ps_cost_cents * ps.ps_avail_qc) AS BIGINT)
+        |      AS value_u
+        |  FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_7'
+        |  GROUP BY ps.ps_partkey)
+        |SELECT ps_partkey, value_u FROM v
+        |WHERE value_u * 1000 > (SELECT CAST(sum(value_u) AS BIGINT)
+        |                        FROM v)
+        |ORDER BY value_u DESC, ps_partkey""".stripMargin)
+  }
+
+  private def qSupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    // TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    // size) over the pair relation, excluding a brand/type family and
+    // a NOT IN supplier blacklist (acctbal stands in for the missing
+    // comment column) — count-distinct over a semi-structure plus a
+    // null-aware anti join.
+    Tables.register(s, dir)
+    s.sql(
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+        |WHERE p.p_brand <> 'Brand#2' AND p.p_type NOT LIKE 'SMALL%'
+        |  AND p.p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+        |  AND ps.ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+        .stripMargin)
+  }
+
+  private def qPromotionSuppliers(s: SparkSession, dir: String)
+      : DataFrame = {
+    // TPC-H Q20 shape: the nested semi-join chain — suppliers IN
+    // (pairs whose part is IN (small parts) with a correlated
+    // half-volume test). Adapted predicate: a substantial stake
+    // (lifetime volume > 50 qty) in a small part, more than half of it
+    // shipped during 1995 — all integer quantity-cents, and the
+    // correlated sum's NULL (no 1995 shipments) rejects the pair
+    // identically in both engines.
+    Tables.register(s, dir)
+    s.sql(
+      s"""WITH $partsuppCte
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_5'
+        |  AND s.s_suppkey IN (
+        |    SELECT ps.ps_suppkey FROM ps
+        |    WHERE ps.ps_avail_qc > 5000
+        |      AND ps.ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND (SELECT CAST(sum(CAST(round(l.l_quantity * 100)
+        |              AS BIGINT)) AS BIGINT)
+        |           FROM lineitem l
+        |           WHERE l.l_partkey = ps.ps_partkey
+        |             AND l.l_suppkey = ps.ps_suppkey
+        |             AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |             AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+        |          * 2 > ps.ps_avail_qc)
+        |ORDER BY s.s_name""".stripMargin)
+  }
+
   private def qTextFingerprints(s: SparkSession, dir: String): DataFrame = {
     // Winnowing document fingerprints (rolling-hash k-grams + window
     // minima — the MOSS local fingerprint). Scan-stage only: both the
@@ -1691,6 +1848,11 @@ object SparkEntry {
     "q15_top_supplier" -> (qTopSupplier _),
     "q17_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q21_waiting_suppliers" -> (qWaitingSuppliers _),
+    "q2_min_cost_supplier" -> (qMinCostSupplier _),
+    "q9_product_profit" -> (qProductProfit _),
+    "q11_important_stock" -> (qImportantStock _),
+    "q16_supplier_cnt" -> (qSupplierCnt _),
+    "q20_promotion_suppliers" -> (qPromotionSuppliers _),
     "text_fingerprints" -> (qTextFingerprints _),
     "unpivot_metrics" -> (qUnpivotMetrics _),
     "regex_funcs" -> (qRegexFuncs _),
@@ -2705,6 +2867,98 @@ object SparkEntry {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 100""".stripMargin,
+    // Q2/Q9/Q11/Q16/Q20 oracles share the exact-integer derived
+    // partsupp CTE with the engine side — identical text, both
+    // dialects parse it — so the pair relation is one definition.
+    "q2_min_cost_supplier" ->
+      s"""WITH $partsuppCte
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+        |  ps.ps_cost_cents, s.s_suppkey
+        |FROM part p
+        |JOIN ps ON p.p_partkey = ps.ps_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE p.p_size = 15 AND p.p_type = 'SMALL' AND r.r_name = 'EUROPE'
+        |  AND ps.ps_cost_cents = (
+        |    SELECT min(ps2.ps_cost_cents)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+        |  s.s_suppkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH $partsuppCte
+        |SELECT nation, o_year,
+        |  CAST(sum(amount_micros) AS BIGINT) AS sum_profit_micros
+        |FROM (
+        |  SELECT n.n_name AS nation,
+        |    CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1e6)
+        |        AS BIGINT)
+        |      - ps.ps_cost_cents
+        |        * CAST(round(l.l_quantity * 100) AS BIGINT) * 100
+        |      AS amount_micros
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN ps ON ps.ps_partkey = l.l_partkey
+        |    AND ps.ps_suppkey = l.l_suppkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE p.p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $partsuppCte,
+        |v AS (
+        |  SELECT ps.ps_partkey,
+        |    CAST(sum(ps.ps_cost_cents * ps.ps_avail_qc) AS BIGINT)
+        |      AS value_u
+        |  FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name = 'NATION_7'
+        |  GROUP BY ps.ps_partkey)
+        |SELECT ps_partkey, value_u FROM v
+        |WHERE value_u * 1000 > (SELECT CAST(sum(value_u) AS BIGINT)
+        |                        FROM v)
+        |ORDER BY value_u DESC, ps_partkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+        |WHERE p.p_brand <> 'Brand#2' AND p.p_type NOT LIKE 'SMALL%'
+        |  AND p.p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+        |  AND ps.ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+        .stripMargin,
+    "q20_promotion_suppliers" ->
+      s"""WITH $partsuppCte
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE n.n_name = 'NATION_5'
+        |  AND s.s_suppkey IN (
+        |    SELECT ps.ps_suppkey FROM ps
+        |    WHERE ps.ps_avail_qc > 5000
+        |      AND ps.ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND (SELECT CAST(sum(CAST(round(l.l_quantity * 100)
+        |              AS BIGINT)) AS BIGINT)
+        |           FROM lineitem l
+        |           WHERE l.l_partkey = ps.ps_partkey
+        |             AND l.l_suppkey = ps.ps_suppkey
+        |             AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |             AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+        |          * 2 > ps.ps_avail_qc)
+        |ORDER BY s.s_name""".stripMargin,
     "text_fingerprints" -> winnowingOracleSql,
     "unpivot_metrics" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,
