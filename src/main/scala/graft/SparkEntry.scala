@@ -377,13 +377,20 @@ object SparkEntry {
 
   private def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     // HLL sketch — the 100 TB path for distinct counts (bounded memory,
-    // mergeable partials). Estimator internals differ per engine →
-    // rows-only; the spec asserts relative error against the exact count.
+    // mergeable partials). The raw estimate is engine-specific, so the
+    // ORACLE-FACING columns are the exact count plus `within_bound`:
+    // |approx − exact| ≤ 15%·exact (3σ at the default 5% rsd — HLL++
+    // typically lands within 2%). The oracle asserts TRUE, turning the
+    // sketch's error envelope into a hash-checkable fact instead of a
+    // rows-only row count.
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct("l_orderkey").as("approx_orders"),
         countDistinct("l_orderkey").as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).as("within_bound"))
       .orderBy("l_returnflag")
 
   private def qAggPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -402,15 +409,24 @@ object SparkEntry {
 
   private def qAggApproxQuantile(s: SparkSession, dir: String): DataFrame =
     // Quantile SKETCH (mergeable, bounded memory — the 100 TB path;
-    // like HLL for distinct counts). Estimator internals differ per
-    // engine → rows-only; the exact column rides along so the driver's
-    // dump shows the error envelope.
+    // like HLL for distinct counts). accuracy=1000 guarantees the
+    // returned value's RANK is within ±n/1000 of the target, i.e. the
+    // value lies between the exact 0.499/0.501 percentiles; the
+    // oracle-facing `within_bound` checks the 10×-margin [p49, p51]
+    // bracket, so the sketch's guarantee is hash-checked while the
+    // engine-specific estimate itself stays out of the compared
+    // columns.
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
         expr("approx_percentile(o_totalprice, 0.5, 1000)")
           .as("approx_median"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+        expr("percentile(o_totalprice, 0.49)").as("lo"),
+        expr("percentile(o_totalprice, 0.51)").as("hi"))
+      .select(col("o_orderstatus"), col("exact_median"),
+        (col("approx_median") >= col("lo") &&
+          col("approx_median") <= col("hi")).as("within_bound"))
       .orderBy("o_orderstatus")
 
   private def qWindowLeadLag(s: SparkSession, dir: String): DataFrame = {
@@ -2496,6 +2512,23 @@ object SparkEntry {
         |  max(l_shipdate) AS last_ship
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // The two sketch oracles assert the ERROR ENVELOPE: the engine
+    // computes within_bound from its sketch vs the exact value; the
+    // oracle recomputes the exact value and pins within_bound = TRUE.
+    // A sketch regression (or a broken merge) flips the boolean and
+    // fails the hash.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS exact_median,
+        |  TRUE AS within_bound
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "agg_percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
