@@ -13,7 +13,25 @@ final case class QueryResult(
     optimizedPlan: String,
     df: DataFrame,
     statistics: String) {
+  /** Full materialization — kept for parity with the reference (which
+    * always materialized everything, `QueryService.asmx.cs:85-88`), but
+    * NOT the scale path: prefer [[rowsLimited]] or [[rowsIterator]],
+    * which never pull an unbounded result onto the driver. */
   def rows: Array[Row] = df.collect()
+
+  /** At most `limit` rows — the limit is pushed into the plan
+    * (`TakeOrderedAndProject`/`CollectLimit`), so the driver never
+    * holds more than `limit` rows regardless of result size. (Named
+    * `rowsLimited`, not an overload of `rows` — `rows(n)` would be
+    * ambiguous with indexing into the parity array.) */
+  def rowsLimited(limit: Int): Array[Row] = df.limit(limit).collect()
+
+  /** Stream the result one partition at a time — driver memory is
+    * bounded by the largest partition, not the result. */
+  def rowsIterator: Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator.asScala
+  }
 
   /** Graphviz DOT renderings of the two plan trees — the engine-side
     * analog of the reference's JointJS plan picture
@@ -28,8 +46,15 @@ final case class QueryResult(
     * (`RPC/RPC/RPC.cs:113,189`, placeholder response
     * `QueryService.asmx.cs:88`); here it comes from
     * `executedPlan.metrics` after the run. */
-  def executeWithStats(): (Array[Row], String) = {
-    val out = df.collect()
+  def executeWithStats(): (Array[Row], String) =
+    executeWithStats(Int.MaxValue)
+
+  /** Bounded variant: collects at most `limit` rows (the limit node
+    * joins the executed plan, so the stats walk reports what actually
+    * ran). */
+  def executeWithStats(limit: Int): (Array[Row], String) = {
+    val frame = if (limit == Int.MaxValue) df else df.limit(limit)
+    val out = frame.collect()
     def esc(s: String) = PlanJson.jsonEscape(s)
     // AQE wraps subtrees in QueryStageExec / AdaptiveSparkPlanExec whose
     // real subplan hangs off a dedicated field, not `children` — unwrap
@@ -47,7 +72,7 @@ final case class QueryResult(
           s"""{"node":"${esc(p.nodeName)}","rows":$rowsMetric,""" +
             s""""children":$kids}"""
       }
-    (out, walk(df.queryExecution.executedPlan))
+    (out, walk(frame.queryExecution.executedPlan))
   }
 }
 

@@ -1,0 +1,185 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import graft.plans.PlanJson
+
+/** The reference's delivery surface, rebuilt: an HTTP endpoint that
+  * accepts `sql=` POSTs and answers with the full envelope — original
+  * plan, optimized plan, statistics, and (unlike the reference, which
+  * computed rows then discarded them) the rows themselves. Mirrors the
+  * ASP.NET web service contract (`QueryService.asmx.cs:24-29` routes,
+  * `:51-100` the `Sql2AlgTree`/`GetData` pair; front-end POST at
+  * `DistributedQueryService/index.js:102-121`) on the JDK's built-in
+  * `com.sun.net.httpserver` — no new dependencies.
+  *
+  * Routes:
+  *  - `POST /query`   → `{"originalPlan":…,"optimizedPlan":…,
+  *    "statistics":…,"schema":[…],"rows":[…],"rowCount":n}`
+  *  - `POST /getData` → `{"schema":[…],"rows":[…],"rowCount":n}`
+  *  - `GET  /`        → a self-contained HTML page that renders the
+  *    original-vs-optimized trees (the JointJS parity view,
+  *    `index.js:86-120`) with inline JS only.
+  *
+  * The body is either a form (`sql=…&limit=…`) or raw SQL text. Row
+  * payloads are ALWAYS limit-bounded (default 1000): the service is the
+  * obvious entry point, so the obvious path must be the scale-safe one
+  * — `limit` caps driver materialization via a plan-side limit, never
+  * an unbounded collect. */
+final class Service(engine: Engine, port: Int = 0,
+    defaultLimit: Int = 1000) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Start listening; returns the bound port (useful with port = 0). */
+  def start(): Int = {
+    server.createContext("/", (ex: HttpExchange) => safely(ex) {
+      if (ex.getRequestMethod == "GET") respond(ex, 200, Service.indexHtml,
+        "text/html; charset=utf-8")
+      else respond(ex, 405, """{"error":"method not allowed"}""")
+    })
+    server.createContext("/query", (ex: HttpExchange) => safely(ex) {
+      val (sql, limit) = parse(ex)
+      val r = engine.query(sql)
+      val (schema, rows, n) = rowsJson(r.df, limit)
+      respond(ex, 200,
+        s"""{"originalPlan":${r.originalPlan},""" +
+          s""""optimizedPlan":${r.optimizedPlan},""" +
+          s""""statistics":${r.statistics},""" +
+          s""""schema":$schema,"rows":$rows,"rowCount":$n}""")
+    })
+    server.createContext("/getData", (ex: HttpExchange) => safely(ex) {
+      val (sql, limit) = parse(ex)
+      val (schema, rows, n) = rowsJson(engine.getData(sql), limit)
+      respond(ex, 200, s"""{"schema":$schema,"rows":$rows,"rowCount":$n}""")
+    })
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  /** (sql, limit) from a form body (`sql=…&limit=…`) or raw SQL text. */
+  private def parse(ex: HttpExchange): (String, Int) = {
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    if (body.contains("sql=")) {
+      val fields = body.split("&").iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) =>
+          k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
+      (fields.getOrElse("sql", ""),
+        fields.get("limit").flatMap(_.toIntOption).getOrElse(defaultLimit))
+    } else (body, defaultLimit)
+  }
+
+  /** (schema JSON array, rows JSON array, row count), limit-bounded.
+    * Row JSON comes from Spark's own `toJSON` (per-row objects with
+    * correct type rendering and escaping) — the limit is applied
+    * BEFORE collection, so the driver never holds more. */
+  private def rowsJson(df: org.apache.spark.sql.DataFrame,
+      limit: Int): (String, String, Int) = {
+    val rows = df.limit(limit).toJSON.collect()
+    val schema = df.schema.fieldNames
+      .map(f => "\"" + PlanJson.jsonEscape(f) + "\"")
+      .mkString("[", ",", "]")
+    (schema, rows.mkString("[", ",", "]"), rows.length)
+  }
+
+  private def safely(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        respond(ex, 400,
+          s"""{"error":"${PlanJson.jsonEscape(
+            Option(e.getMessage).getOrElse(e.getClass.getName))}"}""")
+    } finally ex.close()
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json; charset=utf-8"): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+  }
+}
+
+object Service {
+
+  /** Self-contained plan-view page: textarea → POST /query → the two
+    * plan trees rendered as nested boxes (original left, optimized
+    * right) plus the first rows. Inline JS/CSS only — the environment
+    * has no egress, and the machine contract stays the JSON routes. */
+  private[graft] val indexHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft</title><style>
+      |  body { font: 14px/1.4 system-ui, sans-serif; margin: 1.5rem; }
+      |  textarea { width: 100%; height: 6rem; font: 13px monospace; }
+      |  .cols { display: flex; gap: 2rem; align-items: flex-start; }
+      |  .tree ul { list-style: none; margin: 0; padding-left: 1.2rem;
+      |             border-left: 1px solid #bbb; }
+      |  .node { display: inline-block; border: 1px solid #888;
+      |          border-radius: 4px; padding: 1px 7px; margin: 2px 0;
+      |          background: #f3f6fa; }
+      |  .op { font-weight: 600; }
+      |  .cond { color: #555; font-size: 12px; }
+      |  table { border-collapse: collapse; margin-top: 1rem; }
+      |  td, th { border: 1px solid #ccc; padding: 2px 8px;
+      |           font-size: 13px; }
+      |  #err { color: #b00; white-space: pre-wrap; }
+      |</style></head><body>
+      |<h2>graft query service</h2>
+      |<textarea id="sql">SELECT n_name, count(*) AS n FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n_name ORDER BY n DESC LIMIT 5</textarea><br>
+      |<button onclick="run()">run</button> <span id="err"></span>
+      |<div class="cols">
+      |  <div><h3>original plan</h3><div id="orig" class="tree"></div></div>
+      |  <div><h3>optimized plan</h3><div id="opt" class="tree"></div></div>
+      |</div>
+      |<div id="rows"></div>
+      |<script>
+      |function tree(n) {
+      |  const lbl = '<span class="node"><span class="op">' + n.OpType +
+      |    '</span>' + (n.TabName ? ' ' + n.TabName : '') +
+      |    (n.Condition ? ' <span class="cond">' + n.Condition +
+      |     '</span>' : '') + '</span>';
+      |  const kids = (n.Oprands || []).map(c =>
+      |    '<li>' + tree(c) + '</li>').join('');
+      |  return lbl + (kids ? '<ul>' + kids + '</ul>' : '');
+      |}
+      |async function run() {
+      |  document.getElementById('err').textContent = '';
+      |  const r = await fetch('/query', { method: 'POST',
+      |    body: 'sql=' + encodeURIComponent(
+      |      document.getElementById('sql').value) + '&limit=100' });
+      |  const j = await r.json();
+      |  if (j.error) {
+      |    document.getElementById('err').textContent = j.error; return;
+      |  }
+      |  document.getElementById('orig').innerHTML = tree(j.originalPlan);
+      |  document.getElementById('opt').innerHTML = tree(j.optimizedPlan);
+      |  const rows = j.rows; // toJSON objects arrive pre-parsed
+      |  document.getElementById('rows').innerHTML =
+      |    '<h3>rows (' + j.rowCount + ')</h3><table><tr>' +
+      |    j.schema.map(c => '<th>' + c + '</th>').join('') + '</tr>' +
+      |    rows.map(x => '<tr>' + j.schema.map(c =>
+      |      '<td>' + (x[c] === undefined ? '' : x[c]) + '</td>')
+      |      .join('') + '</tr>').join('') + '</table>';
+      |}
+      |</script></body></html>""".stripMargin
+
+  /** Standalone entry point: serve `sfDir` (arg 0, default sf0.001) on
+    * port (arg 1, default 8042) until killed. */
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 8042
+    val spark = Engine.session()
+    val svc = new Service(new Engine(spark, sfDir), port)
+    val bound = svc.start()
+    println(s"graft service listening on http://localhost:$bound/")
+  }
+}

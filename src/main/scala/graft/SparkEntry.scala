@@ -1413,6 +1413,28 @@ object SparkEntry {
     Dedup.minhashLshIncrement(
       t(s, dir, "documents"), col("doc_id") % 5 === 0)
 
+  private def qDedupMinhashIndexMerge(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The PERSISTED-index epoch merge: build the previous epoch's
+    // index (docs with doc_id % 5 != 0) as two bucketed tables, then
+    // merge today's increment (doc_id % 5 = 0) against it. Must emit
+    // exactly the increment-touching threshold pairs — the same
+    // oracle as dedup_minhash_increment — while the index side plans
+    // with ZERO shuffle exchanges (asserted here and in LayoutSpec):
+    // the bucketed layout IS the exchange, paid once at write time.
+    val docs = t(s, dir, "documents")
+    Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "mhidx")
+    // the index-side candidate aggregation must cluster on the
+    // bucketed scan's own partitioning — no exchange
+    val idxAgg = s.table("mhidx_postings").groupBy("bk")
+      .agg(count(lit(1)).as("n"))
+    require(!graft.sources.Layout.hasShuffle(idxAgg),
+      "index-side bucket aggregation unexpectedly shuffled")
+    Dedup.minhashIndexMerge(
+      docs.filter(col("doc_id") % 5 === 0), "mhidx")
+  }
+
   private def qDedupCcDecisions(s: SparkSession, dir: String)
       : DataFrame = {
     // Transitive closure over the minhash near-dup pair graph: chains
@@ -1449,38 +1471,48 @@ object SparkEntry {
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     // capture the trained model so oracleSql can embed the exact
     // centroids this assignment used (Verify dumps oracles after
-    // running every query)
+    // running every query). nProbe=12/16 is tuned to the recall ≥ 0.9
+    // CI gate on THIS corpus — near-random 64-d vectors (max pairwise
+    // cosine ~0.51), the worst case for IVF pruning; a clustered
+    // production embedding space sustains the same recall at a far
+    // smaller probe fraction.
     val cents = Similarity.trainCentroids(
       t(s, dir, "embeddings"), nCentroids = 16)
     ivfModel.set(cents)
     Similarity.ivfTopK(
       t(s, dir, "embeddings"), annQueries(s, dir), k = 10,
-      nCentroids = 16, nProbe = 8, model = Some(cents))
+      nCentroids = 16, nProbe = 12, model = Some(cents))
   }
 
   private def qSimPq(s: SparkSession, dir: String): DataFrame = {
     // Product quantization + exact rerank: candidates ranked on the
     // COMPRESSED code table (8 codes per vector), exact cosine only on
-    // the top-64 per query. Model captured like the IVF centroids so
+    // the top-128 per query. Model captured like the IVF centroids so
     // the oracle embeds the exact codebooks this encode used.
-    val pq = Similarity.trainPq(t(s, dir, "embeddings")).get
+    // cb=32/rerank=128 is tuned to the recall ≥ 0.9 CI gate on this
+    // deliberately unclustered corpus (recall 0.94 measured) — finer
+    // codebooks buy a smaller rerank set than cb=16 needed.
+    val pq = Similarity.trainPq(
+      t(s, dir, "embeddings"), codebookSize = 32).get
     pqModel.set(pq)
     Similarity.pqTopK(t(s, dir, "embeddings"), annQueries(s, dir),
-      k = 10, model = Some(pq))
+      k = 10, codebookSize = 32, rerank = 128, model = Some(pq))
   }
 
   private def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
     // The composed index: IVF restricts the scan to the probed
     // clusters, PQ codes are the only per-row payload the candidate
-    // scan reads, exact cosine reranks the top-64. Both models
+    // scan reads, exact cosine reranks the top-192. Both models
     // captured so the oracle replays cluster assignment, probing,
     // encode and ADC with the exact literals this run used.
+    // nProbe=12 / cb=32 / rerank=192 clear the recall ≥ 0.9 CI gate
+    // with margin (0.94) on the unclustered worst-case corpus.
     val e = t(s, dir, "embeddings")
     val cents = Similarity.trainCentroids(e, nCentroids = 16)
-    val pq = Similarity.trainPq(e).get
+    val pq = Similarity.trainPq(e, codebookSize = 32).get
     ivfpqModels.set((cents, pq))
     Similarity.ivfPqTopK(e, annQueries(s, dir), k = 10,
-      nCentroids = 16, nProbe = 8,
+      nCentroids = 16, nProbe = 12, rerank = 192,
       ivfModel = Some(cents), pqModel = Some(pq))
   }
 
@@ -1888,6 +1920,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
     "dedup_minhash_increment" -> (qDedupMinhashIncrement _),
+    "dedup_minhash_index_merge" -> (qDedupMinhashIndexMerge _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgram _),
     "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
@@ -2078,7 +2111,7 @@ object SparkEntry {
        |    ${pqCodesExpr(pq)} AS codes
        |  FROM base),
        |probes AS (SELECT vec_id AS query_id, ed AS qe, cid AS cluster_id
-       |      FROM ranked WHERE vec_id % 50 = 0 AND rn <= 8),
+       |      FROM ranked WHERE vec_id % 50 = 0 AND rn <= 12),
        |cand AS (SELECT p.query_id, a.neighbor_id, a.ce2, p.qe,
        |    ${pqAdcSql(pq, "p.qe", "e.codes")} AS adc
        |  FROM assign a
@@ -2090,7 +2123,7 @@ object SparkEntry {
        |    AS prelim FROM cand),
        |s AS (SELECT query_id, neighbor_id,
        |    ${cosineSql("qe", "ce2")} AS cosine
-       |  FROM pre WHERE prelim <= 64),
+       |  FROM pre WHERE prelim <= 192),
        |r AS (SELECT query_id, neighbor_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
@@ -2153,7 +2186,7 @@ object SparkEntry {
        |    AS prelim FROM cand),
        |s AS (SELECT query_id, neighbor_id,
        |    ${cosineSql("qe", "ce")} AS cosine
-       |  FROM pre WHERE prelim <= 64),
+       |  FROM pre WHERE prelim <= 128),
        |r AS (SELECT query_id, neighbor_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
@@ -3262,6 +3295,11 @@ object SparkEntry {
     "dedup_minhash_increment" ->
       (minhashPairsOracle.replace("WHERE jaccard >= 0.8",
         "WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)")),
+    // the persisted-index merge must converge to the SAME pair set as
+    // the re-derive-everything increment — identical oracle
+    "dedup_minhash_index_merge" ->
+      (minhashPairsOracle.replace("WHERE jaccard >= 0.8",
+        "WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)")),
     // The incremental (streaming) twin must converge to the same pair
     // set as the batch operator — the oracle IS the batch pair SQL.
     "stream_minhash_pairs" -> minhashPairsOracle,
@@ -3840,7 +3878,7 @@ object SparkEntry {
       |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   /** IVF oracle: centroid model exported as double literals (exact
-    * float→double widening), then the assignment argmax, nProbe=8 probe
+    * float→double widening), then the assignment argmax, nProbe=12 probe
     * ranking, probed-cluster scan and top-k all recomputed in SQL. */
   private def ivfOracleSql(cents: Seq[Seq[Float]]): String = {
     val rows = cents.zipWithIndex.map { case (c, i) =>
@@ -3862,7 +3900,7 @@ object SparkEntry {
        |        cid AS cluster_id
        |      FROM ranked WHERE rn = 1),
        |probes AS (SELECT vec_id AS query_id, ed AS qe, cid AS cluster_id
-       |      FROM ranked WHERE vec_id % 50 = 0 AND rn <= 8),
+       |      FROM ranked WHERE vec_id % 50 = 0 AND rn <= 12),
        |s AS (SELECT DISTINCT query_id, neighbor_id,
        |        ${cosineSql("qe", "ce2")} AS cosine
        |      FROM assign a JOIN probes p ON a.cluster_id = p.cluster_id

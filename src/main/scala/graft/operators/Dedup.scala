@@ -265,6 +265,118 @@ object Dedup {
     pairs
   }
 
+  /** Single-column LSH bucket keys: band b's key is `hash(b, slice…)`,
+    * folding the band id INTO the key so the persisted index can
+    * bucket, group and join on ONE column — a bucketed scan's
+    * HashPartitioning then satisfies the aggregate/join clustering
+    * exactly, with no re-shuffle. A cross-band hash collision merely
+    * merges two buckets: candidates become a superset and the exact
+    * Jaccard verification removes the impostors, so recall is
+    * unaffected (the bucket cap binding marginally earlier on a merged
+    * bucket is the same hot-bucket trade [[minhashLsh]] already makes). */
+  private[graft] def minhashBucketKeys(
+      mh: Column, bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => element_at(mh, i + 1))
+      hash(lit(b) +: cols: _*)
+    }
+
+  /** Write the PERSISTED minhash-LSH dedup index for a corpus — the
+    * table a 100 TB ingest pipeline builds once and then merges every
+    * epoch's increment against ([[minhashIndexMerge]]), instead of
+    * re-deriving the full corpus's signatures per run (what
+    * [[minhashLshIncrement]] does). Two bucketed tables:
+    *  - `<prefix>_postings` (bk, doc_id), bucketed AND sorted by `bk`
+    *    (the folded band key, [[minhashBucketKeys]]) — candidate
+    *    generation reads it pre-clustered, zero index-side shuffle;
+    *  - `<prefix>_sets` (doc_id, gs), bucketed by `doc_id` — the exact
+    *    Jaccard verifier's side table.
+    * Signatures are computed in the scan stage (custom expressions);
+    * the only shuffles are the two bucketed writes themselves — the
+    * exchange you pay ONCE so every later epoch doesn't. */
+  def writeMinhashIndex(docs: DataFrame, prefix: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      buckets: Int = 32): Unit = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = docs.select(col("doc_id"),
+      shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sigs.select(col("doc_id"),
+      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
+        .as("bk"))
+    graft.sources.Layout.writeBucketed(
+      postings, s"${prefix}_postings", "bk", buckets)
+    val sets = sigs.select(col("doc_id"),
+      array_sort(array_distinct(col("sh"))).as("gs"))
+    graft.sources.Layout.writeBucketed(
+      sets, s"${prefix}_sets", "doc_id", buckets)
+    sigs.unpersist(false)
+  }
+
+  /** Epoch merge against the PERSISTED index: near-dup pairs between a
+    * new (disjoint) document increment and the indexed corpus, plus
+    * pairs inside the increment itself — without re-deriving a single
+    * old-side signature. The index side runs SHUFFLE-FREE end to end:
+    * `<prefix>_postings` is bucketed by `bk`, so the per-bucket
+    * bounded collect clusters on the bucketed scan's own partitioning,
+    * and the increment (a day's crawl — small by construction) either
+    * broadcasts or shuffles itself to the index's partitioning; no
+    * exchange ever sits above the index scan (pinned by the declared
+    * query and `LayoutSpec`). Old-side bucket membership is capped at
+    * `maxBucket` via the same O(cap) collect the batch operator uses.
+    * Work is proportional to the buckets the increment touches — a
+    * bucket with only old members never leaves the scan. */
+  def minhashIndexMerge(newDocs: DataFrame, prefix: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val spark = newDocs.sparkSession
+    val sigs = newDocs.select(col("doc_id"),
+      shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val np = sigs.select(col("doc_id"),
+      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
+        .as("bk"))
+    // old buckets pre-aggregated ON the bucketed layout (no exchange)
+    val oldBuckets = spark.table(s"${prefix}_postings")
+      .groupBy("bk")
+      .agg(bounded_min_collect(col("doc_id"), maxBucket).as("old_ids"))
+    // new×old candidates: one join per touched bucket, fan-out ≤ cap
+    val newOld = np.join(oldBuckets, Seq("bk"))
+      .select(col("doc_id").as("nid"), explode(col("old_ids")).as("oid"))
+      .filter(col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("id_a"),
+        greatest(col("nid"), col("oid")).as("id_b"))
+    // new×new candidates: the increment against itself, capped as in
+    // the batch operator (old×old pairs belong to the previous epoch)
+    val newNew = np.groupBy("bk")
+      .agg(bounded_min_collect(col("doc_id"), maxBucket).as("ids"))
+      .select(explode(capped_pairs(col("ids"), maxBucket)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val candidates = newOld.unionByName(newNew).distinct()
+    // verification: persisted set table ∪ the increment's sets; the
+    // size guard reads the written table's REAL parquet stats (no
+    // expansion margin needed) plus the increment's 8×-margin estimate
+    val oldSets = spark.table(s"${prefix}_sets")
+    val newSets = sigs.select(col("doc_id"),
+      array_sort(array_distinct(col("sh"))).as("gs"))
+    val setsSmall =
+      oldSets.queryExecution.optimizedPlan.stats.sizeInBytes +
+        newDocs.queryExecution.optimizedPlan.stats.sizeInBytes * 8 <
+        (256L << 20)
+    val pairs = verifiedJaccardPairs(
+      oldSets.unionByName(newSets), candidates, threshold, setsSmall)
+    sigs.unpersist(false)
+    pairs
+  }
+
   /** Exact Jaccard for given (id_a, id_b) candidate pairs via shingle
     * inverted join — cost proportional to candidates, not corpus².
     * Set semantics via distributed `.distinct()` on the exploded hashes

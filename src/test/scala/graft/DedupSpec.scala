@@ -87,6 +87,26 @@ class DedupSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("persisted index merge ≡ re-derive-everything increment; " +
+      "index side is shuffle-free") {
+    val isNew = col("doc_id") % 2 === 1 // new {1,3,5} / old {2,4}
+    Dedup.writeMinhashIndex(docs.filter(!isNew), "spec_mhidx")
+    val merged = Dedup.minhashIndexMerge(docs.filter(isNew), "spec_mhidx")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Dedup.minhashLshIncrement(docs, isNew)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === expect)
+    assert(merged.nonEmpty) // near-dup pairs cross the old/new split
+    // the bucketed postings layout satisfies the bucket aggregation's
+    // clustering by itself — the exchange was paid at write time
+    val idxAgg = spark.table("spec_mhidx_postings")
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+    assert(!graft.sources.Layout.hasShuffle(idxAgg),
+      "index-side aggregation should not shuffle")
+  }
+
   test("connected components collapse chains to the component minimum") {
     val chainDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // path 1-2-3-4 plus isolated 5, 6: one-round star contraction maps

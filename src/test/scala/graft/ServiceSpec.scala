@@ -1,0 +1,85 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The delivery-surface contract over a REAL socket: SQL goes in as an
+  * HTTP POST, the reference's envelope (both plans + statistics + rows)
+  * comes back — closing the one lifecycle step the library facade
+  * (`Engine`) didn't replicate (`QueryService.asmx.cs:24-29`). */
+class ServiceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val engine = new Engine(spark, TestSpark.sfDir)
+
+  private def withService(f: (HttpClient, Int) => Unit): Unit = {
+    val svc = new Service(engine, port = 0)
+    val port = svc.start()
+    try f(HttpClient.newHttpClient(), port)
+    finally svc.stop()
+  }
+
+  private def post(c: HttpClient, port: Int, path: String,
+      body: String): String =
+    c.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  test("POST /query returns the full envelope: plans, stats, rows") {
+    withService { (c, port) =>
+      val body = post(c, port, "/query",
+        "sql=" + java.net.URLEncoder.encode(
+          "SELECT n_name, count(*) AS n FROM customer c " +
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+            "GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3",
+          "UTF-8"))
+      assert(body.contains("\"originalPlan\""), body.take(200))
+      assert(body.contains("\"optimizedPlan\""))
+      assert(body.contains("\"statistics\""))
+      assert(body.contains("\"OpType\"")) // the reference's plan schema
+      assert(body.contains("\"rowCount\":3"), body.takeRight(200))
+      assert(body.contains("n_name"))
+    }
+  }
+
+  test("POST /getData returns rows only; limit bounds the payload") {
+    withService { (c, port) =>
+      val body = post(c, port, "/getData",
+        "sql=" + java.net.URLEncoder.encode(
+          "SELECT c_custkey FROM customer ORDER BY c_custkey", "UTF-8") +
+          "&limit=5")
+      assert(body.contains("\"rowCount\":5"), body.takeRight(120))
+      assert(!body.contains("originalPlan"))
+    }
+  }
+
+  test("raw-body SQL works; errors come back as JSON, not a dead socket") {
+    withService { (c, port) =>
+      val ok = post(c, port, "/getData", "SELECT 1 AS one")
+      assert(ok.contains("\"one\":1"), ok)
+      val err = post(c, port, "/query", "SELEKT nonsense")
+      assert(err.contains("\"error\""), err.take(200))
+    }
+  }
+
+  test("GET / serves the self-contained plan view page") {
+    withService { (c, port) =>
+      val body = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains("<html>") && body.contains("optimized plan"))
+    }
+  }
+
+  test("QueryResult bounded forms: rowsLimited and rowsIterator") {
+    val r = engine.query(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey")
+    assert(r.rowsLimited(7).length === 7)
+    assert(r.rowsIterator.take(3).size === 3)
+    val (limited, stats) = r.executeWithStats(5)
+    assert(limited.length === 5)
+    assert(stats.contains("\"node\"")) // the walk saw the executed plan
+  }
+}

@@ -17,6 +17,36 @@ class SimilaritySpec extends AnyFunSuite {
     (i.toLong, v)
   }.toDF("vec_id", "embedding")
 
+  test("recall gates at sf0.01: LSH / IVF / PQ / IVF-PQ all hold " +
+      "recall@10 >= 0.9 vs brute-force ground truth") {
+    // CI pin for the production parameters the declared sim_topk_*
+    // queries use — a future retune cannot silently trade recall for
+    // speed without failing here.
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, queries, k = 10))
+    def recall(s: Set[(Long, Long)]): Double =
+      (bf & s).size.toDouble / bf.size
+    val lsh = recall(pairs(Similarity.lshTopK(corpus, queries, k = 10)))
+    assert(lsh >= 0.9, f"LSH recall $lsh%.2f < 0.9")
+    val cents = Similarity.trainCentroids(corpus, nCentroids = 16)
+    val ivf = recall(pairs(Similarity.ivfTopK(corpus, queries, k = 10,
+      nCentroids = 16, nProbe = 12, model = Some(cents))))
+    assert(ivf >= 0.9, f"IVF recall $ivf%.2f < 0.9")
+    val pqm = Similarity.trainPq(corpus, codebookSize = 32).get
+    val pq = recall(pairs(Similarity.pqTopK(corpus, queries, k = 10,
+      codebookSize = 32, rerank = 128, model = Some(pqm))))
+    assert(pq >= 0.9, f"PQ recall $pq%.2f < 0.9")
+    val ivfpq = recall(pairs(Similarity.ivfPqTopK(corpus, queries,
+      k = 10, nCentroids = 16, nProbe = 12, rerank = 192,
+      ivfModel = Some(cents), pqModel = Some(pqm))))
+    assert(ivfpq >= 0.9, f"IVF-PQ recall $ivfpq%.2f < 0.9")
+  }
+
   test("brute-force top-k returns k neighbors in descending cosine") {
     val q = corpus.filter(col("vec_id") === 0)
     val r = Similarity.bruteForceTopK(corpus, q, k = 5).collect()
