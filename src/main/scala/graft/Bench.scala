@@ -27,8 +27,10 @@ object Bench {
     "frag_transparency_agg",
     "window_rank",
     "sort_limit_topk",
+    "q9_product_profit",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_index_merge",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "pipeline_clean_corpus",
@@ -36,6 +38,7 @@ object Bench {
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
     "text_stats",
     "asof_join",
     "stream_window_agg",

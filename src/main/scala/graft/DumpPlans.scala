@@ -99,6 +99,41 @@ object DumpPlans {
         |separate fetch, and the candidate scan reads a table ~64×
         |narrower than the vectors. Two windows: ADC prelim top-64,
         |then exact-cosine top-k on survivors only.""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """TPC-H Q2's correlated scalar MIN-subquery. Catalyst
+        |decorrelates it into an aggregate-then-join: the per-part
+        |regional minimum computes ONCE as a grouped aggregate over
+        |the (deterministically derived) partsupp pair relation, then
+        |joins back on p_partkey — no per-outer-row re-execution
+        |anywhere in the plan. The region/nation dimension chain
+        |broadcasts on both the outer and the subquery side.""".stripMargin,
+    "q9_product_profit" ->
+      """TPC-H Q9, the deep multiway profit join (lineitem ⋈ part ⋈
+        |supplier ⋈ orders ⋈ nation ⋈ derived partsupp). The p_name
+        |LIKE filter is pushed into the part scan and — via the join
+        |order — prunes the fact stream before the wide orders join;
+        |dimensions broadcast, the pair relation shuffles once on its
+        |(part, supp) grouping, and profit aggregates
+        |partial→final in exact integer micros.""".stripMargin,
+    "q20_promotion_suppliers" ->
+      """TPC-H Q20's nested semi-join chain: supplier IN (pairs whose
+        |part IN (LIKE-filtered parts) AND a correlated per-pair
+        |scalar sum). Both IN predicates plan as LeftSemi hash joins
+        |(no duplication of the outer), and the correlated 1995-volume
+        |sum decorrelates into one grouped aggregate joined back on
+        |the pair key — three aggregates total, zero nested-loop
+        |re-evaluation.""".stripMargin,
+    "dedup_minhash_index_merge" ->
+      """The persisted-index epoch merge (plan below is the
+        |checkpointed pair result; the load-bearing shape is pinned by
+        |the inline hasShuffle assert + DedupSpec). The index side —
+        |`mhidx_postings` bucketed by the folded band key — feeds its
+        |per-bucket bounded collect with NO exchange: the bucketed
+        |scan's HashPartitioning satisfies the aggregation's
+        |clustering outright, and the increment side alone shuffles
+        |(or broadcasts) to meet it. Re-run cost per epoch is
+        |proportional to the increment's touched buckets, not the
+        |corpus.""".stripMargin,
     "profile_numeric" ->
       """All-column dataset profile in ONE scan: the multiple exact
         |COUNT(DISTINCT)s plan as a single Expand (each input row fans
