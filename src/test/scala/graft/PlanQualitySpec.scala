@@ -83,6 +83,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bloom filter not adjacent to the fact scan:\n$p")
   }
 
+  test("q9: part LIKE filter pushed into the parquet scan, dimension " +
+      "sides broadcast over a single fact scan") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"p_name LIKE should reach PushedFilters:\n$p")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 4,
+      s"dimensions should broadcast:\n$p")
+  }
+
+  test("q2: correlated min-subquery decorrelates to ONE grouped " +
+      "aggregate — no nested loop, no per-outer-row re-execution") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"correlated subquery fell back to a loop join:\n$p")
+    assert(p.contains("partial_min(cast(round"),
+      s"regional min should plan as a grouped aggregate:\n$p")
+  }
+
+  test("q20: nested IN chain plans as semi joins, no nested loop") {
+    val p = plan("q20_promotion_suppliers")
+    assert(p.sliding("LeftSemi".length).count(_ == "LeftSemi") >= 2,
+      s"IN subqueries should plan as semi joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested loop in Q20:\n$p")
+  }
+
   test("stream_heavy_hitters: epoch-close rescore is a broadcast " +
       "semi-join against the candidate table, not an N-literal In") {
     val p = plan("stream_heavy_hitters")
