@@ -600,7 +600,9 @@ object SparkEntry {
       """SELECT d.doc_id,
         |  simhash64(split(lower(d.text), ' ')) AS sim_sig,
         |  size(shingle_hashes(d.text, 3)) AS n_shingles,
-        |  cosine_sim(e.embedding, e.embedding) AS self_cos
+        |  cosine_sim(e.embedding, e.embedding) AS self_cos,
+        |  size(tokens(d.text)) AS n_tokens,
+        |  lang_id(d.text) AS lang_pred
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin)
   }
@@ -3190,7 +3192,14 @@ object SparkEntry {
          |  FROM documents),
          |$simhashSigSql,
          |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
-         |       FROM embeddings)
+         |       FROM embeddings),
+         |tkq AS (
+         |  SELECT doc_id, toks, list_distinct(toks) AS toksd FROM (
+         |    SELECT doc_id, list_filter(string_split(
+         |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+         |        x -> len(x) > 0) AS toks
+         |    FROM documents)),
+         |sc AS (SELECT doc_id, toks, $langHitsSql FROM tkq)
          |SELECT d.doc_id,
          |  coalesce(sig.sim_sig, 0) AS sim_sig,
          |  CAST(CASE WHEN len(list_filter(
@@ -3199,10 +3208,13 @@ object SparkEntry {
          |    THEN len(list_filter(regexp_split_to_array(lower(d.text), '\\s'),
          |      t -> strlen(t) > 0)) - 2
          |    ELSE 1 END AS INTEGER) AS n_shingles,
-         |  ${cosineSql("ed", "ed")} AS self_cos
+         |  ${cosineSql("ed", "ed")} AS self_cos,
+         |  CAST(len(sc.toks) AS INTEGER) AS n_tokens,
+         |  $langPredSql AS lang_pred
          |FROM documents d
          |JOIN e2 ON d.doc_id = e2.vec_id
          |LEFT JOIN sig ON sig.doc_id = d.doc_id
+         |JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id,

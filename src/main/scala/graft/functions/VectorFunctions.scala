@@ -1389,6 +1389,29 @@ object VectorFunctions {
         (es => MinHashSignature(es(0), litInt(es(1), "k"))),
       "text_jaccard" ->
         (es => JaccardSim(es(0), es(1), litInt(es(2), "n"))),
+      "winnowed_fingerprints" ->
+        (es => WinnowedFingerprints(es(0), litInt(es(1), "w"))),
+      // the bucket generators — a SQL user can build the same banded
+      // dedup pipelines the Scala operators do
+      "capped_pairs" ->
+        (es => CappedPairs(es(0), litInt(es(1), "maxBucket"))),
+      "hamming_pairs" ->
+        (es => HammingPairs(es(0), litInt(es(1), "maxBucket"),
+          litInt(es(2), "maxHamming"))),
+      "cosine_bucket_best" ->
+        (es => CosineBucketBest(es(0), litInt(es(1), "maxBucket"))),
+      // composed text pipelines (Column compositions of builtins +
+      // custom exprs — registered by eagerly converting the column
+      // tree to an analyzable expression, not the deferred wrapper)
+      "lang_id" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.langId(toColumn(es(0))))),
+      "quality_score" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.qualityScore(toColumn(es(0))))),
+      "tokens" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.tokens(toColumn(es(0))))),
       // aggregates: the analyzer wraps a bare AggregateFunction into
       // an AggregateExpression, so the same builder registry works
       "bounded_min_collect" ->

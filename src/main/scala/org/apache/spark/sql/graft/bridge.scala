@@ -13,6 +13,14 @@ object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a COMPOSED Column (functions-API tree) to a real
+    * analyzable expression. `toExpression` defers via a
+    * `ColumnNodeExpression` wrapper that only unwraps on the Dataset
+    * analysis path — a function-registry builder needs the converted
+    * tree up front or codegen meets an Unevaluable node. */
+  def toAnalyzableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Resolved logical plan of a DataFrame (attribute references in
     * Columns taken from the frame line up with this plan's output). */
   def planOf(df: org.apache.spark.sql.DataFrame)

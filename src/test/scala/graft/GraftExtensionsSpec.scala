@@ -52,6 +52,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("composed text pipelines and bucket generators from SQL") {
+    withExtSession { s =>
+      val r = s.sql(
+        """SELECT
+          |  lang_id('the quick brown fox and the lazy dog') AS lang,
+          |  quality_score('A decent length sentence, with words.') AS q,
+          |  size(tokens('alpha beta gamma')) AS nt,
+          |  size(winnowed_fingerprints(
+          |    char_ngram_hashes('abcdefghijklmnop', 8), 4)) AS nw,
+          |  size(capped_pairs(CAST(array(1, 2, 3) AS ARRAY<BIGINT>),
+          |    10)) AS np
+          |""".stripMargin).head()
+      assert(r.getString(0).nonEmpty)
+      assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getInt(2) === 3)
+      assert(r.getInt(3) > 0)
+      assert(r.getInt(4) === 3) // C(3,2) pairs
+    }
+  }
+
   test("injected SQL aggregates: bounded_min_collect and misra_gries") {
     withExtSession { s =>
       import s.implicits._
