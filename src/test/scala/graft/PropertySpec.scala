@@ -248,4 +248,37 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"case $i")
     }
   }
+
+  test("persisted index merge ≡ re-derive increment on random corpora " +
+      "and random old/new splits") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau").split(" ")
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(42 + it)
+      // even docs random; each odd doc is a one-word mutation of its
+      // predecessor → planted near-dup pairs that may cross the split
+      val base = (0 until 12).map { i =>
+        (i.toLong, Seq.fill(25)(words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      }
+      val docs = base.map { case (id, text) =>
+        if (id % 2 == 1) {
+          val prev = base((id - 1).toInt)._2.split(" ")
+          prev(rnd.nextInt(prev.length)) = "zulu"
+          (id, prev.mkString(" "))
+        } else (id, text)
+      }.toDF("doc_id", "text")
+      val isNew = col("doc_id") % (2 + it) === 0 // varying split shapes
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.writeMinhashIndex(docs.filter(!isNew), s"prop_mhidx_$it")
+      val merged = pairsOf(
+        Dedup.minhashIndexMerge(docs.filter(isNew), s"prop_mhidx_$it"))
+      val expect = pairsOf(Dedup.minhashLshIncrement(docs, isNew))
+      assert(merged === expect, s"iteration $it")
+    }
+  }
 }
