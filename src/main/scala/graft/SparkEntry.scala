@@ -1437,6 +1437,25 @@ object SparkEntry {
       docs.filter(col("doc_id") % 5 === 0), "mhidx")
   }
 
+  private def qDedupMinhashEpochAppend(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The FULL ingest loop across two epochs: build the index for the
+    // base corpus (doc_id % 5 ∉ {0,1}), APPEND epoch 1's increment
+    // (% 5 = 1) into the bucketed index — no rebuild — then merge
+    // epoch 2 (% 5 = 0) against the appended index. Pairs touching
+    // epoch 2 must equal the re-derive-everything increment (same
+    // oracle as dedup_minhash_index_merge), which proves the appended
+    // index is indistinguishable from a fresh full one.
+    val docs = t(s, dir, "documents")
+    Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+      "mhidx2")
+    Dedup.appendToMinhashIndex(
+      docs.filter(col("doc_id") % 5 === 1), "mhidx2")
+    Dedup.minhashIndexMerge(
+      docs.filter(col("doc_id") % 5 === 0), "mhidx2")
+  }
+
   private def qDedupCcDecisions(s: SparkSession, dir: String)
       : DataFrame = {
     // Transitive closure over the minhash near-dup pair graph: chains
@@ -1923,6 +1942,7 @@ object SparkEntry {
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
     "dedup_minhash_increment" -> (qDedupMinhashIncrement _),
     "dedup_minhash_index_merge" -> (qDedupMinhashIndexMerge _),
+    "dedup_minhash_epoch_append" -> (qDedupMinhashEpochAppend _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgram _),
     "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
@@ -3310,6 +3330,12 @@ object SparkEntry {
     // the persisted-index merge must converge to the SAME pair set as
     // the re-derive-everything increment — identical oracle
     "dedup_minhash_index_merge" ->
+      (minhashPairsOracle.replace("WHERE jaccard >= 0.8",
+        "WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)")),
+    // two-epoch loop (build → append → merge): epoch-2-touching pairs
+    // must still equal the from-scratch set — the appended index is
+    // indistinguishable from a fresh full one
+    "dedup_minhash_epoch_append" ->
       (minhashPairsOracle.replace("WHERE jaccard >= 0.8",
         "WHERE jaccard >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)")),
     // The incremental (streaming) twin must converge to the same pair

@@ -317,6 +317,36 @@ object Dedup {
     sigs.unpersist(false)
   }
 
+  /** APPEND an increment's signatures into an existing persisted index
+    * (same bucket spec — Spark validates it), closing the ingest loop:
+    * write the corpus index once, then per epoch
+    * [[minhashIndexMerge]] the increment and append it, so epoch N+1
+    * merges against old ∪ epochs 1..N with no rebuild. The append
+    * shuffles ONLY the increment (into the index's bucketing). */
+  def appendToMinhashIndex(newDocs: DataFrame, prefix: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      buckets: Int = 32): Unit = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sigs = newDocs.select(col("doc_id"),
+      shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.select(col("doc_id"),
+      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
+        .as("bk"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .saveAsTable(s"${prefix}_postings")
+    sigs.select(col("doc_id"),
+      array_sort(array_distinct(col("sh"))).as("gs"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${prefix}_sets")
+    sigs.unpersist(false)
+  }
+
   /** Epoch merge against the PERSISTED index: near-dup pairs between a
     * new (disjoint) document increment and the indexed corpus, plus
     * pairs inside the increment itself — without re-deriving a single

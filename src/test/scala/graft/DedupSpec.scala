@@ -107,6 +107,26 @@ class DedupSpec extends AnyFunSuite {
       "index-side aggregation should not shuffle")
   }
 
+  test("appended index across epochs ≡ fresh full index") {
+    // epoch 0: {2, 4} indexed; epoch 1: {1} appended; epoch 2: {3, 5}
+    // merged — the merge must see 1's signatures through the APPEND
+    val e0 = col("doc_id").isin(2L, 4L)
+    val e1 = col("doc_id") === 1L
+    val e2 = col("doc_id").isin(3L, 5L)
+    Dedup.writeMinhashIndex(docs.filter(e0), "spec_mhidx_ep")
+    Dedup.appendToMinhashIndex(docs.filter(e1), "spec_mhidx_ep")
+    val merged = Dedup.minhashIndexMerge(docs.filter(e2), "spec_mhidx_ep")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Dedup.minhashLshIncrement(docs, e2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === expect)
+    // 1↔3 and 1↔5 cross the appended epoch: only visible if the
+    // append really landed in the index
+    assert(merged.contains((1L, 3L)) && merged.contains((1L, 5L)))
+  }
+
   test("connected components collapse chains to the component minimum") {
     val chainDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // path 1-2-3-4 plus isolated 5, 6: one-round star contraction maps
