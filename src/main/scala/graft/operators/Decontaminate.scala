@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation/benchmark set (the standard pre-training
+  * hygiene step — a training doc containing an eval n-gram leaks the
+  * benchmark into the model). Not in the reference engine (its surface
+  * is SPJU only, SURVEY.md §2); this is part of the LLM-pipeline
+  * extension surface.
+  *
+  * Scale design (100 TB training corpus, benchmark sets of at most a
+  * few hundred MB by construction):
+  *  - the EVAL side is the small side: its distinct gram set is
+  *    broadcast, so the training corpus is scanned once and never
+  *    shuffles to discover hits — the only shuffle is the per-doc hit
+  *    count over rows that actually matched (normally a tiny fraction
+  *    of the corpus);
+  *  - grams travel as strings here so an external SQL oracle can
+  *    re-derive the counts exactly; when the broadcast budget is tight,
+  *    key by xxhash64(gram) instead (8 bytes per gram, ~2⁻⁶⁴ false-hit
+  *    probability — an acceptable trade for a contamination FILTER,
+  *    not for an exactness-gated report);
+  *  - emitting every training doc (clean ones with n_hits = 0) is a
+  *    LEFT join from the corpus keys to the aggregated hits — no second
+  *    scan of the text.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams per doc: (doc_id, g). Documents shorter than
+    * n tokens contribute their whole text as one gram (same fallback as
+    * [[TextFunctions.wordShingles]]), so short eval entries still
+    * decontaminate. */
+  private def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), n)).as("g"))
+
+  /** Per-training-doc contamination report against `eval`:
+    * (doc_id, n_hits = distinct shared n-grams, contaminated =
+    * n_hits >= minHits). Every training doc appears exactly once. */
+  def overlap(train: DataFrame, eval: DataFrame, n: Int = 5,
+      minHits: Int = 1): DataFrame = {
+    val evalGrams = grams(eval, n).select("g").distinct()
+    val hits = grams(train, n)
+      // inner hash join against the broadcast eval gram set: non-matching
+      // training grams die in the scan stage, before any shuffle
+      .join(broadcast(evalGrams), "g")
+      // wordShingles is array_distinct per doc, so count(*) IS the
+      // distinct shared-gram count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    train.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+      .orderBy("doc_id")
+  }
+}
