@@ -1330,7 +1330,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   import graft.functions.TextFunctions
-  import graft.operators.{BloomJoin, Dedup, HeavyHitters, Multimodal, Similarity}
+  import graft.operators.{BloomJoin, Decontaminate, Dedup, HeavyHitters, Multimodal, Similarity}
   import graft.streaming.EventsStream
 
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
@@ -1377,6 +1377,30 @@ object SparkEntry {
       TextFunctions.subwordCount(col("text")).as("n_subwords"),
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
+
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    // PII scrub: the synthetic corpus carries no PII, so the query
+    // plants a deterministic email/IP/phone per doc (pure function of
+    // doc_id, recomputed identically by the oracle), then detects and
+    // masks all three classes with the portable patterns. Entirely
+    // scan-stage — the only shuffle is the output sort.
+    import graft.functions.PiiFunctions
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com ip 10."),
+      pmod(col("doc_id"), lit(256)), lit(".0."),
+      pmod(col("doc_id"), lit(100)), lit(" call "),
+      (pmod(col("doc_id"), lit(900)) + 100), lit("-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    t(s, dir, "documents")
+      .withColumn("injected", injected)
+      .select(col("doc_id"),
+        PiiFunctions.emailCount(col("injected")).as("n_email"),
+        PiiFunctions.ipv4Count(col("injected")).as("n_ip"),
+        PiiFunctions.phoneCount(col("injected")).as("n_phone"),
+        PiiFunctions.redact(col("injected")).as("redacted"))
+      .orderBy("doc_id")
+  }
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
@@ -1468,6 +1492,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qDecontamNgram(s: SparkSession, dir: String): DataFrame = {
+    // Benchmark decontamination: docs with doc_id % 17 = 0 stand in for
+    // the (tiny, broadcast) eval set; every remaining training doc gets
+    // a shared-5-gram hit count and a contaminated flag. n = 5 because
+    // the synthetic corpus draws from a ~30-word vocabulary: 3-grams
+    // collide by chance across most docs, while 5-gram hits isolate the
+    // planted near-dup pairs — the signal a decontamination pass is for.
+    val d = t(s, dir, "documents")
+    Decontaminate.overlap(
+      d.filter(col("doc_id") % 17 =!= 0),
+      d.filter(col("doc_id") % 17 === 0), n = 5)
+  }
+
   private def qTextHeavyHitters(s: SparkSession, dir: String): DataFrame =
     // Two bounded passes (Misra–Gries sketch → exact rescore of ≤ 64
     // candidates); the oracle is the naive full groupBy top-20, which
@@ -1477,6 +1514,43 @@ object SparkEntry {
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(s, dir, "embeddings"))
+
+  private def qClusterKmeans(s: SparkSession, dir: String): DataFrame = {
+    // Distributed k-means assignment over the embedding column: the
+    // model is ONE bounded driver sample (Similarity.trainCentroids),
+    // the assignment a shuffle-free map over a broadcast centroid
+    // array. Captured like the IVF model so the oracle replays the
+    // argmax with the exact centroid literals this run used.
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    kmeansModel.set(cents)
+    graft.operators.Clustering.assign(e, cents)
+  }
+
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    // SemDeDup-style semantic near-dup pairs: cluster first (k-means),
+    // compare pairwise only INSIDE a cluster (capped per cluster, see
+    // Clustering.semanticPairs). Threshold 0.4 on this deliberately
+    // unclustered corpus (max pairwise cosine ~0.5) — production
+    // embedding spaces cluster far more tightly.
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    semanticModel.set(cents)
+    graft.operators.Clustering.semanticPairs(e, cents, threshold = 0.4)
+  }
+
+  private def qDedupSemanticDecisions(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The keep/dup_of contract over the semantic pair graph — one
+    // star-contraction round, min-id representative, every vector
+    // emitted exactly once (same decision algebra as the text dedup
+    // family).
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    semanticDecModel.set(cents)
+    graft.operators.Clustering.semanticDecisions(
+      e, cents, threshold = 0.4)
+  }
 
   private def annQueries(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").filter(col("vec_id") % 50 === 0)
@@ -1937,6 +2011,7 @@ object SparkEntry {
     "text_stats" -> (qTextStats _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
     "text_quality" -> (qTextQuality _),
+    "pii_redact" -> (qPiiRedact _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -1947,7 +2022,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (qDedupNgram _),
     "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
     "dedup_cc_decisions" -> (qDedupCcDecisions _),
+    "decontam_ngram" -> (qDecontamNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "cluster_kmeans" -> (qClusterKmeans _),
+    "dedup_semantic" -> (qDedupSemantic _),
+    "dedup_semantic_decisions" -> (qDedupSemanticDecisions _),
     "text_heavy_hitters" -> (qTextHeavyHitters _),
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
@@ -2105,6 +2184,17 @@ object SparkEntry {
   /** Centroids + PQ model captured by the last `sim_topk_ivfpq` run. */
   private[graft] val ivfpqModels = new java.util.concurrent.atomic
     .AtomicReference[(Seq[Seq[Float]], Similarity.PqModel)](null)
+
+  /** Centroids captured by `cluster_kmeans` / `dedup_semantic` /
+    * `dedup_semantic_decisions` — one ref per query because Verify runs
+    * queries concurrently (training is deterministic, so the models are
+    * equal; the refs just keep each query's capture race-free). */
+  private[graft] val kmeansModel =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
+  private[graft] val semanticModel =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
+  private[graft] val semanticDecModel =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
 
   /** IVF-PQ oracle: the IVF assignment/probe CTEs and the PQ
     * encode/ADC expressions composed — candidates are (probed cluster)
@@ -3341,6 +3431,32 @@ object SparkEntry {
     // The incremental (streaming) twin must converge to the same pair
     // set as the batch operator — the oracle IS the batch pair SQL.
     "stream_minhash_pairs" -> minhashPairsOracle,
+    // Decontamination: the oracle re-derives the 5-gram sets exactly
+    // (same shingle CTE shape as the minhash oracles), intersects with
+    // the eval side's distinct grams, and left-joins counts back to the
+    // training corpus.
+    "decontam_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |      THEN list_transform(generate_series(1, len(w) - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |             || w[i+3] || ' ' || w[i+4])
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |    FROM toks) u),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN ev USING (g) WHERE doc_id % 17 <> 0
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 17 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_minhash_decisions" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
@@ -3573,6 +3689,31 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // PII scrub: the oracle re-plants the same deterministic PII
+    // (pure integer functions of doc_id) and applies the IDENTICAL
+    // lookaround-free patterns under RE2, in the same email → IP →
+    // phone order.
+    "pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id
+        |    || '@example.com ip 10.' || (doc_id % 256) || '.0.'
+        |    || (doc_id % 100) || ' call ' || (doc_id % 900 + 100)
+        |    || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    AS t FROM documents),
+        |pat AS (
+        |  SELECT doc_id, t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+' AS pe,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}' AS pi,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}' AS pp
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, pe)) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(t, pi)) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, pp)) AS INTEGER) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    pe, '<EMAIL>', 'g'), pi, '<IP>', 'g'), pp, '<PHONE>', 'g')
+        |    AS redacted
+        |FROM pat ORDER BY doc_id""".stripMargin,
     // The IDENTICAL pattern string the engine compiles under Java
     // regex (TextFunctions.BpePretokenPattern), evaluated by RE2:
     // lookahead-free, explicit whitespace classes, ordered
@@ -3801,7 +3942,13 @@ object SparkEntry {
     Option(pqModel.get).map(pq => "sim_topk_pq" -> pqOracleSql(pq)) ++
     Option(ivfpqModels.get).map { case (c, pq) =>
       "sim_topk_ivfpq" -> ivfPqOracleSql(c, pq)
-    }
+    } ++
+    Option(kmeansModel.get).map(c =>
+      "cluster_kmeans" -> kmeansOracleSql(c)) ++
+    Option(semanticModel.get).map(c =>
+      "dedup_semantic" -> semanticPairsOracleSql(c)) ++
+    Option(semanticDecModel.get).map(c =>
+      "dedup_semantic_decisions" -> semanticDecisionsOracleSql(c))
 
   /** DuckDB re-derivation of the winnowing fingerprint pipeline: the
     * FNV-1a 8-gram rolling hashes themselves (xor-then-multiply per
@@ -3950,4 +4097,69 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The shared assignment CTE prefix for the k-means family: exact
+    * centroid literals → per-vector scores → argmax row (rn = 1, ties
+    * on the lowest cluster id — exactly Similarity.withCluster's
+    * array_position argmax). */
+  private def kmeansAssignCtes(cents: Seq[Seq[Float]]): String = {
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lst = c.map(f => dlit(f.toDouble))
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"($i, $lst)"
+    }.mkString(",\n    ")
+    s"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+       |              FROM embeddings),
+       |cents AS (SELECT * FROM (VALUES
+       |    $rows) t(cid, ce)),
+       |scores AS (SELECT vec_id, ed, cid,
+       |        coalesce(${cosineSql("ed", "ce")}, -2.0) AS score
+       |      FROM base, cents),
+       |ranked AS (SELECT vec_id, ed, cid, score, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+       |      FROM scores),
+       |assign AS (SELECT vec_id, ed, cid AS cluster_id, score
+       |      FROM ranked WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansOracleSql(cents: Seq[Seq[Float]]): String =
+    s"""WITH ${kmeansAssignCtes(cents)}
+       |SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+       |  CAST(round(score * 1e6) AS BIGINT) AS score_micros
+       |FROM assign ORDER BY vec_id""".stripMargin
+
+  /** Within-cluster pair CTEs shared by the semantic pair and decision
+    * oracles: the per-cluster affinity cap (a no-op at this SF, but
+    * replicated so the oracle pins the capped semantics), then the
+    * capped self-join with the threshold-0.4 cosine filter. */
+  private def semanticPairCtes(cents: Seq[Seq[Float]]): String =
+    s"""${kmeansAssignCtes(cents)},
+       |capped AS (SELECT vec_id, ed, cluster_id, row_number() OVER (
+       |        PARTITION BY cluster_id ORDER BY score DESC, vec_id)
+       |        AS r FROM assign QUALIFY r <= 4096),
+       |p AS (SELECT * FROM (
+       |      SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${cosineSql("a.ed", "b.ed")} AS cosine
+       |      FROM capped a JOIN capped b
+       |        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+       |      WHERE cosine >= 0.4)""".stripMargin
+
+  private def semanticPairsOracleSql(cents: Seq[Seq[Float]]): String =
+    s"""WITH ${semanticPairCtes(cents)}
+       |SELECT CAST(cluster_id AS INTEGER) AS cluster_id, id_a, id_b,
+       |  cosine
+       |FROM p ORDER BY id_a, id_b""".stripMargin
+
+  private def semanticDecisionsOracleSql(cents: Seq[Seq[Float]]): String =
+    s"""WITH ${semanticPairCtes(cents)},
+       |edges AS (SELECT id_a AS vec_id, id_b AS nb FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |rep0 AS (SELECT vec_id, min(nb) AS min_nb FROM edges
+       |         GROUP BY vec_id),
+       |r AS (SELECT e.vec_id,
+       |        least(e.vec_id, coalesce(rep0.min_nb, e.vec_id)) AS rep
+       |      FROM embeddings e LEFT JOIN rep0 ON e.vec_id = rep0.vec_id)
+       |SELECT vec_id, vec_id = rep AS keep,
+       |  CASE WHEN vec_id <> rep THEN rep END AS dup_of
+       |FROM r ORDER BY vec_id""".stripMargin
 }

@@ -276,7 +276,7 @@ object Similarity {
 
   /** Corpus-side IVF cluster assignment (argmax centroid cosine;
     * zero-norm vectors floored to -2 so they keep a cluster). */
-  private def withCluster(df: DataFrame,
+  private[graft] def withCluster(df: DataFrame,
       cents: Seq[Seq[Float]]): DataFrame = {
     val centArr = typedLit(cents)
     // coalesce: cosine_sim is null for zero-norm vectors — without a
