@@ -1378,6 +1378,24 @@ object SparkEntry {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    // Gopher-style repetition filters: duplicate-bigram fraction,
+    // top-token fraction, type/token ratio — all per-row higher-order
+    // builtins, scan-stage, shuffle-free but the output sort.
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenFrac(col("text")).as("distinct_frac"),
+      TextFunctions.dupBigramFrac(col("text")).as("dup_bigram_frac"),
+      TextFunctions.topTokenFrac(col("text")).as("top_token_frac"))
+      .orderBy("doc_id")
+
+  private def qTextCommonNgrams(s: SparkSession, dir: String): DataFrame =
+    // C4-style corpus-level boilerplate signal: per-doc coverage by
+    // grams common across >= 4 documents (three partial-agg shuffles,
+    // no driver state — see Decontaminate.commonGramCoverage).
+    Decontaminate.commonGramCoverage(t(s, dir, "documents"))
+
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
     // PII scrub: the synthetic corpus carries no PII, so the query
     // plants a deterministic email/IP/phone per doc (pure function of
@@ -2012,6 +2030,8 @@ object SparkEntry {
     "text_tokens_bpe" -> (qTextTokensBpe _),
     "text_quality" -> (qTextQuality _),
     "pii_redact" -> (qPiiRedact _),
+    "text_repetition" -> (qTextRepetition _),
+    "text_common_ngrams" -> (qTextCommonNgrams _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -3689,6 +3709,70 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Repetition filters: token/bigram multiset statistics re-derived
+    // from the same normalized token stream; every fraction is one
+    // exact-integer division (IEEE-identical across engines).
+    "text_repetition" ->
+      """WITH nt AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ',
+        |    'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+        |        FROM nt WHERE t <> ''),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS INTEGER) AS n_tokens,
+        |        CAST(count(*) AS INTEGER) AS n_distinct,
+        |        max(c) AS topc FROM cnt GROUP BY doc_id),
+        |bi AS (SELECT doc_id,
+        |    CASE WHEN t = '' OR len(string_split(t, ' ')) < 2 THEN 0
+        |      ELSE len(string_split(t, ' ')) - 1 END AS n_bi,
+        |    CASE WHEN t = '' OR len(string_split(t, ' ')) < 2 THEN 0
+        |      ELSE len(list_distinct(list_transform(
+        |        generate_series(1, len(string_split(t, ' ')) - 1),
+        |        i -> string_split(t, ' ')[i] || ' '
+        |          || string_split(t, ' ')[i+1]))) END AS n_bid
+        |  FROM nt)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+        |    THEN CAST(a.n_distinct AS DOUBLE) / a.n_tokens
+        |    ELSE 0.0 END AS distinct_frac,
+        |  CASE WHEN b.n_bi > 0
+        |    THEN CAST(b.n_bi - b.n_bid AS DOUBLE) / b.n_bi
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+        |    THEN CAST(a.topc AS DOUBLE) / a.n_tokens
+        |    ELSE 0.0 END AS top_token_frac
+        |FROM documents d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |LEFT JOIN bi b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Corpus-level common-gram coverage: same 3-gram shingle CTE as
+    // the dedup family, df >= 4 commonality, exact-integer coverage
+    // fraction.
+    "text_common_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |    FROM toks) u),
+        |common AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 4),
+        |hits AS (SELECT doc_id, count(*) AS n_common
+        |         FROM sh JOIN common USING (g) GROUP BY doc_id),
+        |per AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams
+        |        FROM sh GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_grams,
+        |  CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(coalesce(h.n_common, 0) AS DOUBLE) / p.n_grams
+        |    AS common_frac,
+        |  CAST(coalesce(h.n_common, 0) AS DOUBLE) / p.n_grams >= 0.5
+        |    AS boilerplate
+        |FROM per p LEFT JOIN hits h ON p.doc_id = h.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     // PII scrub: the oracle re-plants the same deterministic PII
     // (pure integer functions of doc_id) and applies the IDENTICAL
     // lookaround-free patterns under RE2, in the same email → IP →

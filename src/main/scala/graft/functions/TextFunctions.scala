@@ -138,6 +138,52 @@ object TextFunctions {
     lenScore * 0.3 + punctScore * 0.3 + digitScore * 0.2 + swScore * 0.2
   }
 
+  // --- Repetition (Gopher-style quality filters) -----------------------
+
+  /** Word bigram INSTANCES (not distinct — repetition is about
+    * instances) of the normalized token stream; empty for < 2 tokens. */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of bigram instances whose bigram occurs more than once in
+    * the document — the classic repeated-n-gram quality filter. A doc
+    * looping one phrase scores near 1; natural text near 0. Per-row
+    * builtins only (scan-stage, no shuffle). */
+  def dupBigramFrac(text: Column): Column = {
+    val b = bigrams(tokens(text))
+    when(size(b) > 0,
+      (size(b) - size(array_distinct(b))).cast("double") /
+        size(b).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Occurrence count of the document's most frequent token, divided by
+    * the token count — near 1 for degenerate "word word word ..." docs.
+    * O(distinct·n) per row via higher-order builtins; documents are
+    * bounded (they're rows), so this stays scan-stage and shuffle-free. */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val top = aggregate(array_distinct(toks), lit(0),
+      (acc, tk) => greatest(acc, size(filter(toks, x => x === tk))))
+    when(size(toks) > 0,
+      top.cast("double") / size(toks).cast("double")).otherwise(0.0)
+  }
+
+  /** Distinct-token fraction (type/token ratio): low values mean a
+    * small vocabulary stretched over a long doc — repetition's other
+    * face. */
+  def distinctTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
   // --- Language ID -----------------------------------------------------
 
   /** Tiny per-language marker lexicons (top function words). Public

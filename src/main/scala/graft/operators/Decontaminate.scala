@@ -58,4 +58,34 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-wide common-n-gram coverage (the C4-style boilerplate
+    * signal): a gram is "common" when it appears in >= `minDf` distinct
+    * documents; each doc reports how much of its own gram set is
+    * common, and docs past `boilerplateFrac` get flagged. Three
+    * key-partitioned shuffles, all with map-side partial aggregation:
+    * gram document-frequency, the hit join back, and the per-doc count
+    * — no driver-side state at any size (the common-gram set never
+    * leaves the cluster). */
+  def commonGramCoverage(docs: DataFrame, n: Int = 3, minDf: Int = 4,
+      boilerplateFrac: Double = 0.5): DataFrame = {
+    val g = grams(docs, n)
+    val perDoc = docs.select(col("doc_id"),
+      size(wordShingles(col("text"), n)).as("n_grams"))
+    val common = g.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("g")
+    val hits = g.join(common, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_common"))
+    val frac = coalesce(col("n_common"), lit(0L)).cast("double") /
+      col("n_grams").cast("double")
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        frac.as("common_frac"),
+        (frac >= boilerplateFrac).as("boilerplate"))
+      .orderBy("doc_id")
+  }
 }

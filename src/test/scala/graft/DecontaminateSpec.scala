@@ -46,6 +46,27 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(r.head.getBoolean(2))
   }
 
+  test("common-gram coverage flags the boilerplate doc") {
+    val footer = "subscribe to our newsletter for updates today"
+    // 6-token unique prefixes: 13 tokens -> 11 grams, 5 of them the
+    // shared footer's -> coverage 5/11 < 0.5 for the content docs
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta aleph bet " + footer),
+      (2L, "epsilon zeta eta theta gimel dalet " + footer),
+      (3L, "iota kappa lambda mu he vav " + footer),
+      (4L, footer), // pure boilerplate
+      (5L, "nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val r = Decontaminate.commonGramCoverage(corpus, n = 3, minDf = 4,
+      boilerplateFrac = 0.5).collect()
+    val byId = r.map(x => x.getLong(0) ->
+      (x.getLong(2), x.getBoolean(4))).toMap
+    // the footer contributes 5 shared 3-grams; doc 4 is nothing else
+    assert(byId(4L)._1 === 5L && byId(4L)._2)
+    assert(!byId(1L)._2 && byId(1L)._1 === 5L)
+    assert(byId(5L) === ((0L, false)))
+  }
+
   test("eval gram set is broadcast — train side joins without shuffling to discover hits") {
     val plan = Decontaminate.overlap(train, eval, n = 3)
       .queryExecution.executedPlan.toString

@@ -94,4 +94,28 @@ class TextFunctionsSpec extends AnyFunSuite {
       "  leading and trailing  ", "CamelCase MiXeD 42x")
     samples.foreach { s => assert(pretoks(s).mkString === s) }
   }
+
+  private def repetition(s: String): (Double, Double, Double) = {
+    val r = Seq(s).toDF("t").select(
+      distinctTokenFrac(col("t")),
+      dupBigramFrac(col("t")),
+      topTokenFrac(col("t"))).collect().head
+    (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+  }
+
+  test("repetition: degenerate loop scores high, natural text low") {
+    val (df, bf, tf) = repetition("spam spam spam spam")
+    assert(df === 0.25 && tf === 1.0)
+    // 3 bigram instances, 1 distinct -> 2/3 duplicated
+    assert(math.abs(bf - 2.0 / 3) < 1e-15)
+    val (df2, bf2, tf2) = repetition("each word here appears once only")
+    assert(df2 === 1.0 && bf2 === 0.0)
+    assert(tf2 === 1.0 / 6)
+  }
+
+  test("repetition: empty and single-token edges yield zeros") {
+    assert(repetition("") === ((0.0, 0.0, 0.0)))
+    val (df, bf, tf) = repetition("solo")
+    assert(df === 1.0 && bf === 0.0 && tf === 1.0)
+  }
 }
