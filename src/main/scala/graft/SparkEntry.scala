@@ -1378,6 +1378,13 @@ object SparkEntry {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  private def qSearchBm25(s: SparkSession, dir: String): DataFrame =
+    // Inverted-index BM25 top-20 for a three-term query (terms from
+    // the corpus vocabulary). Scores in exact micros — see
+    // Search.bm25TopK for the rational-idf determinism contract.
+    graft.operators.Search.bm25TopK(
+      t(s, dir, "documents"), Seq("spark", "query", "merge"), k = 20)
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     // Gopher-style repetition filters: duplicate-bigram fraction,
     // top-token fraction, type/token ratio — all per-row higher-order
@@ -2032,6 +2039,7 @@ object SparkEntry {
     "pii_redact" -> (qPiiRedact _),
     "text_repetition" -> (qTextRepetition _),
     "text_common_ngrams" -> (qTextCommonNgrams _),
+    "search_bm25" -> (qSearchBm25 _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -3709,6 +3717,13 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // BM25 (rational idf): the oracle rebuilds tf/df/dl/avgdl from the
+    // same normalized token stream and evaluates the IDENTICALLY
+    // parenthesized double expression — constants are printed from the
+    // engine's own doubles (Double.toString round-trips), per-term
+    // scores round to micros BEFORE the cross-term sum, so shuffle
+    // order can't perturb a single bit.
+    "search_bm25" -> bm25OracleSql,
     // Repetition filters: token/bigram multiset statistics re-derived
     // from the same normalized token stream; every fraction is one
     // exact-integer division (IEEE-identical across engines).
@@ -4180,6 +4195,49 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** BM25 oracle: tf/df/dl re-derivation plus the exact double
+    * formula. Constants come from the same Scala doubles the engine's
+    * Column expression embeds (k1, k1+1, 1-b, b), printed with
+    * Double.toString — the shortest decimal that parses back to the
+    * identical bit pattern in both engines. */
+  private def bm25OracleSql: String = {
+    val (k1, b, k) = (1.2, 0.75, 20)
+    val terms = Seq("spark", "query", "merge")
+      .map(t => s"'$t'").mkString(", ")
+    val (cK1, cK11, c1b, cB) =
+      (dlit(k1), dlit(k1 + 1), dlit(1 - b), dlit(b))
+    s"""WITH nt AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ',
+       |    'g')) AS t FROM documents),
+       |dls AS (SELECT doc_id, CASE WHEN t = '' THEN 0
+       |    ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS dl
+       |  FROM nt),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM dls),
+       |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+       |        FROM nt WHERE t <> ''),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       |       WHERE tok IN ($terms) GROUP BY 1, 2),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |per AS (SELECT tf.doc_id,
+       |    CAST(round((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+       |        + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * $cK11)
+       |         / (CAST(tf AS DOUBLE) + $cK1
+       |            * ($c1b + ($cB * CAST(dl AS DOUBLE)) / avgdl))))
+       |      * 1000000.0) AS BIGINT) AS term_micros
+       |  FROM tf JOIN dls USING (doc_id) CROSS JOIN stats
+       |  JOIN dfs USING (tok)),
+       |sc AS (SELECT doc_id, CAST(sum(term_micros) AS BIGINT)
+       |         AS score_micros FROM per GROUP BY doc_id),
+       |r AS (SELECT doc_id, score_micros,
+       |    CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+       |      AS INTEGER) AS rank FROM sc)
+       |SELECT doc_id, score_micros, rank FROM r
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
   /** The shared assignment CTE prefix for the k-means family: exact

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Inverted-index keyword search with BM25 ranking — the retrieval
+  * primitive a corpus pipeline needs for spot-checking, eval-set
+  * mining and nearest-query debugging. Extension surface (the
+  * reference engine has no text retrieval, SURVEY.md §2.7).
+  *
+  * Scoring: BM25's term-frequency saturation exactly —
+  * `tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` — with the RATIONAL
+  * Robertson idf `(N − df + 0.5)/(df + 0.5)`, i.e. the standard idf
+  * without the log. Two reasons, one honest trade:
+  *  - every operation stays IEEE-exact-reproducible (+,·,/ on doubles
+  *    derived from exact integers), so the external SQL oracle
+  *    re-derives scores bit-for-bit — a transcendental ln() is not
+  *    portable across engines at the ulp level;
+  *  - per-term scores are emitted in rounded micros and SUMMED AS
+  *    LONGS, so the cross-term addition order (a shuffle artifact)
+  *    cannot perturb the ranking.
+  * The trade: without the log, rare terms weigh more heavily relative
+  * to common ones than textbook BM25 — fine for corpus tooling; swap
+  * the idf expression for the log form if parity with an external
+  * BM25 implementation matters more than bit-reproducibility.
+  *
+  * Scale design (100 TB corpus):
+  *  - tokens are filtered to the query's terms IN THE SCAN STAGE
+  *    (`tok isin terms` — bounded by query size, not data), so the
+  *    only full-width shuffle is the per-(doc, term) tf aggregation
+  *    over matching tokens;
+  *  - df and the corpus stats (N, total length) are post-aggregation
+  *    frames of ≤ |terms| and 1 row — broadcast by construction;
+  *  - the final top-k is a TakeOrderedAndProject (per-partition heaps,
+  *    no global sort).
+  */
+object Search {
+
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val dls = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("dl"))
+    // 1-row corpus stats; avgdl as one exact double division
+    val stats = dls.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs").cast("double"))
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double")
+      + 0.5) / (col("df").cast("double") + 0.5)
+    // parenthesization is part of the contract: the oracle SQL repeats
+    // it verbatim so every intermediate double matches bit-for-bit
+    val dlNorm = lit(1 - b) +
+      lit(b) * col("dl").cast("double") / col("avgdl")
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") + lit(k1) * dlNorm)
+    val perTerm = tf
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfs), "tok")
+      .select(col("doc_id"),
+        round(idf * tfNorm * 1e6).cast("long").as("term_micros"))
+    val top = perTerm.groupBy("doc_id")
+      .agg(sum(col("term_micros")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_micros").desc,
+        col("doc_id"))).cast("int"))
+      .orderBy("rank")
+  }
+}
