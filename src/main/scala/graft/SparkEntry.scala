@@ -1709,6 +1709,16 @@ object SparkEntry {
     s.table(sink).orderBy("doc_id")
   }
 
+  private def qStreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    // A REAL streaming run through the driver gate: the training docs
+    // STREAM through the stateless gram-intersection decontaminator
+    // (static broadcast eval set, no keyed state, no watermark) and the
+    // emitted reports must equal the batch operator row-for-row.
+    val sink = graft.streaming.DocsStream.runDecontamStream(
+      s, dir, "stream_decontam_sink")
+    s.table(sink).orderBy("doc_id")
+  }
+
   private def qStreamHeavyHitters(s: SparkSession, dir: String)
       : DataFrame = {
     // Streaming vocabulary statistics: per-shard Misra–Gries summaries
@@ -2073,6 +2083,7 @@ object SparkEntry {
     "stream_funnel_join" -> (qStreamFunnel _),
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
     "stream_dedup_exact" -> (qStreamDedupExact _),
+    "stream_decontam" -> (qStreamDecontam _),
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "events_sessionize" -> (qSessionize _),
     "events_resample_1h" -> (qEventsResample _),
@@ -3463,28 +3474,10 @@ object SparkEntry {
     // (same shingle CTE shape as the minhash oracles), intersects with
     // the eval side's distinct grams, and left-joins counts back to the
     // training corpus.
-    "decontam_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, g FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
-        |      THEN list_transform(generate_series(1, len(w) - 4),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
-        |             || w[i+3] || ' ' || w[i+4])
-        |      ELSE [array_to_string(w, ' ')] END) AS g
-        |    FROM toks) u),
-        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
-        |hits AS (
-        |  SELECT doc_id, count(*) AS n_hits
-        |  FROM sh JOIN ev USING (g) WHERE doc_id % 17 <> 0
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
-        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 17 <> 0
-        |ORDER BY d.doc_id""".stripMargin,
+    "decontam_ngram" -> decontamOracle,
+    // The stateless streaming twin must equal the batch operator
+    // row-for-row — same oracle.
+    "stream_decontam" -> decontamOracle,
     "dedup_minhash_decisions" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
@@ -4196,6 +4189,32 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cosine, rank FROM r
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared by the batch and streaming decontamination queries: exact
+    * 5-gram re-derivation, eval-set intersection, counts joined back
+    * to the training side. */
+  private val decontamOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+      |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |      THEN list_transform(generate_series(1, len(w) - 4),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+      |             || w[i+3] || ' ' || w[i+4])
+      |      ELSE [array_to_string(w, ' ')] END) AS g
+      |    FROM toks) u),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_hits
+      |  FROM sh JOIN ev USING (g) WHERE doc_id % 17 <> 0
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 17 <> 0
+      |ORDER BY d.doc_id""".stripMargin
 
   /** BM25 oracle: tf/df/dl re-derivation plus the exact double
     * formula. Constants come from the same Scala doubles the engine's

@@ -283,4 +283,49 @@ object DocsStream {
     q.stop()
     sinkName
   }
+
+  /** Streaming decontamination: the incremental twin of
+    * [[graft.operators.Decontaminate.overlap]]. The eval/benchmark
+    * gram set is STATIC and tiny by construction (it's a benchmark),
+    * so the stream side stays STATELESS: each arriving doc intersects
+    * its own gram array with the broadcast eval set in the scan stage
+    * — no streaming aggregation, no keyed state, no watermark, and
+    * per-doc results are emittable the moment the doc arrives. This is
+    * the 100 TB shape: the only thing that grows is the stream, and
+    * the per-row cost is O(|doc grams| + |eval grams|) via hash-set
+    * intersection. Stream output ≡ the batch operator row-for-row
+    * (same oracle). */
+  def decontamStream(docs: DataFrame, evalGrams: Seq[String],
+      n: Int = 5, minHits: Long = 1): DataFrame = {
+    val hits = size(array_intersect(
+      graft.functions.TextFunctions.wordShingles(col("text"), n),
+      typedLit(evalGrams))).cast("long")
+    docs.select(col("doc_id"), hits.as("n_hits"),
+      (hits >= minHits).as("contaminated"))
+  }
+
+  /** Drive [[decontamStream]] synchronously to completion: eval side =
+    * docs with doc_id % 17 = 0 (read once, batch), stream side = the
+    * rest. Returns the memory-sink name. */
+  def runDecontamStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_decontam"): String = {
+    import graft.functions.TextFunctions.wordShingles
+    val evalGrams = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+      .select(explode(wordShingles(col("text"), 5)).as("g"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq
+    val stream = readDocsStream(spark, sfDir)
+      .filter(col("doc_id") % 17 =!= 0)
+    val q = decontamStream(stream, evalGrams)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
 }

@@ -174,6 +174,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decontamination equals the batch operator row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val sink = graft.streaming.DocsStream.runDecontamStream(
+      spark, TestSpark.sfDir, "spec_decontam")
+    val streamed = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sorted.toSeq
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val d = spark.table("documents")
+    val batch = graft.operators.Decontaminate.overlap(
+        d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0), n = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sorted.toSeq
+    // same gram function, same eval set → the stateless stream twin
+    // must reproduce every batch report
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("builtin session_window streams with a watermark, equal to batch") {
     import org.apache.spark.sql.functions._
     val stream = graft.streaming.EventsStream
