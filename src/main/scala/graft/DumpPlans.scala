@@ -148,7 +148,36 @@ object DumpPlans {
         |`bloommightcontain` filter sits directly on the scan, before
         |any exchange, so non-matching fact rows are dropped at the
         |source instead of being shuffled to a join. The exact join
-        |then removes false positives; result ≡ plain join.""".stripMargin)
+        |then removes false positives; result ≡ plain join.""".stripMargin,
+    "decontam_ngram" ->
+      """Benchmark decontamination. The eval side aggregates to its
+        |distinct gram set and BROADCASTS (a benchmark is small by
+        |construction); the training corpus is scanned once, its grams
+        |dying in the scan stage unless they hit the broadcast set —
+        |the only shuffles carry matched grams (per-doc hit count) and
+        |the per-doc report join. No full-corpus gram shuffle
+        |anywhere.""".stripMargin,
+    "cluster_kmeans" ->
+      """Distributed k-means assignment: the model is a driver-bounded
+        |sample (ONE job, 1024 vectors), then assignment is a pure
+        |projection over the broadcast centroid array — the plan has
+        |NO join and NO exchange except the presentation sort. This is
+        |the shape that lets a billion-vector corpus label itself in
+        |one scan.""".stripMargin,
+    "dedup_semantic" ->
+      """SemDeDup: within-cluster near-dup pairs. Cluster assignment
+        |is scan-stage (see cluster_kmeans); members shuffle ONCE on
+        |cluster_id, the per-cluster affinity-rank cap bounds any hot
+        |cluster, and the pairwise cosine runs only inside a cluster —
+        |candidate volume is Σ min(|c|, cap)², controlled by k, never
+        |n².""".stripMargin,
+    "search_bm25" ->
+      """Inverted-index BM25. Tokens are filtered to the query's terms
+        |INSIDE the scan stage, so the only full-width shuffle is the
+        |per-(doc, term) tf aggregate over matching tokens; corpus
+        |stats (1 row) and df (≤ |terms| rows) broadcast; the final
+        |top-k is TakeOrderedAndProject — per-partition heaps, no
+        |global sort.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -111,6 +111,34 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), s"nested loop in Q20:\n$p")
   }
 
+  test("decontam_ngram: eval gram set broadcasts — the training scan " +
+      "never shuffles to discover hits") {
+    val p = plan("decontam_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"degenerate join:\n$p")
+  }
+
+  test("cluster_kmeans: assignment is shuffle-free — the only " +
+      "exchange is the output sort") {
+    val p = plan("cluster_kmeans")
+    val exchanges = p.sliding("Exchange".length)
+      .count(_ == "Exchange")
+    assert(exchanges <= 1, s"assignment should not shuffle:\n$p")
+    assert(!p.contains("Join"), s"assignment should not join:\n$p")
+  }
+
+  test("search_bm25: corpus stats and df broadcast, top-k avoids a " +
+      "global sort") {
+    val p = plan("search_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k should plan per-partition heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"1-row stats / tiny df should broadcast:\n$p")
+  }
+
   test("stream_heavy_hitters: epoch-close rescore is a broadcast " +
       "semi-join against the candidate table, not an N-literal In") {
     val p = plan("stream_heavy_hitters")
