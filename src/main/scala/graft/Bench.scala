@@ -39,7 +39,12 @@ object Bench {
     "sim_topk_ivf",
     "sim_topk_pq",
     "sim_topk_ivfpq",
+    "sim_topk_ivf_indexed",
     "text_stats",
+    "decontam_ngram",
+    "cluster_kmeans",
+    "dedup_semantic",
+    "search_bm25",
     "asof_join",
     "stream_window_agg",
     "events_sessionize")

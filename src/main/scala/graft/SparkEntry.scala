@@ -1604,6 +1604,22 @@ object SparkEntry {
       nCentroids = 16, nProbe = 12, model = Some(cents))
   }
 
+  private def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    // The PERSISTED inverted-file index: corpus written once,
+    // directory-partitioned by cluster (each inverted list = one
+    // partition dir), probes join the index with dynamic partition
+    // pruning restricting the scan to probed lists. Same model,
+    // probes and semantics as sim_topk_ivf — same oracle — different
+    // I/O: at 10⁴ clusters / nProbe 32, the probe reads 0.3% of the
+    // corpus instead of all of it.
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, nCentroids = 16)
+    ivfIdxModel.set(cents)
+    Similarity.writeIvfIndex(e, cents, "ivfidx")
+    Similarity.ivfTopKFromIndex(
+      s, "ivfidx", annQueries(s, dir), cents, k = 10, nProbe = 12)
+  }
+
   private def qSimPq(s: SparkSession, dir: String): DataFrame = {
     // Product quantization + exact rerank: candidates ranked on the
     // COMPRESSED code table (8 codes per vector), exact cosine only on
@@ -2069,6 +2085,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> (qSimBruteforce _),
     "sim_topk_lsh" -> (qSimLsh _),
     "sim_topk_ivf" -> (qSimIvf _),
+    "sim_topk_ivf_indexed" -> (qSimIvfIndexed _),
     "sim_topk_pq" -> (qSimPq _),
     "sim_topk_ivfpq" -> (qSimIvfPq _),
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
@@ -2228,6 +2245,11 @@ object SparkEntry {
     * `dedup_semantic_decisions` — one ref per query because Verify runs
     * queries concurrently (training is deterministic, so the models are
     * equal; the refs just keep each query's capture race-free). */
+  /** Centroids captured by `sim_topk_ivf_indexed` (same oracle builder
+    * as the in-memory IVF — the persisted index changes I/O, not
+    * semantics). */
+  private[graft] val ivfIdxModel =
+    new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
   private[graft] val kmeansModel =
     new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
   private[graft] val semanticModel =
@@ -4031,6 +4053,8 @@ object SparkEntry {
         |  ON h.hour = g.hour AND h.event_type = g.event_type
         |ORDER BY g.hour, g.event_type""".stripMargin,
   ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c)) ++
+    Option(ivfIdxModel.get).map(c =>
+      "sim_topk_ivf_indexed" -> ivfOracleSql(c)) ++
     Option(pqModel.get).map(pq => "sim_topk_pq" -> pqOracleSql(pq)) ++
     Option(ivfpqModels.get).map { case (c, pq) =>
       "sim_topk_ivfpq" -> ivfPqOracleSql(c, pq)

@@ -361,6 +361,52 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the IVF index: the corpus with its cluster assignment,
+    * directory-partitioned BY CLUSTER — each inverted list is its own
+    * partition directory. This is the on-disk web-scale ANN layout:
+    * a probe with nProbe≪k touches nProbe directories and never
+    * lists, let alone reads, the rest. Pair with
+    * [[ivfTopKFromIndex]]; write once, probe per query batch. */
+  def writeIvfIndex(corpus: DataFrame, cents: Seq[Seq[Float]],
+      table: String = "ivfidx"): Unit =
+    graft.sources.Layout.writePartitioned(
+      withCluster(corpus, cents)
+        .select(col("vec_id"), col("embedding"), col("cluster_id")),
+      table, "cluster_id")
+
+  /** IVF top-k over a PERSISTED [[writeIvfIndex]] table. Identical
+    * semantics (and oracle) to [[ivfTopK]] with the same model; the
+    * difference is I/O: the probe set joins the partitioned index on
+    * `cluster_id`, so Spark's dynamic partition pruning (broadcast
+    * reuse) restricts the scan to the probed inverted lists — the
+    * plan carries `dynamicpruningexpression` on the partition column
+    * (pinned in LayoutSpec/PlanQualitySpec). */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      cents: Seq[Seq[Float]],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    if (cents.isEmpty)
+      return bruteForceTopK(
+        spark.table(table).drop("cluster_id"), queries, k)
+    val indexed = spark.table(table)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"), col("cluster_id"))
+    val probes = probesFor(queries, cents, nProbe)
+    val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,

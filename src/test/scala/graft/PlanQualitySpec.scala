@@ -139,6 +139,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"1-row stats / tiny df should broadcast:\n$p")
   }
 
+  test("sim_topk_ivf_indexed: probe scan is dynamically pruned to " +
+      "the probed inverted-list partitions") {
+    val p = plan("sim_topk_ivf_indexed")
+    assert(p.contains("dynamicpruning"),
+      s"index scan not partition-pruned:\n$p")
+  }
+
   test("stream_heavy_hitters: epoch-close rescore is a broadcast " +
       "semi-join against the candidate table, not an N-literal In") {
     val p = plan("stream_heavy_hitters")

@@ -206,4 +206,21 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(top1 === want)
   }
+
+  test("persisted IVF index: identical results to the in-memory probe, " +
+      "scan dynamically pruned to the probed partitions") {
+    val q = corpus.filter(col("vec_id") % 10 === 0)
+    val cents = Similarity.trainCentroids(corpus, nCentroids = 4)
+    Similarity.writeIvfIndex(corpus, cents, "spec_ivfidx")
+    val fromIdx = Similarity.ivfTopKFromIndex(
+      spark, "spec_ivfidx", q, cents, k = 3, nProbe = 2)
+    val inMem = Similarity.ivfTopK(corpus, q, k = 3,
+      nCentroids = 4, nProbe = 2, model = Some(cents))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // the persisted layout changes I/O, not semantics (the dynamic-
+    // partition-pruning plan shape is pinned on the declared query in
+    // PlanQualitySpec — DPP's benefit heuristic skips 30-row fixtures)
+    assert(key(fromIdx) === key(inMem) && key(fromIdx).nonEmpty)
+  }
 }
