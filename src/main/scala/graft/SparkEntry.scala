@@ -602,7 +602,11 @@ object SparkEntry {
         |  size(shingle_hashes(d.text, 3)) AS n_shingles,
         |  cosine_sim(e.embedding, e.embedding) AS self_cos,
         |  size(tokens(d.text)) AS n_tokens,
-        |  lang_id(d.text) AS lang_pred
+        |  lang_id(d.text) AS lang_pred,
+        |  pii_redact(d.text || ' ip 10.0.0.'
+        |    || CAST(d.doc_id % 256 AS STRING)) AS redacted,
+        |  dup_bigram_frac(d.text) AS dup_bi,
+        |  top_token_frac(d.text) AS top_tok
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin)
   }
@@ -3370,7 +3374,19 @@ object SparkEntry {
          |        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
          |        x -> len(x) > 0) AS toks
          |    FROM documents)),
-         |sc AS (SELECT doc_id, toks, $langHitsSql FROM tkq)
+         |sc AS (SELECT doc_id, toks, $langHitsSql FROM tkq),
+         |rep AS (SELECT doc_id,
+         |    CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END
+         |      AS n_bi,
+         |    CASE WHEN len(toks) < 2 THEN 0
+         |      ELSE len(list_distinct(list_transform(
+         |        generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1]))) END AS n_bid,
+         |    CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE list_max(list_transform(toksd,
+         |        t -> len(list_filter(toks, x -> x = t)))) END AS topc,
+         |    len(toks) AS n_tok
+         |  FROM tkq)
          |SELECT d.doc_id,
          |  coalesce(sig.sim_sig, 0) AS sim_sig,
          |  CAST(CASE WHEN len(list_filter(
@@ -3381,11 +3397,23 @@ object SparkEntry {
          |    ELSE 1 END AS INTEGER) AS n_shingles,
          |  ${cosineSql("ed", "ed")} AS self_cos,
          |  CAST(len(sc.toks) AS INTEGER) AS n_tokens,
-         |  $langPredSql AS lang_pred
+         |  $langPredSql AS lang_pred,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |      d.text || ' ip 10.0.0.' || (d.doc_id % 256),
+         |      '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+         |    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+         |  CASE WHEN rep.n_bi > 0
+         |    THEN CAST(rep.n_bi - rep.n_bid AS DOUBLE) / rep.n_bi
+         |    ELSE 0.0 END AS dup_bi,
+         |  CASE WHEN rep.n_tok > 0
+         |    THEN CAST(rep.topc AS DOUBLE) / rep.n_tok
+         |    ELSE 0.0 END AS top_tok
          |FROM documents d
          |JOIN e2 ON d.doc_id = e2.vec_id
          |LEFT JOIN sig ON sig.doc_id = d.doc_id
          |JOIN sc ON sc.doc_id = d.doc_id
+         |JOIN rep ON rep.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id,

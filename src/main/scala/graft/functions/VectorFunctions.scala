@@ -1412,6 +1412,15 @@ object VectorFunctions {
       "tokens" -> (es =>
         org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
           graft.functions.TextFunctions.tokens(toColumn(es(0))))),
+      "pii_redact" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.PiiFunctions.redact(toColumn(es(0))))),
+      "dup_bigram_frac" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.dupBigramFrac(toColumn(es(0))))),
+      "top_token_frac" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.topTokenFrac(toColumn(es(0))))),
       // aggregates: the analyzer wraps a bare AggregateFunction into
       // an AggregateExpression, so the same builder registry works
       "bounded_min_collect" ->
