@@ -281,4 +281,110 @@ class PropertySpec extends AnyFunSuite {
       assert(merged === expect, s"iteration $it")
     }
   }
+
+  test("decontamination ≡ naive distinct-gram intersection on random " +
+      "corpora and random eval splits") {
+    import spark.implicits._
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa").split(" ")
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(7 + it)
+      val docs = (0 until 20).map { i =>
+        (i.toLong,
+          Seq.fill(4 + rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+            .mkString(" "))
+      }
+      val isEval = (id: Long) => id % (3 + it) == 0
+      val n = 3
+      def gramsOf(text: String): Set[String] = {
+        val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        if (t.length >= n) t.sliding(n).map(_.mkString(" ")).toSet
+        else Set(t.mkString(" "))
+      }
+      val evalGrams = docs.filter(d => isEval(d._1))
+        .flatMap(d => gramsOf(d._2)).toSet
+      val want = docs.filterNot(d => isEval(d._1)).map { case (id, tx) =>
+        id -> (gramsOf(tx) & evalGrams).size.toLong
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Decontaminate.overlap(
+          df.filter(!col("doc_id").isin(
+            docs.map(_._1).filter(isEval): _*)),
+          df.filter(col("doc_id").isin(
+            docs.map(_._1).filter(isEval): _*)), n = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"iteration $it")
+    }
+  }
+
+  test("bm25 ranking ≡ naive in-memory model on random corpora") {
+    import spark.implicits._
+    val vocab = "red green blue cyan teal gold onyx jade".split(" ")
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(11 + it)
+      val docs = (0 until 15).map { i =>
+        (i.toLong,
+          Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+            .mkString(" "))
+      }
+      val terms = Seq(vocab(rnd.nextInt(vocab.length)),
+        vocab(rnd.nextInt(vocab.length))).distinct
+      val (k1, b) = (1.2, 0.75)
+      val dls = docs.map { case (id, tx) =>
+        id -> tx.split(" ").count(_.nonEmpty).toLong }.toMap
+      val nDocs = docs.size.toDouble
+      val avgdl = dls.values.sum.toDouble / nDocs
+      val tf = docs.flatMap { case (id, tx) =>
+        tx.split(" ").filter(terms.contains).map(t => (id, t)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val dfc = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val want = docs.flatMap { case (id, _) =>
+        val s = terms.flatMap { t =>
+          tf.get((id, t)).map { f =>
+            val idf = (nDocs - dfc(t) + 0.5) / (dfc(t) + 0.5)
+            val tfn = (f.toDouble * (k1 + 1)) /
+              (f.toDouble + k1 * (1 - b + b * dls(id).toDouble / avgdl))
+            math.round(idf * tfn * 1e6)
+          }
+        }
+        if (s.isEmpty) None else Some(id -> s.sum)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(5)
+      val got = graft.operators.Search.bm25TopK(
+          docs.toDF("doc_id", "text"), terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want, s"iteration $it terms=$terms")
+    }
+  }
+
+  test("semantic pairs ≡ naive within-cluster cosine on random vectors") {
+    import spark.implicits._
+    val cents: Seq[Seq[Float]] =
+      Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 1f))
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(13 + it)
+      val vecs = (0 until 24).map { i =>
+        (i.toLong, Seq.fill(3)(rnd.nextFloat() * 2 - 1))
+      }
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i =>
+          val x = a(i).toDouble; val y = b(i).toDouble
+          d += x * y; na += x * x; nb += y * y
+        }
+        if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // argmax with the engine's tie-break (first/lowest cluster wins)
+      val assign = vecs.map { case (id, v) =>
+        id -> cents.indices.maxBy(c => (cos(v, cents(c)), -c))
+      }.toMap
+      val want = (for {
+        (ia, va) <- vecs; (ib, vb) <- vecs
+        if ia < ib && assign(ia) == assign(ib) && cos(va, vb) >= 0.5
+      } yield (ia, ib)).toSet
+      val got = graft.operators.Clustering.semanticPairs(
+          vecs.toDF("vec_id", "embedding"), cents, threshold = 0.5)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"iteration $it")
+    }
+  }
 }
