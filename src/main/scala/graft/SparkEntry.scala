@@ -611,6 +611,30 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  private def qSourceCsvJson(s: SparkSession, dir: String): DataFrame = {
+    // Source/sink breadth: the same relations round-trip through CSV
+    // (headered, quoted) and JSON-lines — Spark's native readers give
+    // the engine MySQL-free heterogeneous sources the way the
+    // reference's site servers wrap MySQL tables (Program.cs:21-34);
+    // the rejoined result must equal the parquet-sourced oracle. Types
+    // are declared on read (inference is a scan of its own and floats
+    // every integer at 100 TB).
+    val base = "/tmp/graft-sources"
+    t(s, dir, "nation").write.mode("overwrite")
+      .option("header", "true").csv(s"$base/nation_csv")
+    t(s, dir, "region").write.mode("overwrite").json(s"$base/region_json")
+    val nation = s.read.option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(s"$base/nation_csv")
+    val region = s.read
+      .schema("r_regionkey INT, r_name STRING")
+      .json(s"$base/region_json")
+    nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
   private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
     // TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
     // deterministic top-20 (exact micros revenue; ties by orderkey).
@@ -2025,6 +2049,7 @@ object SparkEntry {
     "pivot_segments" -> (qPivot _),
     "scalar_subquery" -> (qScalarSubquery _),
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
+    "source_csv_json" -> (qSourceCsvJson _),
     "join_range_pred" -> (qJoinRangePred _),
     "window_percentiles" -> (qWindowPercentiles _),
     "json_funcs" -> (qJsonFuncs _),
@@ -3760,6 +3785,12 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // CSV/JSON round-trip: the oracle reads the ORIGINAL parquet
+    // relations — format fidelity is exactly what's under test.
+    "source_csv_json" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin,
     // BM25 (rational idf): the oracle rebuilds tf/df/dl/avgdl from the
     // same normalized token stream and evaluates the IDENTICALLY
     // parenthesized double expression — constants are printed from the

@@ -77,4 +77,16 @@ class SourcesSpec extends AnyFunSuite {
     // and with the url unset, the parquet path still works
     assert(Tables.load(spark, TestSpark.sfDir, "nation").count() === 25)
   }
+
+  test("CSV and JSON round-trips preserve the relation exactly") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("source_csv_json")(spark, TestSpark.sfDir)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    Tables.register(spark, TestSpark.sfDir)
+    val want = spark.table("nation")
+      .join(spark.table("region"), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    assert(r.toSeq === want.toSeq && r.length === 25)
+  }
 }
