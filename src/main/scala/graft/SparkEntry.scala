@@ -611,6 +611,35 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin)
   }
 
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    // The per-source corpus health report a curation pipeline ends
+    // with: volume, token mass, exact-dup rate, benchmark
+    // contamination — one row per source, every input column computed
+    // by the operators declared above (exact dedup window, broadcast
+    // decontamination) and joined back by key. All counts are exact
+    // integers; the whole report is three key-partitioned shuffles.
+    import graft.operators.{Decontaminate, Dedup}
+    val d = t(s, dir, "documents")
+    val dups = Dedup.exact(d).filter(!col("keep"))
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val contam = Decontaminate.overlap(
+        d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0), n = 5)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), lit(1L).as("is_contam"))
+    d.select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("nt"))
+      .join(dups, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"),
+        sum(coalesce(col("is_contam"), lit(0L))).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   private def qSourceCsvJson(s: SparkSession, dir: String): DataFrame = {
     // Source/sink breadth: the same relations round-trip through CSV
     // (headered, quoted) and JSON-lines — Spark's native readers give
@@ -2050,6 +2079,7 @@ object SparkEntry {
     "scalar_subquery" -> (qScalarSubquery _),
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
     "source_csv_json" -> (qSourceCsvJson _),
+    "corpus_report" -> (qCorpusReport _),
     "join_range_pred" -> (qJoinRangePred _),
     "window_percentiles" -> (qWindowPercentiles _),
     "json_funcs" -> (qJsonFuncs _),
@@ -3785,6 +3815,46 @@ object SparkEntry {
         |      AS DOUBLE) / length(text) END AS punct_ratio,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Corpus health report: exact-dup fingerprints and the
+    // decontamination hit set re-derived (same CTEs as dedup_exact /
+    // decontam_ngram), aggregated per source.
+    "corpus_report" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, md5(t) AS fp,
+        |    CASE WHEN t = '' THEN 0
+        |      ELSE CAST(len(string_split(t, ' ')) AS BIGINT) END AS nt
+        |  FROM nrm),
+        |g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+        |      FROM base),
+        |dups AS (SELECT doc_id FROM g WHERE doc_id <> rep),
+        |toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM nrm),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, gg FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |      THEN list_transform(generate_series(1, len(w) - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |             || w[i+3] || ' ' || w[i+4])
+        |      ELSE [array_to_string(w, ' ')] END) AS gg
+        |    FROM toks) u),
+        |ev AS (SELECT DISTINCT gg FROM sh WHERE doc_id % 17 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM sh JOIN ev USING (gg)
+        |  WHERE doc_id % 17 <> 0)
+        |SELECT b.source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(b.nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN d2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated
+        |FROM base b
+        |LEFT JOIN dups d2 ON b.doc_id = d2.doc_id
+        |LEFT JOIN contam c ON b.doc_id = c.doc_id
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
     // CSV/JSON round-trip: the oracle reads the ORIGINAL parquet
     // relations — format fidelity is exactly what's under test.
     "source_csv_json" ->
