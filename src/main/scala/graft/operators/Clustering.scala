@@ -35,6 +35,10 @@ object Clustering {
     * winning affinity, computed from ONE scores array per row. */
   private def assigned(embeddings: DataFrame,
       cents: Seq[Seq[Float]]): DataFrame = {
+    // an empty model would silently emit null cluster ids (array_max
+    // over an empty scores array) — fail loudly instead; callers train
+    // on a non-empty corpus or fall back themselves
+    require(cents.nonEmpty, "clustering requires at least one centroid")
     val centArr = typedLit(cents)
     embeddings
       .withColumn("_scores",

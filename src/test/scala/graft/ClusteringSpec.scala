@@ -59,6 +59,12 @@ class ClusteringSpec extends AnyFunSuite {
     assert(r(1).getLong(2) === 1L)
   }
 
+  test("empty centroid model is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Clustering.assign(vecs, Seq.empty)
+    }
+  }
+
   test("assignment agrees with Similarity.withCluster's argmax") {
     val viaIvf = Similarity.withCluster(vecs, cents)
       .select("vec_id", "cluster_id").orderBy("vec_id")
