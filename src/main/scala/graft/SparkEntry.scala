@@ -1827,6 +1827,15 @@ object SparkEntry {
       Multimodal.asPngMedia(t(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
+    // The resize stage: decode (full PNG pipeline) then a REAL
+    // materialized nearest-neighbor ½× downsample; the oracle
+    // re-derives the sampled-byte checksum position by position from
+    // the raw text, so a single mis-sampled pixel fails the hash.
+    Multimodal.pngResize(s,
+      Multimodal.asPngMedia(t(s, dir, "documents")))
+      .orderBy("doc_id").toDF()
+
   private def qBloomPrefilterJoin(s: SparkSession, dir: String)
       : DataFrame = {
     // Runtime Bloom pre-filtering of a fact-dim join: the dim keys
@@ -2152,6 +2161,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
     "multimodal_png" -> (qMultimodalPng _),
+    "multimodal_resize" -> (qMultimodalResize _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "sample_stratified" -> (qSampleStratified _),
@@ -4082,6 +4092,30 @@ object SparkEntry {
         |  CAST(CASE WHEN n = 0 THEN 0
         |    ELSE (m // n) * sum_all + sum_rem END AS BIGINT) AS px_sum
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Resize oracle: every sampled byte re-derived at its exact
+    // position — dst (y,x,ch) samples src byte ((2y·w + 2x)·3 + ch)
+    // mod n (pixels are the text's UTF-8 bytes cycled, per the encode).
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n,
+        |    CAST(1 + strlen(text) % 60 AS INTEGER) AS sw,
+        |    CAST(1 + (strlen(text) * 11) % 47 AS INTEGER) AS sh
+        |  FROM documents)
+        |SELECT doc_id, sw AS src_w, sh AS src_h,
+        |  CAST((sw + 1) // 2 AS INTEGER) AS width,
+        |  CAST((sh + 1) // 2 AS INTEGER) AS height,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |    list_aggregate(list_transform(
+        |      generate_series(0, ((sw+1)//2) * ((sh+1)//2) - 1), p ->
+        |      list_aggregate(list_transform([0, 1, 2], ch ->
+        |        strpos('123456789ABCDEF', substring(hx,
+        |          2*(((2*(p // ((sw+1)//2))*sw + 2*(p % ((sw+1)//2)))*3
+        |              + ch) % n) + 1, 1)) * 16
+        |        + strpos('123456789ABCDEF', substring(hx,
+        |          2*(((2*(p // ((sw+1)//2))*sw + 2*(p % ((sw+1)//2)))*3
+        |              + ch) % n) + 2, 1))), 'sum')), 'sum')
+        |    END AS BIGINT) AS px_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)

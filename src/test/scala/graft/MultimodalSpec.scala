@@ -171,6 +171,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("png resize: nearest-neighbor half-size samples exactly the " +
+      "even-coordinate pixels, odd dims round up") {
+    import spark.implicits._
+    val texts = Seq(
+      "a" * 60, // w=1 (60%60=0): the 1-wide edge
+      ("resize me through the real container " * 6).trim,
+      "tiny")
+    val media = Multimodal.asPngMedia(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+    val got = Multimodal.pngResize(spark, media).collect()
+      .map(r => r.doc_id -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val b = t.getBytes("UTF-8")
+      val (w, h) = Multimodal.pngDims(b.length)
+      val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+      var want = 0L
+      for (y <- 0 until h2; x <- 0 until w2; ch <- 0 until 3)
+        want += b((((2 * y) * w + 2 * x) * 3 + ch) % b.length) & 0xff
+      val r = got(i.toLong)
+      assert((r.src_w, r.src_h, r.width, r.height) === (w, h, w2, h2),
+        s"doc $i geometry")
+      assert(r.px_sum === want, s"doc $i checksum")
+    }
+  }
+
   test("png decode rejects corruption instead of returning wrong data") {
     val bytes = "some document text that becomes pixels".getBytes("UTF-8")
     val png = Multimodal.encodePng(bytes)
