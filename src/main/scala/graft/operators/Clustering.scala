@@ -70,6 +70,7 @@ object Clustering {
     * per-cluster `cap` (ranked by centroid affinity desc, vec_id). */
   def semanticPairs(embeddings: DataFrame, cents: Seq[Seq[Float]],
       threshold: Double = 0.7, cap: Int = 4096): DataFrame = {
+    require(cap >= 1, s"per-cluster cap must be >= 1, got $cap")
     val ranked = assigned(embeddings, cents).withColumn("r",
       row_number().over(Window.partitionBy("cluster_id")
         .orderBy(col("score").desc, col("vec_id"))))

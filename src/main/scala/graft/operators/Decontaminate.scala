@@ -42,6 +42,8 @@ object Decontaminate {
     * n_hits >= minHits). Every training doc appears exactly once. */
   def overlap(train: DataFrame, eval: DataFrame, n: Int = 5,
       minHits: Int = 1): DataFrame = {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     val evalGrams = grams(eval, n).select("g").distinct()
     val hits = grams(train, n)
       // inner hash join against the broadcast eval gram set: non-matching
@@ -69,6 +71,8 @@ object Decontaminate {
     * leaves the cluster). */
   def commonGramCoverage(docs: DataFrame, n: Int = 3, minDf: Int = 4,
       boilerplateFrac: Double = 0.5): DataFrame = {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val g = grams(docs, n)
     val perDoc = docs.select(col("doc_id"),
       size(wordShingles(col("text"), n)).as("n_grams"))
