@@ -61,11 +61,18 @@ final class Service(engine: Engine, port: Int = 0,
 
   def stop(): Unit = server.stop(0)
 
-  /** (sql, limit) from a form body (`sql=…&limit=…`) or raw SQL text. */
+  /** (sql, limit) from a form body (`sql=…&limit=…`) or raw SQL text.
+    * Form detection keys on the Content-Type header (falling back to a
+    * body that STARTS with the field) — raw SQL merely CONTAINING the
+    * substring `sql=` (e.g. `… LIKE '%sql=%'`) must not be shredded as
+    * a form. */
   private def parse(ex: HttpExchange): (String, Int) = {
     val body = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
-    if (body.contains("sql=")) {
+    val isForm = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.toLowerCase.startsWith("application/x-www-form-urlencoded")) ||
+      body.startsWith("sql=")
+    if (isForm) {
       val fields = body.split("&").iterator.map(_.split("=", 2))
         .collect { case Array(k, v) =>
           k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
@@ -141,10 +148,18 @@ object Service {
       |</div>
       |<div id="rows"></div>
       |<script>
+      |// everything interpolated into markup is escaped: plan
+      |// conditions quote user SQL and cells carry corpus data — a row
+      |// containing '<img onerror=…>' must render as text, not execute
+      |function esc(s) {
+      |  return String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;')
+      |    .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
+      |}
       |function tree(n) {
-      |  const lbl = '<span class="node"><span class="op">' + n.OpType +
-      |    '</span>' + (n.TabName ? ' ' + n.TabName : '') +
-      |    (n.Condition ? ' <span class="cond">' + n.Condition +
+      |  const lbl = '<span class="node"><span class="op">' +
+      |    esc(n.OpType) +
+      |    '</span>' + (n.TabName ? ' ' + esc(n.TabName) : '') +
+      |    (n.Condition ? ' <span class="cond">' + esc(n.Condition) +
       |     '</span>' : '') + '</span>';
       |  const kids = (n.Oprands || []).map(c =>
       |    '<li>' + tree(c) + '</li>').join('');
@@ -163,10 +178,11 @@ object Service {
       |  document.getElementById('opt').innerHTML = tree(j.optimizedPlan);
       |  const rows = j.rows; // toJSON objects arrive pre-parsed
       |  document.getElementById('rows').innerHTML =
-      |    '<h3>rows (' + j.rowCount + ')</h3><table><tr>' +
-      |    j.schema.map(c => '<th>' + c + '</th>').join('') + '</tr>' +
+      |    '<h3>rows (' + esc(j.rowCount) + ')</h3><table><tr>' +
+      |    j.schema.map(c => '<th>' + esc(c) + '</th>').join('') +
+      |    '</tr>' +
       |    rows.map(x => '<tr>' + j.schema.map(c =>
-      |      '<td>' + (x[c] === undefined ? '' : x[c]) + '</td>')
+      |      '<td>' + (x[c] === undefined ? '' : esc(x[c])) + '</td>')
       |      .join('') + '</tr>').join('') + '</table>';
       |}
       |</script></body></html>""".stripMargin

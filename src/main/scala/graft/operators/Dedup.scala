@@ -391,15 +391,17 @@ object Dedup {
       .select(explode(capped_pairs(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     val candidates = newOld.unionByName(newNew).distinct()
-    // verification: persisted set table ∪ the increment's sets; the
-    // size guard reads the written table's REAL parquet stats (no
-    // expansion margin needed) plus the increment's 8×-margin estimate
+    // verification: persisted set table ∪ the increment's sets; BOTH
+    // sides of the size guard carry the conservative 8× expansion
+    // margin — the written table's parquet stats are real on-disk
+    // bytes, but snappy-compressed sorted longs expand several-fold
+    // into JVM map entries when collected, same as any source
     val oldSets = spark.table(s"${prefix}_sets")
     val newSets = sigs.select(col("doc_id"),
       array_sort(array_distinct(col("sh"))).as("gs"))
     val setsSmall =
-      oldSets.queryExecution.optimizedPlan.stats.sizeInBytes +
-        newDocs.queryExecution.optimizedPlan.stats.sizeInBytes * 8 <
+      (oldSets.queryExecution.optimizedPlan.stats.sizeInBytes +
+        newDocs.queryExecution.optimizedPlan.stats.sizeInBytes) * 8 <
         (256L << 20)
     val pairs = verifiedJaccardPairs(
       oldSets.unionByName(newSets), candidates, threshold, setsSmall)
@@ -500,7 +502,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    // maxIter label-CHANGING rounds plus one confirming round: a graph
+    // whose path diameter is exactly maxIter changes the sum in every
+    // budgeted round and needs round maxIter+1 to observe no change —
+    // correct labels must not be rejected at the budget boundary
+    while (!converged && iter < maxIter + 1) {
       val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nbr_comp"))
       val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")

@@ -158,6 +158,21 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connected components: a chain whose diameter EQUALS maxIter " +
+      "converges (the confirming round is not charged to the budget)") {
+    val chainDocs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 6-node path: label 1 reaches node 6 after exactly 5 changing
+    // rounds... but min-label flows BOTH ways each round, so the true
+    // requirement is diameter/2-ish; pin the boundary empirically:
+    // maxIter = 5 must succeed and produce the full collapse
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chainDocs, pairs, maxIter = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(cc === (1L to 6L).map(i => (i, i == 1L)))
+  }
+
   test("pair list → per-doc keep/drop decisions") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")

@@ -63,6 +63,29 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("raw SQL containing the substring 'sql=' is not shredded as a " +
+      "form body") {
+    withService { (c, port) =>
+      val ok = post(c, port, "/getData",
+        "SELECT 'sql=' AS marker, 2 AS two")
+      assert(ok.contains("\"two\":2") && ok.contains("sql="), ok)
+    }
+  }
+
+  test("plan view page escapes markup it interpolates") {
+    withService { (c, port) =>
+      val body = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      // the esc() helper exists and every interpolation site uses it —
+      // a data cell like '<img onerror=…>' must render inert
+      assert(body.contains("function esc("))
+      assert(body.contains("esc(n.Condition)") &&
+        body.contains("esc(x[c])"))
+    }
+  }
+
   test("GET / serves the self-contained plan view page") {
     withService { (c, port) =>
       val body = c.send(
