@@ -1099,6 +1099,47 @@ object VectorFunctions {
       copy(left = l, right = r)
   }
 
+  /** Count of a string-array column's elements present in a BROADCAST
+    * set — the membership primitive for decontamination-style lookups
+    * against a small reference set. Unlike a `typedLit` array (which
+    * rides inside the serialized plan and is re-walked per row by
+    * `array_intersect`), the broadcast ships once per executor and
+    * lookups are O(1) per element. Distinctness is the CALLER's
+    * contract (gram arrays are already array_distinct), so the count
+    * is the distinct-intersection size. */
+  case class BroadcastMemberCount(child: Expression,
+      members: org.apache.spark.broadcast.Broadcast[
+        scala.collection.immutable.Set[String]])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val set = members.value
+      var c = 0L; var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i) &&
+          set.contains(arr.getUTF8String(i).toString)) c += 1L
+        i += 1
+      }
+      java.lang.Long.valueOf(c)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("bcastMembers", this,
+        classOf[BroadcastMemberCount].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = ((Long) $expr.nullSafeEval($a)).longValue();"
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression)
+        : Expression = copy(child = c)
+  }
+
   /** Shared merge-intersection over sorted duplicate-free long arrays —
     * the primitive behind both [[SortedIntersectCount]] (column form)
     * and [[BroadcastJaccard]] (broadcast-map form), also used directly
@@ -1358,6 +1399,10 @@ object VectorFunctions {
       sets: org.apache.spark.broadcast.Broadcast[
         scala.collection.Map[Long, Array[Long]]]): Column =
     toColumn(BroadcastJaccard(toExpression(a), toExpression(b), sets))
+  def broadcast_member_count(arr: Column,
+      members: org.apache.spark.broadcast.Broadcast[
+        scala.collection.immutable.Set[String]]): Column =
+    toColumn(BroadcastMemberCount(toExpression(arr), members))
   def char_ngram_set(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n, distinctSorted = true))
   def text_jaccard(a: Column, b: Column, n: Int): Column =

@@ -287,19 +287,21 @@ object DocsStream {
   /** Streaming decontamination: the incremental twin of
     * [[graft.operators.Decontaminate.overlap]]. The eval/benchmark
     * gram set is STATIC and tiny by construction (it's a benchmark),
-    * so the stream side stays STATELESS: each arriving doc intersects
-    * its own gram array with the broadcast eval set in the scan stage
-    * — no streaming aggregation, no keyed state, no watermark, and
+    * so the stream side stays STATELESS: each arriving doc counts its
+    * own (distinct) grams against a REAL `sparkContext.broadcast` set
+    * in the scan stage — shipped once per executor, O(1) membership
+    * per gram, not a plan-embedded literal array re-walked per row —
+    * no streaming aggregation, no keyed state, no watermark, and
     * per-doc results are emittable the moment the doc arrives. This is
     * the 100 TB shape: the only thing that grows is the stream, and
-    * the per-row cost is O(|doc grams| + |eval grams|) via hash-set
-    * intersection. Stream output ≡ the batch operator row-for-row
-    * (same oracle). */
+    * the per-row cost is O(|doc grams|). Stream output ≡ the batch
+    * operator row-for-row (same oracle). */
   def decontamStream(docs: DataFrame, evalGrams: Seq[String],
       n: Int = 5, minHits: Long = 1): DataFrame = {
-    val hits = size(array_intersect(
-      graft.functions.TextFunctions.wordShingles(col("text"), n),
-      typedLit(evalGrams))).cast("long")
+    val bc = docs.sparkSession.sparkContext
+      .broadcast(evalGrams.toSet)
+    val hits = graft.functions.VectorFunctions.broadcast_member_count(
+      graft.functions.TextFunctions.wordShingles(col("text"), n), bc)
     docs.select(col("doc_id"), hits.as("n_hits"),
       (hits >= minHits).as("contaminated"))
   }

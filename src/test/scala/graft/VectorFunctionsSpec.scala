@@ -112,4 +112,16 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0), "code 5 of a 2-entry codebook must be null")
     assert(r(2).isNullAt(0), "negative code must be null")
   }
+
+  test("broadcast_member_count counts membership against the " +
+      "broadcast set, null elements skipped") {
+    val bc = spark.sparkContext.broadcast(Set("a b", "c d"))
+    val df = Seq(
+      Seq("a b", "x y", "c d"),
+      Seq("nope"),
+      Seq.empty[String]).toDF("grams")
+    val r = df.select(broadcast_member_count(col("grams"), bc))
+      .collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(2L, 0L, 0L))
+  }
 }
