@@ -648,7 +648,9 @@ object SparkEntry {
     // the rejoined result must equal the parquet-sourced oracle. Types
     // are declared on read (inference is a scan of its own and floats
     // every integer at 100 TB).
-    val base = "/tmp/graft-sources"
+    // per-invocation directory: a fixed shared path would let two
+    // sessions' overwrite-deletes race each other mid-read
+    val base = s"/tmp/graft-sources-${java.util.UUID.randomUUID()}"
     t(s, dir, "nation").write.mode("overwrite")
       .option("header", "true").csv(s"$base/nation_csv")
     t(s, dir, "region").write.mode("overwrite").json(s"$base/region_json")

@@ -29,25 +29,17 @@ import graft.functions.VectorFunctions.cosine_sim
   */
 object Clustering {
 
-  /** (vec_id, embedding, cluster_id, score): argmax-cosine centroid
-    * per vector — same argmax as [[Similarity.withCluster]] (zero-norm
-    * vectors floored to -2.0, ties on the lowest cluster id) — plus the
-    * winning affinity, computed from ONE scores array per row. */
+  /** (vec_id, embedding, cluster_id, score): [[Similarity.withCluster]]
+    * — the single shared argmax (zero-norm floor, lowest-cluster-id
+    * ties) — with the winning affinity kept. */
   private def assigned(embeddings: DataFrame,
       cents: Seq[Seq[Float]]): DataFrame = {
     // an empty model would silently emit null cluster ids (array_max
     // over an empty scores array) — fail loudly instead; callers train
     // on a non-empty corpus or fall back themselves
     require(cents.nonEmpty, "clustering requires at least one centroid")
-    val centArr = typedLit(cents)
-    embeddings
-      .withColumn("_scores",
-        transform(centArr,
-          c => coalesce(cosine_sim(col("embedding"), c), lit(-2.0))))
-      .select(col("vec_id"), col("embedding"),
-        expr("array_position(_scores, array_max(_scores)) - 1")
-          .cast("int").as("cluster_id"),
-        array_max(col("_scores")).as("score"))
+    Similarity.withCluster(embeddings, cents, keepScore = true)
+      .select("vec_id", "embedding", "cluster_id", "score")
   }
 
   /** Per-vector cluster assignment: (vec_id, cluster_id,

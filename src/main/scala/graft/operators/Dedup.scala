@@ -295,25 +295,41 @@ object Dedup {
     * Signatures are computed in the scan stage (custom expressions);
     * the only shuffles are the two bucketed writes themselves — the
     * exchange you pay ONCE so every later epoch doesn't. */
+  /** Signature frame shared by the whole persisted-index family — ONE
+    * derivation of (doc_id, shingle set, minhash signature), persisted
+    * because every caller reads it twice (postings + sets); callers
+    * unpersist. Changing shingling or signing here changes build,
+    * append and merge together — they cannot drift apart. */
+  private def indexSignatures(docs: DataFrame, shingleK: Int,
+      numHashes: Int): DataFrame =
+    docs.select(col("doc_id"),
+      shingle_hashes(col("text"), shingleK).as("sh"))
+      .withColumn("mh", minhash_sig(col("sh"), numHashes))
+      .filter(col("mh").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The index's two physical relations, derived from [[indexSignatures]]:
+    * band-key postings and sorted shingle sets. */
+  private def indexPostings(sigs: DataFrame, bands: Int,
+      rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
+        .as("bk"))
+  private def indexSets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      array_sort(array_distinct(col("sh"))).as("gs"))
+
   def writeMinhashIndex(docs: DataFrame, prefix: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       buckets: Int = 32): Unit = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = docs.select(col("doc_id"),
-      shingle_hashes(col("text"), shingleK).as("sh"))
-      .withColumn("mh", minhash_sig(col("sh"), numHashes))
-      .filter(col("mh").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = sigs.select(col("doc_id"),
-      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
-        .as("bk"))
+    val sigs = indexSignatures(docs, shingleK, numHashes)
     graft.sources.Layout.writeBucketed(
-      postings, s"${prefix}_postings", "bk", buckets)
-    val sets = sigs.select(col("doc_id"),
-      array_sort(array_distinct(col("sh"))).as("gs"))
+      indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
+      buckets)
     graft.sources.Layout.writeBucketed(
-      sets, s"${prefix}_sets", "doc_id", buckets)
+      indexSets(sigs), s"${prefix}_sets", "doc_id", buckets)
     sigs.unpersist(false)
   }
 
@@ -328,22 +344,12 @@ object Dedup {
       buckets: Int = 32): Unit = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = newDocs.select(col("doc_id"),
-      shingle_hashes(col("text"), shingleK).as("sh"))
-      .withColumn("mh", minhash_sig(col("sh"), numHashes))
-      .filter(col("mh").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.select(col("doc_id"),
-      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
-        .as("bk"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "bk").sortBy("bk")
-      .saveAsTable(s"${prefix}_postings")
-    sigs.select(col("doc_id"),
-      array_sort(array_distinct(col("sh"))).as("gs"))
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${prefix}_sets")
+    val sigs = indexSignatures(newDocs, shingleK, numHashes)
+    graft.sources.Layout.appendBucketed(
+      indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
+      buckets)
+    graft.sources.Layout.appendBucketed(
+      indexSets(sigs), s"${prefix}_sets", "doc_id", buckets)
     sigs.unpersist(false)
   }
 
@@ -366,14 +372,8 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val spark = newDocs.sparkSession
-    val sigs = newDocs.select(col("doc_id"),
-      shingle_hashes(col("text"), shingleK).as("sh"))
-      .withColumn("mh", minhash_sig(col("sh"), numHashes))
-      .filter(col("mh").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val np = sigs.select(col("doc_id"),
-      explode(array(minhashBucketKeys(col("mh"), bands, rows): _*))
-        .as("bk"))
+    val sigs = indexSignatures(newDocs, shingleK, numHashes)
+    val np = indexPostings(sigs, bands, rows)
     // old buckets pre-aggregated ON the bucketed layout (no exchange)
     val oldBuckets = spark.table(s"${prefix}_postings")
       .groupBy("bk")
@@ -397,8 +397,7 @@ object Dedup {
     // bytes, but snappy-compressed sorted longs expand several-fold
     // into JVM map entries when collected, same as any source
     val oldSets = spark.table(s"${prefix}_sets")
-    val newSets = sigs.select(col("doc_id"),
-      array_sort(array_distinct(col("sh"))).as("gs"))
+    val newSets = indexSets(sigs)
     val setsSmall =
       (oldSets.queryExecution.optimizedPlan.stats.sizeInBytes +
         newDocs.queryExecution.optimizedPlan.stats.sizeInBytes) * 8 <

@@ -275,20 +275,25 @@ object Similarity {
   }
 
   /** Corpus-side IVF cluster assignment (argmax centroid cosine;
-    * zero-norm vectors floored to -2 so they keep a cluster). */
-  private[graft] def withCluster(df: DataFrame,
-      cents: Seq[Seq[Float]]): DataFrame = {
+    * zero-norm vectors floored to -2 so they keep a cluster). The ONE
+    * argmax implementation — k-means assignment ([[Clustering]])
+    * reuses it with `keepScore = true`, so tie-breaks and the
+    * zero-norm floor cannot drift between the IVF index and the
+    * clustering family. */
+  private[graft] def withCluster(df: DataFrame, cents: Seq[Seq[Float]],
+      keepScore: Boolean = false): DataFrame = {
     val centArr = typedLit(cents)
     // coalesce: cosine_sim is null for zero-norm vectors — without a
     // floor they would get a null cluster_id and silently vanish from
     // the index
     val scores = transform(centArr,
       c => coalesce(cosine_sim(col("embedding"), c), lit(-2.0)))
-    df.withColumn("_scores", scores)
+    val base = df.withColumn("_scores", scores)
       .withColumn("cluster_id",
         expr("array_position(_scores, array_max(_scores)) - 1")
           .cast("int"))
-      .drop("_scores")
+    (if (keepScore) base.withColumn("score", array_max(col("_scores")))
+     else base).drop("_scores")
   }
 
   /** Query-side probe list: each query exploded to its `nProbe`
@@ -394,6 +399,16 @@ object Similarity {
     val indexed = spark.table(table)
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("cluster_id"))
+    probeTopK(indexed, queries, cents, k, nProbe)
+  }
+
+  /** The shared IVF probe tail — probe explosion, cluster-restricted
+    * candidate join, exact cosine, top-k — over any (neighbor_id,
+    * c_emb, cluster_id) index frame (in-memory assignment or the
+    * persisted partitioned table). ONE implementation so the in-memory
+    * and persisted paths cannot drift. */
+  private def probeTopK(indexed: DataFrame, queries: DataFrame,
+      cents: Seq[Seq[Float]], k: Int, nProbe: Int): DataFrame = {
     val probes = probesFor(queries, cents, nProbe)
     val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -424,19 +439,6 @@ object Similarity {
     val indexed = withCluster(corpus, centroids)
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb"), col("cluster_id"))
-
-    // --- probe: each query → its nProbe closest clusters
-    val probes = probesFor(queries, centroids, nProbe)
-
-    val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
-      .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+    probeTopK(indexed, queries, centroids, k, nProbe)
   }
 }

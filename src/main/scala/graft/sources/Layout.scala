@@ -41,6 +41,14 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
+  /** Append into an existing bucketed table with the SAME bucket spec
+    * (Spark validates it) — the ingest-loop counterpart of
+    * [[writeBucketed]], one write-spec definition for both paths. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** Persist `df` directory-partitioned by `partCol` (e.g. order year):
     * predicates on the partition column prune whole directories at
     * planning time — the scan never lists, let alone reads, them. */
