@@ -2037,6 +2037,12 @@ object SparkEntry {
     // forward-filled last observation (IGNORE NULLS running window).
     graft.operators.TimeSeries.resampleHourly(t(s, dir, "events"))
 
+  private def qEventsInterpolate(s: SparkSession, dir: String): DataFrame =
+    // Linear gap interpolation on the same grid: empty hours between
+    // two observations take the proportional value in exact micros;
+    // leading/trailing gaps stay null (no extrapolation).
+    graft.operators.TimeSeries.interpolateHourly(t(s, dir, "events"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity (SURVEY §2)
@@ -2175,6 +2181,7 @@ object SparkEntry {
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "events_sessionize" -> (qSessionize _),
     "events_resample_1h" -> (qEventsResample _),
+    "events_interpolate_1h" -> (qEventsInterpolate _),
     "events_session_window" -> (qEventsSessionWindow _),
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
@@ -4217,6 +4224,55 @@ object SparkEntry {
         |LEFT JOIN hourly h
         |  ON h.hour = g.hour AND h.event_type = g.event_type
         |ORDER BY g.hour, g.event_type""".stripMargin,
+    // Linear interpolation: identical grid; the gap value is
+    // pv + round((nv − pv)·Δt/T) with the engine's exact
+    // parenthesization and SECONDS as the time unit on both sides.
+    "events_interpolate_1h" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+        |            date_trunc('hour', max(ts)) AS t1 FROM events),
+        |spine AS (SELECT unnest(generate_series(t0, t1,
+        |            INTERVAL 1 HOUR)) AS hour FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sm
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT g.hour, g.event_type,
+        |    coalesce(h.n, 0) AS n_events,
+        |    coalesce(h.sm, 0) AS sum_micros,
+        |    CASE WHEN h.n > 0 THEN h.sm END AS obs,
+        |    CASE WHEN h.n > 0
+        |      THEN epoch_us(g.hour) // 1000000 END AS obs_h
+        |  FROM (SELECT hour, event_type FROM spine, types) g
+        |  LEFT JOIN hourly h
+        |    ON h.hour = g.hour AND h.event_type = g.event_type),
+        |wnd AS (
+        |  SELECT hour, event_type, n_events, sum_micros,
+        |    epoch_us(hour) // 1000000 AS h,
+        |    last_value(obs IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(obs_h IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(obs IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(obs_h IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM g)
+        |SELECT hour, event_type,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(sum_micros AS BIGINT) AS sum_micros,
+        |  CAST(CASE WHEN n_events > 0 THEN sum_micros
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |    THEN pv + CAST(round(CAST(nv - pv AS DOUBLE)
+        |      * (h - ph) / (nh - ph)) AS BIGINT)
+        |    END AS BIGINT) AS interp_micros
+        |FROM wnd ORDER BY hour, event_type""".stripMargin,
   ) ++ Option(ivfModel.get).map(c => "sim_topk_ivf" -> ivfOracleSql(c)) ++
     Option(ivfIdxModel.get).map(c =>
       "sim_topk_ivf_indexed" -> ivfOracleSql(c)) ++

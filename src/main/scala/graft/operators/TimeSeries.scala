@@ -49,4 +49,39 @@ object TimeSeries {
         last(col("sm"), ignoreNulls = true).over(w).as("ffill_micros"))
       .orderBy("hour", "event_type")
   }
+
+  /** Hourly resample with LINEAR interpolation across gaps — the gauge
+    * semantics forward-fill can't give: an empty hour between two
+    * observations takes the proportional value between them
+    * (`prev + round((next − prev) · Δt/T)` in exact micros; the single
+    * double multiply-divide is IEEE-reproducible), while hours before
+    * a series' first or after its last observation stay null (an
+    * interpolation has no business extrapolating). Two windows per
+    * series key — last-observation-behind and first-observation-ahead,
+    * both (value, hour) pairs — on top of [[resampleHourly]]'s grid;
+    * same scale shape: everything partitions by series key. */
+  def interpolateHourly(events: DataFrame): DataFrame = {
+    val grid = resampleHourly(events)
+      .withColumn("obs",
+        when(col("n_events") > 0, col("sum_micros")))
+      .withColumn("obs_h",
+        when(col("n_events") > 0, unix_timestamp(col("hour"))))
+    val behind = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ahead = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("obs"), ignoreNulls = true).over(behind)
+    val ph = last(col("obs_h"), ignoreNulls = true).over(behind)
+    val nv = first(col("obs"), ignoreNulls = true).over(ahead)
+    val nh = first(col("obs_h"), ignoreNulls = true).over(ahead)
+    val h = unix_timestamp(col("hour"))
+    val interp = when(col("n_events") > 0, col("sum_micros"))
+      .otherwise(when(pv.isNotNull && nv.isNotNull,
+        pv + round((nv - pv).cast("double") * (h - ph) / (nh - ph))
+          .cast("long")))
+    grid.select(col("hour"), col("event_type"),
+        col("n_events"), col("sum_micros"),
+        interp.as("interp_micros"))
+      .orderBy("hour", "event_type")
+  }
 }

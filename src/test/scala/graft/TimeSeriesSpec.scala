@@ -47,4 +47,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r.forall(_.getLong(2) == 2L))
     assert(r.forall(x => x.getLong(3) == x.getLong(4)))
   }
+
+  test("interpolation: gap hours take the proportional value, edges " +
+      "stay null") {
+    val events = Seq(
+      (ts(0), "gauge", 1.0), // 1_000_000 micros at hour 0
+      // hours 1 and 2 empty
+      (ts(3), "gauge", 4.0), // 4_000_000 micros at hour 3
+      (ts(1), "other", 5.0)) // makes hour-0 a LEADING gap for 'other'
+      .toDF("ts", "event_type", "value")
+    val r = TimeSeries.interpolateHourly(events).collect()
+      .map(x => (x.getString(1), x.getTimestamp(0).toString.take(13),
+        if (x.isNullAt(4)) null else x.getLong(4)))
+    val gauge = r.filter(_._1 == "gauge").map(_._3).toSeq
+    // 1M → 2M → 3M → 4M: exact thirds of the 3-hour span
+    assert(gauge === Seq(1000000L, 2000000L, 3000000L, 4000000L))
+    val other = r.filter(_._1 == "other").map(_._3).toSeq
+    // hour 0 precedes the first observation; hours 2-3 follow the
+    // last: no extrapolation on either side
+    assert(other === Seq(null, 5000000L, null, null))
+  }
+
+  test("interpolation of observed hours is the observation itself, " +
+      "including a downward slope") {
+    val events = Seq(
+      (ts(0), "g", 10.0),
+      (ts(2), "g", 4.0)) // falling series: negative delta path
+      .toDF("ts", "event_type", "value")
+    val r = TimeSeries.interpolateHourly(events).collect()
+      .map(x => if (x.isNullAt(4)) null else x.getLong(4)).toSeq
+    assert(r === Seq(10000000L, 7000000L, 4000000L))
+  }
 }
