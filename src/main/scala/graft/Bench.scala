@@ -42,6 +42,7 @@ object Bench {
     "sim_topk_ivf_indexed",
     "text_stats",
     "decontam_ngram",
+    "decontam_ngram_bc",
     "cluster_kmeans",
     "dedup_semantic",
     "search_bm25",

@@ -1589,6 +1589,17 @@ object SparkEntry {
       d.filter(col("doc_id") % 17 === 0), n = 5)
   }
 
+  private def qDecontamNgramBc(s: SparkSession, dir: String): DataFrame = {
+    // The zero-shuffle regime of the same operator: eval grams
+    // collected once and shipped as an executor broadcast, hit counts
+    // computed inside the training scan — the only exchange is the
+    // output sort. Same semantics and oracle as decontam_ngram.
+    val d = t(s, dir, "documents")
+    Decontaminate.overlapBroadcast(
+      d.filter(col("doc_id") % 17 =!= 0),
+      d.filter(col("doc_id") % 17 === 0), n = 5)
+  }
+
   private def qTextHeavyHitters(s: SparkSession, dir: String): DataFrame =
     // Two bounded passes (Misra–Gries sketch → exact rescore of ≤ 64
     // candidates); the oracle is the naive full groupBy top-20, which
@@ -2153,6 +2164,7 @@ object SparkEntry {
     "dedup_ngram_decisions" -> (qDedupNgramDecisions _),
     "dedup_cc_decisions" -> (qDedupCcDecisions _),
     "decontam_ngram" -> (qDecontamNgram _),
+    "decontam_ngram_bc" -> (qDecontamNgramBc _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "cluster_kmeans" -> (qClusterKmeans _),
     "dedup_semantic" -> (qDedupSemantic _),
@@ -3599,8 +3611,10 @@ object SparkEntry {
     // the eval side's distinct grams, and left-joins counts back to the
     // training corpus.
     "decontam_ngram" -> decontamOracle,
-    // The stateless streaming twin must equal the batch operator
-    // row-for-row — same oracle.
+    // The zero-shuffle broadcast-expression regime and the stateless
+    // streaming twin must both equal the join-based operator
+    // row-for-row — one oracle for all three.
+    "decontam_ngram_bc" -> decontamOracle,
     "stream_decontam" -> decontamOracle,
     "dedup_minhash_decisions" ->
       """WITH toks AS (

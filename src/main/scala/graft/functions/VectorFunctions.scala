@@ -1104,12 +1104,16 @@ object VectorFunctions {
     * against a small reference set. Unlike a `typedLit` array (which
     * rides inside the serialized plan and is re-walked per row by
     * `array_intersect`), the broadcast ships once per executor and
-    * lookups are O(1) per element. Distinctness is the CALLER's
-    * contract (gram arrays are already array_distinct), so the count
-    * is the distinct-intersection size. */
+    * lookups are O(1) per element. The set holds `UTF8String` keys so
+    * probes compare the array's bytes in place — no per-gram String
+    * allocation in the hot loop (build the set with
+    * [[broadcastStringSet]]). Distinctness is the CALLER's contract
+    * (gram arrays are already array_distinct), so the count is the
+    * distinct-intersection size. */
   case class BroadcastMemberCount(child: Expression,
       members: org.apache.spark.broadcast.Broadcast[
-        scala.collection.immutable.Set[String]])
+        scala.collection.immutable.Set[
+          org.apache.spark.unsafe.types.UTF8String]])
       extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
@@ -1121,7 +1125,7 @@ object VectorFunctions {
       val n = arr.numElements()
       while (i < n) {
         if (!arr.isNullAt(i) &&
-          set.contains(arr.getUTF8String(i).toString)) c += 1L
+          set.contains(arr.getUTF8String(i))) c += 1L
         i += 1
       }
       java.lang.Long.valueOf(c)
@@ -1401,8 +1405,21 @@ object VectorFunctions {
     toColumn(BroadcastJaccard(toExpression(a), toExpression(b), sets))
   def broadcast_member_count(arr: Column,
       members: org.apache.spark.broadcast.Broadcast[
-        scala.collection.immutable.Set[String]]): Column =
+        scala.collection.immutable.Set[
+          org.apache.spark.unsafe.types.UTF8String]]): Column =
     toColumn(BroadcastMemberCount(toExpression(arr), members))
+
+  /** Build the executor broadcast for [[broadcast_member_count]]:
+    * strings converted ONCE, driver-side, to UTF8String keys. */
+  def broadcastStringSet(
+      spark: org.apache.spark.sql.SparkSession, strings: Seq[String])
+      : org.apache.spark.broadcast.Broadcast[
+        scala.collection.immutable.Set[
+          org.apache.spark.unsafe.types.UTF8String]] =
+    spark.sparkContext.broadcast(
+      strings.iterator
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+        .toSet)
   def char_ngram_set(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n, distinctSorted = true))
   def text_jaccard(a: Column, b: Column, n: Int): Column =

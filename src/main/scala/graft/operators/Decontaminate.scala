@@ -61,6 +61,31 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
+  /** Broadcast-set variant of [[overlap]]: the eval gram set is
+    * collected once (bounded — it's a benchmark) and shipped as a real
+    * executor broadcast; each training doc counts its own grams via
+    * [[graft.functions.VectorFunctions.BroadcastMemberCount]] INSIDE
+    * the scan stage. ZERO data shuffles — rows leave the scan already
+    * reduced to (doc_id, n_hits), so the only exchange in the plan is
+    * the presentation sort. This is the faster regime whenever the
+    * eval set fits executor memory (benchmarks always do); [[overlap]]
+    * remains the no-driver-collect path for pathological eval sizes.
+    * Same semantics, same oracle. */
+  def overlapBroadcast(train: DataFrame, eval: DataFrame, n: Int = 5,
+      minHits: Long = 1): DataFrame = {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val evalGrams = grams(eval, n).select("g").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val bc = graft.functions.VectorFunctions.broadcastStringSet(
+      train.sparkSession, evalGrams)
+    val hits = graft.functions.VectorFunctions.broadcast_member_count(
+      wordShingles(col("text"), n), bc)
+    train.select(col("doc_id"), hits.as("n_hits"),
+        (hits >= minHits).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide common-n-gram coverage (the C4-style boilerplate
     * signal): a gram is "common" when it appears in >= `minDf` distinct
     * documents; each doc reports how much of its own gram set is

@@ -298,8 +298,8 @@ object DocsStream {
     * operator row-for-row (same oracle). */
   def decontamStream(docs: DataFrame, evalGrams: Seq[String],
       n: Int = 5, minHits: Long = 1): DataFrame = {
-    val bc = docs.sparkSession.sparkContext
-      .broadcast(evalGrams.toSet)
+    val bc = graft.functions.VectorFunctions.broadcastStringSet(
+      docs.sparkSession, evalGrams)
     val hits = graft.functions.VectorFunctions.broadcast_member_count(
       graft.functions.TextFunctions.wordShingles(col("text"), n), bc)
     docs.select(col("doc_id"), hits.as("n_hits"),

@@ -120,6 +120,14 @@ class PlanQualitySpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), s"degenerate join:\n$p")
   }
 
+  test("decontam_ngram_bc: the broadcast-expression regime has no " +
+      "join and no exchange but the output sort") {
+    val p = plan("decontam_ngram_bc")
+    assert(!p.contains("Join"), s"broadcast regime should not join:\n$p")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 1, s"only the sort may exchange:\n$p")
+  }
+
   test("cluster_kmeans: assignment is shuffle-free — the only " +
       "exchange is the output sort") {
     val p = plan("cluster_kmeans")

@@ -115,7 +115,7 @@ class VectorFunctionsSpec extends AnyFunSuite {
 
   test("broadcast_member_count counts membership against the " +
       "broadcast set, null elements skipped") {
-    val bc = spark.sparkContext.broadcast(Set("a b", "c d"))
+    val bc = broadcastStringSet(spark, Seq("a b", "c d"))
     val df = Seq(
       Seq("a b", "x y", "c d"),
       Seq("nope"),
