@@ -1978,6 +1978,22 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  // ListMap for the same reason as stratifiedFractions: the fold order
+  // is the CASE order on both sides.
+  private val mixWeights = scala.collection.immutable.ListMap(
+    "src0" -> 2.2, "src1" -> 0.5, "src2" -> 1.0, "src3" -> 3.0)
+
+  private def qSampleWeightedMix(s: SparkSession, dir: String): DataFrame =
+    // Epoch composition: deterministic weighted source mixing with
+    // REPETITION (2.2 epochs of src0: every row twice, plus a stable
+    // hash-chosen 20% a third time). Pure function of the key — the
+    // same corpus mixes identically on every run; sources outside the
+    // recipe are dropped. Copies materialize as a scan-stage explode.
+    graft.operators.Sampling.weightedMix(
+      t(s, dir, "documents"), col("doc_id"), col("source"), mixWeights)
+      .select("doc_id", "source", "copy_id")
+      .orderBy("doc_id", "copy_id")
+
   private def qStreamFunnel(s: SparkSession, dir: String): DataFrame =
     // Batch run of the shared batch/stream funnel join (stream-stream
     // inner join with watermarks in streaming mode; plain range-
@@ -2185,6 +2201,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "sample_stratified" -> (qSampleStratified _),
+    "sample_weighted_mix" -> (qSampleWeightedMix _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
@@ -2579,6 +2596,18 @@ object SparkEntry {
     s"CASE lang $arms ELSE FALSE END"
   }
 
+  /** CASE arm per source with the SAME floor/round thresholds
+    * Sampling.weightedMix computes — generated from the shared map so
+    * the two sides cannot drift. */
+  private def mixCopiesSql: String = {
+    val arms = mixWeights.map { case (src, w) =>
+      val base = math.floor(w).toLong
+      val fb = math.round((w - base) * 10000)
+      s"WHEN '$src' THEN $base + CASE WHEN bucket < $fb THEN 1 ELSE 0 END"
+    }.mkString("\n    ")
+    s"CASE source $arms ELSE 0 END"
+  }
+
   /** Bit-interleave of two cell columns in DuckDB SQL — the same
     * disjoint-bit OR fold ZOrder.interleaveBits builds as Catalyst
     * expressions, generated for the same `bits`. */
@@ -2618,6 +2647,16 @@ object SparkEntry {
          |FROM documents d JOIN bk ON bk.k = d.doc_id
          |WHERE $stratifiedKeepSql
          |ORDER BY d.doc_id""".stripMargin,
+    // Weighted mix: the same XXH64 bucket, floor + fractional-bucket
+    // multiplicity per source, copies via generate_series.
+    "sample_weighted_mix" ->
+      s"""WITH ${xxhash64BucketSql("doc_id", "documents")},
+         |m AS (
+         |  SELECT d.doc_id, d.source, $mixCopiesSql AS n
+         |  FROM documents d JOIN bk ON bk.k = d.doc_id)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_id
+         |FROM m WHERE n > 0 ORDER BY doc_id, copy_id""".stripMargin,
     "scan_leaf" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem WHERE l_quantity > 45

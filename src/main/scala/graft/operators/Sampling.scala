@@ -48,6 +48,34 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weighted source MIXING — the epoch-composition step
+    * of a training pipeline ("2.2 epochs of wiki, 0.5 of crawl"):
+    * every row of source s appears ⌊w_s⌋ times, plus once more iff its
+    * key's hash bucket falls below frac(w_s)·10000 — so the expected
+    * multiplicity is exactly w_s and, like everything here, the
+    * decision is a pure function of the key (the same row gets the
+    * same copies on every run and layout). Copies are numbered
+    * (`copy_id`) so downstream sharding can address them; sources
+    * absent from `weights` are dropped. Upsampling is an explode in
+    * the scan stage — no shuffle, no driver state. */
+  def weightedMix(df: DataFrame, key: Column, source: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0))
+    val b = hashBucket(key)
+    val copies = weights.foldLeft(lit(0L)) { case (acc, (v, w)) =>
+      val base = math.floor(w).toLong
+      val fracBuckets = math.round((w - base) * Buckets)
+      when(source === v,
+        lit(base) + when(b < fracBuckets, 1L).otherwise(0L))
+        .otherwise(acc)
+    }
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id",
+        explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** Per-stratum sampling fractions (e.g. downsample the dominant
     * language, keep the rare ones whole): `fractions` maps stratum
     * value → keep fraction; strata not in the map are dropped. */

@@ -48,6 +48,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(big.size > small.size)
   }
 
+  test("weighted mix: multiplicity is floor(w) or floor(w)+1, copies " +
+      "numbered, unlisted sources dropped, deterministic") {
+    val w = Map("src0" -> 2.2, "src1" -> 0.5)
+    val mixed = Sampling.weightedMix(docs, col("doc_id"),
+      col("source"), w)
+    val perDoc = mixed.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"),
+        max("copy_id").as("mx"), min("copy_id").as("mn"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val (src, n) = (r.getString(1), r.getLong(2))
+      src match {
+        case "src0" => assert(n == 2L || n == 3L)
+        case "src1" => assert(n == 1L) // 0-copy rows don't appear
+        case other => fail(s"unlisted source $other survived")
+      }
+      // copies are 0..n-1
+      assert(r.getLong(4) === 0L && r.getLong(3) === n - 1)
+    }
+    // expected-multiplicity: src0 averages ~2.2 copies
+    val src0 = perDoc.filter(_.getString(1) == "src0")
+    val avg = src0.map(_.getLong(2)).sum.toDouble / src0.length
+    assert(avg > 2.0 && avg < 2.5, s"avg $avg")
+    // pure function of the key: a second run mixes identically
+    val again = Sampling.weightedMix(docs, col("doc_id"),
+      col("source"), w).collect().map(r =>
+      (r.getLong(0), r.getLong(r.length - 1))).toSet
+    val first = mixed.collect().map(r =>
+      (r.getLong(0), r.getLong(r.length - 1))).toSet
+    assert(again === first)
+  }
+
   test("stratified sampling keeps only configured strata at their rate") {
     val sampled = Sampling.sampleStratified(docs, col("doc_id"),
       col("lang"), Map("en" -> 1.0))
