@@ -180,6 +180,28 @@ object DumpPlans {
         |oracle identical to sim_topk_ivf; the difference is that at
         |10⁴ clusters / nProbe 32 a query batch reads ~0.3% of the
         |corpus bytes.""".stripMargin,
+    "decontam_ngram_bc" ->
+      """The zero-shuffle decontamination regime: the eval gram set is
+        |collected once into an executor broadcast and every training
+        |doc counts its own grams via the BroadcastMemberCount
+        |expression INSIDE the scan — no join node, no exchange but
+        |the output sort. Contrast with decontam_ngram's broadcast
+        |JOIN (whose gram explode + per-doc aggregation shuffle grows
+        |with the corpus while this plan's cost doesn't); BASELINE.md
+        |documents the measured crossover.""".stripMargin,
+    "events_interpolate_1h" ->
+      """Linear gap interpolation on the resample grid: two
+        |IGNORE-NULLS windows per series key (last observation behind,
+        |first ahead — value and hour pairs), then the proportional
+        |value in exact micros. Same scale shape as the resample: the
+        |grid is post-aggregation small and every window partitions by
+        |series key.""".stripMargin,
+    "sample_weighted_mix" ->
+      """Epoch composition: multiplicity = floor(weight) + a stable
+        |fractional-hash extra copy, materialized by a scan-stage
+        |explode — upsampling with REPETITION and numbered copies, no
+        |shuffle, no RNG state, reproducible under any layout. The
+        |only exchange is the presentation sort.""".stripMargin,
     "search_bm25" ->
       """Inverted-index BM25. Tokens are filtered to the query's terms
         |INSIDE the scan stage, so the only full-width shuffle is the

@@ -65,6 +65,36 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup's cluster restriction: measured recall vs the " +
+      "global pair set on the real (worst-case unclustered) corpus") {
+    import graft.operators.Similarity
+    val e = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents8 = Similarity.trainCentroids(e, nCentroids = 8)
+    val within = Clustering.semanticPairs(e, cents8, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: ALL pairs >= 0.4, any cluster
+    import graft.functions.VectorFunctions.cosine_sim
+    val a = e.select(col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val all = a.join(b, col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("ea"), col("eb")) >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(within.subsetOf(all)) // exact within its scope, never wrong
+    val recall = if (all.isEmpty) 1.0
+      else (within & all).size.toDouble / all.size
+    // SemDeDup's honest trade, MEASURED: near-random 64-d vectors are
+    // the worst case for cluster-restricted comparison (a clustered
+    // production embedding space keeps similar pairs co-assigned far
+    // more often). The floor pins the current corpus/model behavior so
+    // a clustering regression is visible; it is NOT a general claim.
+    assert(recall >= 0.15, f"within-cluster recall $recall%.2f")
+  }
+
   test("assignment agrees with Similarity.withCluster's argmax") {
     val viaIvf = Similarity.withCluster(vecs, cents)
       .select("vec_id", "cluster_id").orderBy("vec_id")
