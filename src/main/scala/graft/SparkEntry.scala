@@ -1437,6 +1437,12 @@ object SparkEntry {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  private def qTextCollocations(s: SparkSession, dir: String): DataFrame =
+    // Phrase mining: top-20 bigram collocations by lift (PMI's
+    // rank-equivalent without the non-portable log), min count 5.
+    graft.operators.Collocations.topBigramsByLift(
+      t(s, dir, "documents"))
+
   private def qSearchBm25(s: SparkSession, dir: String): DataFrame =
     // Inverted-index BM25 top-20 for a three-term query (terms from
     // the corpus vocabulary). Scores in exact micros — see
@@ -2169,6 +2175,7 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "text_common_ngrams" -> (qTextCommonNgrams _),
     "search_bm25" -> (qSearchBm25 _),
+    "text_collocations" -> (qTextCollocations _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -3933,6 +3940,41 @@ object SparkEntry {
       """SELECT n.n_nationkey, n.n_name, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY n.n_nationkey""".stripMargin,
+    // Collocations: unigram/bigram instance counts re-derived from the
+    // normalized token stream, lift evaluated with the identical
+    // parenthesization over exact-integer counts.
+    "text_collocations" ->
+      """WITH nt AS (
+        |  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |    AS t FROM documents),
+        |tok AS (SELECT unnest(string_split(t, ' ')) AS tok
+        |        FROM nt WHERE t <> ''),
+        |uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+        |big AS (
+        |  SELECT unnest(CASE WHEN len(string_split(t, ' ')) < 2
+        |    THEN []::VARCHAR[]
+        |    ELSE list_transform(
+        |      generate_series(1, len(string_split(t, ' ')) - 1),
+        |      i -> string_split(t, ' ')[i] || ' '
+        |        || string_split(t, ' ')[i+1]) END) AS bigram
+        |  FROM nt WHERE t <> ''),
+        |bc AS (SELECT bigram, count(*) AS c_ab FROM big
+        |       GROUP BY bigram HAVING count(*) >= 5),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS m_bigrams FROM big),
+        |j AS (SELECT b.bigram, b.c_ab,
+        |    CAST(round(((CAST(b.c_ab AS DOUBLE)
+        |        * CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |      / (CAST(m_bigrams AS DOUBLE) * CAST(ua.c AS DOUBLE)
+        |        * CAST(ub.c AS DOUBLE))) * 1000000.0) AS BIGINT)
+        |      AS lift_micros
+        |  FROM bc b
+        |  JOIN uni ua ON ua.tok = string_split(b.bigram, ' ')[1]
+        |  JOIN uni ub ON ub.tok = string_split(b.bigram, ' ')[2]
+        |  CROSS JOIN tot CROSS JOIN mt)
+        |SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, lift_micros
+        |FROM j ORDER BY lift_micros DESC, bigram
+        |LIMIT 20""".stripMargin,
     // BM25 (rational idf): the oracle rebuilds tf/df/dl/avgdl from the
     // same normalized token stream and evaluates the IDENTICALLY
     // parenthesized double expression — constants are printed from the

@@ -140,14 +140,18 @@ object TextFunctions {
 
   // --- Repetition (Gopher-style quality filters) -----------------------
 
-  /** Word bigram INSTANCES (not distinct — repetition is about
-    * instances) of the normalized token stream; empty for < 2 tokens. */
-  private def bigrams(toks: Column): Column =
+  /** Word bigram INSTANCES (not distinct — repetition and collocation
+    * are about instances) of the normalized token stream; empty for
+    * < 2 tokens. */
+  private[graft] def bigrams(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", element_at(toks, i + 1),
           element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
+
+  /** Word bigram instances of a text column. */
+  def wordBigrams(text: Column): Column = bigrams(tokens(text))
 
   /** Fraction of bigram instances whose bigram occurs more than once in
     * the document — the classic repeated-n-gram quality filter. A doc
