@@ -1437,6 +1437,19 @@ object SparkEntry {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  private def qTextChunks(s: SparkSession, dir: String): DataFrame =
+    // RAG/embedding windowing: 16-token chunks advancing by 12 (4
+    // overlap), last chunk clamped. posexplode numbers chunks; the
+    // whole thing is scan-stage — only (doc_id, id, text, len) rows
+    // ever shuffle, for the sort.
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokenChunks(col("text"), 16, 4))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
   private def qTextCollocations(s: SparkSession, dir: String): DataFrame =
     // Phrase mining: top-20 bigram collocations by lift (PMI's
     // rank-equivalent without the non-portable log), min count 5.
@@ -2176,6 +2189,7 @@ object SparkEntry {
     "text_common_ngrams" -> (qTextCommonNgrams _),
     "search_bm25" -> (qSearchBm25 _),
     "text_collocations" -> (qTextCollocations _),
+    "text_chunks" -> (qTextChunks _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -3940,6 +3954,26 @@ object SparkEntry {
       """SELECT n.n_nationkey, n.n_name, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY n.n_nationkey""".stripMargin,
+    // Chunking: the same window arithmetic in exact integers; list
+    // slices are end-clamped in both engines.
+    "text_chunks" ->
+      """WITH nt AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ',
+        |    'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS w,
+        |        len(string_split(t, ' ')) AS n
+        |      FROM nt WHERE t <> ''),
+        |c AS (SELECT doc_id, w,
+        |    CASE WHEN n <= 16 THEN 1
+        |      ELSE (n - 16 + 12 - 1) // 12 + 1 END AS nc FROM w),
+        |x AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  array_to_string(w[chunk_id*12+1 : chunk_id*12+16], ' ')
+        |    AS chunk,
+        |  CAST(len(w[chunk_id*12+1 : chunk_id*12+16]) AS INTEGER)
+        |    AS n_chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     // Collocations: unigram/bigram instance counts re-derived from the
     // normalized token stream, lift evaluated with the identical
     // parenthesization over exact-integer counts.

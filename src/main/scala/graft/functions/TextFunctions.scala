@@ -59,6 +59,32 @@ object TextFunctions {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Overlapping token-window chunks — the windowing step an
+    * embedding/RAG pipeline runs before vectorizing long documents:
+    * windows of `chunkTokens` tokens advancing by
+    * `chunkTokens − overlap`, the last window clamped at the end
+    * (shorter, never empty); documents with no tokens produce no
+    * chunks. Array of chunk strings per row — callers posexplode to
+    * (chunk_id, chunk). Pure scan-stage builtins, no shuffle. */
+  def tokenChunks(text: Column, chunkTokens: Int,
+      overlap: Int): Column = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // ceil((n − chunk)/step) + 1 in exact integer math
+    // Column `/` is double division — floor+cast recovers the exact
+    // integer quotient (operands are far below 2^53)
+    val nChunks = when(n <= chunkTokens, 1)
+      .otherwise(
+        floor((n - chunkTokens + step - 1) / step).cast("int") + 1)
+    // n = 0 guarded explicitly: sequence(0, -1) would count DOWN
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkTokens)))))
+  }
+
   /** Character n-grams of the normalized text (distinct). */
   def charNgrams(text: Column, n: Int): Column = {
     val s = normalize(text)

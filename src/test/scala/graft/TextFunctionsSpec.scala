@@ -113,6 +113,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(tf2 === 1.0 / 6)
   }
 
+  test("token chunks: overlap, clamped tail, and edge documents") {
+    def chunks(s: String, c: Int, o: Int): Seq[String] =
+      one(tokenChunks(col("text"), c, o), s)
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    // 10 tokens, windows of 4 advancing by 2: starts 0,2,4,6 — the
+    // ceil formula stops once the window reaches the end
+    assert(chunks("a b c d e f g h i j", 4, 2) ===
+      Seq("a b c d", "c d e f", "e f g h", "g h i j"))
+    // 9 tokens: last window clamps short
+    assert(chunks("a b c d e f g h i", 4, 2) ===
+      Seq("a b c d", "c d e f", "e f g h", "g h i"))
+    // shorter than one window: a single whole-text chunk
+    assert(chunks("a b", 4, 2) === Seq("a b"))
+    // no tokens: no chunks (not one empty chunk)
+    assert(chunks("", 4, 2) === Seq.empty)
+    // zero overlap tiles exactly
+    assert(chunks("a b c d", 2, 0) === Seq("a b", "c d"))
+  }
+
   test("repetition: empty and single-token edges yield zeros") {
     assert(repetition("") === ((0.0, 0.0, 0.0)))
     val (df, bf, tf) = repetition("solo")
