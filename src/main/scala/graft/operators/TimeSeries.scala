@@ -27,7 +27,13 @@ object TimeSeries {
     * cell of the full time range is present — `n_events`/`sum_micros`
     * zero-filled, `ffill_micros` carrying the last observed hour's sum
     * forward (null until a series' first observation). */
-  def resampleHourly(events: DataFrame): DataFrame = {
+  def resampleHourly(events: DataFrame): DataFrame =
+    resampledGrid(events).orderBy("hour", "event_type")
+
+  /** The unsorted grid — shared with [[interpolateHourly]] so the
+    * intermediate presentation sort never sits under the
+    * interpolation windows. */
+  private def resampledGrid(events: DataFrame): DataFrame = {
     val bounds = events.agg(
       date_trunc("hour", min(col("ts"))).as("t0"),
       date_trunc("hour", max(col("ts"))).as("t1"))
@@ -47,7 +53,6 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n_events"),
         coalesce(col("sm"), lit(0L)).as("sum_micros"),
         last(col("sm"), ignoreNulls = true).over(w).as("ffill_micros"))
-      .orderBy("hour", "event_type")
   }
 
   /** Hourly resample with LINEAR interpolation across gaps — the gauge
@@ -61,7 +66,7 @@ object TimeSeries {
     * both (value, hour) pairs — on top of [[resampleHourly]]'s grid;
     * same scale shape: everything partitions by series key. */
   def interpolateHourly(events: DataFrame): DataFrame = {
-    val grid = resampleHourly(events)
+    val grid = resampledGrid(events)
       .withColumn("obs",
         when(col("n_events") > 0, col("sum_micros")))
       .withColumn("obs_h",
