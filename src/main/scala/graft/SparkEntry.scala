@@ -1450,6 +1450,25 @@ object SparkEntry {
         size(split(col("chunk"), " ")).as("n_chunk_tokens"))
       .orderBy("doc_id", "chunk_id")
 
+  private def qDedupChunks(s: SparkSession, dir: String): DataFrame =
+    // Cross-document repeated-window detection — the window-granular
+    // approximation of exact-substring dedup (a chunk appearing in
+    // several documents is copied boilerplate/quotation): chunks from
+    // the same 16/4 windowing as text_chunks, keyed by content,
+    // surviving rows = chunks seen in >= 2 DISTINCT docs, with the
+    // occurrence count and the canonical (minimum) owner. One
+    // chunk-keyed shuffle with map-side partial aggregation.
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenChunks(col("text"), 16, 4))
+          .as("chunk"))
+      .groupBy("chunk")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk")
+
   private def qTextCollocations(s: SparkSession, dir: String): DataFrame =
     // Phrase mining: top-20 bigram collocations by lift (PMI's
     // rank-equivalent without the non-portable log), min count 5.
@@ -2190,6 +2209,7 @@ object SparkEntry {
     "search_bm25" -> (qSearchBm25 _),
     "text_collocations" -> (qTextCollocations _),
     "text_chunks" -> (qTextChunks _),
+    "dedup_chunks" -> (qDedupChunks _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -3974,6 +3994,29 @@ object SparkEntry {
         |  CAST(len(w[chunk_id*12+1 : chunk_id*12+16]) AS INTEGER)
         |    AS n_chunk_tokens
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+    // Chunk dedup: same chunk CTE, grouped by content, >= 2 distinct
+    // docs.
+    "dedup_chunks" ->
+      """WITH nt AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ',
+        |    'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS w,
+        |        len(string_split(t, ' ')) AS n
+        |      FROM nt WHERE t <> ''),
+        |c AS (SELECT doc_id, w,
+        |    CASE WHEN n <= 16 THEN 1
+        |      ELSE (n - 16 + 12 - 1) // 12 + 1 END AS nc FROM w),
+        |x AS (SELECT doc_id, w,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id FROM c),
+        |ch AS (SELECT doc_id,
+        |    array_to_string(w[chunk_id*12+1 : chunk_id*12+16], ' ')
+        |      AS chunk FROM x)
+        |SELECT chunk,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  min(doc_id) AS first_doc
+        |FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk""".stripMargin,
     // Collocations: unigram/bigram instance counts re-derived from the
     // normalized token stream, lift evaluated with the identical
     // parenthesization over exact-integer counts.
