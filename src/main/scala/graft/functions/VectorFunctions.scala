@@ -1474,6 +1474,13 @@ object VectorFunctions {
       "tokens" -> (es =>
         org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
           graft.functions.TextFunctions.tokens(toColumn(es(0))))),
+      "token_chunks" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.tokenChunks(toColumn(es(0)),
+            litInt(es(1), "chunkTokens"), litInt(es(2), "overlap")))),
+      "word_bigrams" -> (es =>
+        org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
+          graft.functions.TextFunctions.wordBigrams(toColumn(es(0))))),
       "pii_redact" -> (es =>
         org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
           graft.functions.PiiFunctions.redact(toColumn(es(0))))),

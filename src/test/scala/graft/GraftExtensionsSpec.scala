@@ -72,6 +72,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation functions from SQL: chunks, bigrams, pii, repetition") {
+    withExtSession { s =>
+      val r = s.sql(
+        """SELECT
+          |  token_chunks('a b c d e f g h i j', 4, 2) AS chunks,
+          |  size(word_bigrams('x y z')) AS nb,
+          |  pii_redact('mail me at bob@example.com now') AS red,
+          |  dup_bigram_frac('spam spam spam spam') AS dbf,
+          |  top_token_frac('spam spam spam spam') AS ttf
+          |""".stripMargin).head()
+      assert(r.getSeq[String](0) ===
+        Seq("a b c d", "c d e f", "e f g h", "g h i j"))
+      assert(r.getInt(1) === 2)
+      assert(r.getString(2) === "mail me at <EMAIL> now")
+      assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-15)
+      assert(r.getDouble(4) === 1.0)
+    }
+  }
+
   test("injected SQL aggregates: bounded_min_collect and misra_gries") {
     withExtSession { s =>
       import s.implicits._
