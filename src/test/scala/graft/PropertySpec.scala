@@ -317,6 +317,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token chunks cover every token exactly once outside overlaps, " +
+      "adjacent chunks share exactly `overlap` tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vocab = "a1 b2 c3 d4 e5 f6 g7".split(" ")
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(17 + it)
+      val (c, o) = (4 + rnd.nextInt(4), rnd.nextInt(3)) // c in 4..7
+      val texts = (0 until 8).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(25))(
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val rows = texts.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .tokenChunks(col("text"), c, o).as("ch"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[String](1).map(_.split(" ").toSeq)).toMap
+      texts.foreach { case (id, tx) =>
+        val toks = tx.split(" ").toSeq
+        val chunks = rows(id)
+        val step = c - o
+        // stitched back together (dropping each successor's first
+        // `overlap` tokens) the chunks ARE the token stream
+        val stitched = chunks.head ++
+          chunks.tail.flatMap(_.drop(o))
+        assert(stitched === toks, s"iter $it doc $id c=$c o=$o")
+        // every adjacent pair overlaps by exactly `overlap` tokens
+        // (except a clamped tail shorter than the overlap itself)
+        chunks.sliding(2).foreach {
+          case Seq(x, y) =>
+            assert(y.take(o) === x.drop(step).take(o),
+              s"iter $it doc $id overlap mismatch")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("bm25 ranking ≡ naive in-memory model on random corpora") {
     import spark.implicits._
     val vocab = "red green blue cyan teal gold onyx jade".split(" ")
