@@ -2032,6 +2032,27 @@ object SparkEntry {
       .select("doc_id", "source", "copy_id")
       .orderBy("doc_id", "copy_id")
 
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    // Sequence packing manifest (concat-then-chunk): the corpus cut
+    // into 128-token training sequences across 8 independent
+    // hash-sharded streams — one hash-partition shuffle, per-shard
+    // local sort, token counting in the scan stage. The oracle
+    // re-derives XXH64(doc_id) in HUGEINT SQL (shard + stream order
+    // are both functions of it) and replays the running-offset window
+    // arithmetic exactly.
+    graft.operators.Packing.packManifest(
+      t(s, dir, "documents"), seqLen = 128, nShards = 8)
+      .orderBy("doc_id")
+
+  private def qPackIndex(s: SparkSession, dir: String): DataFrame =
+    // Loader-side expansion of the packing manifest: per (shard, seq),
+    // how many documents fill the sequence and their id range. The
+    // explode fan-out is bounded by token mass / seqLen, not doc count.
+    graft.operators.Packing.sequenceIndex(
+      graft.operators.Packing.packManifest(
+        t(s, dir, "documents"), seqLen = 128, nShards = 8))
+      .orderBy("shard", "seq")
+
   private def qStreamFunnel(s: SparkSession, dir: String): DataFrame =
     // Batch run of the shared batch/stream funnel join (stream-stream
     // inner join with watermarks in streaming mode; plain range-
@@ -2243,6 +2264,8 @@ object SparkEntry {
     "sample_splits" -> (qSampleSplits _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_weighted_mix" -> (qSampleWeightedMix _),
+    "pack_sequences" -> (qPackSequences _),
+    "pack_sequence_index" -> (qPackIndex _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
@@ -2698,6 +2721,66 @@ object SparkEntry {
          |SELECT doc_id, source,
          |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_id
          |FROM m WHERE n > 0 ORDER BY doc_id, copy_id""".stripMargin,
+    // Sequence packing: shard + stream order are functions of
+    // XXH64(doc_id) (re-derived in HUGEINT SQL); the running token
+    // offset is a per-shard window sum; sums over BIGINT come back
+    // HUGEINT in this dialect, so end_off is cast down before the
+    // sequence-number division.
+    "pack_sequences" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE
+         |    CAST(len(string_split(trim(regexp_replace(lower(text),
+         |      '\\s+', ' ', 'g')), ' ')) AS BIGINT) END AS n_tokens
+         |  FROM documents),
+         |${xxhash64BucketSql("doc_id", "tok")},
+         |ord AS (
+         |  SELECT t.doc_id, t.n_tokens, sg.s AS h,
+         |    CAST(((sg.s % 8) + 8) % 8 AS INTEGER) AS shard
+         |  FROM tok t JOIN sg ON sg.k = t.doc_id
+         |  WHERE t.n_tokens > 0),
+         |off AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS end_off
+         |  FROM ord)
+         |SELECT doc_id, shard, n_tokens,
+         |  (end_off - n_tokens) // 128 AS start_seq,
+         |  (end_off - 1) // 128 AS end_seq,
+         |  (end_off - n_tokens) % 128 AS offset_in_seq
+         |FROM off ORDER BY doc_id""".stripMargin,
+    "pack_sequence_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE
+         |    CAST(len(string_split(trim(regexp_replace(lower(text),
+         |      '\\s+', ' ', 'g')), ' ')) AS BIGINT) END AS n_tokens
+         |  FROM documents),
+         |${xxhash64BucketSql("doc_id", "tok")},
+         |ord AS (
+         |  SELECT t.doc_id, t.n_tokens, sg.s AS h,
+         |    CAST(((sg.s % 8) + 8) % 8 AS INTEGER) AS shard
+         |  FROM tok t JOIN sg ON sg.k = t.doc_id
+         |  WHERE t.n_tokens > 0),
+         |off AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS end_off
+         |  FROM ord),
+         |manifest AS (
+         |  SELECT doc_id, shard,
+         |    (end_off - n_tokens) // 128 AS start_seq,
+         |    (end_off - 1) // 128 AS end_seq
+         |  FROM off),
+         |expanded AS (
+         |  SELECT doc_id, shard,
+         |    CAST(unnest(generate_series(start_seq, end_seq)) AS BIGINT)
+         |      AS seq
+         |  FROM manifest)
+         |SELECT shard, seq, count(*) AS n_docs,
+         |  min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+         |FROM expanded GROUP BY shard, seq
+         |ORDER BY shard, seq""".stripMargin,
     "scan_leaf" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
         |FROM lineitem WHERE l_quantity > 45
