@@ -2117,6 +2117,16 @@ object SparkEntry {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  private def qScd2EventRuns(s: SparkSession, dir: String): DataFrame =
+    // SCD2 history build: per-user runs of consecutive event_type
+    // collapsed to validity intervals (valid_from/valid_to/is_current)
+    // via gaps-and-islands — both row_numbers and the groupBy share
+    // one user-partitioned exchange. The unique event id is the chain
+    // tiebreak (same-timestamp events interleaving types make
+    // valid_from alone ambiguous).
+    graft.operators.TimeSeries.scd2EventRuns(t(s, dir, "events"))
+      .orderBy("user_id", "first_event_id")
+
   private def qEventsResample(s: SparkSession, dir: String): DataFrame =
     // Fixed-grid resample with explicit gap semantics: every (hour,
     // event_type) cell present, zero-filled counts/sums and a
@@ -2276,6 +2286,7 @@ object SparkEntry {
     "events_resample_1h" -> (qEventsResample _),
     "events_interpolate_1h" -> (qEventsInterpolate _),
     "events_session_window" -> (qEventsSessionWindow _),
+    "scd2_event_runs" -> (qScd2EventRuns _),
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
   )
@@ -4454,6 +4465,31 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM y GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
+    // SCD2 intervals: the same two-row_number island detection, run
+    // aggregation, and lead() interval chaining with the identical
+    // (valid_from, first_event_id) tiebreak.
+    "scd2_event_runs" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS island
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, island,
+        |    min(ts) AS valid_from, count(*) AS n_events,
+        |    min(event_id) AS first_event_id
+        |  FROM r GROUP BY user_id, event_type, island),
+        |s AS (
+        |  SELECT user_id, event_type, valid_from, n_events,
+        |    first_event_id,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from, first_event_id) AS valid_to
+        |  FROM g)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, n_events, first_event_id
+        |FROM s ORDER BY user_id, first_event_id""".stripMargin,
     // Fixed hourly grid with explicit gaps: spine × keys left-joined
     // against the real hourly aggregate; zero-fill for count/sum,
     // IGNORE NULLS running last for the forward fill.

@@ -89,4 +89,42 @@ object TimeSeries {
         interp.as("interp_micros"))
       .orderBy("hour", "event_type")
   }
+
+  /** SCD2 history build — the dimension-maintenance operator of every
+    * warehouse load: collapse each user's event stream into runs of
+    * consecutive equal `event_type` and emit one validity interval per
+    * run (`valid_from`, `valid_to` = next run's start, `is_current` on
+    * the open last run). Gaps-and-islands via the two-row_number trick:
+    * `rn(user) - rn(user, type)` is constant exactly within a run, so
+    * run detection is two windows and a groupBy on the SAME
+    * user-partitioned shuffle — Catalyst reuses one exchange; nothing
+    * token- or row-expanding happens anywhere.
+    *
+    * Determinism: events are ordered by `(ts, event_id)` (event_id is
+    * unique, so ties at equal timestamps collapse deterministically),
+    * and interval chaining orders runs by `(valid_from,
+    * first_event_id)` — two runs of one user can share a `valid_from`
+    * when same-timestamp events interleave types, so the unique
+    * event id, not the timestamp, is the chain tiebreak. */
+  def scd2EventRuns(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val chain = Window.partitionBy("user_id")
+      .orderBy(col("valid_from"), col("first_event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(chain))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "is_current", "n_events", "first_event_id")
+  }
 }

@@ -78,4 +78,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map(x => if (x.isNullAt(4)) null else x.getLong(4)).toSeq
     assert(r === Seq(10000000L, 7000000L, 4000000L))
   }
+
+  test("scd2 runs: intervals chain gaplessly, one open run per user, " +
+      "event mass conserved, adjacent runs alternate type") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val runs = TimeSeries.scd2EventRuns(events).cache()
+    try {
+      val chain = Window.partitionBy("user_id")
+        .orderBy("valid_from", "first_event_id")
+      val chained = runs
+        .withColumn("next_from", lead(col("valid_from"), 1).over(chain))
+        .withColumn("next_type", lead(col("event_type"), 1).over(chain))
+      // valid_to is exactly the next run's start; the open run is last
+      assert(chained.filter(
+        (col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+          || (col("next_from").isNull && !col("is_current"))).count() === 0L)
+      // adjacent runs can't share a type (else they'd be one island)
+      assert(chained.filter(col("next_type").isNotNull &&
+        col("next_type") === col("event_type")).count() === 0L)
+      // exactly one current run per user
+      assert(runs.filter(col("is_current")).groupBy("user_id").count()
+        .filter(col("count") =!= 1).count() === 0L)
+      // run event counts sum back to the user's event count
+      val lhs = runs.groupBy("user_id").agg(sum("n_events").as("n"))
+      val rhs = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(lhs.join(rhs, Seq("user_id"), "full_outer")
+        .filter(lhs("n") =!= rhs("n")).count() === 0L)
+    } finally runs.unpersist()
+  }
 }
