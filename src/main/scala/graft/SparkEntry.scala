@@ -666,6 +666,29 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  private def qSourceOrc(s: SparkSession, dir: String): DataFrame = {
+    // Third interchange format: the same relations round-trip through
+    // ORC (Spark-native columnar writer/reader, schema declared on
+    // read like the CSV/JSON twins — inference is a scan of its own).
+    // The oracle reads the original parquet, so ORC encode/decode
+    // fidelity — types, nulls, row order independence — is the test.
+    val base = s"/tmp/graft-sources-${java.util.UUID.randomUUID()}"
+    t(s, dir, "supplier").write.mode("overwrite").orc(s"$base/supplier_orc")
+    t(s, dir, "nation").write.mode("overwrite").orc(s"$base/nation_orc")
+    val supplier = s.read
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
+        "s_acctbal DOUBLE")
+      .orc(s"$base/supplier_orc")
+    val nation = s.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .orc(s"$base/nation_orc")
+    supplier.join(broadcast(nation),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
     // TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
     // deterministic top-20 (exact micros revenue; ties by orderkey).
@@ -2032,6 +2055,23 @@ object SparkEntry {
       .select("doc_id", "source", "copy_id")
       .orderBy("doc_id", "copy_id")
 
+  private def qCurationDomainCap(s: SparkSession, dir: String): DataFrame = {
+    // Per-domain diversity cap: at most 3 docs per host, chosen by
+    // quality. The corpus has no URL column, so one is derived
+    // deterministically from (source, doc_id) — the multimodal
+    // pattern: synthesize the container, exercise the REAL parsing
+    // path (builtin parse_url host extraction) and let the oracle
+    // re-derive the expected host string and the capped ranking.
+    val d = t(s, dir, "documents")
+    val url = concat(lit("https://"), col("source"), lit("-"),
+      pmod(col("doc_id"), lit(7L)), lit(".example.com/docs/"),
+      col("doc_id"))
+    graft.operators.Sampling.domainCap(
+        d, url, TextFunctions.qualityScore(col("text")), cap = 3)
+      .select(col("doc_id"), col("host"), col("rank"), col("kept"))
+      .orderBy("doc_id")
+  }
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     // Sequence packing manifest (concat-then-chunk): the corpus cut
     // into 128-token training sequences across 8 independent
@@ -2192,6 +2232,7 @@ object SparkEntry {
     "scalar_subquery" -> (qScalarSubquery _),
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
     "source_csv_json" -> (qSourceCsvJson _),
+    "source_orc" -> (qSourceOrc _),
     "corpus_report" -> (qCorpusReport _),
     "join_range_pred" -> (qJoinRangePred _),
     "window_percentiles" -> (qWindowPercentiles _),
@@ -2275,6 +2316,7 @@ object SparkEntry {
     "sample_stratified" -> (qSampleStratified _),
     "sample_weighted_mix" -> (qSampleWeightedMix _),
     "pack_sequences" -> (qPackSequences _),
+    "curation_domain_cap" -> (qCurationDomainCap _),
     "pack_sequence_index" -> (qPackIndex _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
@@ -2732,6 +2774,59 @@ object SparkEntry {
          |SELECT doc_id, source,
          |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_id
          |FROM m WHERE n > 0 ORDER BY doc_id, copy_id""".stripMargin,
+    // Domain cap: the oracle re-derives the synthesized host string
+    // directly and replays the micro-rounded quality ranking (quality
+    // doubles are bit-identical per the text_quality oracle; the
+    // micro-rounding before ORDER BY is what makes the rank itself
+    // engine-portable).
+    "curation_domain_cap" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, source, text,
+         |    list_filter(string_split(nt, ' '), x -> len(x) > 0) AS toks
+         |  FROM base),
+         |tk2 AS (
+         |  SELECT *, length(text) AS n_chars,
+         |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         |      AS n_alnum,
+         |    length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+         |      AS n_digit,
+         |    length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+         |      AS n_ws
+         |  FROM tk),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+         |        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         |      ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_ws
+         |      AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+         |      AS punct_ratio,
+         |    CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)
+         |      / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+         |    len(toks) AS n_toks
+         |  FROM tk2),
+         |q AS (
+         |  SELECT doc_id,
+         |    source || '-' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.example.com' AS host,
+         |    CAST(round((least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) * 0.3
+         |      + greatest(0.0, 1.0 - punct_ratio * 5) * 0.3
+         |      + greatest(0.0, 1.0 - digit_ratio * 5) * 0.2
+         |      + least(stopword_ratio * 3, 1.0) * 0.2) * 1e6) AS BIGINT)
+         |      AS q_micros
+         |  FROM scored),
+         |r AS (
+         |  SELECT doc_id, host,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY q_micros DESC, doc_id) AS INTEGER) AS rank
+         |  FROM q)
+         |SELECT doc_id, host, rank, rank <= 3 AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     // Sequence packing: shard + stream order are functions of
     // XXH64(doc_id) (re-derived in HUGEINT SQL); the running token
     // offset is a per-shard window sum; sums over BIGINT come back
@@ -4068,6 +4163,10 @@ object SparkEntry {
       """SELECT n.n_nationkey, n.n_name, r.r_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY n.n_nationkey""".stripMargin,
+    "source_orc" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY s.s_suppkey""".stripMargin,
     // Chunking: the same window arithmetic in exact integers; list
     // slices are end-clamped in both engines.
     "text_chunks" ->

@@ -89,4 +89,28 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Per-domain diversity cap — the anti-SEO-farm move of web-corpus
+    * curation: a single host may contribute at most `cap` documents,
+    * and which ones survive is decided by quality, not arrival order.
+    * `url` is parsed with the builtin `parse_url` (codegen'd, scan
+    * stage); ranking is `row_number` over `(host)` ordered by
+    * micro-rounded quality descending with the unique doc id as
+    * tiebreak — micro-rounding makes the rank reproducible across
+    * engines (a raw-double ORDER BY is ULP-fragile ground to stand
+    * on), the id makes it total. One host-partitioned shuffle; no
+    * per-host state beyond the window counter. Emits every input row
+    * with `host`, `rank`, `kept` so the drop set is auditable (filter
+    * `kept` for the survivors). */
+  def domainCap(df: DataFrame, url: Column, quality: Column,
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("q_micros").desc, col("doc_id"))
+    df.withColumn("host", parse_url(url, lit("HOST")))
+      .withColumn("q_micros", round(quality * 1e6).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("kept", col("rank") <= cap)
+  }
 }

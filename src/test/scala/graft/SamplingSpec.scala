@@ -90,4 +90,32 @@ class SamplingSpec extends AnyFunSuite {
     val allEn = docs.filter(col("lang") === "en").count()
     assert(sampled.count() === allEn) // fraction 1.0 keeps everything
   }
+
+  test("domain cap: parse_url host, at most cap kept per host, " +
+      "and survivors are the best-quality rows of their host") {
+    val url = concat(lit("https://"), col("source"), lit("-"),
+      pmod(col("doc_id"), lit(7L)), lit(".example.com/docs/"),
+      col("doc_id"))
+    val capped = Sampling.domainCap(docs, url,
+      graft.functions.TextFunctions.qualityScore(col("text")), cap = 3)
+      .cache()
+    try {
+      // host came out of parse_url, not string surgery on our side
+      assert(capped.filter(!col("host").rlike(
+        "^src\\d+-\\d\\.example\\.com$")).count() === 0L)
+      // the cap holds per host, every row is ranked, kept ⇔ rank<=cap
+      assert(capped.filter(col("kept")).groupBy("host").count()
+        .filter(col("count") > 3).count() === 0L)
+      assert(capped.filter(col("kept") =!= (col("rank") <= 3))
+        .count() === 0L)
+      // no dropped row outranks (strictly better quality than) a kept
+      // one on the same host
+      val kept = capped.filter(col("kept"))
+        .groupBy("host").agg(min("q_micros").as("worst_kept"))
+      assert(capped.filter(!col("kept")).join(kept, "host")
+        .filter(col("q_micros") > col("worst_kept")).count() === 0L)
+      // every row survives with a verdict (nothing silently dropped)
+      assert(capped.count() === docs.count())
+    } finally capped.unpersist()
+  }
 }

@@ -89,4 +89,22 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
     assert(r.toSeq === want.toSeq && r.length === 25)
   }
+
+  test("ORC round-trip preserves the relation exactly") {
+    import org.apache.spark.sql.functions.col
+    val r = SparkEntry.queries("source_orc")(spark, TestSpark.sfDir)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getDouble(3)))
+    Tables.register(spark, TestSpark.sfDir)
+    val want = spark.table("supplier")
+      .join(spark.table("nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+      .orderBy("s_suppkey")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getDouble(3)))
+    assert(r.nonEmpty && r.toSeq === want.toSeq)
+  }
 }
