@@ -208,7 +208,37 @@ object DumpPlans {
         |per-(doc, term) tf aggregate over matching tokens; corpus
         |stats (1 row) and df (≤ |terms| rows) broadcast; the final
         |top-k is TakeOrderedAndProject — per-partition heaps, no
-        |global sort.""".stripMargin)
+        |global sort.""".stripMargin,
+    "pack_sequences" ->
+      """Sequence packing (concat-then-chunk): token counting is
+        |codegen'd inside the scan, so only (doc_id, n_tokens, hash)
+        |rows reach the ONE hash-partition exchange on the shard key;
+        |each shard's running-offset window sorts locally and shards
+        |pack independently — no global sort, no straggling reducer
+        |chain, token mass never shuffles. The second exchange is the
+        |presentation ORDER BY.""".stripMargin,
+    "scd2_event_runs" ->
+      """SCD2 history build via gaps-and-islands: both row_numbers,
+        |the run groupBy AND the lead() interval chaining all declare
+        |user_id-compatible partitioning, so Catalyst plans ONE
+        |user-partitioned exchange and reuses it across all four
+        |operators — the whole dimension build is one shuffle of the
+        |event stream plus the presentation sort.""".stripMargin,
+    "curation_domain_cap" ->
+      """Per-domain diversity cap: URL synthesis, parse_url host
+        |extraction and the micro-rounded quality score are all
+        |scan-stage projections; the only data exchange is the
+        |host-partitioned window for row_number, whose state is one
+        |counter per host — no per-host buffering, no skew hazard
+        |beyond the windowed partition itself.""".stripMargin,
+    "quality_model_lr" ->
+      """Model-based quality filtering: training is ONE bounded MLlib
+        |job that reduces to 5 doubles; corpus scoring is the plan
+        |below — a pure scan-stage projection (score, micro-rounded
+        |rank key, keep decision) whose only exchange is the
+        |presentation sort (QualityModelSpec pins the scoring
+        |projection itself exchange-free). At 100 TB the classifier
+        |costs exactly one pass over the text column.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -1460,6 +1460,28 @@ object SparkEntry {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  private def qQualityModelLr(s: SparkSession, dir: String): DataFrame = {
+    // Model-based quality filtering (the fastText-classifier move):
+    // ONE bounded MLlib training job → 5 doubles, then the whole
+    // corpus scored by a codegen'd projection (no UDF, no shuffle).
+    // Seed label: the hand-written composite rule `quality_score >=
+    // 0.72` — the distillation pattern (replace a heuristic with a
+    // calibrated linear scorer you can threshold and rank by). The
+    // corpus's lang column is assigned independently of its text, so
+    // a language label would be noise by construction; the rule label
+    // is learnable and keeps the oracle fully re-derivable.
+    // Capture-then-export: the oracle replays scoring from the exact
+    // captured coefficients.
+    val d = t(s, dir, "documents")
+    val seed = TextFunctions.qualityScore(col("text")) >= 0.72
+    val model = graft.operators.QualityModel.train(d, col("text"), seed)
+    qmLrModel.set(model)
+    graft.operators.QualityModel.scoreAll(d, col("text"), model)
+      .select(col("doc_id"), seed.as("label"),
+        col("score_micros"), col("pred"))
+      .orderBy("doc_id")
+  }
+
   private def qTextChunks(s: SparkSession, dir: String): DataFrame =
     // RAG/embedding windowing: 16-token chunks advancing by 12 (4
     // overlap), last chunk clamped. posexplode numbers chunks; the
@@ -2275,6 +2297,7 @@ object SparkEntry {
     "text_stats" -> (qTextStats _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
     "text_quality" -> (qTextQuality _),
+    "quality_model_lr" -> (qQualityModelLr _),
     "pii_redact" -> (qPiiRedact _),
     "text_repetition" -> (qTextRepetition _),
     "text_common_ngrams" -> (qTextCommonNgrams _),
@@ -2453,6 +2476,11 @@ object SparkEntry {
     * `oracleSql`, so the oracle embeds exactly the centroids the
     * assignment used; if the query never ran the entry is omitted and
     * the driver records a rows-only check (the status quo). */
+  /** Logistic quality-filter model captured by `quality_model_lr` —
+    * same capture-then-lazily-export contract as [[ivfModel]]. */
+  private[graft] val qmLrModel = new java.util.concurrent.atomic
+    .AtomicReference[graft.operators.QualityModel.Model](null)
+
   private[graft] val ivfModel =
     new java.util.concurrent.atomic.AtomicReference[Seq[Seq[Float]]](null)
 
@@ -4675,7 +4703,63 @@ object SparkEntry {
     Option(semanticModel.get).map(c =>
       "dedup_semantic" -> semanticPairsOracleSql(c)) ++
     Option(semanticDecModel.get).map(c =>
-      "dedup_semantic_decisions" -> semanticDecisionsOracleSql(c))
+      "dedup_semantic_decisions" -> semanticDecisionsOracleSql(c)) ++
+    Option(qmLrModel.get).map(m =>
+      "quality_model_lr" -> qmLrOracleSql(m))
+
+  /** DuckDB re-derivation of the captured logistic quality filter:
+    * the four features exactly as the text_quality oracle derives them
+    * (bit-identical doubles), then `z = intercept + Σ wᵢ·fᵢ` in the
+    * same left-to-right accumulation order the Column fold uses;
+    * score_micros/pred re-round and re-threshold the identical z. */
+  private def qmLrOracleSql(m: graft.operators.QualityModel.Model)
+      : String = {
+    val Seq(w1, w2, w3, w4) = m.weights.map(dlit)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(string_split(nt, ' '), x -> len(x) > 0) AS toks
+       |  FROM base),
+       |tk2 AS (
+       |  SELECT *, length(text) AS n_chars,
+       |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+       |      AS n_alnum,
+       |    length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+       |      AS n_digit,
+       |    length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+       |      AS n_ws
+       |  FROM tk),
+       |f AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(len(list_filter(toks, t -> list_contains($stopwordsSql, t)))
+       |        AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |      ELSE 0.0 END AS stopword_ratio,
+       |    CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_ws
+       |      AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+       |      AS punct_ratio,
+       |    CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)
+       |      / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+       |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS token_frac
+       |  FROM tk2),
+       |z AS (
+       |  SELECT doc_id,
+       |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + greatest(0.0, 1.0 - punct_ratio * 5) * 0.3
+       |      + greatest(0.0, 1.0 - digit_ratio * 5) * 0.2
+       |      + least(stopword_ratio * 3, 1.0) * 0.2 AS quality,
+       |    ${dlit(m.intercept)} + $w1 * stopword_ratio
+       |      + $w2 * punct_ratio + $w3 * digit_ratio
+       |      + $w4 * token_frac AS z
+       |  FROM f)
+       |SELECT doc_id, quality >= 0.72 AS label,
+       |  CAST(round(z * 1e6) AS BIGINT) AS score_micros,
+       |  z > 0.0 AS pred
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB re-derivation of the winnowing fingerprint pipeline: the
     * FNV-1a 8-gram rolling hashes themselves (xor-then-multiply per

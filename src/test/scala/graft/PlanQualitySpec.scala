@@ -164,4 +164,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains(" IN (") && !p.toLowerCase.contains("inset"),
       s"rescore still filters by literal candidate list:\n$p")
   }
+
+  test("pack_sequences: one shard hash exchange feeds the window; " +
+      "token counting stays in the scan stage") {
+    val p = plan("pack_sequences")
+    // exactly two exchanges: hashpartitioning(shard) for the window
+    // and the rangepartitioning presentation sort — a global-sort
+    // formulation would hash nothing and range-exchange the corpus
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size === 1,
+      s"expected exactly one shard hash exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).size === 2,
+      s"expected shard exchange + presentation sort only:\n$p")
+    // only the manifest columns shuffle — text dies at the scan stage
+    assert(exchangeInputs("pack_sequences").forall(!_.contains("text#")),
+      s"text column crossed an exchange:\n$p")
+  }
+
+  /** The `Input [n]: [...]` column lists of every Exchange node in the
+    * formatted plan — exactly the rows that cross each shuffle. */
+  private def exchangeInputs(name: String): Seq[String] = {
+    val fmt = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = fmt.linesIterator.toSeq
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).find(_.startsWith("Input")).getOrElse("")
+    }
+  }
+
+  test("scd2_event_runs: the whole dimension build reuses ONE " +
+      "user-partitioned exchange") {
+    val p = plan("scd2_event_runs")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1,
+      s"expected one user_id hash exchange (windows + groupBy + " +
+        s"chaining must share it):\n$p")
+  }
+
+  test("curation_domain_cap: host + quality derived in the scan " +
+      "stage, one host-partitioned window exchange") {
+    val p = plan("curation_domain_cap")
+    assert("hashpartitioning\\(host".r.findAllIn(p).size === 1,
+      s"expected one host window exchange:\n$p")
+    assert(exchangeInputs("curation_domain_cap")
+      .forall(!_.contains("text#")),
+      s"text column crossed an exchange:\n$p")
+  }
 }
