@@ -46,6 +46,10 @@ object Bench {
     "cluster_kmeans",
     "dedup_semantic",
     "search_bm25",
+    "pack_sequences",
+    "quality_model_lr",
+    "curation_domain_cap",
+    "scd2_event_runs",
     "asof_join",
     "stream_window_agg",
     "events_sessionize")

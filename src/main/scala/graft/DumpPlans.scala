@@ -238,7 +238,21 @@ object DumpPlans {
         |rank key, keep decision) whose only exchange is the
         |presentation sort (QualityModelSpec pins the scoring
         |projection itself exchange-free). At 100 TB the classifier
-        |costs exactly one pass over the text column.""".stripMargin)
+        |costs exactly one pass over the text column.""".stripMargin,
+    "agg_incremental" ->
+      """Incremental aggregate maintenance: the historical corpus
+        |enters as its persisted |sources|-row partial state (the tiny
+        |parquet scan), only the increment's documents are read and
+        |partially aggregated, and the merge re-groups state ∪
+        |partials. Epoch cost ∝ increment, never corpus — the
+        |rescan-free report loop.""".stripMargin,
+    "events_anomaly" ->
+      """3-sigma anomaly flags with the z-test cross-multiplied into
+        |exact DECIMAL(38) integers (float variance is accumulation-
+        |order-dependent; this flag is engine-reproducible). Two
+        |key-partitioned aggregations; per-type stats (|event types|
+        |rows) broadcast back onto the hourly grid; no window, no
+        |collect.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

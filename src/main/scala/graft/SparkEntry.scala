@@ -2077,6 +2077,23 @@ object SparkEntry {
       .select("doc_id", "source", "copy_id")
       .orderBy("doc_id", "copy_id")
 
+  private def qAggIncremental(s: SparkSession, dir: String): DataFrame = {
+    // Incremental aggregate maintenance: the corpus minus every 17th
+    // doc is the "historical" epoch whose partial state is persisted;
+    // the 17th-docs are the arriving increment, folded in WITHOUT
+    // rescanning history. The oracle recomputes from scratch over the
+    // full corpus — merged state must equal a cold recompute exactly
+    // (the state is all exact integers, so this is bit-equality, not
+    // tolerance). Same epoch split the decontamination queries use.
+    val d = t(s, dir, "documents")
+    val hist = d.filter(col("doc_id") % 17 =!= 0)
+    val inc = d.filter(col("doc_id") % 17 === 0)
+    val state = s"/tmp/graft-aggstate-${java.util.UUID.randomUUID()}"
+    graft.operators.IncrementalAgg.writeState(hist, state)
+    graft.operators.IncrementalAgg.mergeIncrement(s, state, inc)
+      .orderBy("source")
+  }
+
   private def qCurationDomainCap(s: SparkSession, dir: String): DataFrame = {
     // Per-domain diversity cap: at most 3 docs per host, chosen by
     // quality. The corpus has no URL column, so one is derived
@@ -2188,6 +2205,13 @@ object SparkEntry {
     // valid_from alone ambiguous).
     graft.operators.TimeSeries.scd2EventRuns(t(s, dir, "events"))
       .orderBy("user_id", "first_event_id")
+
+  private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    // 3-sigma hourly anomaly flags with the z-test cross-multiplied
+    // into exact integers (see TimeSeries.anomaly3Sigma) — the flag is
+    // bit-reproducible in any engine, no float variance involved.
+    graft.operators.TimeSeries.anomaly3Sigma(t(s, dir, "events"))
+      .orderBy("event_type", "hour")
 
   private def qEventsResample(s: SparkSession, dir: String): DataFrame =
     // Fixed-grid resample with explicit gap semantics: every (hour,
@@ -2340,6 +2364,7 @@ object SparkEntry {
     "sample_weighted_mix" -> (qSampleWeightedMix _),
     "pack_sequences" -> (qPackSequences _),
     "curation_domain_cap" -> (qCurationDomainCap _),
+    "agg_incremental" -> (qAggIncremental _),
     "pack_sequence_index" -> (qPackIndex _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
@@ -2352,6 +2377,7 @@ object SparkEntry {
     "events_interpolate_1h" -> (qEventsInterpolate _),
     "events_session_window" -> (qEventsSessionWindow _),
     "scd2_event_runs" -> (qScd2EventRuns _),
+    "events_anomaly" -> (qEventsAnomaly _),
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
   )
@@ -2802,6 +2828,14 @@ object SparkEntry {
          |SELECT doc_id, source,
          |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_id
          |FROM m WHERE n > 0 ORDER BY doc_id, copy_id""".stripMargin,
+    // Incremental state merge ≡ cold full recompute (exact integers).
+    "agg_incremental" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE
+        |    len(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) END) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Domain cap: the oracle re-derives the synthesized host string
     // directly and replays the micro-rounded quality ranking (quality
     // doubles are bit-identical per the text_quality oracle; the
@@ -4617,6 +4651,30 @@ object SparkEntry {
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current, n_events, first_event_id
         |FROM s ORDER BY user_id, first_event_id""".stripMargin,
+    // Anomaly flags: the identical integer cross-multiplication in
+    // HUGEINT — no float variance on either side.
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS s_micros
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(s_micros) AS BIGINT) AS s1,
+        |    sum(CAST(s_micros AS HUGEINT) * CAST(s_micros AS HUGEINT))
+        |      AS s2
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.hour, h.event_type, h.s_micros,
+        |  (CAST(s.n AS HUGEINT) * h.s_micros - s.s1)
+        |    * (CAST(s.n AS HUGEINT) * h.s_micros - s.s1)
+        |    * (CAST(s.n AS HUGEINT) - 1)
+        |  > 9 * CAST(s.n AS HUGEINT)
+        |    * (CAST(s.n AS HUGEINT) * s.s2
+        |       - CAST(s.s1 AS HUGEINT) * CAST(s.s1 AS HUGEINT))
+        |    AS is_anomaly
+        |FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     // Fixed hourly grid with explicit gaps: spine × keys left-joined
     // against the real hourly aggregate; zero-fill for count/sum,
     // IGNORE NULLS running last for the forward fill.

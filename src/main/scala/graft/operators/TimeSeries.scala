@@ -90,6 +90,43 @@ object TimeSeries {
       .orderBy("hour", "event_type")
   }
 
+  /** 3-sigma anomaly flags over the hourly series — with the z-test
+    * evaluated ENTIRELY in exact integer arithmetic, which is what
+    * makes the flag reproducible across engines: variance of doubles
+    * is accumulation-order-dependent (every engine sums partitions in
+    * its own order), so instead of comparing `|z| > 3` on floats, the
+    * inequality is cross-multiplied into integers —
+    *
+    *   (n·x − S₁)² · (n−1)  >  9 · n · (n·S₂ − S₁²)
+    *
+    * over micro-scaled hourly sums (S₁ = Σs, S₂ = Σs², both exact).
+    * S₂ and the cross products exceed BIGINT, so they ride DECIMAL(38)
+    * (HUGEINT on the oracle side). Per-type stats are |event types|
+    * rows — broadcast back to the hourly grid; two key-partitioned
+    * aggregations, no window, no collect. */
+  def anomaly3Sigma(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("s_micros"))
+    val d38 = "decimal(38,0)"
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_micros")).as("s1"),
+        sum(col("s_micros").cast(d38) * col("s_micros").cast(d38))
+          .as("s2"))
+    val lhs = (col("n").cast(d38) * col("s_micros").cast(d38)
+      - col("s1").cast(d38))
+    val varNum = (col("n").cast(d38) * col("s2")
+      - col("s1").cast(d38) * col("s1").cast(d38))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_anomaly",
+        lhs * lhs * (col("n").cast(d38) - 1) >
+          lit(9).cast(d38) * col("n").cast(d38) * varNum)
+      .select(col("hour"), col("event_type"), col("s_micros"),
+        col("is_anomaly"))
+  }
+
   /** SCD2 history build — the dimension-maintenance operator of every
     * warehouse load: collapse each user's event stream into runs of
     * consecutive equal `event_type` and emit one validity interval per

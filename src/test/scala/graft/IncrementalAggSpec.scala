@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IncrementalAgg
+import graft.sources.Tables
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def docs = {
+    Tables.register(spark, TestSpark.sfDir)
+    spark.table("documents")
+  }
+
+  test("merged state equals a cold recompute, epoch after epoch") {
+    val dir = s"/tmp/graft-aggstate-spec-${java.util.UUID.randomUUID()}"
+    // epoch 0: two thirds of the corpus
+    val e0 = docs.filter(col("doc_id") % 3 =!= 0)
+    val e1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val e2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    IncrementalAgg.writeState(e0, dir)
+    // fold epoch 1, persist, fold epoch 2 on top of the merged state
+    IncrementalAgg.mergeIncrement(spark, dir, e1)
+      .write.mode("overwrite").parquet(s"$dir-2")
+    val merged = IncrementalAgg.mergeIncrement(spark, s"$dir-2", e2)
+    val cold = IncrementalAgg.docStats(docs)
+    assert(merged.exceptAll(cold).count() === 0L &&
+      cold.exceptAll(merged).count() === 0L)
+  }
+
+  test("the merge never rescans historical documents") {
+    val dir = s"/tmp/graft-aggstate-spec-${java.util.UUID.randomUUID()}"
+    IncrementalAgg.writeState(docs.filter(col("doc_id") % 2 === 0), dir)
+    val plan = IncrementalAgg.mergeIncrement(spark, dir,
+        docs.filter(col("doc_id") % 2 =!= 0))
+      .queryExecution.executedPlan.toString
+    // exactly one scan of the documents table (the increment); the
+    // historical side enters via the state parquet only
+    assert("documents\\.parquet".r.findAllIn(plan).size === 1, plan)
+  }
+}

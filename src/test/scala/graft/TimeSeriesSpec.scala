@@ -79,6 +79,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(r === Seq(10000000L, 7000000L, 4000000L))
   }
 
+  test("anomaly flags equal a driver-side exact-integer recompute") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val got = TimeSeries.anomaly3Sigma(spark.table("events"))
+      .select("event_type", "hour", "s_micros", "is_anomaly")
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    // recompute every flag in BigInt — any silently dropped term in
+    // the cross-multiplied inequality (decimal typo, Scala multi-line
+    // expression split) breaks this
+    val byType = got.toSeq.groupBy(_._1._1)
+    assert(byType.nonEmpty)
+    byType.foreach { case (_, rows) =>
+      val ss = rows.map(_._2._1).map(BigInt(_))
+      val n = BigInt(ss.size); val s1 = ss.sum
+      val s2 = ss.map(x => x * x).sum
+      rows.foreach { case ((_, _), (s, flag)) =>
+        val lhs = (n * s - s1).pow(2) * (n - 1)
+        val rhs = 9 * n * (n * s2 - s1 * s1)
+        assert(flag === (lhs > rhs), s"flag mismatch at s=$s")
+      }
+    }
+    // the corpus actually contains anomalies AND normal hours
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
+
   test("scd2 runs: intervals chain gaplessly, one open run per user, " +
       "event mass conserved, adjacent runs alternate type") {
     import org.apache.spark.sql.expressions.Window
