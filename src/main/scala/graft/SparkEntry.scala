@@ -2094,6 +2094,35 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  private def qAggIncrementalDistinct(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The maintenance loop for a NON-algebraic aggregate: per-source
+    // distinct documents carried as mergeable HLL sketch state —
+    // union of sketches = sketch of the union, so epochs fold in
+    // without rereading history AND cross-epoch duplicates don't
+    // double-count (a count-based state could never absorb them).
+    // Oracle-facing columns follow the agg_approx_distinct envelope
+    // pattern: the exact count plus within_bound the oracle pins TRUE.
+    val d = t(s, dir, "documents")
+    val hist = d.filter(col("doc_id") % 17 =!= 0)
+    val inc = d.filter(col("doc_id") % 17 === 0)
+    val state = s"/tmp/graft-aggstate-${java.util.UUID.randomUUID()}"
+    graft.operators.IncrementalAgg.writeDistinctState(hist, state)
+    val merged = graft.operators.IncrementalAgg
+      .mergeDistinctIncrement(s, state, inc)
+    val exact = d
+      .select(col("source"),
+        TextFunctions.fingerprint64(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(countDistinct(col("fp")).as("exact_distinct"))
+    merged.join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("fp_sketch"))
+          - col("exact_distinct")) <= col("exact_distinct") * 0.15)
+          .as("within_bound"))
+      .orderBy("source")
+  }
+
   private def qCurationDomainCap(s: SparkSession, dir: String): DataFrame = {
     // Per-domain diversity cap: at most 3 docs per host, chosen by
     // quality. The corpus has no URL column, so one is derived
@@ -2365,6 +2394,7 @@ object SparkEntry {
     "pack_sequences" -> (qPackSequences _),
     "curation_domain_cap" -> (qCurationDomainCap _),
     "agg_incremental" -> (qAggIncremental _),
+    "agg_incremental_distinct" -> (qAggIncrementalDistinct _),
     "pack_sequence_index" -> (qPackIndex _),
     "stream_window_agg" -> (qStreamWindowAgg _),
     "stream_funnel_join" -> (qStreamFunnel _),
@@ -2828,6 +2858,16 @@ object SparkEntry {
          |SELECT doc_id, source,
          |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_id
          |FROM m WHERE n > 0 ORDER BY doc_id, copy_id""".stripMargin,
+    // Sketch-state distinct maintenance: exact distinct normalized
+    // texts per source (fingerprint collisions are absent at these
+    // corpus sizes, so distinct fingerprints = distinct normalized
+    // texts) + the error envelope pinned TRUE.
+    "agg_incremental_distinct" ->
+      """SELECT source,
+        |  count(DISTINCT trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g'))) AS exact_distinct,
+        |  TRUE AS within_bound
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Incremental state merge ≡ cold full recompute (exact integers).
     "agg_incremental" ->
       """SELECT source, count(*) AS n_docs,

@@ -56,4 +56,34 @@ object IncrementalAgg {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_tokens")).as("total_tokens"),
         sum(col("total_chars")).as("total_chars"))
+
+  // --- Distinct counts: the same maintenance loop for a NON-algebraic
+  // aggregate, carried by its mergeable sketch. COUNT(DISTINCT) can't
+  // be maintained from counts (merging loses cross-epoch overlap);
+  // the HLL sketch is exactly the bounded state that can — union of
+  // sketches = sketch of the union, order- and layout-independent.
+  // State stays |sources| rows × ~4 KB however many epochs fold in.
+
+  /** Per-source distinct-document sketch (over the normalized-text
+    * fingerprint) for one batch. */
+  def distinctState(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        TextFunctions.fingerprint64(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(hll_sketch_agg(col("fp")).as("fp_sketch"))
+
+  def writeDistinctState(docs: DataFrame, dir: String): Unit =
+    distinctState(docs).write.mode("overwrite").parquet(dir)
+
+  /** Fold an increment's sketches into persisted sketch state — the
+    * historical documents are never reread; cross-epoch duplicate
+    * documents are absorbed by the union (which a count-based state
+    * could never do). */
+  def mergeDistinctIncrement(spark: SparkSession, stateDir: String,
+      increment: DataFrame): DataFrame =
+    spark.read.parquet(stateDir)
+      .unionByName(distinctState(increment))
+      .groupBy("source")
+      .agg(hll_union_agg(col("fp_sketch")).as("fp_sketch"))
 }

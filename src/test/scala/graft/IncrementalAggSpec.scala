@@ -29,6 +29,28 @@ class IncrementalAggSpec extends AnyFunSuite {
       cold.exceptAll(merged).count() === 0L)
   }
 
+  test("sketch state: merged estimate equals the cold sketch, and " +
+      "cross-epoch duplicates are absorbed") {
+    val dir = s"/tmp/graft-aggstate-spec-${java.util.UUID.randomUUID()}"
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+    val inc = docs.filter(col("doc_id") % 3 === 0)
+    IncrementalAgg.writeDistinctState(hist, dir)
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"),
+        hll_sketch_estimate(col("fp_sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = estimates(
+      IncrementalAgg.mergeDistinctIncrement(spark, dir, inc))
+    val cold = estimates(IncrementalAgg.distinctState(docs))
+    assert(merged === cold)
+    // replaying an epoch that is entirely historical must not move
+    // the estimate — union absorbs duplicates, counts would not
+    val replay = estimates(IncrementalAgg.mergeDistinctIncrement(
+      spark, dir, hist.limit(50)))
+    val histOnly = estimates(IncrementalAgg.distinctState(hist))
+    replay.foreach { case (src, est) => assert(est === histOnly(src)) }
+  }
+
   test("the merge never rescans historical documents") {
     val dir = s"/tmp/graft-aggstate-spec-${java.util.UUID.randomUUID()}"
     IncrementalAgg.writeState(docs.filter(col("doc_id") % 2 === 0), dir)
