@@ -666,6 +666,23 @@ object SparkEntry {
       .orderBy("n_nationkey")
   }
 
+  private def qLayoutCompact(s: SparkSession, dir: String): DataFrame = {
+    // Table maintenance: a 64-way fragmented copy of orders (the
+    // small-file debris a streaming ingest leaves) compacted into
+    // ~8 MB files sized from MEASURED bytes — shuffle-free coalesce,
+    // fresh output directory (pointer-swap atomicity). The oracle
+    // reads the ORIGINAL table: compaction must be invisible to
+    // readers, which is the whole contract.
+    val base = s"/tmp/graft-compact-${java.util.UUID.randomUUID()}"
+    t(s, dir, "orders").repartition(64)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val out = graft.sources.Layout.compact(
+      s, s"$base/frag", s"$base/compacted", targetBytes = 8L << 20)
+    s.read.parquet(out)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   private def qSourceOrc(s: SparkSession, dir: String): DataFrame = {
     // Third interchange format: the same relations round-trip through
     // ORC (Spark-native columnar writer/reader, schema declared on
@@ -2308,6 +2325,7 @@ object SparkEntry {
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
     "source_csv_json" -> (qSourceCsvJson _),
     "source_orc" -> (qSourceOrc _),
+    "layout_compact" -> (qLayoutCompact _),
     "corpus_report" -> (qCorpusReport _),
     "join_range_pred" -> (qJoinRangePred _),
     "window_percentiles" -> (qWindowPercentiles _),
@@ -4269,6 +4287,10 @@ object SparkEntry {
       """SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    // Compaction must be invisible to readers: oracle = the original.
+    "layout_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // Chunking: the same window arithmetic in exact integers; list
     // slices are end-clamped in both engines.
     "text_chunks" ->

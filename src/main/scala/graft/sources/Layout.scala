@@ -64,6 +64,33 @@ object Layout {
     * unwraps AQE wrappers (AdaptiveSparkPlanExec holds the current
     * plan; materialized stages hide their exchange inside a leaf
     * QueryStageExec). */
+  /** Small-file compaction — the table-maintenance operator every
+    * long-lived 100 TB dataset needs: streaming ingest and per-epoch
+    * appends leave thousands of KB-sized files whose open/footer
+    * overhead eventually dominates scan cost. Rewrite the table into
+    * files of ~`targetBytes` by coalescing on MEASURED input size
+    * (sum of file lengths — no data pass, no guess), never fewer than
+    * one partition. Coalesce, not repartition: compaction must not pay
+    * a shuffle — partitions concatenate locally and row VALUES are
+    * untouched (spec-checked content equality; file count shrinks).
+    * Writes to a fresh directory and returns its path — atomicity at
+    * scale comes from swapping table pointers, never in-place
+    * rewrites. */
+  def compact(spark: SparkSession, inputDir: String, outputDir: String,
+      targetBytes: Long = 128L << 20): String = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val input = new java.io.File(inputDir)
+    val totalBytes = Option(input.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inputDir)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outputDir)
+    outputDir
+  }
+
   def hasShuffle(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -131,4 +131,25 @@ class LayoutSpec extends AnyFunSuite {
       plain.exceptAll(salted).isEmpty)
     assert(plain.count() > 0 && salted.count() === plain.count())
   }
+
+  test("compact shrinks the file count, sizes from measured bytes, " +
+      "and is invisible to readers") {
+    Tables.register(spark, TestSpark.sfDir)
+    val base = s"/tmp/graft-compact-spec-${java.util.UUID.randomUUID()}"
+    val orders = spark.table("orders")
+    orders.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    def files(d: String) = Option(new java.io.File(d).listFiles())
+      .toSeq.flatten.filter(f => f.getName.endsWith(".parquet"))
+    val before = files(s"$base/frag")
+    val out = Layout.compact(spark, s"$base/frag", s"$base/out",
+      targetBytes = before.map(_.length()).sum) // everything fits one
+    val after = files(out)
+    assert(before.size === 32 && after.size === 1)
+    val a = spark.read.parquet(out)
+    assert(a.exceptAll(orders).isEmpty && orders.exceptAll(a).isEmpty)
+    // a tighter target yields proportionally more files
+    val out2 = Layout.compact(spark, s"$base/frag", s"$base/out2",
+      targetBytes = math.max(1L, before.map(_.length()).sum / 4))
+    assert(files(out2).size === 4)
+  }
 }
