@@ -1905,6 +1905,18 @@ object SparkEntry {
     s.table(sink).orderBy("doc_id")
   }
 
+  private def qStreamQualityFilter(s: SparkSession, dir: String)
+      : DataFrame = {
+    // A REAL streaming run of the model-based quality filter: batch
+    // training (epoch-static model), stateless stream scoring — the
+    // captured coefficients export to the same oracle shape as the
+    // batch twin, and stream output ≡ batch row-for-row.
+    val (sink, model) = graft.streaming.DocsStream
+      .runQualityFilterStream(s, dir, "stream_quality_sink")
+    qmLrStreamModel.set(model)
+    s.table(sink).orderBy("doc_id")
+  }
+
   private def qStreamHeavyHitters(s: SparkSession, dir: String)
       : DataFrame = {
     // Streaming vocabulary statistics: per-shard Misra–Gries summaries
@@ -2419,6 +2431,7 @@ object SparkEntry {
     "stream_minhash_pairs" -> (qStreamMinhashPairs _),
     "stream_dedup_exact" -> (qStreamDedupExact _),
     "stream_decontam" -> (qStreamDecontam _),
+    "stream_quality_filter" -> (qStreamQualityFilter _),
     "stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "events_sessionize" -> (qSessionize _),
     "events_resample_1h" -> (qEventsResample _),
@@ -2553,6 +2566,11 @@ object SparkEntry {
   /** Logistic quality-filter model captured by `quality_model_lr` —
     * same capture-then-lazily-export contract as [[ivfModel]]. */
   private[graft] val qmLrModel = new java.util.concurrent.atomic
+    .AtomicReference[graft.operators.QualityModel.Model](null)
+
+  /** Model captured by the STREAMING quality filter run — separate ref
+    * because Verify runs queries concurrently. */
+  private[graft] val qmLrStreamModel = new java.util.concurrent.atomic
     .AtomicReference[graft.operators.QualityModel.Model](null)
 
   private[graft] val ivfModel =
@@ -4825,7 +4843,9 @@ object SparkEntry {
     Option(semanticDecModel.get).map(c =>
       "dedup_semantic_decisions" -> semanticDecisionsOracleSql(c)) ++
     Option(qmLrModel.get).map(m =>
-      "quality_model_lr" -> qmLrOracleSql(m))
+      "quality_model_lr" -> qmLrOracleSql(m)) ++
+    Option(qmLrStreamModel.get).map(m =>
+      "stream_quality_filter" -> qmLrOracleSql(m))
 
   /** DuckDB re-derivation of the captured logistic quality filter:
     * the four features exactly as the text_quality oracle derives them

@@ -306,6 +306,48 @@ object DocsStream {
       (hits >= minHits).as("contaminated"))
   }
 
+  /** Stateless streaming twin of the model-based quality filter: the
+    * captured linear model (5 doubles, epoch-static — retraining is a
+    * batch job, scoring is not) rides the plan as literals, so each
+    * arriving document is scored and thresholded INSIDE the scan
+    * stage — no state, no watermark, no aggregation; per-doc verdicts
+    * emit the moment the doc arrives. The label column (the hand rule
+    * being distilled) is itself a stateless per-row expression, so the
+    * stream emits the exact batch schema and shares the batch
+    * oracle. */
+  def qualityFilterStream(docs: DataFrame,
+      model: graft.operators.QualityModel.Model,
+      label: org.apache.spark.sql.Column): DataFrame = {
+    val z = graft.operators.QualityModel.score(col("text"), model)
+    docs.select(col("doc_id"), label.as("label"),
+      round(z * 1e6).cast("long").as("score_micros"),
+      (z > 0.0).as("pred"))
+  }
+
+  /** Drive [[qualityFilterStream]] to completion: train on the batch
+    * corpus (one bounded MLlib job), stream-score every document.
+    * Returns (sink name, captured model) so the caller can export the
+    * exact coefficients to the oracle. */
+  def runQualityFilterStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_quality")
+      : (String, graft.operators.QualityModel.Model) = {
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+    val seed = graft.functions.TextFunctions
+      .qualityScore(col("text")) >= 0.72
+    val model = graft.operators.QualityModel.train(
+      batch, col("text"), seed)
+    val q = qualityFilterStream(readDocsStream(spark, sfDir), model,
+        graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    (sinkName, model)
+  }
+
   /** Drive [[decontamStream]] synchronously to completion: eval side =
     * docs with doc_id % 17 = 0 (read once, batch), stream side = the
     * rest. Returns the memory-sink name. */

@@ -426,4 +426,46 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"iteration $it")
     }
   }
+
+  test("packing manifest ≡ naive in-memory concat-then-chunk on " +
+      "random corpora and parameters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vocab = "w1 w2 w3 w4 w5".split(" ")
+    (0 until 3).foreach { it =>
+      val rnd = new scala.util.Random(23 + it)
+      val (seqLen, nShards) = (4 + rnd.nextInt(60), 1 + rnd.nextInt(7))
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(30))( // includes empty docs
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = graft.operators.Packing
+        .packManifest(docs.toDF("doc_id", "text"), seqLen, nShards)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      // naive model: hash every doc with the same XXH64, group by
+      // shard, sort by (hash, id), walk the running offset
+      def xxh(id: Long) = org.apache.spark.sql.catalyst.expressions
+        .XxHash64Function.hash(id,
+          org.apache.spark.sql.types.LongType, 42L)
+      val want = docs
+        .map { case (id, tx) =>
+          (id, tx.split(" ").count(_.nonEmpty).toLong, xxh(id)) }
+        .filter(_._2 > 0)
+        .groupBy { case (id, _, h) =>
+          (h % nShards + nShards) % nShards }
+        .flatMap { case (shard, ds) =>
+          var off = 0L
+          ds.sortBy { case (id, _, h) => (h, id) }.map {
+            case (id, nt, _) =>
+              val start = off; off += nt
+              id -> (shard.toInt, nt, start / seqLen,
+                (off - 1) / seqLen, start % seqLen)
+          }
+        }
+      assert(got === want.toMap,
+        s"iteration $it seqLen=$seqLen nShards=$nShards")
+    }
+  }
 }
