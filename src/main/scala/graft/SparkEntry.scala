@@ -2264,6 +2264,19 @@ object SparkEntry {
     graft.operators.TimeSeries.scd2EventRuns(t(s, dir, "events"))
       .orderBy("user_id", "first_event_id")
 
+  private def qAggCorrExact(s: SparkSession, dir: String): DataFrame =
+    // Pearson correlation + OLS slope (value-micros vs hour-of-day per
+    // event type) with EXACT integer moment sums — the only float
+    // steps are one nearest-double cast per exact integer and the
+    // identically shaped final division/sqrt, so the doubles are
+    // bit-equal across engines and parallelism (native corr()/
+    // regr_slope() accumulate doubles in partition order and can
+    // never hash-match).
+    graft.operators.Profile.corrRegrExact(
+      t(s, dir, "events"), "event_type",
+      hour(col("ts")), round(col("value") * 1e6))
+      .orderBy("event_type")
+
   private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame =
     // 3-sigma hourly anomaly flags with the z-test cross-multiplied
     // into exact integers (see TimeSeries.anomaly3Sigma) — the flag is
@@ -2439,6 +2452,7 @@ object SparkEntry {
     "events_session_window" -> (qEventsSessionWindow _),
     "scd2_event_runs" -> (qScd2EventRuns _),
     "events_anomaly" -> (qEventsAnomaly _),
+    "agg_corr_exact" -> (qAggCorrExact _),
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
   )
@@ -4731,6 +4745,37 @@ object SparkEntry {
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current, n_events, first_event_id
         |FROM s ORDER BY user_id, first_event_id""".stripMargin,
+    // Exact-moment correlation/regression: identical HUGEINT sums,
+    // identical cast/division/sqrt shape → bit-equal doubles.
+    "agg_corr_exact" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(round(value * 1e6) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        |  FROM b GROUP BY event_type),
+        |t AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+        |    CAST(n AS HUGEINT) * sxx
+        |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS denx,
+        |    CAST(n AS HUGEINT) * syy
+        |      - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS deny
+        |  FROM a)
+        |SELECT event_type, n,
+        |  CASE WHEN denx > 0 AND deny > 0 THEN
+        |    CAST(num AS DOUBLE)
+        |      / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE))
+        |    END AS corr,
+        |  CASE WHEN denx > 0 THEN
+        |    CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END AS slope
+        |FROM t ORDER BY event_type""".stripMargin,
     // Anomaly flags: the identical integer cross-multiplication in
     // HUGEINT — no float variance on either side.
     "events_anomaly" ->

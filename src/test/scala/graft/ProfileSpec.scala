@@ -31,4 +31,32 @@ class ProfileSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("LocalTableScan")) === 1,
       s"input scanned more than once:\n$plan")
   }
+
+  test("exact-moment corr/slope agrees with native corr to float " +
+      "tolerance, stays in [-1,1], nulls out constant columns") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val events = spark.table("events")
+    val got = Profile.corrRegrExact(
+        events, "event_type", hour(col("ts")), round(col("value") * 1e6))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val native = events
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"),
+        round(col("value") * 1e6).cast("double").as("y"))
+      .groupBy("event_type").agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, c) =>
+      assert(!c.isNaN, s"unexpected null corr for $k")
+      assert(math.abs(c) <= 1.0)
+      assert(math.abs(c - native(k)) < 1e-9, s"$k: $c vs ${native(k)}")
+    }
+    // constant x within a group → no variance → null, not NaN/throw
+    val const = Profile.corrRegrExact(
+        events, "event_type", lit(7L), round(col("value") * 1e6))
+      .collect()
+    assert(const.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
