@@ -1961,6 +1961,18 @@ object SparkEntry {
       Multimodal.asPngMedia(t(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
+    // The audio twin of multimodal_png: every document becomes a REAL
+    // PCM-16 RIFF/WAVE payload, and the features come out of the full
+    // chunk-walk decode as EXACT integers (total energy, total
+    // magnitude, zero-crossing count) — accumulation-order-invariant,
+    // so the oracle re-derives them sample-for-sample from the text's
+    // UTF-8 bytes ((byte−128)<<8 per the encoder) and one mis-parsed
+    // or mis-scaled sample anywhere in the RIFF walk fails the hash.
+    Multimodal.audioStats(s,
+      Multimodal.asWavMedia(t(s, dir, "documents")))
+      .orderBy("doc_id").toDF()
+
   private def qBloomPrefilterJoin(s: SparkSession, dir: String)
       : DataFrame = {
     // Runtime Bloom pre-filtering of a fact-dim join: the dim keys
@@ -2167,6 +2179,80 @@ object SparkEntry {
         d, url, TextFunctions.qualityScore(col("text")), cap = 3)
       .select(col("doc_id"), col("host"), col("rank"), col("kept"))
       .orderBy("doc_id")
+  }
+
+  private def qCurationUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    // URL canonicalization dedup — the curation step upstream of any
+    // text-level dedup in a crawl pipeline: the same resource crawled
+    // under scheme/case/port/tracking-param/fragment noise collapses
+    // onto one canonical key and only the smallest doc_id survives.
+    // Like domain_cap, the corpus has no URL column, so one is
+    // synthesized deterministically: the RESOURCE identity is a pure
+    // function of k = doc_id % 250 (host shard, path, real query
+    // param), while the NOISE varies with doc_id (scheme spelling,
+    // www., host case, :443, trailing slash, utm_*, fragment) — so
+    // every duplicate group exercises the canonicalizer, and the
+    // oracle re-derives both the synthesis and the canonical pipeline.
+    // One canonical-key-partitioned window — the exact-dedup shape.
+    val d = t(s, dir, "documents")
+    val k = pmod(col("doc_id"), lit(250L))
+    val hostBase = concat(lit("ex"), pmod(k, lit(10L)),
+      lit(".example.org"))
+    val url = concat(
+      element_at(array(lit("https://"), lit("http://"), lit("HTTPS://"),
+        lit("Http://")), (pmod(col("doc_id"), lit(4L)) + 1).cast("int")),
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("www."))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0, upper(hostBase))
+        .otherwise(hostBase),
+      when(pmod(col("doc_id"), lit(7L)) === 0, lit(":443"))
+        .otherwise(lit("")),
+      lit("/a/"), k,
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(k, lit(3L)) < 2, concat(lit("?id="), pmod(k, lit(5L))))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3L)) === 1,
+        when(pmod(k, lit(3L)) < 2, lit("&utm_source=feed"))
+          .otherwise(lit("?utm_source=feed"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6L)) === 2,
+        concat(lit("#sec-"), col("doc_id"))).otherwise(lit("")))
+    val w = Window.partitionBy("canonical")
+    d.select(col("doc_id"), url.as("url"),
+        TextFunctions.canonicalUrl(url).as("canonical"))
+      .withColumn("rep", min("doc_id").over(w))
+      .select(col("doc_id"), col("url"), col("canonical"),
+        (col("doc_id") === col("rep")).as("keep"),
+        when(col("doc_id") =!= col("rep"), col("rep")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  private def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    // Exact-integer PageRank over the customer↔supplier order graph
+    // (edge when a customer's order contains a line from the
+    // supplier; both directions, so the walk is undirected). Fixed 5
+    // iterations of scaled-long floor-division rank flow
+    // (operators/Graph.scala) — reproducible at any parallelism, so
+    // the oracle can unroll the identical 5 iterations as chained
+    // CTEs and hash-match the raw ranks.
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    val nodes = t(s, dir, "customer")
+      .select((col("c_custkey") * 2).cast("long").as("id"))
+      .unionByName(t(s, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("id")))
+    graft.operators.Graph.pageRank(nodes, edges, iters = 5)
+      .select(col("id").as("node_id"),
+        when(pmod(col("id"), lit(2L)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("id div 2").as("node_key"),
+        col("rank").as("rank_scaled"))
+      .orderBy("node_id")
   }
 
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
@@ -2430,12 +2516,15 @@ object SparkEntry {
     "multimodal_sizes" -> (qMultimodalSizes _),
     "multimodal_png" -> (qMultimodalPng _),
     "multimodal_resize" -> (qMultimodalResize _),
+    "multimodal_audio" -> (qMultimodalAudio _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_weighted_mix" -> (qSampleWeightedMix _),
     "pack_sequences" -> (qPackSequences _),
     "curation_domain_cap" -> (qCurationDomainCap _),
+    "curation_url_dedup" -> (qCurationUrlDedup _),
+    "graph_pagerank" -> (qGraphPagerank _),
     "agg_incremental" -> (qAggIncremental _),
     "agg_incremental_distinct" -> (qAggIncrementalDistinct _),
     "pack_sequence_index" -> (qPackIndex _),
@@ -2979,6 +3068,90 @@ object SparkEntry {
          |  FROM q)
          |SELECT doc_id, host, rank, rank <= 3 AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+    // URL dedup: the oracle re-synthesizes the noisy URL with the same
+    // doc_id arithmetic, then replays the canonicalization pipeline
+    // step for step. DuckDB's regexp_replace is first-match by
+    // default, so the two replace-ALL steps (utm strip, /? collapse)
+    // pass 'g' — Spark's regexp_replace is always global.
+    "curation_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 250 AS k,
+        |    CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+        |         WHEN 2 THEN 'HTTPS://' ELSE 'Http://' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN upper('ex' || ((doc_id % 250) % 10) || '.example.org')
+        |         ELSE 'ex' || ((doc_id % 250) % 10) || '.example.org' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+        |    || '/a/' || (doc_id % 250)
+        |    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN (doc_id % 250) % 3 < 2
+        |         THEN '?id=' || ((doc_id % 250) % 5) ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 1 THEN
+        |         CASE WHEN (doc_id % 250) % 3 < 2 THEN '&utm_source=feed'
+        |              ELSE '?utm_source=feed' END ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 2 THEN '#sec-' || doc_id
+        |         ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS nf
+        |  FROM u),
+        |s2 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf, '^[^/?]+')),
+        |      '^www\.', ''), ':(80|443)$', '') AS h,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(
+        |        regexp_replace(nf, '^[^/?]+', ''),
+        |        '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+        |      '^([^?&]*)&', '\1?'), '/\?', '?', 'g'),
+        |      '\?$', ''), '/$', '') AS r
+        |  FROM s1),
+        |c AS (SELECT doc_id, url, h || r AS canonical FROM s2)
+        |SELECT doc_id, url, canonical,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canonical) AS keep,
+        |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY canonical)
+        |       THEN min(doc_id) OVER (PARTITION BY canonical) END AS dup_of
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // PageRank: the engine's 5 fixed iterations of scaled-long
+    // floor-division rank flow unrolled as 5 chained CTEs — every
+    // division is integer floor on positive values in both engines,
+    // every sum is an exact BIGINT, so the raw ranks hash-match.
+    "graph_pagerank" -> {
+      val base = "15 * 1000000000000 // (100 * (SELECT count(*) FROM nodes))"
+      def iterCte(k: Int): String =
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    CAST($base
+           |      + (85 * coalesce(sum(x.contrib), 0)) // 100 AS BIGINT)
+           |      AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, r${k - 1}.rank // d.outdeg AS contrib
+           |    FROM edges e JOIN r${k - 1} ON e.src = r${k - 1}.id
+           |    JOIN deg d ON d.src = e.src) x ON x.id = n.id
+           |  GROUP BY n.id)"""
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sp AS dst FROM pairs
+         |          UNION ALL SELECT sp, c FROM pairs),
+         |nodes AS (SELECT c_custkey * 2 AS id FROM customer
+         |          UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000000000
+         |         // (SELECT count(*) FROM nodes) AS BIGINT) AS rank
+         |       FROM nodes),
+         |${(1 to 5).map(iterCte).mkString(",\n")}
+         |SELECT CAST(id AS BIGINT) AS node_id,
+         |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  CAST(id // 2 AS BIGINT) AS node_key,
+         |  rank AS rank_scaled
+         |FROM r5 ORDER BY node_id""".stripMargin
+    },
     // Sequence packing: shard + stream order are functions of
     // XXH64(doc_id) (re-derived in HUGEINT SQL); the running token
     // offset is a per-shard window sum; sums over BIGINT come back
@@ -4646,6 +4819,35 @@ object SparkEntry {
         |              + ch) % n) + 2, 1))), 'sum')), 'sum')
         |    END AS BIGINT) AS px_sum
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Audio stats: each PCM-16 sample is ((byte−128)<<8), replicated
+    // per channel, so energy/magnitude scale by the channel count and
+    // a zero-crossing is exactly a sign flip between consecutive TEXT
+    // bytes around 128 (within-frame duplicates never flip). Bytes
+    // come from the same hex/nibble extraction as the PNG oracle;
+    // empty lists sum to NULL in this dialect → coalesce 0.
+    "multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    CAST(1 + n % 2 AS INTEGER) AS channels,
+        |    CAST(8000 + 1000 * (n % 8) AS INTEGER) AS sample_rate,
+        |    CAST(n AS INTEGER) AS n_samples,
+        |    list_transform(generate_series(1, n),
+        |      i -> strpos('123456789ABCDEF', substring(hx, 2*i-1, 1)) * 16
+        |         + strpos('123456789ABCDEF', substring(hx, 2*i, 1))) AS bs
+        |  FROM d)
+        |SELECT doc_id, channels, sample_rate, n_samples,
+        |  CAST(channels * coalesce(list_aggregate(list_transform(bs,
+        |    x -> (x - 128) * (x - 128) * 65536), 'sum'), 0) AS BIGINT)
+        |    AS sum_sq,
+        |  CAST(channels * coalesce(list_aggregate(list_transform(bs,
+        |    x -> abs(x - 128) * 256), 'sum'), 0) AS BIGINT) AS sum_abs,
+        |  CAST(coalesce(list_aggregate(list_transform(generate_series(2, n),
+        |    i -> CASE WHEN (bs[i] < 128) <> (bs[i-1] < 128)
+        |         THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS crossings
+        |FROM b ORDER BY doc_id""".stripMargin,
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)

@@ -244,4 +244,33 @@ object TextFunctions {
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
+
+  // --- URL canonicalization --------------------------------------------
+
+  /** CommonCrawl-style canonical URL key for corpus dedup: scheme
+    * dropped, host lowercased with leading `www.` and default ports
+    * stripped, `utm_*` tracking params and the fragment removed,
+    * `/?` collapsed and the trailing slash trimmed. The step ORDER is
+    * part of the contract (fragment before query surgery; `/?`
+    * collapse before the trailing-slash trim). Built entirely from
+    * codegen'd regexp builtins with RE2-compatible patterns (no
+    * lookaround), so an external engine can replay the identical
+    * pipeline — Spark's `regexp_replace` is replace-ALL; a replayer
+    * whose default is first-match-only must pass its global flag. */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val host = regexp_extract(noFrag, "^([^/?]+)", 1)
+    val rest = regexp_replace(noFrag, "^[^/?]+", "")
+    val hostCanon = regexp_replace(
+      regexp_replace(lower(host), "^www\\.", ""), ":(80|443)$", "")
+    val noUtm = regexp_replace(rest, "[?&]utm_[A-Za-z0-9_]*=[^&#]*", "")
+    // a removed leading utm param leaves "&rest" — promote the first
+    // '&' back to '?' (anchored, so only the separator is touched)
+    val repaired = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    val noSlashQ = regexp_replace(repaired, "/\\?", "?")
+    val noEmptyQ = regexp_replace(noSlashQ, "\\?$", "")
+    val noTrail = regexp_replace(noEmptyQ, "/$", "")
+    concat(hostCanon, noTrail)
+  }
 }

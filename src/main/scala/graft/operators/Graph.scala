@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics on edge tables.
+  *
+  * Sibling of [[Dedup.connectedComponents]]: the same
+  * iterate-join-checkpoint skeleton, extended from unweighted min-label
+  * propagation to weighted rank flow. Everything is EXACT scaled-integer
+  * arithmetic — float PageRank is accumulation-order-dependent, so two
+  * engines (or two shuffle layouts of the same engine) would never
+  * hash-agree on the result; with ranks as scaled longs and floor
+  * division pinned at every step, the fixed-iteration ranks are a pure
+  * function of the graph, reproducible at any parallelism and
+  * re-derivable by an external SQL oracle that unrolls the same
+  * iterations.
+  */
+object Graph {
+
+  /** Exact-integer PageRank, fixed iteration count.
+    *
+    * `edges` must have `src`/`dst` long columns (directed; pass both
+    * directions for an undirected walk). `nodes` must have `id` — the
+    * rank universe, including isolated nodes. Update rule, all in
+    * floor-division long arithmetic on ranks scaled to `scale` total
+    * mass:
+    *
+    *   contrib(u)  = r(u) / outdeg(u)
+    *   r'(v)       = (15*scale)/(100*N)  +  (85 * Σ_{u→v} contrib(u))/100
+    *
+    * Dangling nodes (no out-edges) leak their mass instead of
+    * redistributing it — the common sparse-graph simplification; it
+    * keeps every step a pure per-edge/per-node integer expression, and
+    * the leak is identical in any compliant replay. Each iteration is
+    * two key-partitioned shuffles (contrib groupBy dst + rank join),
+    * localCheckpointed so the plan stays constant-size across rounds —
+    * at cluster scale both shuffles hash-partition on the node id, so
+    * consecutive iterations reuse the same partitioning and the edge
+    * table (the big side) can be pre-bucketed by `src` once.
+    *
+    * The driver sees only `N = nodes.count()` — one O(1)-row job to pin
+    * the base-rank constant; ranks and edges never leave the cluster.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val n = nodes.select("id").count()
+    require(n > 0, "pageRank: empty node set")
+    val base = 15L * scale / (100L * n)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true) // re-read every round
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("id").cast("long"))
+      .withColumn("rank", lit(scale / n))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      // `div` (integral division), NOT `/`: the `/` operator on longs
+      // promotes to double, and a quotient one ulp below an integer
+      // would round up and truncate differently from the oracle's
+      // exact floor division
+      val contrib = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"),
+          expr("rank div outdeg").as("contrib"))
+        .groupBy("id").agg(sum(col("contrib")).as("inflow"))
+      val next = ranks.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+      ranks = next
+      it += 1
+    }
+    ranks
+  }
+}

@@ -582,6 +582,64 @@ object Multimodal {
     }
   }
 
+  case class AudioStatsRow(doc_id: Long, channels: Int, sample_rate: Int,
+      n_samples: Int, sum_sq: Long, sum_abs: Long, crossings: Long)
+
+  /** Model EVERY document as a WAV payload (the audio twin of
+    * [[asPngMedia]]): one PCM-16 sample per text byte, channel count
+    * and sample rate derived from the byte length ([[wavShape]]). */
+  def asWavMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          MediaRow(id, "audio/wav", encodeWav(text.getBytes("UTF-8")))
+        }
+      }
+      .toDF()
+  }
+
+  /** Exact-integer audio features over the REAL RIFF decode: total
+    * energy (sum of squared samples), total magnitude and
+    * zero-crossing count across the interleaved PCM-16 stream, plus
+    * the fmt-chunk shape. All three accumulators are exact integers —
+    * unlike a float RMS they are invariant to accumulation order, so
+    * an external oracle can re-derive them bit-for-bit from the
+    * source bytes and any mis-parsed or mis-scaled sample anywhere in
+    * the chunk walk fails the hash. A crossing is a sign change
+    * between consecutive interleaved samples (zero counts as
+    * positive); channels carry duplicated samples, so per-frame
+    * duplicates never cross — the count equals the per-channel count.
+    * Partition-mapped: no shuffle, constant memory per row. */
+  def audioStats(spark: SparkSession, media: DataFrame)
+      : Dataset[AudioStatsRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val b = m.payload
+        parseWav(b) match {
+          case Some((ch, sr, nSamples, dataOff)) =>
+            val total = nSamples * ch
+            var i = 0
+            var sumSq = 0L; var sumAbs = 0L; var crossings = 0L
+            var prev = 0
+            while (i < total) {
+              val s = le16(b, dataOff + i * 2).toShort.toInt
+              sumSq += s.toLong * s
+              sumAbs += math.abs(s).toLong
+              if (i > 0 && (s ^ prev) < 0) crossings += 1
+              prev = s
+              i += 1
+            }
+            AudioStatsRow(m.doc_id, ch, sr, nSamples, sumSq, sumAbs,
+              crossings)
+          case None => AudioStatsRow(m.doc_id, 0, 0, 0, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** End-to-end pipeline used by the declared query: media modeling →
     * real header decode → per-type size/shape stats. Aggregation is
     * plain groupBy — fully distributed, no driver materialization. */

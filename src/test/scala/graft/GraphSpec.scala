@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Exact-integer PageRank: the distributed rank flow must agree
+  * value-for-value with a sequential reference that applies the same
+  * floor-division update rule, on graphs with cycles, sinks, isolated
+  * nodes and asymmetric degree. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Sequential replay of the documented update rule. */
+  private def reference(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val n = nodes.size
+    val base = 15L * scale / (100L * n)
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ranks = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .map { case (s, d) => d -> ranks(s) / outdeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      ranks = nodes.map(v =>
+        v -> (base + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    ranks
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] =
+    Graph.pageRank(
+        nodes.toDF("id"),
+        edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the sequential reference on a cycle with a chord") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    assert(run(nodes, edges, 5) === reference(nodes, edges, 5))
+  }
+
+  test("dangling and isolated nodes: sinks leak, isolates settle at base") {
+    // 3 is a sink (no out-edges), 9 is fully isolated
+    val nodes = Seq(1L, 2L, 3L, 9L)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val got = run(nodes, edges, 4)
+    val want = reference(nodes, edges, 4)
+    assert(got === want)
+    val base = 15L * 1000000000000L / (100L * 4)
+    assert(got(9L) === base) // nothing flows into an isolate
+  }
+
+  test("rank concentrates where links point (star hub wins)") {
+    val nodes = (1L to 6L).toSeq
+    val edges = (2L to 6L).map(i => (i, 1L)) ++ Seq((1L, 2L))
+    val got = run(nodes, edges, 5)
+    assert(got(1L) === got.values.max) // hub of the in-star
+    assert(got === reference(nodes, edges, 5))
+  }
+
+  test("result is layout-invariant (exact integers, any partitioning)") {
+    val nodes = (1L to 20L).toSeq
+    val edges = nodes.flatMap(i => Seq((i, i % 20 + 1), (i, (i * 7) % 20 + 1)))
+    val once = run(nodes, edges, 5)
+    val again = Graph.pageRank(
+        nodes.toDF("id").repartition(7),
+        edges.toDF("src", "dst").repartition(13), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once === again)
+  }
+
+  test("guards: empty node set and out-of-range iteration count throw") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[Long].toDF("id"),
+        Seq((1L, 2L)).toDF("src", "dst"))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq(1L).toDF("id"),
+        Seq((1L, 1L)).toDF("src", "dst"), iters = 0)
+    }
+  }
+}

@@ -242,4 +242,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.length === 2)
     assert(r.map(_.getLong(1)).sum === 2)
   }
+
+  test("audioStats: exact-integer energy/magnitude/crossings match a " +
+      "sample-by-sample reference over the real decode") {
+    // mixed corpus: ASCII, multi-byte UTF-8, empty, and a byte
+    // straddling the 128 sign boundary repeatedly
+    val corpus = Seq(
+      (0L, "hello world", "s"),
+      (1L, "héllo wörld — ünïcode", "s"),
+      (2L, "", "s"),
+      (3L, " ÿ AZaz09", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal
+      .audioStats(spark, Multimodal.asWavMedia(corpus))
+      .orderBy("doc_id").collect()
+    corpus.orderBy("doc_id").collect().zip(got).foreach { case (src, g) =>
+      val bytes = src.getString(1).getBytes("UTF-8")
+      val n = bytes.length
+      val (ch, sr) = Multimodal.wavShape(n)
+      val samples = bytes.map(b => ((b & 0xff) - 128) << 8)
+      assert(g.channels === ch && g.sample_rate === sr &&
+        g.n_samples === n)
+      assert(g.sum_sq === ch.toLong *
+        samples.map(s => s.toLong * s).sum)
+      assert(g.sum_abs === ch.toLong *
+        samples.map(s => math.abs(s).toLong).sum)
+      // crossings on the interleaved stream equal byte-level sign
+      // flips around 128 — channel duplicates never flip
+      val flips = samples.sliding(2).count {
+        case Array(a, b) => (a ^ b) < 0
+        case _ => false
+      }
+      assert(g.crossings === flips.toLong)
+    }
+  }
+
+  test("audioStats: malformed payloads degrade to a zero row, no throw") {
+    val bad = Seq(
+      Multimodal.MediaRow(1L, "audio/wav", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(2L, "audio/wav",
+        ("RIFF1234WAVE" + "x" * 40).getBytes("US-ASCII")))
+      .toDF()
+    val r = Multimodal.audioStats(spark, bad).orderBy("doc_id").collect()
+    assert(r.length === 2)
+    r.foreach { row =>
+      assert(row.channels === 0 && row.sum_sq === 0L &&
+        row.crossings === 0L)
+    }
+  }
+
+  test("audioStats is partition-mapped: no shuffle in the plan") {
+    val plan = Multimodal
+      .audioStats(spark, Multimodal.asWavMedia(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }

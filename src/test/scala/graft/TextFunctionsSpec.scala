@@ -137,4 +137,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     val (df, bf, tf) = repetition("solo")
     assert(df === 1.0 && bf === 0.0 && tf === 1.0)
   }
+
+  test("canonicalUrl: every documented noise axis collapses, semantics survive") {
+    def canon(u: String): String =
+      Seq(u).toDF("u")
+        .select(canonicalUrl(col("u")).as("c"))
+        .collect()(0).getString(0)
+    // the full noise stack at once
+    assert(canon("HTTPS://www.EX3.Example.org:443/a/53/?id=3&utm_source=f#s") ===
+      "ex3.example.org/a/53?id=3")
+    // scheme spelling and http-vs-https both vanish
+    assert(canon("http://ex1.example.org/a/9") === canon("HTTPS://ex1.example.org/a/9"))
+    // default ports only: a real nonstandard port survives
+    assert(canon("https://h.org:8080/x") === "h.org:8080/x")
+    assert(canon("https://h.org:80/x") === "h.org/x")
+    // utm first, middle, last — real params keep their order
+    assert(canon("https://h.org/x?utm_a=1&id=2") === "h.org/x?id=2")
+    assert(canon("https://h.org/x?id=2&utm_a=1&k=3") === "h.org/x?id=2&k=3")
+    assert(canon("https://h.org/x?id=2&utm_a=1") === "h.org/x?id=2")
+    // utm-only query vanishes entirely, with or without trailing slash
+    assert(canon("https://h.org/x/?utm_a=1") === "h.org/x")
+    assert(canon("https://h.org/x?utm_a=1") === "h.org/x")
+    // path case is SIGNIFICANT (only host lowercases)
+    assert(canon("https://H.org/Xy") === "h.org/Xy")
+    // bare host, root slash
+    assert(canon("https://www.h.org/") === "h.org")
+    // already-canonical input is a fixpoint
+    assert(canon("h.org/x?id=2") === "h.org/x?id=2")
+  }
 }
