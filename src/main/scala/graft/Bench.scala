@@ -49,6 +49,9 @@ object Bench {
     "pack_sequences",
     "quality_model_lr",
     "curation_domain_cap",
+    "curation_url_dedup",
+    "graph_pagerank",
+    "multimodal_audio",
     "scd2_event_runs",
     "asof_join",
     "stream_window_agg",

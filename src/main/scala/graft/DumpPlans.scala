@@ -252,7 +252,32 @@ object DumpPlans {
         |order-dependent; this flag is engine-reproducible). Two
         |key-partitioned aggregations; per-type stats (|event types|
         |rows) broadcast back onto the hourly grid; no window, no
-        |collect.""".stripMargin)
+        |collect.""".stripMargin,
+    "curation_url_dedup" ->
+      """URL canonicalization dedup: synthesis and the whole regexp
+        |canonicalization pipeline are scan-stage codegen projections;
+        |the only data exchange is the canonical-key window (one
+        |min(doc_id) per group). The wide text column is never read —
+        |ReadSchema carries doc_id alone, so at crawl scale the dedup
+        |key pass touches URL metadata, not payloads.""".stripMargin,
+    "graph_pagerank" ->
+      """Exact-integer PageRank, 5 fixed rounds. Each round is two
+        |key-partitioned shuffles (contrib groupBy dst + rank left
+        |join) over a localCheckpointed frame, so the lineage stays
+        |constant-size (the plan below is the final checkpoint scan +
+        |presentation projection — GraphSpec pins that). Both per-round
+        |shuffles hash-partition on the node id; on a cluster the edge
+        |table would be bucketed by src once and every round reuses
+        |that layout. Ranks are scaled longs with floor division —
+        |reproducible at any parallelism, which float PageRank can
+        |never be.""".stripMargin,
+    "multimodal_audio" ->
+      """Exact-integer audio features: WAV encode + full RIFF decode +
+        |energy/magnitude/crossing accumulation all fuse into one
+        |partition-mapped pass — the plan's only exchange is the
+        |presentation sort's range partition. Constant memory per row,
+        |no shuffle of payload bytes, the shape a 100 TB media scan
+        |needs.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -71,6 +71,18 @@ class GraphSpec extends AnyFunSuite {
     assert(once === again)
   }
 
+  test("constant-size lineage: the returned plan is a checkpoint scan, " +
+      "not 5 iterations of accumulated joins") {
+    val nodes = (1L to 10L).toSeq
+    val edges = nodes.map(i => (i, i % 10 + 1))
+    val df = Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      s"expected a localCheckpoint scan as the plan root:\n$p")
+    assert(!p.contains("Exchange"),
+      s"iteration work must be materialized, not re-planned:\n$p")
+  }
+
   test("guards: empty node set and out-of-range iteration count throw") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(Seq.empty[Long].toDF("id"),

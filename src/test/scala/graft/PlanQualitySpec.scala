@@ -210,4 +210,23 @@ class PlanQualitySpec extends AnyFunSuite {
       .forall(!_.contains("text#")),
       s"text column crossed an exchange:\n$p")
   }
+
+  test("curation_url_dedup: url synthesis + canonicalization in the " +
+      "scan stage, one canonical-key window exchange, text never read") {
+    val p = plan("curation_url_dedup")
+    assert("hashpartitioning\\(canonical".r.findAllIn(p).size === 1,
+      s"expected one canonical window exchange:\n$p")
+    // the documents scan must prune everything but doc_id — the wide
+    // text column is not referenced anywhere in this query
+    assert(!p.contains("text#"), s"text column read by the scan:\n$p")
+  }
+
+  test("multimodal_audio: decode + feature extraction shuffle-free — " +
+      "the only exchange is the presentation sort") {
+    val p = plan("multimodal_audio")
+    assert("Exchange".r.findAllIn(p).size === 1,
+      s"expected exactly one exchange (order-by range partition):\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"the single exchange should be the presentation sort:\n$p")
+  }
 }
