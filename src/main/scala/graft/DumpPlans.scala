@@ -277,7 +277,34 @@ object DumpPlans {
         |partition-mapped pass — the plan's only exchange is the
         |presentation sort's range partition. Constant memory per row,
         |no shuffle of payload bytes, the shape a 100 TB media scan
-        |needs.""".stripMargin)
+        |needs.""".stripMargin,
+    "graph_triangles" ->
+      """Degree-ordered triangle counting: orientation bounds every
+        |node's wedge fan-out by the oriented out-degree (O(√m) on ANY
+        |graph — a web-scale star produces zero wedges), so the wedge
+        |self-join below cannot blow up on skewed degree
+        |distributions. Three key-partitioned shuffles: wedge join on
+        |src, closing join on the (v, w) pair, per-node corner count.
+        |No driver state, no adjacency materialization beyond the
+        |joins.""".stripMargin,
+    "dedup_phash" ->
+      """Perceptual image dedup — the multimodal/dedup crossover. PNG
+        |encode, full decode (CRC walk + inflate + de-filter) and the
+        |9×8 dHash all fuse into the scan stage (one partition-mapped
+        |pass, payload bytes never shuffle); the 8-byte signatures then
+        |run the signature-generic banded-Hamming join: ONE groupBy
+        |shuffle with O(cap) bucket buffers and the fused
+        |generate-and-verify pair loop. The whole image-dedup pipeline
+        |moves 8 bytes per image across the wire.""".stripMargin,
+    "agg_incremental_quantile" ->
+      """Quantile maintenance from mergeable histogram state: the
+        |per-(source, bin) state is tiny by construction, so the
+        |windows and joins below run over |sources|·nBins rows — the
+        |corpus is touched once to bin the increment, never to answer
+        |a quantile. The estimate arithmetic is all integer floor
+        |division; the exact-quantile companion columns are the only
+        |part that scans the full corpus (they exist for the error
+        |envelope the oracle re-checks).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

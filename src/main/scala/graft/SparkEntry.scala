@@ -138,6 +138,24 @@ object SparkEntry {
   // SQL breadth (SURVEY.md §2.7 — everything the reference lacks)
   // ---------------------------------------------------------------------
 
+  private def qRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    // WITH RECURSIVE through the raw SQL surface (new in Spark 4.x):
+    // the documents ids form an implicit binary-heap tree (parent =
+    // id div 2); the recursion walks it from the root and labels each
+    // node with its depth — ~log2(n) recursive rounds, each a join of
+    // the frontier against the table, the iterative-query shape the
+    // engine-side Graph operators hand-roll made declarative.
+    Tables.register(s, dir)
+    s.sql(
+      """WITH RECURSIVE t(doc_id, depth) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM documents d JOIN t ON t.doc_id = d.doc_id div 2
+        |  WHERE d.doc_id > 0)
+        |SELECT doc_id, depth FROM t ORDER BY doc_id""".stripMargin)
+  }
+
   private def qAggQ1(s: SparkSession, dir: String): DataFrame =
     // TPC-H Q1 shape: map-side partial agg → exchange on the group keys →
     // final agg; integer-cents sums keep it deterministic vs the oracle.
@@ -1973,6 +1991,21 @@ object SparkEntry {
       Multimodal.asWavMedia(t(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  private def qDedupPhash(s: SparkSession, dir: String): DataFrame =
+    // Perceptual image dedup — the multimodal/dedup crossover: every
+    // document becomes a real PNG, the FULL decode recovers pixels,
+    // dHash reduces them to a 64-bit gradient signature, and the
+    // signature-generic banded-Hamming join (the simhash machinery)
+    // finds near-duplicate images. One posting shuffle, O(cap)
+    // buckets; the oracle replays the 9×8 sampling grid position for
+    // position from the text bytes, assembles the same 64 bits, and
+    // re-runs the banding + popcount verification in HUGEINT SQL.
+    graft.operators.Dedup.hammingPairsFromSigs(
+      Multimodal.dHash(s,
+        Multimodal.asPngMedia(t(s, dir, "documents"))).toDF(),
+      maxHamming = 5, bands = 8, maxBucket = 500)
+      .orderBy("id_a", "id_b")
+
   private def qBloomPrefilterJoin(s: SparkSession, dir: String)
       : DataFrame = {
     // Runtime Bloom pre-filtering of a fact-dim join: the dim keys
@@ -2255,6 +2288,75 @@ object SparkEntry {
       .orderBy("node_id")
   }
 
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    // Per-node triangle counts + local clustering coefficient over a
+    // deterministic circulant graph on the document ids (offsets
+    // 1/2/4 plus a sparse 7-offset for every third node, so degrees
+    // VARY and the degree-orientation actually reorders edges). The
+    // synthesis is the multimodal pattern: build the structure from
+    // corpus ids, exercise the REAL operator (degree orientation,
+    // wedge join, closing-edge join), and let the oracle re-derive
+    // the same graph and count in SQL. coeff is exact integer micros
+    // — 2·tri·1e6 div deg·(deg−1) — so the ratio hash-matches.
+    val ids = t(s, dir, "documents").select(col("doc_id").as("i"))
+    val nDf = ids.agg((max(col("i")) + 1).as("n"))
+    val withN = ids.crossJoin(broadcast(nDf))
+    val base = Seq(1L, 2L, 4L).map(o =>
+      withN.select(col("i").as("a"),
+        pmod(col("i") + o, col("n")).as("b")))
+      .reduce(_.unionByName(_))
+    val extra = withN.filter(col("i") % 3 === 0)
+      .select(col("i").as("a"), pmod(col("i") + 7, col("n")).as("b"))
+    graft.operators.Graph.triangleCounts(base.unionByName(extra))
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .as("coeff_micros"))
+      .orderBy("node")
+  }
+
+  private def qAggIncrementalQuantile(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The maintenance loop for an ORDER STATISTIC: per-source token-
+    // count quantiles carried as mergeable fixed-bin histogram state
+    // (bins sum across epochs; the estimate — upper edge of the bin
+    // holding the rank-threshold value — is a deterministic integer
+    // function of merged bins). Same epoch split as agg_incremental;
+    // exact rank quantiles ride along with the |est − exact| < width
+    // envelope the oracle pins TRUE, the approx-sketch pattern.
+    val d = t(s, dir, "documents")
+    val hist = d.filter(col("doc_id") % 17 =!= 0)
+    val inc = d.filter(col("doc_id") % 17 === 0)
+    val state = s"/tmp/graft-aggstate-${java.util.UUID.randomUUID()}"
+    graft.operators.IncrementalAgg.writeHistState(hist, state)
+    val merged = graft.operators.IncrementalAgg
+      .mergeHistIncrement(s, state, inc)
+    val est = graft.operators.IncrementalAgg
+      .histQuantiles(merged, 16, Seq(5000, 9500))
+    val vals = d.select(col("source"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("v"))
+    val ranked = vals
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("v")))
+      .withColumn("nv",
+        count(lit(1)).over(Window.partitionBy("source")))
+    def exactAt(pbp: Int, name: String) = ranked
+      .filter(col("rn") >= expr(s"($pbp * nv + 9999) div 10000"))
+      .groupBy("source").agg(min(col("v")).as(name))
+    est
+      .join(exactAt(5000, "exact_p50"), "source")
+      .join(exactAt(9500, "exact_p95"), "source")
+      .select(col("source"), col("n_values"),
+        col("p5000_upper").as("p50_upper"),
+        col("p9500_upper").as("p95_upper"),
+        col("exact_p50"), col("exact_p95"),
+        (col("exact_p50") >= col("p5000_upper") - 16 &&
+          col("exact_p50") < col("p5000_upper")).as("within_p50"),
+        (col("exact_p95") >= col("p9500_upper") - 16 &&
+          col("exact_p95") < col("p9500_upper")).as("within_p95"))
+      .orderBy("source")
+  }
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     // Sequence packing manifest (concat-then-chunk): the corpus cut
     // into 128-token training sequences across 8 independent
@@ -2394,6 +2496,7 @@ object SparkEntry {
     "join_vertical_frag" -> (qJoinVerticalFrag _),
     "union_all" -> (qUnionAll _),
     "passthrough_sql" -> (qPassthroughSql _),
+    "recursive_cte" -> (qRecursiveCte _),
     "frag_transparency_agg" -> (qGroupProduct _),
     // SQL breadth (SURVEY §2.7)
     "agg_q1" -> (qAggQ1 _),
@@ -2517,6 +2620,7 @@ object SparkEntry {
     "multimodal_png" -> (qMultimodalPng _),
     "multimodal_resize" -> (qMultimodalResize _),
     "multimodal_audio" -> (qMultimodalAudio _),
+    "dedup_phash" -> (qDedupPhash _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "sample_stratified" -> (qSampleStratified _),
@@ -2525,7 +2629,9 @@ object SparkEntry {
     "curation_domain_cap" -> (qCurationDomainCap _),
     "curation_url_dedup" -> (qCurationUrlDedup _),
     "graph_pagerank" -> (qGraphPagerank _),
+    "graph_triangles" -> (qGraphTriangles _),
     "agg_incremental" -> (qAggIncremental _),
+    "agg_incremental_quantile" -> (qAggIncrementalQuantile _),
     "agg_incremental_distinct" -> (qAggIncrementalDistinct _),
     "pack_sequence_index" -> (qPackIndex _),
     "stream_window_agg" -> (qStreamWindowAgg _),
@@ -3152,6 +3258,95 @@ object SparkEntry {
          |  rank AS rank_scaled
          |FROM r5 ORDER BY node_id""".stripMargin
     },
+    // Triangles: the oracle re-derives the circulant-plus-sparse
+    // graph, the degree orientation, the id-ordered wedge set and the
+    // both-ways closing join — the identical counting discipline, so
+    // per-node triangle counts and the integer-micros clustering
+    // coefficient hash-match.
+    "graph_triangles" ->
+      """WITH ids AS (SELECT doc_id AS i FROM documents),
+        |nn AS (SELECT max(i) + 1 AS n FROM ids),
+        |edges AS (
+        |  SELECT i AS a, (i + 1) % n AS b FROM ids, nn
+        |  UNION ALL SELECT i, (i + 2) % n FROM ids, nn
+        |  UNION ALL SELECT i, (i + 4) % n FROM ids, nn
+        |  UNION ALL SELECT i, (i + 7) % n FROM ids, nn WHERE i % 3 = 0),
+        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a),
+        |ori AS (
+        |  SELECT s.a AS src, s.b AS dst FROM sym s
+        |  JOIN deg dA ON dA.node = s.a JOIN deg dB ON dB.node = s.b
+        |  WHERE dA.degree < dB.degree
+        |     OR (dA.degree = dB.degree AND s.a < s.b)),
+        |wedges AS (
+        |  SELECT e1.src, e1.dst AS v, e2.dst AS w
+        |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |closing AS (SELECT src AS v, dst AS w FROM ori
+        |            UNION ALL SELECT dst, src FROM ori),
+        |tri AS (SELECT wg.src, wg.v, wg.w FROM wedges wg
+        |        JOIN closing c ON c.v = wg.v AND c.w = wg.w),
+        |corners AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT src AS node FROM tri UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri) GROUP BY node)
+        |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.degree >= 2 THEN
+        |    CAST((2 * coalesce(c.triangles, 0) * 1000000)
+        |      // (d.degree * (d.degree - 1)) AS BIGINT) END AS coeff_micros
+        |FROM deg d LEFT JOIN corners c ON c.node = d.node
+        |ORDER BY d.node""".stripMargin,
+    // Histogram-quantile maintenance: bins, running counts, the
+    // integer rank threshold and the bin-upper-edge estimate are all
+    // exact integer replays; exact rank quantiles come from the same
+    // row_number discipline; the error envelope is computed, not
+    // assumed.
+    "agg_incremental_quantile" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, CASE WHEN trim(text) = '' THEN 0 ELSE
+        |    CAST(len(string_split(trim(regexp_replace(lower(text),
+        |      '\s+', ' ', 'g')), ' ')) AS BIGINT) END AS v
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, least(v // 16, 63) AS bin, count(*) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS total
+        |  FROM h),
+        |est AS (
+        |  SELECT p50.source, p50.n_values, p50.p50_upper, p95.p95_upper
+        |  FROM (SELECT source, CAST(min(total) AS BIGINT) AS n_values,
+        |          CAST((min(bin) + 1) * 16 AS BIGINT) AS p50_upper
+        |        FROM cum WHERE cum >= (5000 * total + 9999) // 10000
+        |        GROUP BY source) p50
+        |  JOIN (SELECT source,
+        |          CAST((min(bin) + 1) * 16 AS BIGINT) AS p95_upper
+        |        FROM cum WHERE cum >= (9500 * total + 9999) // 10000
+        |        GROUP BY source) p95 ON p95.source = p50.source),
+        |ranked AS (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS nv
+        |  FROM tok),
+        |ex AS (
+        |  SELECT e50.source, e50.exact_p50, e95.exact_p95
+        |  FROM (SELECT source, min(v) AS exact_p50 FROM ranked
+        |        WHERE rn >= (5000 * nv + 9999) // 10000
+        |        GROUP BY source) e50
+        |  JOIN (SELECT source, min(v) AS exact_p95 FROM ranked
+        |        WHERE rn >= (9500 * nv + 9999) // 10000
+        |        GROUP BY source) e95 ON e95.source = e50.source)
+        |SELECT est.source, est.n_values, est.p50_upper, est.p95_upper,
+        |  ex.exact_p50, ex.exact_p95,
+        |  ex.exact_p50 >= est.p50_upper - 16
+        |    AND ex.exact_p50 < est.p50_upper AS within_p50,
+        |  ex.exact_p95 >= est.p95_upper - 16
+        |    AND ex.exact_p95 < est.p95_upper AS within_p95
+        |FROM est JOIN ex ON ex.source = est.source
+        |ORDER BY est.source""".stripMargin,
     // Sequence packing: shard + stream order are functions of
     // XXH64(doc_id) (re-derived in HUGEINT SQL); the running token
     // offset is a per-shard window sum; sums over BIGINT come back
@@ -3251,6 +3446,15 @@ object SparkEntry {
     "passthrough_sql" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+    // Identical recursion in the oracle dialect (div spelled //).
+    "recursive_cte" ->
+      """WITH RECURSIVE t(doc_id, depth) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1
+        |  FROM documents d JOIN t ON t.doc_id = d.doc_id // 2
+        |  WHERE d.doc_id > 0)
+        |SELECT doc_id, depth FROM t ORDER BY doc_id""".stripMargin,
     "frag_transparency_agg" ->
       """SELECT n.n_name, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
@@ -4848,6 +5052,67 @@ object SparkEntry {
         |    i -> CASE WHEN (bs[i] < 128) <> (bs[i-1] < 128)
         |         THEN 1 ELSE 0 END), 'sum'), 0) AS BIGINT) AS crossings
         |FROM b ORDER BY doc_id""".stripMargin,
+    // Perceptual-hash dedup: the 9×8 dHash grid is replayed position
+    // for position from the text bytes (pixels are the bytes cycled,
+    // per the PNG encode — the resize-oracle discipline), the 64 bits
+    // are assembled in two 32-bit halves (BIGINT shifts stay in
+    // range), wrapped to the signed two's-complement value, then the
+    // simhash banding + popcount verification runs unchanged.
+    "dedup_phash" -> {
+      def bAt(pos: String): String =
+        s"(strpos('123456789ABCDEF', substring(hx, 2*(($pos) % n) + 1, 1))" +
+          s" * 16 + strpos('123456789ABCDEF'," +
+          s" substring(hx, 2*(($pos) % n) + 2, 1)))"
+      val px = "(((gi // 9) * h // 8) * w + ((gi % 9) * w // 9)) * 3"
+      val bit = "gr[(k // 8) * 9 + (k % 8) + 1] < gr[(k // 8) * 9 + (k % 8) + 2]"
+      s"""WITH d AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n,
+         |    CAST(1 + strlen(text) % 60 AS BIGINT) AS w,
+         |    CAST(1 + (strlen(text) * 11) % 47 AS BIGINT) AS h
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 71), gi ->
+         |    CASE WHEN n = 0 THEN 0 ELSE
+         |      (${bAt(px + " + 0")}
+         |       + ${bAt(px + " + 1")}
+         |       + ${bAt(px + " + 2")}) // 3 END) AS gr
+         |  FROM d),
+         |halves AS (
+         |  SELECT doc_id,
+         |    list_aggregate(list_transform(generate_series(0, 31), k ->
+         |      CASE WHEN $bit THEN 1::BIGINT << k ELSE 0 END), 'sum') AS lo,
+         |    list_aggregate(list_transform(generate_series(32, 63), k ->
+         |      CASE WHEN $bit THEN 1::BIGINT << (k - 32) ELSE 0 END),
+         |      'sum') AS hi
+         |  FROM g),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    hi::HUGEINT * 4294967296 + lo::HUGEINT AS s
+         |  FROM halves),
+         |bands AS (SELECT * FROM (VALUES
+         |    (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
+         |    (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT),
+         |    (5, 1099511627776::HUGEINT), (6, 281474976710656::HUGEINT),
+         |    (7, 72057594037927936::HUGEINT)) t(band, dv)),
+         |banded AS (SELECT doc_id, s, band, (s // dv) % 256 AS bkey
+         |    FROM sigs, bands),
+         |capped AS (SELECT * FROM (
+         |    SELECT doc_id, s, band, bkey, row_number() OVER (
+         |      PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM banded)
+         |    WHERE rn <= 500),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(
+         |      CAST(CASE WHEN a.s >= 9223372036854775808::HUGEINT
+         |           THEN a.s - $xxhM ELSE a.s END AS BIGINT),
+         |      CAST(CASE WHEN b.s >= 9223372036854775808::HUGEINT
+         |           THEN b.s - $xxhM ELSE b.s END AS BIGINT)))
+         |      AS INTEGER) AS hamming
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |      AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 5 ORDER BY id_a, id_b""".stripMargin
+    },
     "user_profiles" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)

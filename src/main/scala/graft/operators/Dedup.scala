@@ -539,13 +539,23 @@ object Dedup {
     * maxHamming=3 (the Manku et al. setting); smaller corpora afford
     * bands=8 for a ≤7 guarantee. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = 500): DataFrame =
+    hammingPairsFromSigs(
+      docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig")),
+      maxHamming, bands, maxBucket)
+
+  /** The signature-generic banded-Hamming join behind [[simhashPairs]]:
+    * `sigs` is any (doc_id, sig: long) frame — token SimHash, an image
+    * perceptual hash, any 64-bit locality-sensitive signature. Same
+    * pigeonhole recall guarantee (Hamming < bands ⇒ a shared band),
+    * same ONE-shuffle bucket build with O(maxBucket) buffers and the
+    * fused generate-and-verify pair loop. */
+  def hammingPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
       bands: Int = 4, maxBucket: Int = 500): DataFrame = {
     require(64 % bands == 0 && maxHamming < bands,
       "need maxHamming < bands (pigeonhole) and bands | 64")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val sigs = docs.select(col("doc_id"),
-      simhash64(tokens(col("text"))).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -78,4 +78,54 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts + degree over an UNDIRECTED edge set
+    * (`a`/`b` long columns, one row per unordered pair, a ≠ b).
+    *
+    * The classic scalable shape: orient every edge from its
+    * lower-(degree, id) endpoint to the higher one — the oriented
+    * out-degree of ANY graph is O(√m), so the wedge self-join that
+    * dominates triangle counting fans out per-node by at most √m
+    * instead of by the max raw degree (a star graph produces ZERO
+    * wedges once oriented). Wedges then semi-join the oriented edge
+    * set to confirm the closing edge, and each confirmed triangle
+    * credits its three corners. Three key-partitioned shuffles total
+    * (wedge join, closing join, per-node count); no driver state. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("a").cast("long"), col("b").cast("long"))
+    val sym = und.unionByName(
+      und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): strict total order, so each undirected
+    // edge appears exactly once
+    val withDeg = sym
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    // wedges u→{v,w}: two out-edges of the same src, deduplicated by
+    // id order (v < w), so each candidate pair appears once. The
+    // closing edge is oriented by (degree, id) — which may run v→w OR
+    // w→v in id terms — so the join admits both orientations; exactly
+    // one can exist, and the wedge's src is the triangle's unique
+    // ≺-minimum corner, so every triangle is counted exactly once.
+    val e1 = oriented.select(col("src"), col("dst").as("v"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"))
+    val wedges = e1.join(e2, "src").filter(col("v") < col("w"))
+    val closing = oriented
+      .select(col("src").as("v"), col("dst").as("w"))
+      .unionByName(
+        oriented.select(col("dst").as("v"), col("src").as("w")))
+    val tri = wedges.join(closing, Seq("v", "w"))
+    val corners = tri.select(col("src").as("node"))
+      .unionByName(tri.select(col("v").as("node")))
+      .unionByName(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

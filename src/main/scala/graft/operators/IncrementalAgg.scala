@@ -86,4 +86,69 @@ object IncrementalAgg {
       .unionByName(distinctState(increment))
       .groupBy("source")
       .agg(hll_union_agg(col("fp_sketch")).as("fp_sketch"))
+
+  // --- Quantiles: the maintenance loop for an ORDER STATISTIC. A
+  // quantile is neither algebraic nor sketchable into counts alone,
+  // but a fixed-bin histogram IS a mergeable exact state: bins sum
+  // across epochs, and the histogram quantile (upper edge of the bin
+  // holding the rank-threshold value) is a deterministic integer
+  // function of the merged bins — reproducible across engines and
+  // parallelism, unlike any interpolating float percentile. Error is
+  // bounded by construction: the true rank value lies inside the
+  // chosen bin, so |estimate − exact| < binWidth always. State stays
+  // |sources| × nBins rows however many epochs fold in.
+
+  /** Per-(source, bin) counts of the per-document token count for one
+    * batch. Values ≥ binWidth·nBins clamp into the top bin. */
+  def histState(docs: DataFrame, binWidth: Int = 16,
+      nBins: Int = 64): DataFrame = {
+    require(binWidth >= 1 && nBins >= 2, "need binWidth >= 1, nBins >= 2")
+    docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("v"))
+      .withColumn("bin",
+        least(expr(s"v div $binWidth"), lit(nBins - 1L)))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def writeHistState(docs: DataFrame, dir: String, binWidth: Int = 16,
+      nBins: Int = 64): Unit =
+    histState(docs, binWidth, nBins).write.mode("overwrite").parquet(dir)
+
+  /** Fold an increment's histogram into persisted state — bins sum. */
+  def mergeHistIncrement(spark: SparkSession, stateDir: String,
+      increment: DataFrame, binWidth: Int = 16,
+      nBins: Int = 64): DataFrame =
+    spark.read.parquet(stateDir)
+      .unionByName(histState(increment, binWidth, nBins))
+      .groupBy("source", "bin")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from merged histogram state: for each basis-
+    * point probability p, the UPPER EDGE of the first bin whose
+    * running count reaches threshold = ceil(p·total/10000) — all
+    * integer arithmetic (the ceil is (p·total + 9999) div 10000), so
+    * the estimate is exact-replayable. One bin-ordered window per
+    * source (state is |sources|·nBins rows — negligible at any corpus
+    * size) and one min-aggregate per (source, p). */
+  def histQuantiles(state: DataFrame, binWidth: Int,
+      pbps: Seq[Int]): DataFrame = {
+    require(pbps.nonEmpty && pbps.forall(p => p >= 1 && p <= 10000),
+      "probabilities are basis points in [1, 10000]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+    val perP = pbps.map { p =>
+      cum.filter(
+          col("cum") >= expr(s"($p * total + 9999) div 10000"))
+        .groupBy(col("source"), col("total").as("n_values"))
+        .agg(((min(col("bin")) + 1) * binWidth).as(s"p${p}_upper"))
+    }
+    perP.reduce(_.join(_, Seq("source", "n_values")))
+  }
 }

@@ -640,6 +640,56 @@ object Multimodal {
     }
   }
 
+  case class PHashRow(doc_id: Long, sig: Long)
+
+  /** 64-bit dHash perceptual signature over the DECODED image: the
+    * recovered pixels are nearest-neighbor-sampled onto a 9×8 grid
+    * (src (⌊gx·w/9⌋, ⌊gy·h/8⌋) — works for any geometry, small images
+    * just repeat pixels), each cell reduced to an integer gray
+    * ((r+g+b) div 3), and bit gy·8+gx set iff gray(gx,gy) <
+    * gray(gx+1,gy) — the classic difference-hash gradient signature.
+    * All-integer, so an external oracle replays it position-exactly
+    * (the resize-oracle discipline). PNG payloads run the FULL decode
+    * (CRC walk, inflate, de-filter); non-PNG rows are dropped.
+    * Partition-mapped, no shuffle; feeds [[Dedup.hammingPairsFromSigs]]
+    * for banded perceptual dedup. */
+  def dHash(spark: SparkSession, media: DataFrame): Dataset[PHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { m =>
+        val b = m.payload
+        if (!isPng(b)) None
+        else parsePng(b).map { case (w, h, chan, px) =>
+          val grays = new Array[Int](72)
+          var gy = 0
+          while (gy < 8) {
+            val sy = gy * h / 8
+            var gx = 0
+            while (gx < 9) {
+              val sx = gx * w / 9
+              val p = (sy * w + sx) * chan
+              grays(gy * 9 + gx) =
+                if (chan >= 3)
+                  ((px(p) & 0xff) + (px(p + 1) & 0xff) +
+                    (px(p + 2) & 0xff)) / 3
+                else px(p) & 0xff
+              gx += 1
+            }
+            gy += 1
+          }
+          var sig = 0L
+          var k = 0
+          while (k < 64) {
+            if (grays((k / 8) * 9 + k % 8) < grays((k / 8) * 9 + k % 8 + 1))
+              sig |= 1L << k
+            k += 1
+          }
+          PHashRow(m.doc_id, sig)
+        }
+      }
+    }
+  }
+
   /** End-to-end pipeline used by the declared query: media modeling →
     * real header decode → per-type size/shape stats. Aggregation is
     * plain groupBy — fully distributed, no driver materialization. */

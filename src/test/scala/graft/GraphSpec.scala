@@ -83,6 +83,55 @@ class GraphSpec extends AnyFunSuite {
       s"iteration work must be materialized, not re-planned:\n$p")
   }
 
+  /** Naive reference: count triangles per node by brute force. */
+  private def naiveTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long)] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val tris = nodes.toSeq.map { v =>
+      val nb = adj(v).toSeq
+      val t = (for {
+        i <- nb.indices; j <- i + 1 until nb.size
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size
+      v -> t.toLong
+    }.toMap
+    nodes.map(v => v -> (adj(v).size.toLong, tris(v))).toMap
+  }
+
+  test("triangleCounts matches brute force on a mixed random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val got = Graph.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === naiveTriangles(edges))
+  }
+
+  test("star graph has zero triangles and zero oriented wedge blowup") {
+    val edges = (2L to 30L).map(h => (1L, h))
+    val got = Graph.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.values.forall(_ === 0L))
+    assert(got(1L) === 0L)
+  }
+
+  test("complete K5: every node sits in C(4,2)=6 triangles") {
+    val nodes = 1L to 5L
+    val edges = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val got = Graph.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    nodes.foreach(v => assert(got(v) === ((4L, 6L))))
+  }
+
   test("guards: empty node set and out-of-range iteration count throw") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(Seq.empty[Long].toDF("id"),

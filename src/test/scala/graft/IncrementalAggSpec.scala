@@ -61,4 +61,43 @@ class IncrementalAggSpec extends AnyFunSuite {
     // historical side enters via the state parquet only
     assert("documents\\.parquet".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("histogram state: two-epoch merge equals the cold histogram, " +
+      "and quantile estimates bound the exact rank value") {
+    val dir = s"/tmp/graft-aggstate-spec-${java.util.UUID.randomUUID()}"
+    val e0 = docs.filter(col("doc_id") % 3 =!= 0)
+    val e1 = docs.filter(col("doc_id") % 3 === 0)
+    IncrementalAgg.writeHistState(e0, dir)
+    val merged = IncrementalAgg.mergeHistIncrement(spark, dir, e1)
+    val cold = IncrementalAgg.histState(docs)
+    assert(merged.exceptAll(cold).count() === 0L &&
+      cold.exceptAll(merged).count() === 0L)
+    // the p-quantile estimate's bin must contain the exact rank value:
+    // bin_upper − width ≤ exact < bin_upper, for every source and p
+    val est = IncrementalAgg.histQuantiles(merged, 16, Seq(5000, 9500))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    import graft.functions.TextFunctions
+    val exact = docs
+      .select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    exact.foreach { case (src, vs) =>
+      val (p50u, p95u) = est(src)
+      def rank(pbp: Long) = vs(((pbp * vs.size + 9999) / 10000 - 1).toInt)
+      assert(rank(5000) >= p50u - 16 && rank(5000) < p50u, src)
+      assert(rank(9500) >= p95u - 16 && rank(9500) < p95u, src)
+    }
+  }
+
+  test("histogram quantile guards reject bad bins and probabilities") {
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.histState(docs, binWidth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.histQuantiles(IncrementalAgg.histState(docs), 16,
+        Seq(0))
+    }
+  }
 }

@@ -291,6 +291,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: signature matches a naive per-position recompute from " +
+      "the source bytes, and identical texts collide at Hamming 0") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s"),
+      (1L, "the quick brown fox jumps over the lazy dog", "s"), // dup
+      (2L, "a completely different document body here", "s"),
+      (3L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val sigs = Multimodal.dHash(spark, Multimodal.asPngMedia(corpus))
+      .collect().map(r => r.doc_id -> r.sig).toMap
+    // naive reference: sample the cycled text bytes on the 9×8 grid
+    def ref(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val w = 1 + n % 60
+      val h = 1 + (n * 11) % 47
+      def gray(gx: Int, gy: Int): Int =
+        if (n == 0) 0
+        else {
+          val p = ((gy * h / 8) * w + gx * w / 9) * 3
+          (0 to 2).map(c => bytes((p + c) % n) & 0xff).sum / 3
+        }
+      (0 until 64).foldLeft(0L) { (s, k) =>
+        if (gray(k % 8, k / 8) < gray(k % 8 + 1, k / 8)) s | (1L << k)
+        else s
+      }
+    }
+    assert(sigs(0L) === ref("the quick brown fox jumps over the lazy dog"))
+    assert(sigs(2L) === ref("a completely different document body here"))
+    assert(sigs(0L) === sigs(1L)) // exact dup ⇒ identical signature
+    assert(sigs(3L) === 0L)       // empty image ⇒ flat gradient
+    // the crossover: signatures feed the banded Hamming join and the
+    // duplicate pair comes out at distance 0
+    val pairs = graft.operators.Dedup.hammingPairsFromSigs(
+        Multimodal.dHash(spark, Multimodal.asPngMedia(corpus)).toDF(),
+        maxHamming = 5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((0L, 1L, 0)))
+  }
+
   test("audioStats is partition-mapped: no shuffle in the plan") {
     val plan = Multimodal
       .audioStats(spark, Multimodal.asWavMedia(docs))
