@@ -296,6 +296,15 @@ object DumpPlans {
         |shuffle with O(cap) bucket buffers and the fused
         |generate-and-verify pair loop. The whole image-dedup pipeline
         |moves 8 bytes per image across the wire.""".stripMargin,
+    "graph_label_prop" ->
+      """Synchronous label propagation, 4 fixed rounds over a
+        |localCheckpointed frame (constant lineage, like pageRank).
+        |Per round: one label join + one (node, label) count + one
+        |struct-min argmax — all hash-partitioned on the node id, so a
+        |cluster run reuses one partitioning round over round. The
+        |deterministic tie-break is what makes the result replayable;
+        |the plan below is the final checkpoint scan + presentation
+        |sort.""".stripMargin,
     "agg_incremental_quantile" ->
       """Quantile maintenance from mergeable histogram state: the
         |per-(source, bin) state is tiny by construction, so the

@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, BitwiseCount, BitwiseXor, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions.{CosineSimilarity, JaccardSim}
@@ -46,6 +46,100 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PruneColumnsThroughAsOfJoin)
     ext.injectOptimizerRule(sp => RewriteCosineThresholdJoin(sp))
     ext.injectOptimizerRule(sp => RewriteJaccardThresholdJoin(sp))
+    ext.injectOptimizerRule(sp => RewriteHammingThresholdJoin(sp))
+  }
+}
+
+/** OPT-IN rewrite of a declarative Hamming-distance join into its
+  * banded physical shape — the third of the similarity-join trio, and
+  * the only one whose predicate is PURE BUILTINS: an inner join whose
+  * condition contains `bit_count(a ^ b) <= k` (one 64-bit signature
+  * per side — SimHash, dHash, any locality-sensitive long) becomes a
+  * hash equi-join on 8 × 8-bit band keys, the original condition kept
+  * as the residual filter. A pair colliding in several bands is
+  * emitted exactly once, at its smallest shared band.
+  *
+  * STRICT equivalence by the pigeonhole principle whenever the
+  * effective threshold is < 8 (a pair within Hamming k < bands must
+  * agree on some whole band); joins with k ≥ 8 are left alone rather
+  * than silently losing recall. Opt-in:
+  * `spark.graft.hammingRewrite.enabled=true`. */
+case class RewriteHammingThresholdJoin(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  private val bands = 8
+  private val bandBits = 8
+  private val bandMask = 255L
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf
+        .get("spark.graft.hammingRewrite.enabled", "false").toBoolean) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if !cond.references.exists(_.name.startsWith("__graft_")) =>
+        hammingParts(cond, left, right)
+          .map { case (a, b) => rewrite(j, a, b) }
+          .getOrElse(j)
+    }
+  }
+
+  /** (leftSig, rightSig) of the first conjunct shaped
+    * `bit_count(x ^ y) <= k` / `< k` with long signatures splitting
+    * cleanly across the join inputs and an effective threshold the
+    * banding covers exactly (k_eff in [0, bands)). */
+  private def hammingParts(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression)] = {
+    def sides(x: Expression, y: Expression, kEff: Int)
+        : Option[(Expression, Expression)] =
+      if (kEff < 0 || kEff >= bands ||
+          x.dataType != LongType || y.dataType != LongType) None
+      else if (x.references.subsetOf(left.outputSet) &&
+          y.references.subsetOf(right.outputSet)) Some((x, y))
+      else if (y.references.subsetOf(left.outputSet) &&
+          x.references.subsetOf(right.outputSet)) Some((y, x))
+      else None
+    splitConjunctivePredicates(cond).iterator.flatMap {
+      case LessThanOrEqual(BitwiseCount(BitwiseXor(x, y)),
+          Literal(k, IntegerType)) =>
+        sides(x, y, k.asInstanceOf[Int])
+      case LessThan(BitwiseCount(BitwiseXor(x, y)),
+          Literal(k, IntegerType)) =>
+        sides(x, y, k.asInstanceOf[Int] - 1)
+      case _ => None
+    }.nextOption()
+  }
+
+  private def rewrite(j: Join, aSig: Expression,
+      bSig: Expression): LogicalPlan = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.bridge
+    def banded(plan: LogicalPlan, sigE: Expression, side: String) =
+      bridge.ofRows(spark, plan)
+        .withColumn(s"__graft_hsig_$side", bridge.toColumn(sigE))
+        .withColumn(s"__graft_bk_$side",
+          explode(array((0 until bands).map(bb =>
+            struct(lit(bb).as("band"),
+              shiftright(col(s"__graft_hsig_$side"), bb * bandBits)
+                .bitwiseAND(bandMask).as("key"))): _*)))
+        .withColumn(s"__graft_band_$side", col(s"__graft_bk_$side.band"))
+        .withColumn(s"__graft_key_$side", col(s"__graft_bk_$side.key"))
+    val lb = banded(j.left, aSig, "l")
+    val rb = banded(j.right, bSig, "r")
+    // canonical band: emit a pair only at its smallest shared band
+    val noEarlier = expr(
+      s"""__graft_band_l = 0 OR NOT exists(
+         |  sequence(0, __graft_band_l - 1),
+         |  b -> (shiftright(__graft_hsig_l, b * $bandBits) & $bandMask)
+         |     = (shiftright(__graft_hsig_r, b * $bandBits) & $bandMask))"""
+        .stripMargin)
+    val joined = lb.join(rb,
+        col("__graft_band_l") === col("__graft_band_r") &&
+          col("__graft_key_l") === col("__graft_key_r") &&
+          noEarlier &&
+          bridge.toColumn(j.condition.get),
+        "inner")
+      .select((j.left.output ++ j.right.output)
+        .map(a => bridge.toColumn(a)): _*)
+    bridge.planOf(joined)
   }
 }
 

@@ -1891,6 +1891,31 @@ object SparkEntry {
     finally s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
   }
 
+  private def qJoinHammingThreshold(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The third declarative similarity join, and the only one whose
+    // predicate is PURE BUILTINS: the user writes
+    // bit_count(sig_a ^ sig_b) <= 3 over 64-bit SimHash signatures;
+    // the opt-in RewriteHammingThresholdJoin replans it as the 8×8-bit
+    // banded equi-join with exactly-once canonical-band emission — a
+    // STRICT equivalence by pigeonhole (3 < 8 bands), so the oracle is
+    // the naive full pairwise Hamming join.
+    import graft.functions.VectorFunctions.simhash64
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      simhash64(TextFunctions.tokens(col("text"))).as("sig"))
+    val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val df = a.join(b,
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3 &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .orderBy("id_a", "id_b")
+    s.conf.set("spark.graft.hammingRewrite.enabled", "true")
+    try df.localCheckpoint(true)
+    finally s.conf.set("spark.graft.hammingRewrite.enabled", "false")
+  }
+
   private def qStreamMinhashPairs(s: SparkSession, dir: String)
       : DataFrame = {
     // A REAL streaming run through the driver gate: the documents table
@@ -2357,6 +2382,50 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  private def qGraphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    // Community detection by synchronous label propagation over a
+    // deterministic "caveman" graph on the document ids: blocks of 50
+    // wired by local chains (i±1, i±2), a per-block hub, and weak
+    // hub-to-hub bridges. Four pinned rounds with the (count desc,
+    // label asc) tie-break make the labels a pure function of the
+    // graph — the oracle unrolls the identical rounds.
+    val ids = t(s, dir, "documents").select(col("doc_id").as("i"))
+    val mDf = ids.agg(max(col("i")).as("m"))
+    val withM = ids.crossJoin(broadcast(mDf))
+    val sameBlock = (o: Int) =>
+      expr(s"(i div 50) = ((i + $o) div 50)") && col("i") + o <= col("m")
+    val und0 = withM.filter(sameBlock(1))
+      .select(col("i").as("a"), (col("i") + 1).as("b"))
+      .unionByName(withM.filter(sameBlock(2))
+        .select(col("i").as("a"), (col("i") + 2).as("b")))
+      .unionByName(withM.filter(col("i") % 50 =!= 0)
+        .select(col("i").as("a"), expr("(i div 50) * 50").as("b")))
+      .unionByName(withM
+        .filter(col("i") % 50 === 0 && col("i") + 50 <= col("m"))
+        .select(col("i").as("a"), (col("i") + 50).as("b")))
+    val und = und0.select(least(col("a"), col("b")).as("a"),
+      greatest(col("a"), col("b")).as("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.Graph.labelPropagation(
+        ids.select(col("i").as("id")), edges, iters = 4)
+      .orderBy("id")
+  }
+
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame =
+    // Cohort retention matrix — the longitudinal product-analytics
+    // view: users keyed by first-activity date, activity counted per
+    // (cohort, day offset). Day arithmetic is exact integers.
+    graft.operators.TimeSeries.retentionCohorts(t(s, dir, "events"))
+      .orderBy("cohort_day", "day_offset")
+
+  private def qEventsFunnelSteps(s: SparkSession, dir: String): DataFrame =
+    // Ordered funnel attribution: signup → first view ≥ signup →
+    // first purchase ≥ that view; each stage one per-user row, nulls
+    // where the funnel stalls.
+    graft.operators.TimeSeries.funnelSteps(t(s, dir, "events"))
+      .orderBy("user_id")
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     // Sequence packing manifest (concat-then-chunk): the corpus cut
     // into 128-token training sequences across 8 independent
@@ -2615,6 +2684,7 @@ object SparkEntry {
     "sim_topk_ivfpq" -> (qSimIvfPq _),
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
     "join_jaccard_threshold" -> (qJoinJaccardThreshold _),
+    "join_hamming_threshold" -> (qJoinHammingThreshold _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
     "multimodal_png" -> (qMultimodalPng _),
@@ -2630,6 +2700,9 @@ object SparkEntry {
     "curation_url_dedup" -> (qCurationUrlDedup _),
     "graph_pagerank" -> (qGraphPagerank _),
     "graph_triangles" -> (qGraphTriangles _),
+    "graph_label_prop" -> (qGraphLabelProp _),
+    "events_retention" -> (qEventsRetention _),
+    "events_funnel_steps" -> (qEventsFunnelSteps _),
     "agg_incremental" -> (qAggIncremental _),
     "agg_incremental_quantile" -> (qAggIncrementalQuantile _),
     "agg_incremental_distinct" -> (qAggIncrementalDistinct _),
@@ -3296,6 +3369,76 @@ object SparkEntry {
         |      // (d.degree * (d.degree - 1)) AS BIGINT) END AS coeff_micros
         |FROM deg d LEFT JOIN corners c ON c.node = d.node
         |ORDER BY d.node""".stripMargin,
+    // Label propagation: the caveman graph and all four synchronous
+    // rounds (count desc / label asc tie-break as a row_number) are
+    // replayed verbatim.
+    "graph_label_prop" -> {
+      def round(k: Int): String =
+        s"""c$k AS (
+           |  SELECT e.src AS nid, p.lbl, count(*) AS cnt
+           |  FROM edges e JOIN l${k - 1} p ON p.id = e.dst
+           |  GROUP BY 1, 2),
+           |b$k AS (
+           |  SELECT nid, lbl AS nbl FROM (
+           |    SELECT nid, lbl, row_number() OVER (
+           |      PARTITION BY nid ORDER BY cnt DESC, lbl) AS rn
+           |    FROM c$k) WHERE rn = 1),
+           |l$k AS (
+           |  SELECT p.id, coalesce(b.nbl, p.lbl) AS lbl
+           |  FROM l${k - 1} p LEFT JOIN b$k b ON b.nid = p.id)"""
+      s"""WITH ids AS (SELECT doc_id AS i FROM documents),
+         |mm AS (SELECT max(i) AS m FROM ids),
+         |und0 AS (
+         |  SELECT i AS a, i + 1 AS b FROM ids, mm
+         |    WHERE i + 1 <= m AND (i // 50) = ((i + 1) // 50)
+         |  UNION ALL SELECT i, i + 2 FROM ids, mm
+         |    WHERE i + 2 <= m AND (i // 50) = ((i + 2) // 50)
+         |  UNION ALL SELECT i, (i // 50) * 50 FROM ids WHERE i % 50 <> 0
+         |  UNION ALL SELECT i, i + 50 FROM ids, mm
+         |    WHERE i % 50 = 0 AND i + 50 <= m),
+         |und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         |        FROM und0),
+         |edges AS (SELECT a AS src, b AS dst FROM und
+         |          UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT i AS id, i AS lbl FROM ids),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id, lbl FROM l4 ORDER BY id""".stripMargin
+    },
+    // Retention: day arithmetic in exact integer days, the (user,
+    // day) de-dup before the join exactly as the engine does it.
+    "events_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |ad AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |       FROM events)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER)
+        |    AS day_offset,
+        |  count(*) AS n_users
+        |FROM ad a JOIN fd f ON f.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Funnel attribution: each stage's min-timestamp conditioning on
+    // the previous stage replayed as correlated aggregations.
+    "events_funnel_steps" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS first_view_ts
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= s.signup_ts
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.first_view_ts
+        |  GROUP BY 1)
+        |SELECT s.user_id, s.signup_ts, v.first_view_ts,
+        |  p.first_purchase_ts
+        |FROM s LEFT JOIN v ON v.user_id = s.user_id
+        |LEFT JOIN p ON p.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
     // Histogram-quantile maintenance: bins, running counts, the
     // integer rank threshold and the bin-upper-edge estimate are all
     // exact integer replays; exact rank quantiles come from the same
@@ -4215,6 +4358,22 @@ object SparkEntry {
     // votes and signature re-packed, then banding / capping / Hamming
     // recomputed — the complete simhash pipeline independently in
     // DuckDB.
+    // Strict-equivalence oracle for the Hamming rewrite: the NAIVE
+    // full pairwise join — the banded replan must return exactly it.
+    "join_hamming_threshold" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |      ' '),
+         |    t -> strlen(t) > 0)) AS w
+         |  FROM documents),
+         |$simhashSigSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim_sig, b.sim_sig)) AS INTEGER)
+         |    AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim_sig, b.sim_sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(list_filter(

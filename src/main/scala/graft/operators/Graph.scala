@@ -128,4 +128,46 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Synchronous label propagation (community detection), fixed
+    * iteration count, DETERMINISTIC tie-break: each round every node
+    * adopts the most frequent label among its in-neighbors, ties
+    * broken by the smallest label; isolated nodes keep their own.
+    * Classic async LPA is run-order-dependent and can never
+    * hash-match a replay — synchronous rounds with a pinned tie-break
+    * make the result a pure function of (graph, iters), so an
+    * external oracle unrolls the identical rounds. Per round: one
+    * label join + one (node, label) count + one argmax — all
+    * key-partitioned on the node id, localCheckpointed like
+    * [[pageRank]] so lineage stays constant. `edges` is directed
+    * (src ← adopts from → dst); pass both directions for the usual
+    * undirected semantics. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id").cast("long"))
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val counts = e
+        .join(labels.select(col("id"), col("lbl")),
+          e("dst") === col("id"))
+        .groupBy(e("src").as("nid"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (count desc, label asc) via lexicographic struct min
+      val best = counts
+        .groupBy("nid")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+          .as("b"))
+        .select(col("nid").as("id"), col("b.l").as("nbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels
+  }
 }

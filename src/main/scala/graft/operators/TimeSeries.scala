@@ -164,4 +164,49 @@ object TimeSeries {
       .select("user_id", "event_type", "valid_from", "valid_to",
         "is_current", "n_events", "first_event_id")
   }
+
+  /** Cohort retention matrix: users grouped by their FIRST activity
+    * date, then for each (cohort_day, day_offset) the number of
+    * cohort members active that day. Two key-partitioned shuffles
+    * (per-user first day, then the distinct activity-day count); the
+    * (user, day) de-dup happens before the join, so the final count
+    * is a plain `count(*)` — no distinct aggregate over the wide
+    * side. The standard product-analytics longitudinal view. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    // days as midnight TIMESTAMPs, not DATEs — the one temporal type
+    // that round-trips identically through parquet and both engines
+    val firstDay = events.groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered funnel attribution: for each signed-up user, the FIRST
+    * view at-or-after signup, then the FIRST purchase at-or-after
+    * that view — each step conditioned on the previous one landing,
+    * nulls where the funnel stalls. Three per-user aggregations
+    * sharing the user_id partitioning; no window over raw events, no
+    * cross-step explosion (each stage carries one row per user). */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val view = events.filter(col("event_type") === "view")
+      .join(signup, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_view_ts"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .join(view, "user_id")
+      .filter(col("ts") >= col("first_view_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_purchase_ts"))
+    signup
+      .join(view, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("first_view_ts"),
+        col("first_purchase_ts"))
+  }
 }

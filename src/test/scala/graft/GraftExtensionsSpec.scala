@@ -282,6 +282,55 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hamming-threshold join rewrites to a banded equi-join, exactly") {
+    withExtSession { s =>
+      import s.implicits._
+      // literal signatures — the rule matches ANY long sides, no
+      // coupling to how the signature was produced
+      val sigs = Seq(
+        (1L, 0L),
+        (2L, 7L),                  // hamming 3 from id 1
+        (3L, 0L),                  // exact dup of id 1
+        (4L, 0x0f0f0f0f0f0f0f0fL)) // far from everything
+        .toDF("id", "sig")
+      val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+      def q = a.join(b,
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+
+      s.conf.set("spark.graft.hammingRewrite.enabled", "false")
+      val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+
+      s.conf.set("spark.graft.hammingRewrite.enabled", "true")
+      val rewritten = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"expected a banded equi join:\n$plan")
+      // STRICT equivalence (pigeonhole, 3 < 8 bands): same pairs,
+      // each exactly once via the canonical-band conjunct
+      assert(rewritten === exact)
+      assert(exact === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+
+      // k >= bands would lose recall — must be left unrewritten
+      def wide = a.join(b,
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 9 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      assert(wide.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(wide.count() === 3L)
+      s.conf.unset("spark.graft.hammingRewrite.enabled")
+    }
+  }
+
   test("left-side filter is pushed below the as-of join node") {
     withExtSession { s =>
       // parquet-backed inputs: a pushed filter stays visible as a Filter

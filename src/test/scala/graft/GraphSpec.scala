@@ -132,6 +132,62 @@ class GraphSpec extends AnyFunSuite {
     nodes.foreach(v => assert(got(v) === ((4L, 6L))))
   }
 
+  /** Sequential replay of the synchronous LPA update rule. */
+  private def referenceLpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    var labels = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      val next = nodes.map { v =>
+        val nbrLabels = edges.collect { case (s, d) if s == v => labels(d) }
+        if (nbrLabels.isEmpty) v -> labels(v)
+        else {
+          val counts = nbrLabels.groupBy(identity).view
+            .mapValues(_.size.toLong).toMap
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+      labels = next
+    }
+    labels
+  }
+
+  test("labelPropagation matches the sequential reference, and two " +
+      "cliques with one bridge settle into two communities") {
+    val cliqueA = for (a <- 1L to 5L; b <- 1L to 5L if a != b) yield (a, b)
+    val cliqueB = for (a <- 11L to 15L; b <- 11L to 15L if a != b) yield (a, b)
+    val bridge = Seq((5L, 11L), (11L, 5L))
+    val nodes = ((1L to 5L) ++ (11L to 15L)).toSeq
+    val edges = (cliqueA ++ cliqueB ++ bridge).toSeq
+    val got = Graph.labelPropagation(
+        nodes.toDF("id"), edges.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceLpa(nodes, edges, 4))
+    // each clique converges onto one label, and they differ
+    assert((1L to 5L).map(got).toSet.size === 1)
+    assert((11L to 15L).map(got).toSet.size === 1)
+    assert(got(1L) !== got(15L))
+  }
+
+  test("labelPropagation is layout-invariant and respects iters=1 " +
+      "(one round = most frequent neighbor label)") {
+    val nodes = (1L to 12L).toSeq
+    val edges = nodes.flatMap(i =>
+      Seq((i, i % 12 + 1), (i % 12 + 1, i), (i, (i * 5) % 12 + 1)))
+    val once = Graph.labelPropagation(
+        nodes.toDF("id"), edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Graph.labelPropagation(
+        nodes.toDF("id").repartition(5),
+        edges.toDF("src", "dst").repartition(3), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(once === again)
+    assert(once === referenceLpa(nodes, edges, 3))
+    val one = Graph.labelPropagation(
+        nodes.toDF("id"), edges.toDF("src", "dst"), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === referenceLpa(nodes, edges, 1))
+  }
+
   test("guards: empty node set and out-of-range iteration count throw") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(Seq.empty[Long].toDF("id"),

@@ -136,4 +136,40 @@ class TimeSeriesSpec extends AnyFunSuite {
         .filter(lhs("n") =!= rhs("n")).count() === 0L)
     } finally runs.unpersist()
   }
+
+  test("retentionCohorts: day-0 counts the whole cohort, offsets are " +
+      "non-negative, and per-offset counts never exceed day 0") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+    val r = TimeSeries.retentionCohorts(events)
+    assert(r.filter(col("day_offset") < 0).count() === 0L)
+    val day0 = r.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("c0"))
+    // every user is active on their own first day, so day-0 rows
+    // exist for every cohort and later offsets can only shrink
+    val cohorts = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("n"))
+    assert(day0.join(cohorts, "cohort_day")
+      .filter(col("c0") =!= col("n")).count() === 0L)
+    assert(r.join(day0, "cohort_day")
+      .filter(col("n_users") > col("c0")).count() === 0L)
+  }
+
+  test("funnelSteps: stage timestamps are monotone and stalls are null") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, TestSpark.sfDir, "events")
+    val f = TimeSeries.funnelSteps(events)
+    // one row per signed-up user
+    assert(f.count() ===
+      events.filter(col("event_type") === "signup")
+        .select("user_id").distinct().count())
+    assert(f.filter(col("first_view_ts") < col("signup_ts"))
+      .count() === 0L)
+    assert(f.filter(col("first_purchase_ts") < col("first_view_ts"))
+      .count() === 0L)
+    // a purchase can never be attributed without a view step
+    assert(f.filter(col("first_view_ts").isNull &&
+      col("first_purchase_ts").isNotNull).count() === 0L)
+  }
 }
