@@ -32,6 +32,7 @@ object Bench {
     "dedup_minhash_lsh",
     "dedup_minhash_index_merge",
     "dedup_simhash",
+    "dedup_phash",
     "dedup_ngram_jaccard",
     "pipeline_clean_corpus",
     "sim_topk_bruteforce",

@@ -1891,6 +1891,16 @@ object SparkEntry {
     finally s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
   }
 
+  private def qDedupSortedNbr(s: SparkSession, dir: String): DataFrame =
+    // Blocked sorted-neighborhood dedup — the sort-based blocking
+    // strategy next to the hash-based families: one block-keyed
+    // window, candidates are the next 3 docs in normalized-text sort
+    // order, verification is exact 8-gram Jaccard in the scan stage.
+    // The oracle replays the same window (lead 1..3 per block) and
+    // verifies candidates with the string-gram Jaccard formula.
+    graft.operators.Dedup.sortedNeighborhoodPairs(
+      t(s, dir, "documents"))
+
   private def qJoinHammingThreshold(s: SparkSession, dir: String)
       : DataFrame = {
     // The third declarative similarity join, and the only one whose
@@ -2685,6 +2695,7 @@ object SparkEntry {
     "join_cosine_threshold" -> (qCosineThresholdJoin _),
     "join_jaccard_threshold" -> (qJoinJaccardThreshold _),
     "join_hamming_threshold" -> (qJoinHammingThreshold _),
+    "dedup_sorted_nbr" -> (qDedupSortedNbr _),
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
     "multimodal_png" -> (qMultimodalPng _),
@@ -4358,6 +4369,46 @@ object SparkEntry {
     // votes and signature re-packed, then banding / capping / Hamming
     // recomputed — the complete simhash pipeline independently in
     // DuckDB.
+    // Sorted-neighborhood: identical block key, identical per-block
+    // lead window, candidates verified with the string-gram Jaccard.
+    "dedup_sorted_nbr" ->
+      """WITH nt AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |bl AS (SELECT doc_id, text, k, substr(k, 1, 4) AS block FROM nt),
+        |nbr AS (
+        |  SELECT doc_id,
+        |    lead(doc_id, 1) OVER w AS n1,
+        |    lead(doc_id, 2) OVER w AS n2,
+        |    lead(doc_id, 3) OVER w AS n3
+        |  FROM bl
+        |  WINDOW w AS (PARTITION BY block ORDER BY k, doc_id)),
+        |cand AS (
+        |  SELECT DISTINCT least(doc_id, nb) AS id_a,
+        |    greatest(doc_id, nb) AS id_b
+        |  FROM (SELECT doc_id, unnest([n1, n2, n3]) AS nb FROM nbr)
+        |  WHERE nb IS NOT NULL),
+        |gr AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN length(k) >= 8
+        |      THEN list_transform(generate_series(1, length(k) - 7),
+        |                          i -> substr(k, i, 8))
+        |      ELSE [k] END) AS g
+        |    FROM nt) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+        |common AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_common
+        |  FROM cand c
+        |  JOIN gr ga ON ga.doc_id = c.id_a
+        |  JOIN gr gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b FROM common
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE)
+        |  / CAST(na.n + nb.n - n_common AS DOUBLE) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
     // Strict-equivalence oracle for the Hamming rewrite: the NAIVE
     // full pairwise join — the banded replan must return exactly it.
     "join_hamming_threshold" ->

@@ -585,6 +585,48 @@ object Dedup {
     pairs
   }
 
+  /** Blocked sorted-neighborhood near-dup pairs — the classic entity-
+    * resolution blocking strategy, complementing the hash-based
+    * families: sort the corpus by its normalized text, compare each
+    * document only against the next `windowSize − 1` documents in sort
+    * order, verify candidates with exact n-gram Jaccard. Duplicates
+    * with long shared prefixes land adjacent after sorting, so the
+    * candidate volume is O(n · windowSize) regardless of corpus size —
+    * no signature computation at all.
+    *
+    * Distribution: a GLOBAL sorted window would serialize the corpus
+    * through one partition, so the sort is keyed by a `blockChars`
+    * prefix of the normalized text — the window runs per block
+    * (hash-partitioned, ordered within), which is the standard
+    * blocked-SN hybrid: pairs whose keys diverge within the first
+    * `blockChars` characters are out of reach anyway (they can't be
+    * sort-adjacent at any realistic corpus size), so blocking costs
+    * recall only at block boundaries, and the block key is the
+    * shuffle key. One exchange; verification is a scan-stage
+    * expression over the windowed candidates. */
+  def sortedNeighborhoodPairs(docs: DataFrame, n: Int = 8,
+      threshold: Double = 0.7, windowSize: Int = 4,
+      blockChars: Int = 4): DataFrame = {
+    require(windowSize >= 2 && windowSize <= 64 && blockChars >= 1,
+      "need windowSize in [2, 64] and blockChars >= 1")
+    val keyed = docs
+      .select(col("doc_id"), normalize(col("text")).as("k"), col("text"))
+      .withColumn("block", substring(col("k"), 1, blockChars))
+    val w = Window.partitionBy("block").orderBy("k", "doc_id")
+    val cands = keyed
+      .withColumn("nbrs", array((1 until windowSize).map(i =>
+        lead(struct(col("doc_id").as("id"), col("text").as("t")), i)
+          .over(w)): _*))
+      .select(col("doc_id"), col("text"), explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+    finalizePairs(cands
+      .filter(text_jaccard(col("text"), col("nb.t"), n) >= threshold)
+      .select(least(col("doc_id"), col("nb.id")).as("id_a"),
+        greatest(col("doc_id"), col("nb.id")).as("id_b"))
+      .distinct(),
+      "id_a", "id_b")
+  }
+
   /** Character-n-gram Jaccard near-dup pairs with EXACT-recall candidate
     * generation by prefix filtering (AllPairs / PPJoin, Bayardo et al.
     * WWW'07): each doc's gram set is sorted by the canonical global

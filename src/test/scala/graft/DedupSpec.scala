@@ -196,4 +196,32 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2L)._1 === 1L && r(2L)._2)
     if (r.contains(3L)) assert(!r(3L)._2)
   }
+
+  test("sorted-neighborhood: sort-adjacent near-dups pair, far texts " +
+      "and out-of-window neighbors don't") {
+    import spark.implicits._
+    val base = "shared long prefix about distributed query engines " +
+      "and catalyst optimizer rules in production pipelines"
+    val docs = Seq(
+      (1L, base + " alpha"),
+      (2L, base + " alpha"),            // exact dup of 1 — adjacent
+      (3L, base + " beta variant"),     // near-dup, 2 steps away at most
+      (4L, "completely unrelated short text about gardens"),
+      // same 4-char block as 1-3 ("shar") but far jaccard
+      (5L, "shared nothing architecture discussion of other matters " +
+        "entirely different content body"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs,
+        n = 8, threshold = 0.7, windowSize = 4, blockChars = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // finalizePairs materializes eagerly — the returned frame is a
+    // constant-size checkpoint scan like the other pair operators
+    val plan = Dedup.sortedNeighborhoodPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), plan)
+  }
 }

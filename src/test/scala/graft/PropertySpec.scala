@@ -468,4 +468,104 @@ class PropertySpec extends AnyFunSuite {
         s"iteration $it seqLen=$seqLen nShards=$nShards")
     }
   }
+
+  test("pageRank ≡ the sequential floor-division reference on random " +
+      "graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    (1 to 3).foreach { it =>
+      val n = 8 + rnd.nextInt(12)
+      val nodes = (1L to n.toLong).toSeq
+      val edges = (0 until n * 3).map(_ =>
+          (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }.distinct
+      val iters = 1 + rnd.nextInt(4)
+      val got = graft.operators.Graph.pageRank(
+          nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential replay of the documented rule
+      val scale = 1000000000000L
+      val base = 15L * scale / (100L * n)
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var ranks = nodes.map(_ -> scale / n).toMap
+      for (_ <- 1 to iters) {
+        val inflow = edges.map { case (s, d) => d -> ranks(s) / outdeg(s) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        ranks = nodes.map(v =>
+          v -> (base + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+      }
+      assert(got === ranks, s"iteration $it n=$n iters=$iters")
+    }
+  }
+
+  test("histogram quantile state: merge ≡ cold and the envelope holds " +
+      "on random corpora and bin widths") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { it =>
+      val n = 40 + rnd.nextInt(60)
+      val docs = (0L until n.toLong).map { i =>
+        val toks = rnd.nextInt(200) // < binWidth·nBins for any draw below
+        (i, Seq.fill(toks)("w").mkString(" "),
+          s"src${rnd.nextInt(3)}")
+      }.toDF("doc_id", "text", "source")
+      val binWidth = 4 + rnd.nextInt(28)
+      val nBins = 64
+      val dir = s"/tmp/graft-prop-hist-${java.util.UUID.randomUUID()}"
+      val cut = rnd.nextInt(3) + 2
+      IncrementalAgg.writeHistState(
+        docs.filter(col("doc_id") % cut =!= 0), dir, binWidth, nBins)
+      val merged = IncrementalAgg.mergeHistIncrement(spark, dir,
+        docs.filter(col("doc_id") % cut === 0), binWidth, nBins)
+      val cold = IncrementalAgg.histState(docs, binWidth, nBins)
+      assert(merged.exceptAll(cold).count() === 0L &&
+        cold.exceptAll(merged).count() === 0L, s"iteration $it")
+      val pbp = Seq(2500, 5000, 9000)(rnd.nextInt(3))
+      val est = IncrementalAgg.histQuantiles(merged, binWidth, Seq(pbp))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val vals = docs
+        .select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      vals.foreach { case (src, vs) =>
+        val exact = vs(((pbp.toLong * vs.size + 9999) / 10000 - 1).toInt)
+        val upper = est(src)
+        assert(exact >= upper - binWidth && exact < upper,
+          s"iteration $it src=$src pbp=$pbp width=$binWidth")
+      }
+    }
+  }
+
+  test("canonicalUrl collapses every random noise rendering of one " +
+      "resource to one key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    (1 to 3).foreach { it =>
+      val host = s"ex${rnd.nextInt(10)}.example.org"
+      val path = s"/a/${rnd.nextInt(100)}"
+      val realQ = if (rnd.nextBoolean()) s"?id=${rnd.nextInt(9)}" else ""
+      val variants = (0 until 12).map { _ =>
+        val scheme = Seq("https://", "http://", "HTTPS://", "Http://")(
+          rnd.nextInt(4))
+        val www = if (rnd.nextBoolean()) "www." else ""
+        val hostCase = if (rnd.nextBoolean()) host.toUpperCase else host
+        val port = if (rnd.nextBoolean()) ":443" else ""
+        val slash = if (rnd.nextBoolean()) "/" else "" // "/?": collapsed
+        val utm =
+          if (!rnd.nextBoolean()) ""
+          else if (realQ.nonEmpty) "&utm_src=x"
+          else "?utm_src=x"
+        val frag = if (rnd.nextBoolean()) s"#s${rnd.nextInt(99)}" else ""
+        s"$scheme$www$hostCase$port$path$slash$realQ$utm$frag"
+      }
+      val keys = variants.toDF("u")
+        .select(graft.functions.TextFunctions
+          .canonicalUrl(col("u")).as("c"))
+        .collect().map(_.getString(0)).toSet
+      assert(keys === Set(host + path + realQ), s"iteration $it: $keys")
+    }
+  }
 }
