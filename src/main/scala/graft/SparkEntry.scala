@@ -2563,6 +2563,27 @@ object SparkEntry {
     // leading/trailing gaps stay null (no extrapolation).
     graft.operators.TimeSeries.interpolateHourly(t(s, dir, "events"))
 
+  private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
+    // Declarative data-quality gate (the Deequ / Great-Expectations
+    // shape): the check list is DATA, compiled into as few passes as
+    // the mix allows — every row-level check shares ONE conditional-sum
+    // aggregate over one scan, uniqueness adds a distinct-count,
+    // referential integrity an anti-join. All metrics are exact BIGINT
+    // violation counts, so the report is oracle-reproducible.
+    import graft.operators.Checks._
+    val orders = t(s, dir, "orders")
+    run(orders, Seq(
+      NotNull("o_orderdate"),
+      InRange("o_totalprice", 0.0, 400000.0),
+      Satisfies("status_known",
+        col("o_orderstatus").isin("O", "F", "P")),
+      Unique(Seq("o_orderkey")),
+      ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .select(col("check").as("check_name"), col("n_rows"),
+        col("violations"), col("passed"))
+      .orderBy("check_name")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity (SURVEY §2)
@@ -2734,6 +2755,7 @@ object SparkEntry {
     "agg_corr_exact" -> (qAggCorrExact _),
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
+    "checks_constraints" -> (qChecksConstraints _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5371,6 +5393,41 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // One branch per declared check — the naive per-check formulation
+    // the engine's one-scan shared aggregate must reproduce exactly.
+    "checks_constraints" ->
+      """SELECT check_name, n_rows, violations,
+        |  violations = 0 AS passed
+        |FROM (
+        |  SELECT 'not_null(o_orderdate)' AS check_name,
+        |    count(*) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,0.0,400000.0)', count(*),
+        |    CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL
+        |      OR o_totalprice < 0.0 OR o_totalprice > 400000.0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'satisfies(status_known)', count(*),
+        |    CAST(coalesce(sum(CASE WHEN coalesce(
+        |      o_orderstatus IN ('O', 'F', 'P'), FALSE)
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', count(*),
+        |    count(*) - count(DISTINCT o_orderkey)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'foreign_key(o_custkey)',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_custkey IS NOT NULL
+        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |)
+        |ORDER BY check_name""".stripMargin,
     // The builtin session_window must produce the SAME sessions as the
     // lag/cumsum derivation: start = first event, end = last + gap.
     // boundary: session_window is HALF-OPEN [start, last+gap) — an
