@@ -2563,6 +2563,28 @@ object SparkEntry {
     // leading/trailing gaps stay null (no extrapolation).
     graft.operators.TimeSeries.interpolateHourly(t(s, dir, "events"))
 
+  private def qFeatHashing(s: SparkSession, dir: String): DataFrame =
+    // Hashing-trick text features (Weinberger et al. 2009): feat_idx =
+    // FNV-1a(token UTF-8 bytes) mod dim, sign = the hash's top bit, so
+    // no vocabulary pass and no driver state. Scan-stage hashing; the
+    // one shuffle is the map-side-combined (doc, idx) aggregate. The
+    // oracle folds the SAME bytes through the SAME multiply-xor in
+    // HUGEINT SQL — every weight is re-derived bit-for-bit.
+    graft.operators.Features
+      .hashedTokenFeatures(t(s, dir, "documents"), dim = 256)
+      .orderBy("doc_id", "feat_idx")
+
+  private def qFeatBinning(s: SparkSession, dir: String): DataFrame =
+    // Equal-frequency discretization + min-max scaling WITHOUT a
+    // global sort: cutpoints are one bounded exact-percentile
+    // aggregate broadcast back (the agg_percentiles-proven portable
+    // percentile), bucket assignment is scan-stage arithmetic —
+    // deliberately not ntile(), which would demand a single-partition
+    // window. Boundary ties never split buckets.
+    graft.operators.Features
+      .quantileBins(t(s, dir, "orders"), "o_totalprice", buckets = 10)
+      .orderBy("bucket")
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2756,6 +2778,8 @@ object SparkEntry {
     "profile_numeric" -> (qProfileNumeric _),
     "user_profiles" -> (qUserProfiles _),
     "checks_constraints" -> (qChecksConstraints _),
+    "feat_hashing" -> (qFeatHashing _),
+    "feat_binning" -> (qFeatBinning _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5392,6 +5416,58 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
+    },
+    // The hashing-trick features, re-derived from scratch: the SAME
+    // UTF-8 bytes folded through the SAME FNV-1a multiply-xor in
+    // HUGEINT arithmetic (list_reduce seeded with the offset basis),
+    // then signed index/sign extraction and the sparse aggregation.
+    "feat_hashing" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(generate_series(1, strlen(tok)),
+        |        i -> (strpos('123456789ABCDEF',
+        |                substring(hex(encode(tok)), 2*i-1, 1)) * 16
+        |            + strpos('123456789ABCDEF',
+        |                substring(hex(encode(tok)), 2*i, 1)))::HUGEINT)),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211)
+        |                  % 18446744073709551616) AS h
+        |  FROM tk),
+        |sg AS (SELECT doc_id,
+        |    CASE WHEN h >= 9223372036854775808
+        |      THEN h - 18446744073709551616 ELSE h END AS s
+        |  FROM hb)
+        |SELECT doc_id,
+        |  CAST(((s % 256) + 256) % 256 AS BIGINT) AS feat_idx,
+        |  CAST(sum(CASE WHEN s < 0 THEN -1 ELSE 1 END) AS BIGINT)
+        |    AS weight
+        |FROM sg GROUP BY doc_id, feat_idx
+        |HAVING sum(CASE WHEN s < 0 THEN -1 ELSE 1 END) <> 0
+        |ORDER BY doc_id, feat_idx""".stripMargin,
+    // Cutpoints re-derived with quantile_cont (bit-compatible with
+    // Spark's exact percentile — established by agg_percentiles),
+    // bucket arithmetic and scaled ranges recomputed per branch.
+    "feat_binning" -> {
+      val cuts = (1 to 9).map(i =>
+        s"quantile_cont(v, 0.$i) AS c$i").mkString(", ")
+      val bucket = (1 to 9).map(i =>
+        s"(CASE WHEN v > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH vals AS (
+         |  SELECT o_totalprice AS v FROM orders
+         |  WHERE o_totalprice IS NOT NULL),
+         |c AS (SELECT min(v) AS gmin, max(v) AS gmax, $cuts FROM vals),
+         |b AS (SELECT v, gmin, gmax,
+         |    CAST(1 + $bucket AS BIGINT) AS bucket
+         |  FROM vals, c)
+         |SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi,
+         |  min((v - gmin) / (gmax - gmin)) AS lo_scaled,
+         |  max((v - gmin) / (gmax - gmin)) AS hi_scaled
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     },
     // One branch per declared check — the naive per-check formulation
     // the engine's one-scan shared aggregate must reproduce exactly.

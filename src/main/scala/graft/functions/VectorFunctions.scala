@@ -344,6 +344,50 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** FNV-1a 64-bit over the string's UTF-8 BYTES (not chars) — the
+    * hashing-trick featurizer's hash. Byte-level so any engine that
+    * can enumerate UTF-8 bytes re-derives it exactly (the DuckDB
+    * oracle folds the same bytes through the same multiply-xor);
+    * deterministic across sessions and partitionings. Empty string
+    * hashes to the FNV offset basis, null → null. */
+  case class Fnv1a64Bytes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xff).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |byte[] $b = $v.getBytes();
+           |long $h = 0xcbf29ce484222325L;
+           |for (int $i = 0; $i < $b.length; $i++) {
+           |  $h ^= ($b[$i] & 0xffL);
+           |  $h *= 0x100000001b3L;
+           |}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All `k` MinHash values of a 64-bit element array in one pass:
     * output[i] = min over elements e of xxhash64(e, seed = i). Replaces
     * the explode → k×min-agg formulation, which shuffled every shingle
@@ -1370,6 +1414,8 @@ object VectorFunctions {
     toColumn(NormalizeText(toExpression(text)))
   def char_ngram_hashes(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n))
+  def fnv1a64(text: Column): Column =
+    toColumn(Fnv1a64Bytes(toExpression(text)))
   def text_stats(text: Column): Column =
     toColumn(TextStats(toExpression(text)))
   def minhash_sig(elems: Column, k: Int): Column =
@@ -1445,6 +1491,7 @@ object VectorFunctions {
         (es => ShingleHashes(es(0), litInt(es(1), "k"))),
       "char_ngram_hashes" ->
         (es => CharNgramHashes(es(0), litInt(es(1), "n"))),
+      "fnv1a64" -> (es => Fnv1a64Bytes(es.head)),
       "normalize_text" -> (es => NormalizeText(es.head)),
       "text_stats" -> (es => TextStats(es.head)),
       "minhash_sig" ->
