@@ -2585,6 +2585,55 @@ object SparkEntry {
       .quantileBins(t(s, dir, "orders"), "o_totalprice", buckets = 10)
       .orderBy("bucket")
 
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    // Batch CDC fold: a deterministic I/U/D changelog derived from
+    // orders (op from o_orderkey mod 10, seq = o_orderkey, inserts
+    // target fresh keys above 3M) applied onto the customer snapshot.
+    // Last-writer-wins per key with a D>U>I tie-break; one changelog
+    // window + one key-partitioned full-outer join — the snapshot is
+    // scanned once and nothing reaches the driver.
+    val base = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val o = t(s, dir, "orders")
+    val op = when(col("o_orderkey") % 10 === 0, "D")
+      .when(col("o_orderkey") % 10 <= 5, "U").otherwise("I")
+    val log = o.select(
+      when(col("o_orderkey") % 10 > 5, col("o_orderkey") + 3000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_orderkey").as("seq"), op.as("op"),
+      concat(lit("cdc#"), col("o_orderkey")).as("c_name"),
+      col("o_totalprice").as("c_acctbal"))
+    graft.operators.Cdc
+      .applyChangelog(base, log, "c_custkey", "seq", "op")
+      .orderBy("c_custkey")
+  }
+
+  private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    // Snapshot diff audit: v1 is a deterministic perturbation of the
+    // customer snapshot (drop keys %97, bump acctbal on keys %13, add
+    // fresh keys above 3M for keys %89) so the oracle can rebuild both
+    // versions; Diff.byKey classifies via ONE full-outer join with a
+    // null-safe payload comparison — unchanged keys never leave the
+    // join. Output flattened for the hash compare.
+    val v0 = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val v1 = v0.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 13 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(v0.filter(col("c_custkey") % 89 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          concat(lit("new#"), col("c_custkey") + 3000000L).as("c_name"),
+          col("c_acctbal")))
+    graft.operators.Diff.byKey(v0, v1, "c_custkey")
+      .select(col("c_custkey"), col("status"),
+        col("before.c_name").as("name_before"),
+        col("before.c_acctbal").as("bal_before"),
+        col("after.c_name").as("name_after"),
+        col("after.c_acctbal").as("bal_after"))
+      .orderBy("c_custkey")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2780,6 +2829,8 @@ object SparkEntry {
     "checks_constraints" -> (qChecksConstraints _),
     "feat_hashing" -> (qFeatHashing _),
     "feat_binning" -> (qFeatBinning _),
+    "cdc_apply" -> (qCdcApply _),
+    "table_diff" -> (qTableDiff _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5417,6 +5468,69 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // Both versions rebuilt from the same perturbation rules, then
+    // the naive full-outer classification the one-join engine diff
+    // must reproduce (IS NOT DISTINCT FROM = the null-safe compare).
+    "table_diff" ->
+      """WITH v0 AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM v0 WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 3000000,
+        |    'new#' || (c_custkey + 3000000), c_acctbal
+        |  FROM v0 WHERE c_custkey % 89 = 0),
+        |d AS (
+        |  SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN a.c_custkey IS NULL THEN 'added'
+        |         WHEN b.c_custkey IS NULL THEN 'removed'
+        |         WHEN NOT (a.c_name IS NOT DISTINCT FROM b.c_name
+        |           AND a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal)
+        |           THEN 'changed' END AS status,
+        |    a.c_name AS name_before, a.c_acctbal AS bal_before,
+        |    b.c_name AS name_after, b.c_acctbal AS bal_after
+        |  FROM v0 a FULL OUTER JOIN v1 b
+        |    ON a.c_custkey = b.c_custkey)
+        |SELECT * FROM d WHERE status IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+    // The CDC fold re-derived: same deterministic changelog, a
+    // row_number window for last-writer-wins (same D>U>I tie-break),
+    // full-outer merge with delete filtering.
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |log AS (
+        |  SELECT CASE WHEN o_orderkey % 10 > 5
+        |           THEN 3000000 + o_orderkey ELSE o_custkey END
+        |      AS c_custkey,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |         WHEN o_orderkey % 10 <= 5 THEN 'U'
+        |         ELSE 'I' END AS op,
+        |    'cdc#' || o_orderkey AS c_name,
+        |    o_totalprice AS c_acctbal
+        |  FROM orders),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY seq DESC,
+        |          CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2
+        |            ELSE 1 END DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1)
+        |SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END
+        |    AS c_name,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN l.op IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+        |FROM base b FULL OUTER JOIN latest l
+        |  ON b.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     // The hashing-trick features, re-derived from scratch: the SAME
     // UTF-8 bytes folded through the SAME FNV-1a multiply-xor in
     // HUGEINT arithmetic (list_reduce seeded with the offset basis),
