@@ -2634,6 +2634,42 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    // Record linkage WITHOUT a shared key: v1 is the parts list after
+    // a deterministic re-listing (keys rebased to 5M+, a third of the
+    // names grow a ' deluxe' suffix, a fifth of the prices shift
+    // +0.5), and the pipeline must re-identify the same part from its
+    // FIELDS alone. Blocking on (brand, size) bounds candidates to an
+    // equi-join (never all-pairs; hot blocks drop whole under the
+    // declared pair budget), then integer Fellegi–Sunter-style
+    // weights: 2·|name-word overlap| + 3·price-closeness, match at
+    // score >= 6 — exact arithmetic the oracle replays in full.
+    val p0 = t(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size",
+        "p_retailprice")
+    val p1 = t(s, dir, "part").select(
+      (col("p_partkey") + 5000000L).as("p_partkey"),
+      when(col("p_partkey") % 3 === 0,
+        concat(col("p_name"), lit(" deluxe")))
+        .otherwise(col("p_name")).as("p_name"),
+      col("p_brand"), col("p_size"),
+      when(col("p_partkey") % 5 === 0, col("p_retailprice") + 0.5)
+        .otherwise(col("p_retailprice")).as("p_retailprice"))
+    val overlap = size(array_intersect(
+      array_distinct(split(col("a_p_name"), " ")),
+      array_distinct(split(col("b_p_name"), " ")))).cast("long")
+    val priceClose =
+      abs(col("a_p_retailprice") - col("b_p_retailprice")) <= 0.75
+    graft.operators.Linkage
+      .candidates(p0, p1, Seq("p_brand", "p_size"), maxPairs = 4096L)
+      .select(col("a_p_partkey").as("a_key"),
+        col("b_p_partkey").as("b_key"), overlap.as("overlap"),
+        priceClose.as("price_close"),
+        (overlap * 2L + when(priceClose, 3L).otherwise(0L)).as("score"))
+      .filter(col("score") >= 6L)
+      .orderBy("a_key", "b_key")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2831,6 +2867,7 @@ object SparkEntry {
     "feat_binning" -> (qFeatBinning _),
     "cdc_apply" -> (qCdcApply _),
     "table_diff" -> (qTableDiff _),
+    "record_linkage" -> (qRecordLinkage _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5468,6 +5505,37 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // Same re-listing rules, plain block join, every weight replayed:
+    // word overlap via list_intersect on distinct name words, the
+    // same integer score arithmetic and threshold.
+    "record_linkage" ->
+      """WITH v0 AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |  FROM part),
+        |v1 AS (
+        |  SELECT p_partkey + 5000000 AS p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0 THEN p_name || ' deluxe'
+        |         ELSE p_name END AS p_name,
+        |    p_brand, p_size,
+        |    CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 0.5
+        |         ELSE p_retailprice END AS p_retailprice
+        |  FROM part),
+        |pr AS (
+        |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |    CAST(len(list_intersect(
+        |      list_distinct(string_split(a.p_name, ' ')),
+        |      list_distinct(string_split(b.p_name, ' ')))) AS BIGINT)
+        |      AS overlap,
+        |    abs(a.p_retailprice - b.p_retailprice) <= 0.75
+        |      AS price_close
+        |  FROM v0 a JOIN v1 b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size)
+        |SELECT a_key, b_key, overlap, price_close,
+        |  CAST(2 * overlap + CASE WHEN price_close THEN 3 ELSE 0 END
+        |    AS BIGINT) AS score
+        |FROM pr
+        |WHERE 2 * overlap + CASE WHEN price_close THEN 3 ELSE 0 END >= 6
+        |ORDER BY a_key, b_key""".stripMargin,
     // Both versions rebuilt from the same perturbation rules, then
     // the naive full-outer classification the one-join engine diff
     // must reproduce (IS NOT DISTINCT FROM = the null-safe compare).
