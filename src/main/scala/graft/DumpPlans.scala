@@ -313,7 +313,48 @@ object DumpPlans {
         |a quantile. The estimate arithmetic is all integer floor
         |division; the exact-quantile companion columns are the only
         |part that scans the full corpus (they exist for the error
-        |envelope the oracle re-checks).""".stripMargin)
+        |envelope the oracle re-checks).""".stripMargin,
+    "checks_constraints" ->
+      """Declarative data-quality gate. Every row-level check folds
+        |into ONE shared aggregate over one scan (conditional sums,
+        |partial_sum before a single-row exchange — |checks|+1 longs of
+        |shuffle traffic at any corpus size); uniqueness adds one
+        |distinct-count aggregate and each foreign key one left-anti
+        |join against the distinct reference keys. The report is
+        |constant-size: checks × 4 columns.""".stripMargin,
+    "feat_hashing" ->
+      """Hashing-trick features: FNV-1a over token UTF-8 bytes is a
+        |codegen'd expression in the scan stage (no vocabulary build,
+        |no broadcast, no driver state — THE point of the hashing
+        |trick at 100 TB). The one exchange is the (doc_id, feat_idx)
+        |aggregate, map-side combined so at most `dim` rows per
+        |document cross the wire.""".stripMargin,
+    "feat_binning" ->
+      """Equal-frequency binning WITHOUT a global sort: the exact
+        |percentile cutpoints are one bounded aggregate (11 doubles)
+        |broadcast back as a 1-row side; bucket assignment is pure
+        |scan-stage arithmetic and the final aggregate groups on ≤10
+        |bucket ids. Compare ntile(): a single-partition window that
+        |serializes the corpus through one task.""".stripMargin,
+    "cdc_apply" ->
+      """Batch CDC fold: the changelog (the SMALL side — a day's
+        |delta) takes one key-partitioned window for last-writer-wins,
+        |then one full-outer join against the snapshot; the snapshot
+        |is scanned exactly once and nothing reaches the driver. With
+        |the snapshot stored bucketed by key (sources/Layout) its
+        |exchange disappears and only the delta shuffles.""".stripMargin,
+    "table_diff" ->
+      """Keyed snapshot diff: ONE full-outer join; the null-safe
+        |payload comparison runs in the join's output projection
+        |(codegen), and unchanged keys are filtered before anything
+        |else happens — the output is the delta, never a copy of the
+        |corpus. Bucketed storage makes it exchange-free.""".stripMargin,
+    "record_linkage" ->
+      """Blocked record linkage: candidates are an equi-join on the
+        |block key — the plan has NO cartesian product anywhere; the
+        |pair budget drops degenerate blocks whole before the join
+        |(two count aggregates + left-semi prunes). Scoring is
+        |scan-stage arithmetic over the joined pairs.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
