@@ -56,7 +56,11 @@ object Bench {
     "scd2_event_runs",
     "asof_join",
     "stream_window_agg",
-    "events_sessionize")
+    "events_sessionize",
+    "feat_hashing",
+    "cdc_apply",
+    "record_linkage",
+    "checks_constraints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
