@@ -2670,6 +2670,34 @@ object SparkEntry {
       .orderBy("a_key", "b_key")
   }
 
+  private def qPrivacyKanon(s: SparkSession, dir: String): DataFrame =
+    // Release-side privacy audit: k-anonymity/l-diversity over the
+    // (nation, segment) quasi-identifier with the acctbal thousand-
+    // bucket as the sensitive attribute. One groupBy shuffle carrying
+    // only (class, counts); exact integers end to end.
+    graft.operators.Privacy.kAnonymityReport(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0), k = 10L, l = 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  private def qSearchPhrase(s: SparkSession, dir: String): DataFrame =
+    // Exact phrase search ("table scan") via positional-alignment
+    // voting: one corpus scan, phrase table broadcast, one map-side-
+    // combined (doc, start) vote shuffle — never an n-way positional
+    // self-join. Emits every occurrence (overlaps included).
+    graft.operators.Search
+      .phrase(t(s, dir, "documents"), Seq("table", "scan"))
+      .orderBy("doc_id", "match_pos")
+
+  private def qTextTfidf(s: SparkSession, dir: String): DataFrame =
+    // Per-document salient terms: exact rational tf/df weight in
+    // floor micros (the reproducible stand-in for tf·idf — see
+    // Search.tfidfTopTerms for the trade), top-3 per doc with a
+    // pinned term tie-break. df derives from tf's output, so the
+    // corpus scans once.
+    graft.operators.Search.tfidfTopTerms(t(s, dir, "documents"), 3)
+      .orderBy("doc_id", "rk")
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2868,6 +2896,9 @@ object SparkEntry {
     "cdc_apply" -> (qCdcApply _),
     "table_diff" -> (qTableDiff _),
     "record_linkage" -> (qRecordLinkage _),
+    "privacy_kanon" -> (qPrivacyKanon _),
+    "search_phrase" -> (qSearchPhrase _),
+    "text_tfidf" -> (qTextTfidf _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5505,6 +5536,62 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // tf/df/score/top-k replayed over the same tokens; // is DuckDB's
+    // integer floor division, matching Spark's DIV.
+    "text_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    CAST((t.tf * 1000000) // d.df AS BIGINT) AS score_micros
+        |  FROM tf t JOIN df d USING (term)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micros DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, score_micros,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    // Positions re-derived 0-based over the same token list; slot
+    // votes via one UNION ALL branch per phrase word; a start with
+    // all distinct slots voting is a match.
+    "search_phrase" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+        |  FROM tk, unnest(generate_series(0, len(toks) - 1)) AS t(i)),
+        |cand AS (
+        |  SELECT doc_id, pos - 0 AS match_pos, 0 AS idx
+        |  FROM pos WHERE tok = 'table'
+        |  UNION ALL
+        |  SELECT doc_id, pos - 1, 1 FROM pos WHERE tok = 'scan')
+        |SELECT doc_id, CAST(match_pos AS BIGINT) AS match_pos
+        |FROM cand WHERE match_pos >= 0
+        |GROUP BY doc_id, match_pos
+        |HAVING count(DISTINCT idx) = 2
+        |ORDER BY doc_id, match_pos""".stripMargin,
+    // The audit recomputed as the naive groupBy it compiles to.
+    "privacy_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT floor(c_acctbal / 1000.0)) AS n_sensitive,
+        |  count(*) >= 10 AS k_ok,
+        |  count(DISTINCT floor(c_acctbal / 1000.0)) >= 3 AS l_ok
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // Same re-listing rules, plain block join, every weight replayed:
     // word overlap via list_intersect on distinct name words, the
     // same integer score arithmetic and threshold.

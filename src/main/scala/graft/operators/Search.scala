@@ -78,4 +78,69 @@ object Search {
         col("doc_id"))).cast("int"))
       .orderBy("rank")
   }
+
+  /** Exact phrase search over the positional index: every start
+    * offset where the tokens equal `words` consecutively. The
+    * positional-alignment formulation (Manning et al., IR ch. 2):
+    * a token at position p matching phrase slot i votes for start
+    * p−i; a start with ALL |words| distinct slots voting is a match.
+    * Repeated phrase words work because votes are per (slot, token
+    * instance), and overlapping occurrences emit one row each.
+    *
+    * Scale shape: one corpus scan; the (word → slot) table is |phrase|
+    * rows, broadcast, so non-phrase tokens die in the scan-stage join;
+    * the one shuffle is the (doc, start) vote count, map-side
+    * combined. No self-join of the positional index (the naive
+    * n-way-join plan would shuffle it |words|−1 times). */
+  def phrase(docs: DataFrame, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "phrase must have at least one word")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = words.zipWithIndex.toDF("tok", "idx")
+    docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .join(broadcast(slots), "tok")
+      .select(col("doc_id"), (col("pos") - col("idx")).as("match_pos"),
+        col("idx"))
+      .filter(col("match_pos") >= 0)
+      .groupBy("doc_id", "match_pos")
+      .agg(countDistinct(col("idx")).as("__graft_nhit"))
+      .filter(col("__graft_nhit") === words.length.toLong)
+      .select(col("doc_id"), col("match_pos").cast("long"))
+  }
+
+  /** Top-k salient terms per document, tf-idf-shaped but with the
+    * EXACT rational weight `tf/df` in floor micros instead of
+    * `tf·ln(N/df)` — same honest trade as [[bm25TopK]]'s rational
+    * idf: for a fixed corpus the ranking logic is identical in kind
+    * (rewards in-doc frequency, punishes corpus-common terms), and
+    * integer floor division is reproducible across engines where a
+    * transcendental ln() is not. Ties break on term asc, so the
+    * top-k set is fully deterministic.
+    *
+    * Scale shape: tf is one (doc, term) aggregate off the token
+    * explode; df is a second aggregate OVER TF'S OUTPUT (already
+    * distinct per doc-term — the corpus is not rescanned); the
+    * tf⋈df join is term-keyed and AQE-sized; the per-doc top-k
+    * window partitions on doc_id. No driver collection, no
+    * vocabulary assumption. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micros").desc, col("term"))
+    tf.join(df, "term")
+      // `div`, not `/`: Spark's `/` on integers is true (double)
+      // division; DIV is the exact integer floor both engines share
+      .withColumn("score_micros", expr("(tf * 1000000L) DIV df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "score_micros", "rk")
+  }
 }

@@ -43,4 +43,46 @@ class SearchSpec extends AnyFunSuite {
       Search.bm25TopK(docs, Seq.empty)
     }
   }
+
+  test("phrase: consecutive matches only, overlaps and repeated " +
+      "words emit every start") {
+    val d = Seq(
+      (1L, "table scan is a table scan"),
+      (2L, "scan table"), // reversed: no match
+      (3L, "table x scan"), // gap: no match
+      (4L, "batch batch batch")) // repeated-word phrase below
+      .toDF("doc_id", "text")
+    val r1 = Search.phrase(d, Seq("table", "scan"))
+      .orderBy("doc_id", "match_pos")
+      .as[(Long, Long)].collect()
+    assert(r1.toSeq === Seq((1L, 0L), (1L, 4L)))
+    // "batch batch" occurs at starts 0 and 1 (overlapping)
+    val r2 = Search.phrase(d, Seq("batch", "batch"))
+      .orderBy("doc_id", "match_pos")
+      .as[(Long, Long)].collect()
+    assert(r2.toSeq === Seq((4L, 0L), (4L, 1L)))
+  }
+
+  test("phrase: single-word phrase degenerates to term positions") {
+    val d = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val r = Search.phrase(d, Seq("a")).orderBy("match_pos")
+      .as[(Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 0L), (1L, 2L)))
+  }
+
+  test("tfidf: in-doc frequency up, corpus-common terms down, " +
+      "pinned tie-break") {
+    val d = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val r = Search.tfidfTopTerms(d, 2)
+      .orderBy("doc_id", "rk").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(4)))
+    // doc 1: rare tf=2 df=1 -> 2e6; common tf=1 df=3 -> 333333
+    assert(r(0) === ((1L, "rare", 2000000L)))
+    assert(r(1) === ((1L, "common", 333333L)))
+    // docs 2/3: unique term (1e6) beats common (333333)
+    assert(r(2)._2 === "other" && r(4)._2 === "thing")
+  }
 }
