@@ -2698,6 +2698,37 @@ object SparkEntry {
     graft.operators.Search.tfidfTopTerms(t(s, dir, "documents"), 3)
       .orderBy("doc_id", "rk")
 
+  private def qJoinIntervalOverlap(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Interval OVERLAP join (both sides are intervals — distinct from
+    // join_range_pred's point-in-band): per-user view windows
+    // [ts, ts+30m] × purchase windows [ts, ts+10m] that intersect.
+    // Bucket-quantized two-sided explode, pair emitted once in the
+    // bucket of the overlap's left edge — a hash join, never the
+    // nested loop Spark would plan for the raw predicate.
+    val e = t(s, dir, "events")
+    def win(typ: String, lenMicros: Long, p: String) = e
+      .filter(col("event_type") === typ)
+      .select(col("user_id").as(s"${p}_user"),
+        col("event_id").as(s"${p}_id"),
+        col("ts").as(s"${p}_start"),
+        timestamp_micros(unix_micros(col("ts")) + lenMicros)
+          .as(s"${p}_end"))
+    val v = win("view", 1800000000L, "v")
+    val p = win("purchase", 600000000L, "p")
+    graft.operators.Ranges.intervalOverlapJoin(v, p,
+      Seq((col("v_user"), col("p_user"))),
+      col("v_start"), col("v_end"), col("p_start"), col("p_end"),
+      bucketMicros = 1800000000L)
+      .select(col("v_user").as("user_id"),
+        col("v_id").as("view_id"), col("p_id").as("purchase_id"),
+        greatest(unix_micros(col("v_start")),
+          unix_micros(col("p_start"))).as("overlap_start"),
+        least(unix_micros(col("v_end")),
+          unix_micros(col("p_end"))).as("overlap_end"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2899,6 +2930,7 @@ object SparkEntry {
     "privacy_kanon" -> (qPrivacyKanon _),
     "search_phrase" -> (qSearchPhrase _),
     "text_tfidf" -> (qTextTfidf _),
+    "join_interval_overlap" -> (qJoinIntervalOverlap _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5536,6 +5568,24 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // The naive overlap join the quantized rewrite must equal:
+    // per-user equi join + the two-sided interval intersection
+    // predicate, overlap edges in exact micros.
+    "join_interval_overlap" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id AS view_id,
+        |    epoch_us(ts) AS vs, epoch_us(ts) + 1800000000 AS ve
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS ps, epoch_us(ts) + 600000000 AS pe
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, purchase_id,
+        |  greatest(vs, ps) AS overlap_start,
+        |  least(ve, pe) AS overlap_end
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND vs <= pe AND ps <= ve
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
     // tf/df/score/top-k replayed over the same tokens; // is DuckDB's
     // integer floor division, matching Spark's DIV.
     "text_tfidf" ->

@@ -54,4 +54,43 @@ object Ranges {
           unix_micros(rightTs) <= unix_micros(leftTs) + upperMicros)
       .drop(bcol)
   }
+
+  /** Interval OVERLAP join: pairs whose [start, end] intervals
+    * intersect, optionally scoped by equi-keys (without a scope key
+    * every interval overlaps a constant fraction of the corpus and no
+    * algorithm saves you — the keys are what make the query sane at
+    * scale). Same bucket-quantization rewrite as [[bandJoin]], with
+    * the two-sided-explode twist: BOTH sides explode into the buckets
+    * their interval touches, so a pair could match in several buckets
+    * — it is emitted exactly once, in the bucket containing
+    * `greatest(start_l, start_r)` (the overlap's left edge). Bucket
+    * width must be ≥ the longest interval so each interval touches ≤2
+    * buckets and the explode factor is bounded by 2.
+    *
+    * Columns must be pre-aliased to avoid collisions; `endL`/`endR`
+    * are inclusive microsecond timestamps. */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[(Column, Column)],
+      startL: Column, endL: Column,
+      startR: Column, endR: Column,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, "bucket width must be positive")
+    val bcol = Iterator.iterate("_bucket")(_ + "_")
+      .dropWhile(n => left.columns.contains(n) || right.columns.contains(n))
+      .next()
+    def buckets(s: Column, e: Column) = sequence(
+      floorDiv(unix_micros(s), bucketMicros),
+      floorDiv(unix_micros(e), bucketMicros))
+    val l = left.withColumn(bcol, explode(buckets(startL, endL)))
+    val r = right.withColumn(bcol, explode(buckets(startR, endR)))
+    val overlap =
+      unix_micros(startL) <= unix_micros(endR) &&
+        unix_micros(startR) <= unix_micros(endL)
+    val once = l(bcol) === floorDiv(
+      greatest(unix_micros(startL), unix_micros(startR)), bucketMicros)
+    val cond = (keys.map { case (a, b) => a === b } :+
+      (l(bcol) === r(bcol)) :+ overlap :+ once).reduce(_ && _)
+    l.join(r, cond).drop(l(bcol)).drop(r(bcol))
+  }
 }
