@@ -2729,6 +2729,20 @@ object SparkEntry {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  private def qStreamChecks(s: SparkSession, dir: String): DataFrame = {
+    // A REAL streaming run of the data-quality gate: the row-level
+    // check subset is a global conditional-sum aggregate Structured
+    // Streaming maintains incrementally (complete mode); the final
+    // counters must equal the batch gate exactly, so the oracle is
+    // the same per-branch recompute over the documents table.
+    val sink = graft.streaming.DocsStream.runChecksStream(
+      s, dir, "stream_checks_sink")
+    s.table(sink)
+      .select(col("check").as("check_name"), col("n_rows"),
+        col("violations"), col("passed"))
+      .orderBy("check_name")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2931,6 +2945,7 @@ object SparkEntry {
     "search_phrase" -> (qSearchPhrase _),
     "text_tfidf" -> (qTextTfidf _),
     "join_interval_overlap" -> (qJoinIntervalOverlap _),
+    "stream_checks" -> (qStreamChecks _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5568,6 +5583,36 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // The streaming gate's final counters re-derived branch for
+    // branch over the same documents table (stream ≡ batch).
+    "stream_checks" ->
+      """SELECT check_name, n_rows, violations,
+        |  violations = 0 AS passed
+        |FROM (
+        |  SELECT 'not_null(text)' AS check_name, count(*) AS n_rows,
+        |    CAST(coalesce(sum(CASE WHEN text IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'in_range(n_chars,1.0,500.0)', count(*),
+        |    CAST(coalesce(sum(CASE WHEN n_chars IS NULL
+        |      OR n_chars < 1.0 OR n_chars > 500.0
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'satisfies(n_chars_consistent)', count(*),
+        |    CAST(coalesce(sum(CASE WHEN coalesce(
+        |      length(text) = n_chars, FALSE)
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'satisfies(lang_known)', count(*),
+        |    CAST(coalesce(sum(CASE WHEN coalesce(
+        |      lang IN ('en', 'fr', 'es', 'de', 'zh'), FALSE)
+        |      THEN 0 ELSE 1 END), 0) AS BIGINT)
+        |  FROM documents
+        |)
+        |ORDER BY check_name""".stripMargin,
     // The naive overlap join the quantized rewrite must equal:
     // per-user equi join + the two-sided interval intersection
     // predicate, overlap edges in exact micros.

@@ -57,34 +57,11 @@ object Checks {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val rowLevel: Seq[(String, Column)] = checks.collect {
-      case c @ NotNull(col) =>
-        c.name -> when(df(col).isNull, 1L).otherwise(0L)
-      case c @ InRange(col, lo, hi) =>
-        c.name -> when(df(col).isNull ||
-          df(col) < lo || df(col) > hi, 1L).otherwise(0L)
-      case c @ Satisfies(_, p) =>
-        c.name -> when(coalesce(p, lit(false)), 0L).otherwise(1L)
-    }
+    val rowLevel = rowLevelChecks(df, checks)
     val total = count(lit(1)).as("n_rows")
-    // one scan for every row-level check: conditional sums share the
-    // single aggregate (map-side combined, |checks|+1 longs of state)
     val rowReport: Option[DataFrame] =
       if (rowLevel.isEmpty) None
-      else Some {
-        // positional aliases internally — check names hold dots and
-        // parens, which col(...) would parse as nested-field paths
-        val agg = df.agg(total, rowLevel.zipWithIndex.map {
-          case ((_, v), i) => sum(v).as(s"__graft_c$i")
-        }: _*)
-        val n = col("n_rows")
-        agg.select(explode(array(rowLevel.zipWithIndex.map {
-          case ((name, _), i) =>
-            struct(lit(name).as("check"), n.as("n_rows"),
-              col(s"__graft_c$i").as("violations"))
-        }: _*)).as("r"))
-          .select(col("r.check"), col("r.n_rows"), col("r.violations"))
-      }
+      else Some(rowLevelReport(df, checks).drop("passed"))
 
     val uniqueReports = checks.collect { case c @ Unique(cols) =>
       df.agg(total,
@@ -107,5 +84,44 @@ object Checks {
     (rowReport.toSeq ++ uniqueReports ++ fkReports)
       .reduce(_.unionByName(_))
       .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Just the row-level checks (not-null / range / predicate) as one
+    * shared conditional-sum aggregate — the STREAMABLE subset: a
+    * global aggregate Structured Streaming maintains incrementally in
+    * complete mode, where key-uniqueness and referential integrity
+    * would need unbounded distinct state. Same output shape as
+    * [[run]]. */
+  def rowLevelReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val rowLevel = rowLevelChecks(df, checks)
+    require(rowLevel.nonEmpty, "no row-level checks declared")
+    // positional aliases internally — check names hold dots and
+    // parens, which col(...) would parse as nested-field paths
+    val agg = df.agg(count(lit(1)).as("n_rows"),
+      rowLevel.zipWithIndex.map {
+        case ((_, v), i) => sum(v).as(s"__graft_c$i")
+      }: _*)
+    val n = col("n_rows")
+    agg.select(explode(array(rowLevel.zipWithIndex.map {
+      case ((name, _), i) =>
+        struct(lit(name).as("check"), n.as("n_rows"),
+          col(s"__graft_c$i").as("violations"))
+    }: _*)).as("r"))
+      .select(col("r.check"), col("r.n_rows"), col("r.violations"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** (name, per-row violation indicator) for every row-level check:
+    * one scan, conditional sums share the single aggregate (map-side
+    * combined, |checks|+1 longs of state). */
+  private def rowLevelChecks(df: DataFrame, checks: Seq[Check])
+      : Seq[(String, Column)] = checks.collect {
+    case c @ NotNull(col) =>
+      c.name -> when(df(col).isNull, 1L).otherwise(0L)
+    case c @ InRange(col, lo, hi) =>
+      c.name -> when(df(col).isNull ||
+        df(col) < lo || df(col) > hi, 1L).otherwise(0L)
+    case c @ Satisfies(_, p) =>
+      c.name -> when(coalesce(p, lit(false)), 0L).otherwise(1L)
   }
 }

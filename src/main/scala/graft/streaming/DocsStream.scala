@@ -372,4 +372,33 @@ object DocsStream {
     q.stop()
     sinkName
   }
+
+  /** Streaming twin of the declarative data-quality gate: the
+    * row-level subset of `operators/Checks.scala` IS a global
+    * conditional-sum aggregate, which Structured Streaming maintains
+    * incrementally — violation counters update as documents arrive
+    * (complete mode, |checks|+1 longs of state, no watermark needed
+    * for an all-time gate). Uniqueness/FK checks stay batch-side by
+    * design: they would need unbounded distinct state. Emits the
+    * batch report shape, so it shares the batch oracle. */
+  def runChecksStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_checks"): String = {
+    import graft.operators.Checks._
+    val report = graft.operators.Checks.rowLevelReport(
+      readDocsStream(spark, sfDir), Seq(
+        NotNull("text"),
+        InRange("n_chars", 1.0, 500.0),
+        Satisfies("n_chars_consistent",
+          length(col("text")) === col("n_chars")),
+        Satisfies("lang_known",
+          col("lang").isin("en", "fr", "es", "de", "zh"))))
+    val q = report.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
 }

@@ -62,6 +62,28 @@ class ChecksSpec extends AnyFunSuite {
       s"input scanned more than once:\n$plan")
   }
 
+  test("streaming gate's final counters equal the batch row-level " +
+      "report on the real corpus") {
+    val sink = graft.streaming.DocsStream.runChecksStream(
+      spark, TestSpark.sfDir, "checks_spec_sink")
+    val streamed = spark.table(sink)
+      .orderBy("check").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))
+    val batch = Checks.rowLevelReport(
+      graft.sources.Tables.load(spark, TestSpark.sfDir, "documents"),
+      Seq(NotNull("text"), InRange("n_chars", 1.0, 500.0),
+        Satisfies("n_chars_consistent",
+          length(col("text")) === col("n_chars")),
+        Satisfies("lang_known",
+          col("lang").isin("en", "fr", "es", "de", "zh"))))
+      .orderBy("check").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.map(_._1).length === 4)
+  }
+
   test("multi-column uniqueness counts duplicate tuples, not values") {
     val d = Seq((1L, "x"), (1L, "y"), (1L, "y"))
       .toDF("k1", "k2")
