@@ -2743,6 +2743,117 @@ object SparkEntry {
       .orderBy("check_name")
   }
 
+  private def qAggMode(s: SparkSession, dir: String): DataFrame = {
+    // Exact per-group MODE (Spark has no mode() builtin): count the
+    // (group, value) pairs, then one struct-max argmax per group with
+    // a value-asc tie-break — two map-side-combined shuffles, no
+    // window over raw rows. DuckDB's native mode() has an unspecified
+    // tie-break, so the oracle replays THIS argmax instead.
+    val counts = t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("c_nationkey")
+      // ties on n: lexicographically LARGEST segment wins (pinned —
+      // the same greatest-over-structs discipline as lang_id)
+      .agg(max(struct(col("n"), col("c_mktsegment"))).as("m"))
+      .select(col("c_nationkey"), col("m.c_mktsegment").as("mode_seg"),
+        col("m.n").as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  private def qAggMad(s: SparkSession, dir: String): DataFrame = {
+    // Robust dispersion: per-status median absolute deviation of the
+    // order total. Two exact-percentile aggregate passes (median,
+    // then median of |x − median|) joined on the group key — the
+    // portable percentile (agg_percentiles-proven) instead of any
+    // engine-specific mad() builtin; no window over raw rows.
+    val o = t(s, dir, "orders")
+    val med = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    o.join(med, "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  private def qEventsTransitions(s: SparkSession, dir: String)
+      : DataFrame = {
+    // First-order Markov transition matrix over per-user event
+    // sequences: lag() on ONE user-partitioned exchange (unique
+    // event_id tiebreak for same-timestamp events), transition counts
+    // map-side combined, probabilities as exact floor micros (n·1e6
+    // DIV row_total) so the matrix hash-matches across engines.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = t(s, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type")
+      .agg(sum(col("n")).as("row_total"))
+    trans.join(totals, "prev_type")
+      .withColumn("p_micros", expr("(n * 1000000L) DIV row_total"))
+      .select("prev_type", "next_type", "n", "p_micros")
+      .orderBy("prev_type", "next_type")
+  }
+
+  private def qJoinEditDistance(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The FOURTH similarity family as a join predicate (next to
+    // jaccard / cosine / hamming): exact Levenshtein distance over
+    // blocked candidates — blocking bounds the quadratic verify, the
+    // codegen'd levenshtein builtin is the verify (unit-cost edits,
+    // identical in DuckDB, proven by the hash match). Re-listed parts
+    // (table_diff's perturbation family) re-identified by name shape.
+    val p0 = t(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+    val p1 = t(s, dir, "part").select(
+      (col("p_partkey") + 5000000L).as("p_partkey"),
+      when(col("p_partkey") % 3 === 0,
+        concat(col("p_name"), lit(" deluxe")))
+        .otherwise(col("p_name")).as("p_name"),
+      col("p_brand"), col("p_size"))
+    graft.operators.Linkage
+      .candidates(p0, p1, Seq("p_brand", "p_size"), maxPairs = 4096L)
+      .withColumn("edit_dist",
+        levenshtein(col("a_p_name"), col("b_p_name")).cast("long"))
+      .filter(col("edit_dist") <= 7L)
+      .select(col("a_p_partkey").as("a_key"),
+        col("b_p_partkey").as("b_key"), col("edit_dist"))
+      .orderBy("a_key", "b_key")
+  }
+
+  private def qSourceSchemaEvolution(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Schema evolution across write epochs — the ingest reality a
+    // long-lived corpus lives with: epoch 0 wrote (key, price), epoch
+    // 1 added a status column; mergeSchema unions the file schemas at
+    // read and backfills nulls. The per-epoch audit proves old rows
+    // read with the new schema (status all-null) and new rows carry
+    // real values; the oracle re-derives both epochs from the source
+    // table, never touching the written files.
+    val base = s"/tmp/graft-evo-${java.util.UUID.randomUUID()}"
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .withColumn("epoch", lit(0L))
+      .write.mode("overwrite").parquet(s"$base/e0")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .withColumn("epoch", lit(1L))
+      .write.mode("overwrite").parquet(s"$base/e1")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/e0", s"$base/e1")
+      .groupBy("epoch")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .as("n_status_null"),
+        centsSum(col("o_totalprice")).as("sum_price"))
+      .orderBy("epoch")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -2946,6 +3057,11 @@ object SparkEntry {
     "text_tfidf" -> (qTextTfidf _),
     "join_interval_overlap" -> (qJoinIntervalOverlap _),
     "stream_checks" -> (qStreamChecks _),
+    "agg_mode" -> (qAggMode _),
+    "agg_mad" -> (qAggMad _),
+    "events_transitions" -> (qEventsTransitions _),
+    "join_edit_distance" -> (qJoinEditDistance _),
+    "source_schema_evolution" -> (qSourceSchemaEvolution _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5583,6 +5699,80 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // Same blocks, same builtin (unit-cost Levenshtein is defined
+    // identically in both engines — the hash match is the proof).
+    "join_edit_distance" ->
+      """WITH v0 AS (
+        |  SELECT p_partkey, p_name, p_brand, p_size FROM part),
+        |v1 AS (
+        |  SELECT p_partkey + 5000000 AS p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0 THEN p_name || ' deluxe'
+        |         ELSE p_name END AS p_name,
+        |    p_brand, p_size
+        |  FROM part)
+        |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        |FROM v0 a JOIN v1 b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |WHERE levenshtein(a.p_name, b.p_name) <= 7
+        |ORDER BY a_key, b_key""".stripMargin,
+    // Both epochs re-derived from the source table — the written
+    // files' merged read must agree with never-written SQL.
+    "source_schema_evolution" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS epoch, count(*) AS n,
+        |    count(*) AS n_status_null,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) / 100.0 AS sum_price
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 1, count(*), 0,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) / 100.0
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |) ORDER BY epoch""".stripMargin,
+    // Same lag/count/total derivation; // mirrors DIV exactly.
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM tr GROUP BY 1)
+        |SELECT t.prev_type, t.next_type, t.n,
+        |  CAST((t.n * 1000000) // x.row_total AS BIGINT) AS p_micros
+        |FROM tr t JOIN tot x USING (prev_type)
+        |ORDER BY t.prev_type, t.next_type""".stripMargin,
+    // The argmax replayed with a window (NOT DuckDB's mode(), whose
+    // tie-break is unspecified): count desc, segment desc, first row.
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY n DESC, c_mktsegment DESC) AS rk
+        |  FROM c)
+        |SELECT c_nationkey, c_mktsegment AS mode_seg, n
+        |FROM r WHERE rk = 1 ORDER BY c_nationkey""".stripMargin,
+    // Median and MAD re-derived with quantile_cont (the proven
+    // percentile-compatible pair), same two-pass shape.
+    "agg_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderstatus,
+        |  quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+        |  count(*) AS n
+        |FROM orders o JOIN med m USING (o_orderstatus)
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin,
     // The streaming gate's final counters re-derived branch for
     // branch over the same documents table (stream ≡ batch).
     "stream_checks" ->
