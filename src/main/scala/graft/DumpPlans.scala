@@ -354,7 +354,33 @@ object DumpPlans {
         |block key — the plan has NO cartesian product anywhere; the
         |pair budget drops degenerate blocks whole before the join
         |(two count aggregates + left-semi prunes). Scoring is
-        |scan-stage arithmetic over the joined pairs.""".stripMargin)
+        |scan-stage arithmetic over the joined pairs.""".stripMargin,
+    "search_phrase" ->
+      """Phrase search WITHOUT the n-way positional self-join: the
+        |(word → slot) table is |phrase| rows broadcast into the scan
+        |stage, so non-phrase tokens die before anything shuffles; the
+        |one exchange is the map-side-combined (doc, start) vote
+        |count. The naive plan shuffles the full positional index
+        ||words|−1 times.""".stripMargin,
+    "text_tfidf" ->
+      """tf is the one corpus-touching aggregate; df aggregates tf's
+        |OUTPUT (no second scan), the tf⋈df join is term-keyed and
+        |AQE-sized, and the top-k window partitions by doc_id — per-doc
+        |heap, not a global sort. Weights are integer DIV micros:
+        |reproducible at any parallelism.""".stripMargin,
+    "join_interval_overlap" ->
+      """Interval×interval overlap as a HASH join: both sides explode
+        |into ≤2 quantized buckets, pair emitted once in the
+        |overlap-left-edge bucket; the raw predicate would plan as a
+        |broadcast nested loop. Keys scope the join — without them no
+        |algorithm beats the output size itself.""".stripMargin,
+    "join_edit_distance" ->
+      """Levenshtein-threshold join: the same blocked candidate
+        |generator as record_linkage bounds the quadratic verify;
+        |the codegen'd levenshtein builtin runs in the join's output
+        |projection. The fourth similarity-join family (after
+        |jaccard / cosine / hamming) on one shared blocking
+        |skeleton.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
