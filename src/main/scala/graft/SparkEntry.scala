@@ -2854,6 +2854,78 @@ object SparkEntry {
       .orderBy("epoch")
   }
 
+  private def qAggContingency(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Contingency-table independence audit (nation × segment):
+    // Pearson residual outlier cells flagged by the cross-multiplied
+    // inequality (o·N − r·c)² > 4·r·c·N — i.e. |standardized
+    // residual| > 2 — in DECIMAL(38) integer arithmetic, no division
+    // and no sqrt, so the flag is engine-reproducible (the
+    // events_anomaly discipline applied to independence testing).
+    // One cell aggregate + two marginal aggregates of the CELL frame
+    // (the corpus scans once), marginals broadcast back.
+    val d38 = "decimal(38,0)"
+    def d(c: org.apache.spark.sql.Column) = c.cast(d38)
+    val cells = t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("c_nationkey")
+      .agg(sum(col("o")).as("row_total"))
+    val cols = cells.groupBy("c_mktsegment")
+      .agg(sum(col("o")).as("col_total"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val dev = d(col("o")) * d(col("n")) -
+      d(col("row_total")) * d(col("col_total"))
+    cells.join(broadcast(rows), "c_nationkey")
+      .join(broadcast(cols), "c_mktsegment")
+      .crossJoin(broadcast(n)) // 1-row grand total
+      .withColumn("residual_2sigma", dev * dev >
+        lit(4).cast(d38) * d(col("row_total")) * d(col("col_total")) *
+          d(col("n")))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("o"),
+        col("row_total"), col("col_total"), col("n"),
+        col("residual_2sigma"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  private def qAsofJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    // LEFT OUTER as-of: the documented composition over the custom
+    // inner operator (AsOfJoin.scala) — inner matches re-joined to the
+    // full left side, unmatched purchases kept with null signup cols.
+    // DuckDB's native ASOF LEFT JOIN is the oracle, so the
+    // composition's semantics are pinned to the reference shape.
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val inner = graft.plans.AsOfJoin.join(p, su, p("user_id"),
+      su("s_user"), p("ts"), su("s_ts"))
+    p.join(inner.select("event_id", "s_user", "s_ts"),
+        Seq("event_id"), "left")
+      .orderBy("event_id")
+  }
+
+  private def qAggRobustOutliers(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Robust outlier counts on top of the MAD pair: per status, how
+    // many orders sit beyond 3·MAD from the median. Median/MAD are
+    // the portable exact percentiles; the flag compares identical
+    // IEEE operands in both engines, and only counts cross the wire.
+    val o = t(s, dir, "orders")
+    val med = o.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val mad = o.join(med, "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"))
+    o.join(med, "o_orderstatus").join(mad, "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("o_totalprice") - col("med")) >
+          col("mad") * 3.0, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -3062,6 +3134,9 @@ object SparkEntry {
     "events_transitions" -> (qEventsTransitions _),
     "join_edit_distance" -> (qJoinEditDistance _),
     "source_schema_evolution" -> (qSourceSchemaEvolution _),
+    "agg_contingency" -> (qAggContingency _),
+    "asof_join_left" -> (qAsofJoinLeft _),
+    "agg_robust_outliers" -> (qAggRobustOutliers _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5699,6 +5774,57 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    // DuckDB's native ASOF LEFT JOIN pins the composition semantics.
+    "asof_join_left" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id AS s_user, ts AS s_ts
+        |                FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
+        |ORDER BY p.event_id""".stripMargin,
+    // Median/MAD via quantile_cont, identical flag comparison.
+    "agg_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT o.o_orderstatus,
+        |    quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+        |  FROM orders o JOIN med m USING (o_orderstatus)
+        |  GROUP BY o.o_orderstatus)
+        |SELECT o.o_orderstatus, count(*) AS n,
+        |  CAST(coalesce(sum(CASE WHEN abs(o.o_totalprice - m.med)
+        |    > d.mad * 3.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_outliers
+        |FROM orders o
+        |JOIN med m USING (o_orderstatus)
+        |JOIN mad d USING (o_orderstatus)
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin,
+    // The identical HUGEINT inequality — observed×N vs marginal
+    // product, squared deviation vs 4·r·c·N.
+    "agg_contingency" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT c_nationkey, CAST(sum(o) AS BIGINT) AS row_total
+        |      FROM cells GROUP BY 1),
+        |c AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS col_total
+        |      FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT x.c_nationkey, x.c_mktsegment, x.o,
+        |  r.row_total, c.col_total, g.n,
+        |  (x.o::HUGEINT * g.n - r.row_total::HUGEINT * c.col_total)
+        |    * (x.o::HUGEINT * g.n - r.row_total::HUGEINT * c.col_total)
+        |    > 4::HUGEINT * r.row_total * c.col_total * g.n
+        |    AS residual_2sigma
+        |FROM cells x
+        |JOIN r USING (c_nationkey)
+        |JOIN c USING (c_mktsegment)
+        |CROSS JOIN g
+        |ORDER BY x.c_nationkey, x.c_mktsegment""".stripMargin,
     // Same blocks, same builtin (unit-cost Levenshtein is defined
     // identically in both engines — the hash match is the proof).
     "join_edit_distance" ->
