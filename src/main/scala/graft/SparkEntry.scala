@@ -2926,6 +2926,73 @@ object SparkEntry {
       .orderBy("o_orderstatus")
   }
 
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    // Distributed BPE merge training, 3 rounds: weighted pair counts
+    // over the word vocab (corpus scanned ONCE to build it), pinned
+    // argmax, exact list-fold merge application with the winning pair
+    // captured per round. The oracle re-derives every round FROM
+    // SCRATCH — pair counts, argmax and the fold itself as recursive
+    // CTEs — so the merge table is proven, not exported.
+    graft.operators.Bpe.train(t(s, dir, "documents"), rounds = 3)
+      .orderBy("round")
+
+  /** The bpe_train oracle: `rounds` unrolled training rounds, each a
+    * (pair-count, argmax-with-pinned-tie-break, recursive-CTE fold)
+    * triple over the previous round's symbol state. The fold CTE is
+    * the exact left-to-right non-overlapping merge — a string
+    * replace() would under-merge consecutive occurrences. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH RECURSIVE
+        |vocab AS (
+        |  SELECT tok, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      x -> len(x) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY tok),
+        |w0 AS (
+        |  SELECT tok, freq, list_transform(
+        |    generate_series(1, strlen(tok)),
+        |    i -> substring(tok, i, 1)) AS s
+        |  FROM vocab)""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      val fold =
+        if (r == rounds) "" // the last round's fold is never read
+        else s""",
+          |f$r AS (
+          |  SELECT tok, freq, s, a, b,
+          |    CAST([] AS VARCHAR[]) AS out, 1 AS i
+          |  FROM $prev, (SELECT string_split(p, ' ')[1] AS a,
+          |                      string_split(p, ' ')[2] AS b FROM b$r)
+          |  UNION ALL
+          |  SELECT tok, freq, s, a, b,
+          |    CASE WHEN i < len(s) AND s[i] = a AND s[i+1] = b
+          |      THEN list_append(out, a || b)
+          |      ELSE list_append(out, s[i]) END,
+          |    CASE WHEN i < len(s) AND s[i] = a AND s[i+1] = b
+          |      THEN i + 2 ELSE i + 1 END
+          |  FROM f$r WHERE i <= len(s)),
+          |w$r AS (SELECT tok, freq, out AS s FROM f$r
+          |        WHERE i > len(s))""".stripMargin
+      s""",
+        |p$r AS (
+        |  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT freq, unnest(list_transform(
+        |      generate_series(1, len(s) - 1),
+        |      i -> s[i] || ' ' || s[i+1])) AS p
+        |    FROM $prev WHERE len(s) >= 2)
+        |  GROUP BY p),
+        |b$r AS (SELECT p, cnt FROM p$r
+        |        ORDER BY cnt DESC, p DESC LIMIT 1)""".stripMargin + fold
+    }.mkString
+    val out = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, p AS pair, cnt FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+    head + roundsSql + out
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -3137,6 +3204,7 @@ object SparkEntry {
     "agg_contingency" -> (qAggContingency _),
     "asof_join_left" -> (qAsofJoinLeft _),
     "agg_robust_outliers" -> (qAggRobustOutliers _),
+    "bpe_train" -> (qBpeTrain _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5774,6 +5842,7 @@ object SparkEntry {
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
     },
+    "bpe_train" -> bpeOracleSql(3),
     // DuckDB's native ASOF LEFT JOIN pins the composition semantics.
     "asof_join_left" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts

@@ -388,6 +388,56 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** One BPE merge application: left-to-right non-overlapping fold of
+    * the symbol list, replacing each adjacent (a, b) with the merged
+    * symbol a+b — the exact list-fold semantics of the reference BPE
+    * algorithm (Sennrich et al. 2016 `merge_vocab`). A string
+    * `replace` cannot emulate this: consecutive occurrences share the
+    * separator ("a n a n a" under-merges), hence the expression. The
+    * merge pair rides as literals (captured per training round, the
+    * kmeans-centroid pattern), so application is scan-stage. */
+  case class BpeMergePair(child: Expression, a: String, b: String)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    private val au = UTF8String.fromString(a)
+    private val bu = UTF8String.fromString(b)
+    private val mu = UTF8String.fromString(a + b)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new java.util.ArrayList[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        if (i + 1 < n && arr.getUTF8String(i) == au &&
+            arr.getUTF8String(i + 1) == bu) {
+          out.add(mu); i += 2
+        } else { out.add(arr.getUTF8String(i)); i += 1 }
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("bpeMerge", this,
+        classOf[BpeMergePair].getName)
+      val r = ctx.freshName("r")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |Object $r = $expr.nullSafeEval($v);
+           |${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All `k` MinHash values of a 64-bit element array in one pass:
     * output[i] = min over elements e of xxhash64(e, seed = i). Replaces
     * the explode → k×min-agg formulation, which shuffled every shingle
@@ -1416,6 +1466,8 @@ object VectorFunctions {
     toColumn(CharNgramHashes(toExpression(text), n))
   def fnv1a64(text: Column): Column =
     toColumn(Fnv1a64Bytes(toExpression(text)))
+  def bpe_merge(syms: Column, a: String, b: String): Column =
+    toColumn(BpeMergePair(toExpression(syms), a, b))
   def text_stats(text: Column): Column =
     toColumn(TextStats(toExpression(text)))
   def minhash_sig(elems: Column, k: Int): Column =
