@@ -2936,12 +2936,52 @@ object SparkEntry {
     graft.operators.Bpe.train(t(s, dir, "documents"), rounds = 3)
       .orderBy("round")
 
+  private def qBpeSegment(s: SparkSession, dir: String): DataFrame = {
+    // The apply half of the BPE family: segment every document with
+    // the 3 learned merges — per doc, whitespace-token count vs
+    // post-merge subword count. Segmentation is a broadcast-size join
+    // of the corpus tokens against the (vocab-sized) trained symbol
+    // state; the corpus rescans once to tokenize, never to train.
+    val docs = t(s, dir, "documents")
+    val seg = graft.operators.Bpe.symbolState(docs, rounds = 3)
+      .select(col("tok"), size(split(col("segmented"), " "))
+        .cast("long").as("n_sub"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      .join(seg, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   /** The bpe_train oracle: `rounds` unrolled training rounds, each a
     * (pair-count, argmax-with-pinned-tie-break, recursive-CTE fold)
     * triple over the previous round's symbol state. The fold CTE is
     * the exact left-to-right non-overlapping merge — a string
     * replace() would under-merge consecutive occurrences. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) + (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, p AS pair, cnt FROM b$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** Segment oracle: the same trained state, applied — per-doc token
+    * counts joined to the final fold's symbol lengths. */
+  private def bpeSegmentOracleSql(rounds: Int): String =
+    bpeOracleCtes(rounds) +
+      s"""
+        |SELECT d.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(len(w.s)) AS BIGINT) AS n_subwords
+        |FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(
+        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents) d
+        |JOIN w$rounds w ON d.tok = w.tok
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+
+  private def bpeOracleCtes(rounds: Int): String = {
     val head =
       """WITH RECURSIVE
         |vocab AS (
@@ -2959,8 +2999,7 @@ object SparkEntry {
     val roundsSql = (1 to rounds).map { r =>
       val prev = s"w${r - 1}"
       val fold =
-        if (r == rounds) "" // the last round's fold is never read
-        else s""",
+        s""",
           |f$r AS (
           |  SELECT tok, freq, s, a, b,
           |    CAST([] AS VARCHAR[]) AS out, 1 AS i
@@ -2987,10 +3026,7 @@ object SparkEntry {
         |b$r AS (SELECT p, cnt FROM p$r
         |        ORDER BY cnt DESC, p DESC LIMIT 1)""".stripMargin + fold
     }.mkString
-    val out = (1 to rounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS round, p AS pair, cnt FROM b$r")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
-    head + roundsSql + out
+    head + roundsSql
   }
 
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
@@ -3205,6 +3241,7 @@ object SparkEntry {
     "asof_join_left" -> (qAsofJoinLeft _),
     "agg_robust_outliers" -> (qAggRobustOutliers _),
     "bpe_train" -> (qBpeTrain _),
+    "bpe_segment" -> (qBpeSegment _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5843,6 +5880,7 @@ object SparkEntry {
           "\n) ORDER BY col_name")
     },
     "bpe_train" -> bpeOracleSql(3),
+    "bpe_segment" -> bpeSegmentOracleSql(3),
     // DuckDB's native ASOF LEFT JOIN pins the composition semantics.
     "asof_join_left" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
