@@ -380,7 +380,22 @@ object DumpPlans {
         |the codegen'd levenshtein builtin runs in the join's output
         |projection. The fourth similarity-join family (after
         |jaccard / cosine / hamming) on one shared blocking
-        |skeleton.""".stripMargin)
+        |skeleton.""".stripMargin,
+    "agg_contingency" ->
+      """Independence audit with NO division and NO sqrt: the
+        |2σ-residual flag is a DECIMAL(38) cross-multiplied
+        |inequality evaluated in the output projection. One cell
+        |aggregate touches the corpus; marginals aggregate the CELL
+        |frame (|nations|×|segments| rows) and broadcast back — the
+        |1-row grand total is the only cross join.""".stripMargin,
+    "bpe_train" ->
+      """BPE training: the corpus is scanned once to build the word
+        |vocab; all three rounds run over the vocab frame (orders of
+        |magnitude smaller), each round = one pair-count aggregate +
+        |one struct-max argmax, with ONE driver row collected per
+        |round (the winning pair, needed as a literal in the next
+        |fold). The fold itself is a codegen'd scan-stage
+        |expression.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
