@@ -3029,6 +3029,54 @@ object SparkEntry {
     head + roundsSql
   }
 
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    // Scalar int8 embedding quantization (the faiss-SQ8 shape) as a
+    // pure scan-stage transform: per-vector symmetric scale
+    // max|v|/127, q = round(v/scale), plus the reconstruction-error
+    // audit the compression decision needs. Error sums are exact
+    // integer picos (round(e²·1e12) summed as longs — order-
+    // independent, unlike a float sum), so the whole report
+    // hash-matches. No shuffle at all but the presentation sort.
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("ed"))
+      .withColumn("max_abs",
+        expr("array_max(transform(ed, x -> abs(x)))"))
+      .filter(col("max_abs") > 0.0)
+      .withColumn("q", expr(
+        "transform(ed, x -> CAST(round(x * 127.0 / max_abs) AS BIGINT))"))
+      .select(col("vec_id"), col("max_abs"),
+        expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("sum_abs_q"),
+        expr("aggregate(zip_with(ed, q, (v, qq) -> " +
+          "v - qq * (max_abs / 127.0)), 0L, " +
+          "(a, e) -> a + CAST(round(e * e * 1e12) AS BIGINT))")
+          .as("err_sum_e12"))
+      .orderBy("vec_id")
+
+  private def qStreamTransitions(s: SparkSession, dir: String)
+      : DataFrame = {
+    // A REAL streaming run of the Markov transition derivation:
+    // per-user last-event-type state emits each (prev → next) edge as
+    // it arrives; the epoch-close aggregate over the sink builds the
+    // same matrix as the batch lag() twin and shares its oracle.
+    val sink = graft.streaming.EventsStream.runTransitionsStream(
+      s, dir, "stream_transitions_sink")
+    // rewrap the memory sink as a LogicalRDD: MemoryPlan self-joins
+    // trip conflicting-reference resolution (DeduplicateRelations
+    // clones file/RDD relations, not memory sinks)
+    val sinkDf = s.table(sink)
+    val base = s.createDataFrame(sinkDf.rdd, sinkDf.schema)
+    val trans = base
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type")
+      .agg(sum(col("n")).as("row_total"))
+    trans.join(totals, "prev_type")
+      .withColumn("p_micros", expr("(n * 1000000L) DIV row_total"))
+      .select("prev_type", "next_type", "n", "p_micros")
+      .orderBy("prev_type", "next_type")
+  }
+
   private def qChecksConstraints(s: SparkSession, dir: String): DataFrame = {
     // Declarative data-quality gate (the Deequ / Great-Expectations
     // shape): the check list is DATA, compiled into as few passes as
@@ -3242,6 +3290,8 @@ object SparkEntry {
     "agg_robust_outliers" -> (qAggRobustOutliers _),
     "bpe_train" -> (qBpeTrain _),
     "bpe_segment" -> (qBpeSegment _),
+    "embed_quantize" -> (qEmbedQuantize _),
+    "stream_transitions" -> (qStreamTransitions _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5881,6 +5931,30 @@ object SparkEntry {
     },
     "bpe_train" -> bpeOracleSql(3),
     "bpe_segment" -> bpeSegmentOracleSql(3),
+    // Same per-element doubles (identical operands → identical IEEE
+    // results), index-addressed instead of zip_with; integer sums.
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, ed,
+        |    list_max(list_transform(ed, x -> abs(x))) AS max_abs
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, ed, max_abs,
+        |    list_transform(ed,
+        |      x -> CAST(round(x * 127.0 / max_abs) AS BIGINT)) AS qv
+        |  FROM m WHERE max_abs > 0.0)
+        |SELECT vec_id, max_abs,
+        |  CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum')
+        |    AS BIGINT) AS sum_abs_q,
+        |  CAST(list_aggregate(list_transform(
+        |      generate_series(1, len(ed)),
+        |      i -> CAST(round((ed[i] - qv[i] * (max_abs / 127.0))
+        |        * (ed[i] - qv[i] * (max_abs / 127.0)) * 1e12)
+        |        AS BIGINT)), 'sum') AS BIGINT) AS err_sum_e12
+        |FROM q ORDER BY vec_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN pins the composition semantics.
     "asof_join_left" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value, s.s_user, s.s_ts
@@ -5964,8 +6038,14 @@ object SparkEntry {
         |      AS BIGINT) / 100.0
         |  FROM orders WHERE o_orderkey % 2 = 1
         |) ORDER BY epoch""".stripMargin,
-    // Same lag/count/total derivation; // mirrors DIV exactly.
-    "events_transitions" ->
+    // Same lag/count/total derivation; // mirrors DIV exactly. The
+    // streaming twin must land on the identical matrix (stream ≡
+    // batch), so it shares this oracle verbatim.
+    "stream_transitions" -> transitionsOracleSql,
+    "events_transitions" -> transitionsOracleSql,
+  ) ++ oracleSqlRest
+
+  private val transitionsOracleSql: String =
       """WITH seq AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
@@ -5980,7 +6060,9 @@ object SparkEntry {
         |SELECT t.prev_type, t.next_type, t.n,
         |  CAST((t.n * 1000000) // x.row_total AS BIGINT) AS p_micros
         |FROM tr t JOIN tot x USING (prev_type)
-        |ORDER BY t.prev_type, t.next_type""".stripMargin,
+        |ORDER BY t.prev_type, t.next_type""".stripMargin
+
+  private def oracleSqlRest: Map[String, String] = Map(
     // The argmax replayed with a window (NOT DuckDB's mode(), whose
     // tie-break is unspecified): count desc, segment desc, first row.
     "agg_mode" ->

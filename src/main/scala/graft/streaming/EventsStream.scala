@@ -204,6 +204,56 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  case class Transition(prev_type: String, next_type: String)
+
+  /** Streaming first-order Markov transitions: per-user LAST EVENT
+    * TYPE as `mapGroupsWithState`-style state (one string per user —
+    * bounded by the user population, not the event volume), each
+    * arriving event emitting its (prev → next) edge. Within a
+    * micro-batch the group's rows sort by (ts, event_id) — the batch
+    * operator's exact order — and the state seeds the next batch, so
+    * the emitted edge multiset equals the batch lag() derivation
+    * under any batch slicing of an ordered source. The aggregation
+    * into the transition matrix happens at epoch close over the sink
+    * (the stream_heavy_hitters discipline): chaining a second
+    * stateful aggregate behind flatMapGroupsWithState is the
+    * restricted shape. */
+  def transitionsStream(spark: SparkSession, events: DataFrame)
+      : Dataset[Transition] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[String]) =>
+          val sorted = batch.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Drive [[transitionsStream]] to completion; returns the sink. */
+  def runTransitionsStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "events_transitions_stream"): String = {
+    val q = transitionsStream(spark, readEventsStream(spark, sfDir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
+
   /** Drive [[windowedAgg]] as a real streaming query over the parquet
     * events dir, synchronously to completion (memory sink). Used by the
     * streaming spec; returns the sink table name. */

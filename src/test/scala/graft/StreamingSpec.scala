@@ -314,4 +314,18 @@ class StreamingSpec extends AnyFunSuite {
       .toSeq.sortBy { case (t, n) => (-n, t) }.take(5)
     assert(got === want)
   }
+
+  test("streaming Markov transitions equal the batch lag() matrix") {
+    val spark = TestSpark.spark
+    val streamed = SparkEntry.queries("stream_transitions")(
+      spark, TestSpark.sfDir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3)))
+    val batch = SparkEntry.queries("events_transitions")(
+      spark, TestSpark.sfDir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
