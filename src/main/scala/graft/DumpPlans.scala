@@ -395,7 +395,15 @@ object DumpPlans {
         |one struct-max argmax, with ONE driver row collected per
         |round (the winning pair, needed as a literal in the next
         |fold). The fold itself is a codegen'd scan-stage
-        |expression.""".stripMargin)
+        |expression.""".stripMargin,
+    "embed_quantize" ->
+      """Int8 scalar quantization is a pure scan-stage transform:
+        |scale, quantize, and both audit sums (|q| and pico-scaled
+        |squared error) are higher-order array expressions evaluated
+        |per row inside the one WholeStageCodegen span — the only
+        |exchange in the plan is the presentation sort. At 100 TB the
+        |quantizer cost is the scan itself; nothing accumulates
+        |driver-side.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
