@@ -3053,6 +3053,23 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    // Market-basket association rules: orders are baskets, parts are
+    // items. A-Priori downward-closure prune (frequent items BEFORE
+    // pair generation), within-basket self-join pair counts, both rule
+    // orientations with exact floor-micro confidence/lift. See
+    // operators/Association.scala for the 100 TB design notes.
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = graft.operators.Association.frequentPairs(
+      li, "l_orderkey", "l_partkey",
+      itemMinSupport = 5L, pairMinSupport = 2L)
+    val nBaskets = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    graft.operators.Association.rules(pairs, nBaskets)
+      .orderBy("antecedent", "consequent")
+  }
+
   private def qStreamTransitions(s: SparkSession, dir: String)
       : DataFrame = {
     // A REAL streaming run of the Markov transition derivation:
@@ -3292,6 +3309,7 @@ object SparkEntry {
     "bpe_segment" -> (qBpeSegment _),
     "embed_quantize" -> (qEmbedQuantize _),
     "stream_transitions" -> (qStreamTransitions _),
+    "assoc_rules" -> (qAssocRules _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6043,6 +6061,32 @@ object SparkEntry {
     // batch), so it shares this oracle verbatim.
     "stream_transitions" -> transitionsOracleSql,
     "events_transitions" -> transitionsOracleSql,
+    "assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+        |  FROM lineitem),
+        |i AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS item_n
+        |  FROM b GROUP BY 1 HAVING count(*) >= 5),
+        |f AS (SELECT b.bk, b.item, i.item_n FROM b JOIN i USING (item)),
+        |p AS (
+        |  SELECT a.item AS a_item, c.item AS b_item,
+        |         a.item_n AS a_n, c.item_n AS b_n,
+        |         CAST(count(*) AS BIGINT) AS pair_n
+        |  FROM f a JOIN f c ON a.bk = c.bk AND a.item < c.item
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+        |r AS (
+        |  SELECT a_item AS antecedent, b_item AS consequent, pair_n,
+        |         a_n AS ant_n, b_n AS cons_n FROM p
+        |  UNION ALL
+        |  SELECT b_item, a_item, pair_n, b_n, a_n FROM p)
+        |SELECT r.antecedent, r.consequent, r.pair_n, r.ant_n, r.cons_n,
+        |  CAST((r.pair_n * 1000000) // r.ant_n AS BIGINT) AS conf_micros,
+        |  CAST((r.pair_n * n.nb * 1000000) // (r.ant_n * r.cons_n)
+        |    AS BIGINT) AS lift_micros
+        |FROM r, n
+        |ORDER BY r.antecedent, r.consequent""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =

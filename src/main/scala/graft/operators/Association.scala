@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: frequent item pairs + rules.
+  *
+  * The reference engine's analytics surface stops at SPJU aggregates;
+  * this is part of the extended pipeline family (SURVEY.md §2.7):
+  * co-occurrence mining over a basket/item relation, the classic
+  * retail / co-view / co-citation analysis.
+  *
+  * Scale design (the A-Priori discipline, 100 TB honest):
+  *  - **Frequent items FIRST.** Pair candidates are generated only from
+  *    items that individually clear `itemMinSupport` — the downward-
+  *    closure prune that keeps the pair space from exploding. The prune
+  *    runs as one map-side-combined groupBy over the deduplicated
+  *    basket relation; the surviving item list joins back on item id
+  *    (hash join, AQE broadcasts it when small).
+  *  - **Pair generation is a within-basket self-join** on the basket
+  *    key with `a.item < b.item`: work is Σ f_b·(f_b−1)/2 over
+  *    *filtered* basket sizes f_b — quadratic only inside one basket,
+  *    never across baskets. Baskets are natural units (an order, a
+  *    session); their size is bounded by the domain, not the corpus, so
+  *    the join is shuffle-partitioned by basket key and skew-free.
+  *  - **Counts, not lists.** Nothing materializes per-basket pair
+  *    arrays; `groupBy(pair).count` is map-side combined so the shuffle
+  *    carries one row per distinct surviving pair per partition.
+  *  - **Exact integer metrics.** Confidence and lift are emitted in
+  *    floor micros (`x DIV y` over BIGINT products) so the report
+  *    hash-matches any engine that replays the same arithmetic — the
+  *    repo-wide determinism contract.
+  */
+object Association {
+
+  /** Distinct (basket, item) pairs → frequent-pair counts.
+    *
+    * @param baskets  two columns: basket key, item id (duplicates OK —
+    *                 deduplicated here; presence, not multiplicity, is
+    *                 what association semantics count)
+    * @return one row per unordered frequent pair (a_item < b_item) with
+    *         both item supports and the pair support
+    */
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+      itemMinSupport: Long, pairMinSupport: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+    val freqItems = b.groupBy("item")
+      .agg(count(lit(1)).as("item_n"))
+      .filter(col("item_n") >= itemMinSupport)
+    val f = b.join(freqItems, "item")
+    val lhs = f.select(col("bk"), col("item").as("a_item"),
+      col("item_n").as("a_n"))
+    val rhs = f.select(col("bk"), col("item").as("b_item"),
+      col("item_n").as("b_n"))
+    lhs.join(rhs, "bk")
+      .filter(col("a_item") < col("b_item"))
+      .groupBy("a_item", "b_item", "a_n", "b_n")
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= pairMinSupport)
+  }
+
+  /** Frequent pairs → directed association rules with exact-integer
+    * confidence and lift.
+    *
+    * Each unordered pair yields both orientations. With N = total
+    * basket count:
+    *   conf(A→B) = pair_n / ant_n          (floor micros)
+    *   lift(A→B) = conf(A→B) / (cons_n/N) = pair_n·N / (ant_n·cons_n)
+    * Lift is symmetric; confidence is not — both emitted per direction.
+    * `nBaskets` is a ONE-ROW frame (the basket count aggregated by the
+    * caller from the same relation) crossJoined in — a 1-row-bounded
+    * broadcast, never a driver action inside the operator.
+    */
+  def rules(pairs: DataFrame, nBaskets: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a_item").as("antecedent"),
+      col("b_item").as("consequent"), col("pair_n"),
+      col("a_n").as("ant_n"), col("b_n").as("cons_n"))
+    val bwd = pairs.select(col("b_item").as("antecedent"),
+      col("a_item").as("consequent"), col("pair_n"),
+      col("b_n").as("ant_n"), col("a_n").as("cons_n"))
+    fwd.unionAll(bwd)
+      .crossJoin(broadcast(nBaskets)) // 1 row by construction
+      .withColumn("conf_micros",
+        expr("(pair_n * 1000000L) DIV ant_n"))
+      .withColumn("lift_micros",
+        expr("(pair_n * n_baskets * 1000000L) DIV (ant_n * cons_n)"))
+      .drop("n_baskets")
+  }
+}
