@@ -3053,6 +3053,45 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qEventsOhlc(s: SparkSession, dir: String): DataFrame =
+    // Hourly OHLC bars per event type — the time-series rollup shape
+    // (open/close pinned to the earliest/latest (ts, event_id), so ties
+    // are impossible: event_id is unique). ONE map-side-combined
+    // aggregate: open/close are struct-min/max argmax over the group,
+    // not a window sort — no per-row window exchange, the shuffle
+    // carries one row per (hour, type) group.
+    t(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"),
+        col("ts"), col("event_id"),
+        round(col("value") * 1e6).cast("long").as("v"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("v")))
+          .getField("v").as("open_micros"),
+        max(struct(col("ts"), col("event_id"), col("v")))
+          .getField("v").as("close_micros"),
+        min(col("v")).as("low_micros"),
+        max(col("v")).as("high_micros"))
+      .orderBy("hour", "event_type")
+
+  private def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    // Schema-aligned union: two differently-shaped relations combined
+    // BY NAME with null backfill for missing columns (customer carries
+    // a market segment, supplier doesn't) — the schema-drift-tolerant
+    // twin of positional UNION ALL. Pure narrow op: no shuffle but the
+    // presentation sort.
+    val c = t(s, dir, "customer").select(
+      col("c_custkey").as("party_id"), col("c_name").as("name"),
+      round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+      col("c_mktsegment").as("segment"), lit("customer").as("kind"))
+    val su = t(s, dir, "supplier").select(
+      col("s_suppkey").as("party_id"), col("s_name").as("name"),
+      round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"),
+      lit("supplier").as("kind"))
+    c.unionByName(su, allowMissingColumns = true)
+      .orderBy("kind", "party_id")
+  }
+
   private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
     // Market-basket association rules: orders are baskets, parts are
     // items. A-Priori downward-closure prune (frequent items BEFORE
@@ -3310,6 +3349,8 @@ object SparkEntry {
     "embed_quantize" -> (qEmbedQuantize _),
     "stream_transitions" -> (qStreamTransitions _),
     "assoc_rules" -> (qAssocRules _),
+    "events_ohlc" -> (qEventsOhlc _),
+    "union_by_name" -> (qUnionByName _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6087,6 +6128,44 @@ object SparkEntry {
         |    AS BIGINT) AS lift_micros
         |FROM r, n
         |ORDER BY r.antecedent, r.consequent""".stripMargin,
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, ts,
+        |         event_id, CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |      ORDER BY ts, event_id) AS rk_a,
+        |    row_number() OVER (PARTITION BY hour, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rk_d
+        |  FROM e),
+        |a AS (
+        |  SELECT hour, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(min(v) AS BIGINT) AS low_micros,
+        |         CAST(max(v) AS BIGINT) AS high_micros
+        |  FROM e GROUP BY 1, 2)
+        |SELECT a.hour, a.event_type, a.n_events,
+        |       o.v AS open_micros, c.v AS close_micros,
+        |       a.low_micros, a.high_micros
+        |FROM a
+        |JOIN r o ON o.hour = a.hour AND o.event_type = a.event_type
+        |        AND o.rk_a = 1
+        |JOIN r c ON c.hour = a.hour AND c.event_type = a.event_type
+        |        AND c.rk_d = 1
+        |ORDER BY a.hour, a.event_type""".stripMargin,
+    "union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS party_id, c_name AS name,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |         c_mktsegment AS segment, 'customer' AS kind
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_suppkey AS party_id, s_name AS name,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |         'supplier' AS kind
+        |  FROM supplier)
+        |ORDER BY kind, party_id""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =
