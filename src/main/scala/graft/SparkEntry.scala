@@ -3053,6 +3053,18 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qParetoSkyline(s: SparkSession, dir: String): DataFrame =
+    // Pareto frontier over parts: cheapest-for-its-size shortlist
+    // (minimize retail price, maximize size). Bucket-pruned — the
+    // dominance check never compares row pairs; see
+    // operators/Skyline.scala for the two-stage design.
+    graft.operators.Skyline.skyline2d(
+      t(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size")),
+      "price_cents", "size")
+      .orderBy("p_partkey")
+
   private def qEventsOhlc(s: SparkSession, dir: String): DataFrame =
     // Hourly OHLC bars per event type — the time-series rollup shape
     // (open/close pinned to the earliest/latest (ts, event_id), so ties
@@ -3351,6 +3363,7 @@ object SparkEntry {
     "assoc_rules" -> (qAssocRules _),
     "events_ohlc" -> (qEventsOhlc _),
     "union_by_name" -> (qUnionByName _),
+    "pareto_skyline" -> (qParetoSkyline _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6166,6 +6179,19 @@ object SparkEntry {
         |         'supplier' AS kind
         |  FROM supplier)
         |ORDER BY kind, party_id""".stripMargin,
+    "pareto_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT x.p_partkey, x.price_cents, x.size
+        |FROM p x
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p d
+        |  WHERE d.price_cents <= x.price_cents AND d.size >= x.size
+        |    AND (d.price_cents < x.price_cents OR d.size > x.size))
+        |ORDER BY x.p_partkey""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skyline
+
+/** The bucket-pruned skyline must equal the brute-force dominance
+  * definition on every shape that stresses the prune: ties on either
+  * criterion, full duplicates, a single-value min column (one bucket,
+  * no prune), anti-correlated data (everything on the frontier), and
+  * random corpora across bucket counts. */
+class SkylineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long)] =
+    rows.filter { case (_, p, s) =>
+      !rows.exists { case (_, dp, ds) =>
+        dp <= p && ds >= s && (dp < p || ds > s)
+      }
+    }.toSet
+
+  private def run(rows: Seq[(Long, Long, Long)], buckets: Int)
+      : Set[(Long, Long, Long)] =
+    Skyline.skyline2d(rows.toDF("id", "price", "size"), "price", "size",
+        buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("hand corpus with ties and duplicates, across bucket counts") {
+    val rows = Seq[(Long, Long, Long)](
+      (1, 100, 5), (2, 100, 9), (3, 100, 9),  // equal-price tie: both 9s
+      (4, 50, 9),                              // dominates all price-100
+      (5, 50, 3), (6, 40, 2), (7, 40, 2),     // full duplicates survive
+      (8, 200, 9),                             // dominated (price worse)
+      (9, 200, 12), (10, 30, 1))
+    val want = brute(rows)
+    for (b <- Seq(1, 2, 7, 1024))
+      assert(run(rows, b) == want, s"buckets=$b")
+  }
+
+  test("single-value min column: one bucket, exact pass does the work") {
+    val rows = Seq[(Long, Long, Long)]((1, 7, 1), (2, 7, 5), (3, 7, 5))
+    assert(run(rows, 64) == brute(rows))
+    assert(run(rows, 64).map(_._1) == Set(2L, 3L))
+  }
+
+  test("anti-correlated: the whole corpus is the frontier") {
+    // size grows with price: every point wins on one axis, so the
+    // frontier is the whole corpus (worst case for the prune)
+    val rows = (1L to 50L).map(i => (i, i * 10, i * 10))
+    assert(run(rows, 8) == rows.toSet)
+  }
+
+  test("random corpora match brute force") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val rows = (1L to 300L).map(i =>
+        (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      assert(run(rows, 16) == brute(rows), s"trial=$trial")
+    }
+  }
+}
