@@ -3053,6 +3053,24 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qGeoRadiusJoin(s: SparkSession, dir: String): DataFrame = {
+    // Spatial radius join: customers to suppliers within 0.5 units on
+    // a synthetic 10×10-unit plane (micro-unit integers; the TPC-H-ish
+    // schema has no coordinates, so each party sits at a deterministic
+    // key-mixed point — pure BIGINT arithmetic both engines replay).
+    // Grid-bucketed: ONE equi-join shuffle on cell keys, no nested
+    // loop — see operators/Geo.scala. The oracle is the definitional
+    // cross join, so a green row proves grid completeness.
+    def place(df: DataFrame, key: String) = df.select(col(key),
+      expr(s"($key * 2654435761L) % 10000000L").as("x"),
+      expr(s"($key * 2246822519L) % 10000000L").as("y"))
+    val cust = place(t(s, dir, "customer"), "c_custkey")
+    val supp = place(t(s, dir, "supplier"), "s_suppkey")
+    graft.operators.Geo.gridRadiusJoin(cust, supp, "x", "y", 500000L)
+      .select("c_custkey", "s_suppkey", "dist2")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   private def qParetoSkyline(s: SparkSession, dir: String): DataFrame =
     // Pareto frontier over parts: cheapest-for-its-size shortlist
     // (minimize retail price, maximize size). Bucket-pruned — the
@@ -3364,6 +3382,7 @@ object SparkEntry {
     "events_ohlc" -> (qEventsOhlc _),
     "union_by_name" -> (qUnionByName _),
     "pareto_skyline" -> (qParetoSkyline _),
+    "geo_radius_join" -> (qGeoRadiusJoin _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6192,6 +6211,24 @@ object SparkEntry {
         |  WHERE d.price_cents <= x.price_cents AND d.size >= x.size
         |    AND (d.price_cents < x.price_cents OR d.size > x.size))
         |ORDER BY x.p_partkey""".stripMargin,
+    "geo_radius_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         (c_custkey * 2654435761) % 10000000 AS x,
+        |         (c_custkey * 2246822519) % 10000000 AS y
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |         (s_suppkey * 2654435761) % 10000000 AS x,
+        |         (s_suppkey * 2246822519) % 10000000 AS y
+        |  FROM supplier)
+        |SELECT c.c_custkey, s.s_suppkey,
+        |       CAST((c.x - s.x) * (c.x - s.x)
+        |          + (c.y - s.y) * (c.y - s.y) AS BIGINT) AS dist2
+        |FROM c, s
+        |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+        |      <= 250000000000
+        |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =
