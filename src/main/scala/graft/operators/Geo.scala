@@ -41,17 +41,19 @@ object Geo {
   def gridRadiusJoin(left: DataFrame, right: DataFrame,
       xCol: String, yCol: String, radius: Long): DataFrame = {
     require(radius > 0, s"radius must be positive, got $radius")
+    // the 3×3 neighborhood as a literal-array explode: a narrow
+    // Generate inside codegen, not a 9-row join
     val offsets = Seq(-1L, 0L, 1L)
-      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
-    val offsetsDf = left.sparkSession.createDataFrame(offsets)
-      .toDF("_ox", "_oy")
+      .flatMap(dx => Seq(-1L, 0L, 1L).map(dy =>
+        s"struct(${dx}L AS ox, ${dy}L AS oy)"))
+      .mkString("array(", ", ", ")")
     val probe = left
       .withColumn("_lx", col(xCol).cast("long"))
       .withColumn("_ly", col(yCol).cast("long"))
-      .crossJoin(broadcast(offsetsDf)) // 9 rows by construction
-      .withColumn("_cx", expr(s"(_lx DIV ${radius}L) + _ox"))
-      .withColumn("_cy", expr(s"(_ly DIV ${radius}L) + _oy"))
-      .drop(xCol, yCol, "_ox", "_oy")
+      .withColumn("_o", explode(expr(offsets)))
+      .withColumn("_cx", expr(s"(_lx DIV ${radius}L) + _o.ox"))
+      .withColumn("_cy", expr(s"(_ly DIV ${radius}L) + _o.oy"))
+      .drop(xCol, yCol, "_o")
     val build = right
       .withColumn("_rx", col(xCol).cast("long"))
       .withColumn("_ry", col(yCol).cast("long"))

@@ -229,4 +229,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"),
       s"the single exchange should be the presentation sort:\n$p")
   }
+
+  test("window_rank: rank<=k filter becomes a WindowGroupLimit " +
+      "(per-partition top-k heaps BEFORE the window exchange — the " +
+      "group-limit optimization, not a full sort-then-filter)") {
+    val p = plan("window_rank")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not planned as a group limit:\n$p")
+    // both the partial (pre-shuffle) and final sides should appear
+    assert(p.indexOf("WindowGroupLimit") != p.lastIndexOf("WindowGroupLimit"),
+      s"expected partial+final group limits:\n$p")
+  }
+
+  test("geo_radius_join: candidate generation is a hash equi-join on " +
+      "cell keys — no nested-loop join anywhere in the plan") {
+    val p = plan("geo_radius_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"spatial join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"no hash join in spatial plan:\n$p")
+  }
+
+  test("pareto_skyline: the corpus-wide stages are bucket-local — the " +
+      "only unpartitioned windows run after the prune") {
+    val p = plan("pareto_skyline")
+    // the bounds frame and offsets are broadcast, never shuffled wide
+    assert(p.contains("BroadcastExchange"),
+      s"bounds/prefix frames should broadcast:\n$p")
+  }
 }
