@@ -3053,6 +3053,18 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qAggSkewKurt(s: SparkSession, dir: String): DataFrame =
+    // Population skewness + excess kurtosis per nation over acctbal
+    // cents — exact integer power sums (S3/S4 in DECIMAL(38)/HUGEINT),
+    // one identically-shaped float polynomial at the end, so the
+    // doubles hash-match across engines (see Profile.skewKurtExact;
+    // native skewness()/kurtosis() can't — DuckDB ships the sample-
+    // corrected versions and both accumulate floats in scan order).
+    graft.operators.Profile.skewKurtExact(
+      t(s, dir, "customer"), "c_nationkey",
+      round(col("c_acctbal") * 100))
+      .orderBy("c_nationkey")
+
   private def qGeoRadiusJoin(s: SparkSession, dir: String): DataFrame = {
     // Spatial radius join: customers to suppliers within 0.5 units on
     // a synthetic 10×10-unit plane (micro-unit integers; the TPC-H-ish
@@ -3383,6 +3395,7 @@ object SparkEntry {
     "union_by_name" -> (qUnionByName _),
     "pareto_skyline" -> (qParetoSkyline _),
     "geo_radius_join" -> (qGeoRadiusJoin _),
+    "agg_skew_kurtosis" -> (qAggSkewKurt _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6229,6 +6242,41 @@ object SparkEntry {
         |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
         |      <= 250000000000
         |ORDER BY c.c_custkey, s.s_suppkey""".stripMargin,
+    "agg_skew_kurtosis" ->
+      // the float staging is textually identical to the Spark side
+      // (Profile.skewKurtExact): same association, same literals —
+      // that's what makes the output doubles bit-equal
+      """WITH b AS (
+        |  SELECT c_nationkey AS g,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+        |  FROM customer),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(v) AS BIGINT) AS s1,
+        |         CAST(sum(v * v) AS BIGINT) AS s2,
+        |         sum(CAST(v AS HUGEINT) * v * v) AS s3,
+        |         sum((CAST(v AS HUGEINT) * v) * (CAST(v AS HUGEINT) * v))
+        |           AS s4
+        |  FROM b GROUP BY g),
+        |c AS (
+        |  SELECT *, CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+        |         CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+        |         CAST(s4 AS DOUBLE) AS d4
+        |  FROM a),
+        |d AS (
+        |  SELECT *, d1 / nd AS mean, d2 / nd AS a2, d3 / nd AS a3,
+        |         d4 / nd AS a4
+        |  FROM c),
+        |e AS (
+        |  SELECT *, a2 - mean * mean AS m2,
+        |         a3 - 3e0 * mean * a2 + 2e0 * mean * mean * mean AS m3,
+        |         a4 - 4e0 * mean * a3 + 6e0 * mean * mean * a2
+        |           - 3e0 * mean * mean * mean * mean AS m4
+        |  FROM d)
+        |SELECT g AS c_nationkey, n,
+        |  CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
+        |  CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3e0 END AS kurt
+        |FROM e ORDER BY c_nationkey""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =

@@ -72,4 +72,43 @@ object Profile {
       when(denx > 0, num.cast("double") / denx.cast("double"))
         .as("slope"))
   }
+
+  /** Per-group population skewness (g1) and excess kurtosis (g2) from
+    * EXACT integer power sums — the [[corrRegrExact]] discipline: the
+    * only float steps are one nearest-double cast per exact sum and an
+    * identically shaped final polynomial, so the doubles are bit-equal
+    * across engines and parallelism. (Native skewness()/kurtosis()
+    * accumulate doubles in partition order and differ by engine in the
+    * bias correction — DuckDB ships the SAMPLE versions.)
+    *
+    * S3/S4 accumulate in DECIMAL(38,0) (cents⁴ overflows BIGINT);
+    * the oracle mirrors them in HUGEINT. One map-side-combined
+    * aggregate; the shuffle carries 5 numbers per group.
+    */
+  def skewKurtExact(df: DataFrame, group: String,
+      v: org.apache.spark.sql.Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.select(col(group), v.cast("long").as("v"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"), // ≤ n·(1e6)² — fits BIGINT
+        sum(col("v").cast(d38) * col("v") * col("v")).as("s3"),
+        sum((col("v").cast(d38) * col("v")) *
+          (col("v").cast(d38) * col("v"))).as("s4"))
+      // the float staging below must stay textually identical to the
+      // oracle SQL: same names, same association, same literals
+      .selectExpr("*", "CAST(n AS DOUBLE) AS nd",
+        "CAST(s1 AS DOUBLE) AS d1", "CAST(s2 AS DOUBLE) AS d2",
+        "CAST(s3 AS DOUBLE) AS d3", "CAST(s4 AS DOUBLE) AS d4")
+      .selectExpr("*", "d1 / nd AS mean", "d2 / nd AS a2",
+        "d3 / nd AS a3", "d4 / nd AS a4")
+      .selectExpr("*", "a2 - mean * mean AS m2",
+        "a3 - 3e0 * mean * a2 + 2e0 * mean * mean * mean AS m3",
+        "a4 - 4e0 * mean * a3 + 6e0 * mean * mean * a2" +
+          " - 3e0 * mean * mean * mean * mean AS m4")
+      .selectExpr(group, "n",
+        "CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew",
+        "CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3e0 END AS kurt")
+  }
 }

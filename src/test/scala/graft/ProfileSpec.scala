@@ -59,4 +59,32 @@ class ProfileSpec extends AnyFunSuite {
       .collect()
     assert(const.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("exact-moment skew/kurtosis matches a sequential reference; " +
+      "constant groups null out; symmetry gives zero skew") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // asymmetric group 1, symmetric group 2, constant group 3
+    val rows = Seq[(Long, Long)]((1, 1), (1, 1), (1, 2), (1, 10),
+      (2, -4), (2, 0), (2, 4), (3, 5), (3, 5), (3, 5))
+    val got = Profile.skewKurtExact(rows.toDF("g", "v"), "g", col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getDouble(2),
+          r.getDouble(3))))).toMap
+    def ref(vs: Seq[Double]): (Double, Double) = {
+      val n = vs.size.toDouble
+      val mean = vs.sum / n
+      val m2 = vs.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = vs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = vs.map(x => math.pow(x - mean, 4)).sum / n
+      (m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3.0)
+    }
+    val (s1, k1) = ref(Seq(1, 1, 2, 10))
+    val (gs1, gk1) = got(1L).get
+    assert(math.abs(gs1 - s1) < 1e-9 && math.abs(gk1 - k1) < 1e-9)
+    assert(s1 > 0, "right-tailed group must have positive skew")
+    val (gs2, _) = got(2L).get
+    assert(math.abs(gs2) < 1e-12, "symmetric group must have zero skew")
+    assert(got(3L).isEmpty, "zero-variance group must null out")
+  }
 }
