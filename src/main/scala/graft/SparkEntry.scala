@@ -3053,6 +3053,37 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    // Multi-source BFS over the customer↔supplier order graph (same
+    // build as graph_pagerank): minimum hops from the nation-0
+    // customers, 4 rounds. Frontier-only expansion per round — see
+    // Graph.bfsHops. Deterministic by construction (hop counts are
+    // integers, first-reach = min), so the oracle unrolls the same 4
+    // frontier steps as chained CTEs and takes min(hop) per node.
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
+      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    val nodes = t(s, dir, "customer")
+      .select((col("c_custkey") * 2).cast("long").as("id"))
+      .unionByName(t(s, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("id")))
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).cast("long").as("id"))
+    graft.operators.Graph.bfsHops(nodes, edges, seeds, maxHops = 4)
+      .select(col("id").as("node_id"),
+        when(pmod(col("id"), lit(2L)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("id div 2").as("node_key"),
+        col("hops"))
+      .orderBy("node_id")
+  }
+
   private def qAggSkewKurt(s: SparkSession, dir: String): DataFrame =
     // Population skewness + excess kurtosis per nation over acctbal
     // cents — exact integer power sums (S3/S4 in DECIMAL(38)/HUGEINT),
@@ -3396,6 +3427,7 @@ object SparkEntry {
     "pareto_skyline" -> (qParetoSkyline _),
     "geo_radius_join" -> (qGeoRadiusJoin _),
     "agg_skew_kurtosis" -> (qAggSkewKurt _),
+    "graph_bfs" -> (qGraphBfs _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6277,6 +6309,41 @@ object SparkEntry {
         |  CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skew,
         |  CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3e0 END AS kurt
         |FROM e ORDER BY c_nationkey""".stripMargin,
+    "graph_bfs" ->
+      // min hop over exact-length walk sets: a length-k walk exists iff
+      // distance <= k, so min(h) over the chained neighbor sets is the
+      // shortest-path distance — identical to first-reach frontier BFS
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT c AS src, sp AS dst FROM pairs
+        |  UNION ALL SELECT sp, c FROM pairs),
+        |n AS (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS id FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) FROM supplier),
+        |s0 AS (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS id FROM customer
+        |  WHERE c_nationkey = 0),
+        |s1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s0 ON e.src = s0.id),
+        |s2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s1 ON e.src = s1.id),
+        |s3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s2 ON e.src = s2.id),
+        |s4 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s3 ON e.src = s3.id),
+        |lv AS (
+        |  SELECT id, 0 AS h FROM s0
+        |  UNION ALL SELECT id, 1 FROM s1
+        |  UNION ALL SELECT id, 2 FROM s2
+        |  UNION ALL SELECT id, 3 FROM s3
+        |  UNION ALL SELECT id, 4 FROM s4),
+        |d AS (SELECT id, CAST(min(h) AS BIGINT) AS hops FROM lv GROUP BY id)
+        |SELECT n.id AS node_id,
+        |  CASE WHEN n.id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  n.id // 2 AS node_key, d.hops
+        |FROM n LEFT JOIN d ON n.id = d.id
+        |ORDER BY node_id""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =

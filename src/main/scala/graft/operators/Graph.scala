@@ -170,4 +170,40 @@ object Graph {
     }
     labels
   }
+
+  /** Multi-source BFS: minimum hop count from a seed set, bounded by
+    * `maxHops` rounds. Frontier expansion only — each round joins the
+    * PREVIOUS round's frontier (nodes first reached there) against the
+    * edge list, so per-round work is the frontier's out-degree sum,
+    * not |visited|·|E| — the textbook distributed BFS. A node's first
+    * reach round IS its shortest distance, so no min-merge is needed.
+    * `localCheckpoint` per round truncates the growing lineage (the
+    * same iteration discipline as [[pageRank]]/[[labelPropagation]]).
+    * Nodes unreached within the budget keep a null distance; seeds not
+    * present in `nodes` are ignored.
+    */
+  def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, "maxHops must be in [1, 50]")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    var dist = nodes.select(col("id").cast("long"))
+      .join(seeds.select(col("id").cast("long")).distinct()
+        .withColumn("_d0", lit(0L)), Seq("id"), "left")
+      .select(col("id"), col("_d0").as("hops"))
+      .localCheckpoint(true)
+    var round = 1
+    while (round <= maxHops) {
+      val frontier = dist.filter(col("hops") === (round - 1))
+        .select(col("id").as("_fid"))
+      val reached = e.join(frontier, e("src") === col("_fid"))
+        .select(e("dst").as("id")).distinct()
+        .withColumn("_nd", lit(round.toLong))
+      dist = dist.join(reached, Seq("id"), "left")
+        .select(col("id"), coalesce(col("hops"), col("_nd")).as("hops"))
+        .localCheckpoint(true)
+      round += 1
+    }
+    dist
+  }
 }

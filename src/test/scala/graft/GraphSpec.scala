@@ -198,4 +198,44 @@ class GraphSpec extends AnyFunSuite {
         Seq((1L, 1L)).toDF("src", "dst"), iters = 0)
     }
   }
+
+  private def referenceBfs(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      seeds: Seq[Long], maxHops: Int): Map[Long, Option[Long]] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.filter(nodes.contains).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+        .filter(v => !dist.contains(v))
+      dist = dist ++ frontier.map(_ -> h.toLong)
+    }
+    nodes.map(v => v -> dist.get(v)).toMap
+  }
+
+  test("bfsHops matches sequential BFS: chains, cycles, disconnected " +
+      "nodes, hop budget, multi-seed min") {
+    // chain 1-2-3-4-5 (directed both ways), cycle 6-7-8, isolated 9
+    val nodes = (1L to 9L)
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (8L, 6L))
+    val edges = base ++ base.map(_.swap)
+    def run(seeds: Seq[Long], k: Int): Map[Long, Option[Long]] =
+      Graph.bfsHops(nodes.toDF("id"), edges.toDF("src", "dst"),
+          seeds.toDF("id"), k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    for ((seeds, k) <- Seq((Seq(1L), 4), (Seq(1L), 2), (Seq(1L, 5L), 4),
+        (Seq(6L), 3))) {
+      assert(run(seeds, k) === referenceBfs(nodes, edges, seeds, k),
+        s"seeds=$seeds k=$k")
+    }
+    // multi-seed: node 3 is 2 hops from both ends, not 4
+    assert(run(Seq(1L, 5L), 4)(3L) === Some(2L))
+    // isolated node and other component stay null
+    assert(run(Seq(1L), 4)(9L) === None)
+    assert(run(Seq(1L), 4)(6L) === None)
+    // hop budget: node 5 unreached within 2 hops of node 1
+    assert(run(Seq(1L), 2)(5L) === None)
+  }
 }
