@@ -3053,6 +3053,50 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qAggEntropy(s: SparkSession, dir: String): DataFrame =
+    // Shannon entropy of each nation's segment mix. Float logs are
+    // unavoidable, so determinism comes from pinning the ACCUMULATION
+    // ORDER: per-category counts are exact, the Σc·ln(c) fold runs
+    // left-to-right over the segment-name-sorted array (not partition
+    // order), and the result is micro-rounded — libm's ln differs
+    // across engines only in the last ulp, far below micros. The
+    // whole thing is two map-side-combined aggregates; the array is
+    // |segments| long (bounded by the category domain).
+    t(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("c_nationkey")
+      .agg(expr("transform(sort_array(collect_list(struct(" +
+        "c_mktsegment AS seg, cnt AS cnt))), x -> CAST(x.cnt AS DOUBLE))")
+        .as("arr"),
+        sum("cnt").as("n"))
+      .selectExpr("c_nationkey", "n",
+        "CAST(round((ln(CAST(n AS DOUBLE)) - aggregate(arr, " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x * ln(x)) " +
+          "/ CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS entropy_micros")
+      .orderBy("c_nationkey")
+
+  private def qAggBitmapDistinct(s: SparkSession, dir: String)
+      : DataFrame =
+    // Exact COUNT(DISTINCT) via two-level bitmap aggregation — the
+    // engine-internals pattern for pushing exact distinct into
+    // MERGEABLE partial state: ids bucket into 32k-bit bitmaps
+    // (bitmap_bucket_number / bitmap_bit_position), each (group,
+    // bucket) cell ORs map-side into one 4 KB bitmap, and the final
+    // count is a sum of per-bucket popcounts — the shuffle carries
+    // bounded bitmaps, never raw id values, and re-aggregation
+    // (epochs, retries, AQE re-splits) is idempotent where a raw
+    // distinct list would not be. Buckets partition the id space, so
+    // the popcount sum is exactly count(DISTINCT).
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("bitmap_bucket_number(o_custkey)").as("_bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("_bm"))
+      .groupBy("o_orderpriority")
+      .agg(sum(expr("bitmap_count(_bm)")).as("n_cust"))
+      .orderBy("o_orderpriority")
+
   private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
     // Multi-source BFS over the customer↔supplier order graph (same
     // build as graph_pagerank): minimum hops from the nation-0
@@ -3428,6 +3472,8 @@ object SparkEntry {
     "geo_radius_join" -> (qGeoRadiusJoin _),
     "agg_skew_kurtosis" -> (qAggSkewKurt _),
     "graph_bfs" -> (qGraphBfs _),
+    "agg_bitmap_distinct" -> (qAggBitmapDistinct _),
+    "agg_entropy" -> (qAggEntropy _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6344,6 +6390,33 @@ object SparkEntry {
         |  n.id // 2 AS node_key, d.hops
         |FROM n LEFT JOIN d ON n.id = d.id
         |ORDER BY node_id""".stripMargin,
+    "agg_bitmap_distinct" ->
+      // the oracle is the definitional distinct — a green row proves
+      // the bitmap decomposition loses and double-counts nothing
+      """SELECT o_orderpriority,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_entropy" ->
+      // same pinned fold: counts sorted by segment name, acc seeded by
+      // list_prepend (this DuckDB's 2-arg list_reduce takes the first
+      // element as the accumulator), ln only on identical doubles,
+      // micro-rounded at the end
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |a AS (
+        |  SELECT c_nationkey,
+        |         list(CAST(cnt AS DOUBLE) ORDER BY c_mktsegment) AS arr,
+        |         CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT c_nationkey, n,
+        |  CAST(round((ln(CAST(n AS DOUBLE))
+        |    - list_reduce(list_prepend(CAST(0 AS DOUBLE), arr),
+        |        (acc, x) -> acc + x * ln(x)) / CAST(n AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS entropy_micros
+        |FROM a ORDER BY c_nationkey""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =
