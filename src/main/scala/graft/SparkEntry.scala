@@ -3053,6 +3053,23 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qSimMmr(s: SparkSession, dir: String): DataFrame = {
+    // Diversified retrieval: MMR re-rank (λ=0.7) of the query vector's
+    // top-16 brute-force candidates, 5 selections. Candidate scoring
+    // and the pairwise matrix run distributed with the same codegen'd
+    // cosine as sim_topk_bruteforce; the greedy argmax replays on
+    // already-final doubles, so the oracle unrolls the identical 5
+    // rounds (see Similarity.mmrRerank).
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter(col("vec_id") === 1)
+    val cands = graft.operators.Similarity
+      .bruteForceTopK(emb, query, k = 16)
+      .select(col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    graft.operators.Similarity.mmrRerank(cands, k = 5)
+      .orderBy("rank")
+  }
+
   private def qAggEntropy(s: SparkSession, dir: String): DataFrame =
     // Shannon entropy of each nation's segment mix. Float logs are
     // unavoidable, so determinism comes from pinning the ACCUMULATION
@@ -3474,6 +3491,7 @@ object SparkEntry {
     "graph_bfs" -> (qGraphBfs _),
     "agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "agg_entropy" -> (qAggEntropy _),
+    "sim_mmr_rerank" -> (qSimMmr _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6417,6 +6435,70 @@ object SparkEntry {
         |        (acc, x) -> acc + x * ln(x)) / CAST(n AS DOUBLE))
         |    * 1e6) AS BIGINT) AS entropy_micros
         |FROM a ORDER BY c_nationkey""".stripMargin,
+    "sim_mmr_rerank" ->
+      // the 5 greedy rounds unrolled; every float step (cosine folds,
+      // 7e-1/3e-1 mixing) shares its shape with the engine, so scores
+      // are bit-equal and the argmax tie-break (score desc, id asc)
+      // picks identical rows
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id = 1),
+        |c0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings WHERE vec_id <> 1),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_dot_product(qe, ce) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(ce, ce))) AS rel, ce
+        |  FROM c0, q),
+        |cand AS (
+        |  SELECT vec_id, rel, ce FROM scored
+        |  ORDER BY rel DESC, vec_id LIMIT 16),
+        |p AS (
+        |  SELECT x.vec_id AS ai, y.vec_id AS bi,
+        |    list_dot_product(x.ce, y.ce) /
+        |      (sqrt(list_dot_product(x.ce, x.ce)) *
+        |       sqrt(list_dot_product(y.ce, y.ce))) AS sim
+        |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+        |r1 AS (
+        |  SELECT vec_id, rel, 7e-1 * rel - 3e-1 * 0e0 AS score
+        |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+        |sel1 AS (SELECT vec_id FROM r1),
+        |r2 AS (
+        |  SELECT c.vec_id, c.rel, 7e-1 * c.rel - 3e-1 * (
+        |      SELECT max(p.sim) FROM p JOIN sel1 s ON p.bi = s.vec_id
+        |      WHERE p.ai = c.vec_id) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM r2),
+        |r3 AS (
+        |  SELECT c.vec_id, c.rel, 7e-1 * c.rel - 3e-1 * (
+        |      SELECT max(p.sim) FROM p JOIN sel2 s ON p.bi = s.vec_id
+        |      WHERE p.ai = c.vec_id) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM r3),
+        |r4 AS (
+        |  SELECT c.vec_id, c.rel, 7e-1 * c.rel - 3e-1 * (
+        |      SELECT max(p.sim) FROM p JOIN sel3 s ON p.bi = s.vec_id
+        |      WHERE p.ai = c.vec_id) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM r4),
+        |r5 AS (
+        |  SELECT c.vec_id, c.rel, 7e-1 * c.rel - 3e-1 * (
+        |      SELECT max(p.sim) FROM p JOIN sel4 s ON p.bi = s.vec_id
+        |      WHERE p.ai = c.vec_id) AS score
+        |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS rank, vec_id, rel, score FROM r1
+        |  UNION ALL SELECT 2, vec_id, rel, score FROM r2
+        |  UNION ALL SELECT 3, vec_id, rel, score FROM r3
+        |  UNION ALL SELECT 4, vec_id, rel, score FROM r4
+        |  UNION ALL SELECT 5, vec_id, rel, score FROM r5)
+        |ORDER BY rank""".stripMargin,
   ) ++ oracleSqlRest
 
   private val transitionsOracleSql: String =

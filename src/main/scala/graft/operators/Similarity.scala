@@ -441,4 +441,59 @@ object Similarity {
         col("embedding").as("c_emb"), col("cluster_id"))
     probeTopK(indexed, queries, centroids, k, nProbe)
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick k of the candidates maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(cand, s)` — the diversified
+    * retrieval step a RAG / training-data-selection pipeline runs on
+    * top of ANN output.
+    *
+    * Scale shape: candidate GENERATION is the distributed heavy part
+    * (brute force or ANN over the full corpus); this re-rank operates
+    * on the BOUNDED candidate set those produce (≤ a few hundred rows
+    * — the bounded-model discipline kmeans/BPE training use). The
+    * pairwise sim matrix is computed distributed with the same
+    * codegen'd cosine as candidate scoring, then the |C|² doubles are
+    * collected and the inherently-sequential greedy runs driver-side
+    * comparing ALREADY-FINAL doubles — nothing is recomputed, so the
+    * selection is bit-reproducible and an oracle can replay it by
+    * unrolling the same argmax rounds (tie-break: score desc, id asc).
+    *
+    * @param candidates bounded frame of (vec_id, rel, embedding)
+    * @return one row per selection: rank, vec_id, rel, score
+    */
+  def mmrRerank(candidates: DataFrame, k: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = candidates.select(col("vec_id").cast("long"),
+      col("rel").cast("double"), col("embedding"))
+    val rels = c.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val a = c.select(col("vec_id").as("ai"), col("embedding").as("ae"))
+    val b = c.select(col("vec_id").as("bi"), col("embedding").as("be"))
+    val sims = a.join(b, col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        cosine_sim(col("ae"), col("be")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    var selected = Vector.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long,
+      Double, Double)]
+    var remaining = rels.toMap
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { case (id, rel) =>
+        val pen = if (selected.isEmpty) 0e0
+          else selected.map(s => sims((id, s))).max
+        (7e-1 * rel - 3e-1 * pen, id, rel)
+      }
+      // argmax, tie-break score desc then id asc
+      val (score, id, rel) = scored.minBy { case (sc, i, _) => (-sc, i) }
+      out += ((rank, id, rel, score))
+      selected :+= id
+      remaining -= id
+      rank += 1
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel", "score")
+  }
 }

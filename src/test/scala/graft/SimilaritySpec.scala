@@ -223,4 +223,25 @@ class SimilaritySpec extends AnyFunSuite {
     // PlanQualitySpec — DPP's benefit heuristic skips 30-row fixtures)
     assert(key(fromIdx) === key(inMem) && key(fromIdx).nonEmpty)
   }
+
+  test("MMR re-rank: first pick is max relevance, near-duplicates are " +
+      "deferred in favor of diverse candidates") {
+    import spark.implicits._
+    // candidate 10: most relevant. candidate 11: near-duplicate of 10
+    // (same direction). candidate 12: orthogonal, lower relevance.
+    // pure-relevance order would be 10, 11, 12; MMR must pick 10, 12,
+    // then 11.
+    val cands = Seq(
+      (10L, 0.99, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, 0.98, Seq(0.999f, 0.01f, 0.0f)),
+      (12L, 0.60, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "rel", "embedding")
+    val got = Similarity.mmrRerank(cands, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 10L), (2, 12L), (3, 11L)))
+    // k larger than the candidate set: returns all, no crash
+    val all = Similarity.mmrRerank(cands, k = 10).collect()
+    assert(all.length == 3)
+  }
 }
