@@ -60,7 +60,13 @@ object Bench {
     "feat_hashing",
     "cdc_apply",
     "record_linkage",
-    "checks_constraints")
+    "checks_constraints",
+    "assoc_rules",
+    "pareto_skyline",
+    "geo_radius_join",
+    "graph_bfs",
+    "agg_bitmap_distinct",
+    "sim_mmr_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

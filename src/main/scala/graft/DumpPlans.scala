@@ -403,7 +403,33 @@ object DumpPlans {
         |per row inside the one WholeStageCodegen span — the only
         |exchange in the plan is the presentation sort. At 100 TB the
         |quantizer cost is the scan itself; nothing accumulates
-        |driver-side.""".stripMargin)
+        |driver-side.""".stripMargin,
+    "assoc_rules" ->
+      """A-Priori in plan form: the item-support aggregate (map-side
+        |combined) feeds a hash join that prunes the basket relation
+        |BEFORE the within-basket self-join — the pair space never
+        |materializes for infrequent items. Pair counting is one
+        |basket-key-partitioned join plus one combined groupBy; the
+        |1-row basket count broadcasts into the rule projection.""".stripMargin,
+    "pareto_skyline" ->
+      """Dominance with no pairwise comparison: the bounds frame (1
+        |row) and bucket-prefix frame (≤1024 rows) broadcast back onto
+        |the scan, so the corpus-wide stages are scan + filter. The
+        |two unpartitioned windows visible in the plan run AFTER the
+        |prune, on the surviving candidates (~frontier-sized), not the
+        |corpus.""".stripMargin,
+    "geo_radius_join" ->
+      """The spatial join is a BroadcastHashJoin on (cellx, celly) —
+        |no nested loop anywhere (PlanQualitySpec pins this). The ×9
+        |neighborhood duplication is a narrow Generate (literal-array
+        |explode) inside the probe-side codegen span; the exact dist²
+        |predicate rides the join's output projection.""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """Exact distinct as mergeable state: partial
+        |bitmap_construct_agg runs map-side per (group, bucket), the
+        |exchange carries 4 KB bitmaps instead of raw id values, and
+        |the final popcount-sum is a second tiny combined aggregate —
+        |the plan a 100 TB COUNT(DISTINCT) wants.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -3053,6 +3053,42 @@ object SparkEntry {
           .as("err_sum_e12"))
       .orderBy("vec_id")
 
+  private def qStreamAssoc(s: SparkSession, dir: String): DataFrame = {
+    // A REAL streaming run of association maintenance: per-basket
+    // item-set state emits each completed within-basket pair exactly
+    // once as items arrive (BasketStream); the epoch-close derivation
+    // over the sink rebuilds supports and rules with the batch
+    // operator's math and shares the assoc_rules oracle VERBATIM.
+    val sink = graft.streaming.BasketStream.runPairsStream(
+      s, dir, "stream_assoc_sink")
+    // LogicalRDD rewrap: the stream_transitions memory-sink discipline
+    val sinkDf = s.table(sink)
+    val base = s.createDataFrame(sinkDf.rdd, sinkDf.schema)
+    val arrivals = base.filter(col("other").isNull)
+      .select(col("bk"), col("item"))
+    val itemN = arrivals.groupBy("item")
+      .agg(count(lit(1)).as("item_n"))
+      .filter(col("item_n") >= 5)
+    // the stream emits (new, old) in arrival order; normalize to the
+    // batch join's a_item < b_item orientation
+    val rawPairs = base.filter(col("other").isNotNull)
+      .select(least(col("item"), col("other")).as("a_item"),
+        greatest(col("item"), col("other")).as("b_item"))
+      .groupBy("a_item", "b_item")
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+    val pairs = rawPairs
+      .join(itemN.select(col("item").as("a_item"),
+        col("item_n").as("a_n")), "a_item")
+      .join(itemN.select(col("item").as("b_item"),
+        col("item_n").as("b_n")), "b_item")
+      .select("a_item", "b_item", "a_n", "b_n", "pair_n")
+    val nBaskets = arrivals.select("bk").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    graft.operators.Association.rules(pairs, nBaskets)
+      .orderBy("antecedent", "consequent")
+  }
+
   private def qSimMmr(s: SparkSession, dir: String): DataFrame = {
     // Diversified retrieval: MMR re-rank (λ=0.7) of the query vector's
     // top-16 brute-force candidates, 5 selections. Candidate scoring
@@ -3492,6 +3528,7 @@ object SparkEntry {
     "agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "agg_entropy" -> (qAggEntropy _),
     "sim_mmr_rerank" -> (qSimMmr _),
+    "stream_assoc" -> (qStreamAssoc _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -6243,7 +6280,15 @@ object SparkEntry {
     // batch), so it shares this oracle verbatim.
     "stream_transitions" -> transitionsOracleSql,
     "events_transitions" -> transitionsOracleSql,
-    "assoc_rules" ->
+    "assoc_rules" -> assocOracleSql,
+    "stream_assoc" -> assocOracleSql,
+  ) ++ oracleSqlMore ++ oracleSqlRest
+
+  /** Shared by assoc_rules (batch) and stream_assoc (streaming twin):
+    * the stream's incremental pair state provably emits each distinct
+    * within-basket pair once, so both derivations rebuild the same
+    * counts and the SAME SQL is the oracle for both. */
+  private val assocOracleSql: String =
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
         |  FROM lineitem),
@@ -6268,7 +6313,9 @@ object SparkEntry {
         |  CAST((r.pair_n * n.nb * 1000000) // (r.ant_n * r.cons_n)
         |    AS BIGINT) AS lift_micros
         |FROM r, n
-        |ORDER BY r.antecedent, r.consequent""".stripMargin,
+        |ORDER BY r.antecedent, r.consequent""".stripMargin
+
+  private val oracleSqlMore: Map[String, String] = Map(
     "events_ohlc" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, ts,
@@ -6499,7 +6546,7 @@ object SparkEntry {
         |  UNION ALL SELECT 4, vec_id, rel, score FROM r4
         |  UNION ALL SELECT 5, vec_id, rel, score FROM r5)
         |ORDER BY rank""".stripMargin,
-  ) ++ oracleSqlRest
+  )
 
   private val transitionsOracleSql: String =
       """WITH seq AS (

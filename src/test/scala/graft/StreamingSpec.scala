@@ -328,4 +328,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming association maintenance equals the batch A-Priori " +
+      "derivation row for row") {
+    val spark = TestSpark.spark
+    def rows(name: String) = SparkEntry.queries(name)(
+      spark, TestSpark.sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    val streamed = rows("stream_assoc")
+    val batch = rows("assoc_rules")
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
