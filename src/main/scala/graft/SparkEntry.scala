@@ -1562,6 +1562,25 @@ object SparkEntry {
     graft.operators.Search.bm25TopK(
       t(s, dir, "documents"), Seq("spark", "query", "merge"), k = 20)
 
+  private def qSearchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-20 and the vector (cosine, doc 0's embedding) top-20 — the
+    // RAG-era retrieval stack in one plan. Both candidate lists are
+    // produced by the already-oracled retrievers; fusion itself is
+    // integer-exact (Search.rrfFuse) and runs on ≤ 40 rows however
+    // large the corpus. The oracle re-derives both lists AND the
+    // fusion arithmetic from scratch in SQL.
+    val lex = graft.operators.Search.bm25TopK(
+      t(s, dir, "documents"), Seq("spark", "query", "merge"), k = 20)
+      .select(col("doc_id"), col("rank"))
+    val vec = Similarity.bruteForceTopK(
+      t(s, dir, "embeddings"),
+      t(s, dir, "embeddings").filter(col("vec_id") === 0), k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Search.rrfFuse(
+      Seq("lex" -> lex, "vec" -> vec), k0 = 60, k = 10)
+  }
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     // Gopher-style repetition filters: duplicate-bigram fraction,
     // top-token fraction, type/token ratio — all per-row higher-order
@@ -3427,6 +3446,7 @@ object SparkEntry {
     "text_repetition" -> (qTextRepetition _),
     "text_common_ngrams" -> (qTextCommonNgrams _),
     "search_bm25" -> (qSearchBm25 _),
+    "search_hybrid_rrf" -> (qSearchHybridRrf _),
     "text_collocations" -> (qTextCollocations _),
     "text_chunks" -> (qTextChunks _),
     "dedup_chunks" -> (qDedupChunks _),
@@ -5790,6 +5810,9 @@ object SparkEntry {
     // scores round to micros BEFORE the cross-term sum, so shuffle
     // order can't perturb a single bit.
     "search_bm25" -> bm25OracleSql,
+    // Hybrid RRF: both lists re-derived (bm25 chain + cosine ranking)
+    // and the integer fusion recomputed — see hybridRrfOracleSql.
+    "search_hybrid_rrf" -> hybridRrfOracleSql,
     // Repetition filters: token/bigram multiset statistics re-derived
     // from the same normalized token stream; every fraction is one
     // exact-integer division (IEEE-identical across engines).
@@ -7307,13 +7330,20 @@ object SparkEntry {
     * Column expression embeds (k1, k1+1, 1-b, b), printed with
     * Double.toString — the shortest decimal that parses back to the
     * identical bit pattern in both engines. */
-  private def bm25OracleSql: String = {
-    val (k1, b, k) = (1.2, 0.75, 20)
+  private def bm25OracleSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score_micros, rank FROM r
+       |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /** The bm25 derivation as a reusable WITH-body (rank ≤ 20 lives in
+    * the consumer): shared by `search_bm25` and the hybrid-RRF oracle. */
+  private def bm25Ctes: String = {
+    val (k1, b) = (1.2, 0.75)
     val terms = Seq("spark", "query", "merge")
       .map(t => s"'$t'").mkString(", ")
     val (cK1, cK11, c1b, cB) =
       (dlit(k1), dlit(k1 + 1), dlit(1 - b), dlit(b))
-    s"""WITH nt AS (
+    s"""nt AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ',
        |    'g')) AS t FROM documents),
        |dls AS (SELECT doc_id, CASE WHEN t = '' THEN 0
@@ -7340,10 +7370,38 @@ object SparkEntry {
        |         AS score_micros FROM per GROUP BY doc_id),
        |r AS (SELECT doc_id, score_micros,
        |    CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
-       |      AS INTEGER) AS rank FROM sc)
-       |SELECT doc_id, score_micros, rank FROM r
-       |WHERE rank <= $k ORDER BY rank""".stripMargin
+       |      AS INTEGER) AS rank FROM sc)""".stripMargin
   }
+
+  /** Hybrid-RRF oracle: both candidate lists re-derived from scratch
+    * (the bm25 CTE chain verbatim; the cosine ranking for doc 0's
+    * embedding), then the fusion arithmetic — integer `//` floor
+    * division, absent-list contribution 0 — recomputed exactly. */
+  private def hybridRrfOracleSql: String =
+    s"""WITH $bm25Ctes,
+       |lexr AS (SELECT doc_id, rank FROM r WHERE rank <= 20),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       |       FROM embeddings WHERE vec_id = 0),
+       |cs AS (SELECT c.vec_id AS doc_id,
+       |         ${cosineSql("qe", "ce")} AS cosine
+       |       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+       |             FROM embeddings) c
+       |       CROSS JOIN qv WHERE c.vec_id <> 0),
+       |vr AS (SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+       |           AS INTEGER) AS rank FROM cs),
+       |vecr AS (SELECT doc_id, rank FROM vr WHERE rank <= 20),
+       |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |        l.rank AS lex_rank, v.rank AS vec_rank,
+       |        CAST(coalesce(1000000 // (60 + l.rank), 0)
+       |           + coalesce(1000000 // (60 + v.rank), 0)
+       |          AS BIGINT) AS rrf_micros
+       |      FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id),
+       |fr AS (SELECT doc_id, lex_rank, vec_rank, rrf_micros,
+       |         CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id)
+       |           AS INTEGER) AS rank FROM f)
+       |SELECT doc_id, lex_rank, vec_rank, rrf_micros, rank FROM fr
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   /** The shared assignment CTE prefix for the k-means family: exact
     * centroid literals → per-vector scores → argmax row (rn = 1, ties

@@ -143,4 +143,40 @@ object Search {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "score_micros", "rk")
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of named ranked
+    * lists — the standard hybrid-retrieval combiner (lexical BM25 +
+    * vector ANN, or any mix of retrievers). Each input must carry
+    * `(doc_id, rank)` with rank 1-based; a document absent from a list
+    * contributes nothing for it. The fused score is
+    * `Σ_lists 1e6 DIV (k0 + rank)` in EXACT integer micros (`DIV`, the
+    * floor both engines share), so fusion is bit-reproducible where
+    * the textbook `Σ 1/(k0+rank)` float sum is shuffle-order-dependent.
+    * Ties break on doc_id asc. k0 = 60 is the published default.
+    *
+    * Scale shape: the inputs are top-k lists — bounded by construction
+    * (each retriever already did its distributed heavy lifting), so
+    * the full-outer fold and the one global window run on ≤ Σ k_i rows
+    * no matter the corpus size. Fusion is never the bottleneck; the
+    * retrievers are. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k0: Int = 60,
+      k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 0 && k >= 1)
+    val named = lists.map { case (name, df) =>
+      df.select(col("doc_id"), col("rank").cast("int")
+        .as(s"${name}_rank"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("doc_id"),
+      "full_outer"))
+    val contribs = lists.map { case (name, _) =>
+      coalesce(expr(s"1000000L DIV ($k0 + ${name}_rank)"), lit(0L))
+    }
+    val w = Window.orderBy(col("rrf_micros").desc, col("doc_id"))
+    joined
+      .withColumn("rrf_micros", contribs.reduce(_ + _).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
 }

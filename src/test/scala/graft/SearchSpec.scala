@@ -85,4 +85,33 @@ class SearchSpec extends AnyFunSuite {
     // docs 2/3: unique term (1e6) beats common (333333)
     assert(r(2)._2 === "other" && r(4)._2 === "thing")
   }
+
+  test("rrf: a doc in both lists beats either single-list winner, " +
+      "absent lists contribute zero, ties break on doc_id") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val r = Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec), k0 = 60,
+      k = 10).collect()
+    // doc 20: 1e6/62 + 1e6/61 = 16129+16393 = 32522 beats doc 10's
+    // 1e6/61 = 16393 despite doc 10 topping the lexical list
+    assert(r.head.getLong(0) === 20L)
+    assert(r.head.getLong(3) === 32522L)
+    val byId = r.map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(byId(10L) === 16393L) // single-list: one contribution only
+    assert(byId(40L) === 16129L)
+    // docs 10 (lex rank 1) and 40 (vec rank 2)? different scores; but
+    // 30 (lex 3: 15873) vs nothing — full ordering is deterministic
+    assert(r.map(_.getLong(0)).toSeq === Seq(20L, 10L, 40L, 30L))
+    // fused rank is dense 1..n
+    assert(r.map(_.getInt(4)).toSeq === (1 to 4))
+  }
+
+  test("rrf: equal-score ties order by doc_id ascending") {
+    val a = Seq((7L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (7L, 2)).toDF("doc_id", "rank")
+    val r = Search.rrfFuse(Seq("a" -> a, "b" -> b), k0 = 60, k = 10)
+      .collect()
+    // both docs score 1e6/61 + 1e6/62 — tie; 3 < 7 wins rank 1
+    assert(r.map(_.getLong(0)).toSeq === Seq(3L, 7L))
+  }
 }
