@@ -1593,6 +1593,14 @@ object SparkEntry {
       TextFunctions.topTokenFrac(col("text")).as("top_token_frac"))
       .orderBy("doc_id")
 
+  private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
+    // Bigram-LM fluency scoring (the KenLM-filter shape): model
+    // trained on the corpus in two map-side aggregates, every doc
+    // scored by its mean add-one-smoothed conditional in exact floor
+    // micros. See LangModel.bigramScore for the determinism contract
+    // and the LM-table join scale shape.
+    graft.operators.LangModel.bigramScore(t(s, dir, "documents"))
+
   private def qTextCommonNgrams(s: SparkSession, dir: String): DataFrame =
     // C4-style corpus-level boilerplate signal: per-doc coverage by
     // grams common across >= 4 documents (three partial-agg shuffles,
@@ -3447,6 +3455,7 @@ object SparkEntry {
     "text_common_ngrams" -> (qTextCommonNgrams _),
     "search_bm25" -> (qSearchBm25 _),
     "search_hybrid_rrf" -> (qSearchHybridRrf _),
+    "text_lm_score" -> (qTextLmScore _),
     "text_collocations" -> (qTextCollocations _),
     "text_chunks" -> (qTextChunks _),
     "dedup_chunks" -> (qDedupChunks _),
@@ -5803,6 +5812,43 @@ object SparkEntry {
         |SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, lift_micros
         |FROM j ORDER BY lift_micros DESC, bigram
         |LIMIT 20""".stripMargin,
+    // Bigram LM: counts, prefix sums, vocabulary and the add-one
+    // smoothed per-bigram floor-micros all re-derived from the same
+    // normalized token stream; integer `//` everywhere, so the hash
+    // matches bit-for-bit including the per-doc mean.
+    "text_lm_score" ->
+      """WITH nt AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ',
+        |    'g')) AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(string_split(t, ' ')) < 2
+        |    THEN []::VARCHAR[]
+        |    ELSE list_transform(
+        |      generate_series(1, len(string_split(t, ' ')) - 1),
+        |      i -> string_split(t, ' ')[i] || ' '
+        |        || string_split(t, ' ')[i+1]) END) AS bigram
+        |  FROM nt WHERE t <> ''),
+        |bc AS (SELECT bigram, count(*) AS c_ab FROM big GROUP BY bigram),
+        |pf AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |         sum(c_ab) AS c_a FROM bc GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS v FROM
+        |        (SELECT unnest(string_split(t, ' ')) AS tok
+        |         FROM nt WHERE t <> '')),
+        |sc AS (SELECT b.doc_id,
+        |         (1000000 * (c.c_ab + 1)) // (p.c_a + vv.v) AS micros
+        |       FROM big b JOIN bc c USING (bigram)
+        |       JOIN pf p ON p.w1 = string_split(b.bigram, ' ')[1]
+        |       CROSS JOIN vv),
+        |pd AS (SELECT doc_id, CAST(sum(micros) AS BIGINT) AS sum_micros,
+        |         CAST(count(*) AS BIGINT) AS n_bigrams
+        |       FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(p.sum_micros, 0) AS BIGINT) AS sum_micros,
+        |  CAST(coalesce(p.sum_micros // p.n_bigrams, 0) AS BIGINT)
+        |    AS avg_micros
+        |FROM documents d LEFT JOIN pd p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // BM25 (rational idf): the oracle rebuilds tf/df/dl/avgdl from the
     // same normalized token stream and evaluates the IDENTICALLY
     // parenthesized double expression — constants are printed from the
