@@ -724,6 +724,43 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  private def qSourceBinaryFile(s: SparkSession, dir: String): DataFrame = {
+    // The multimodal ingest format: one opaque binary file per
+    // document (what a crawler or media pipeline actually lands),
+    // read back through Spark's built-in `binaryFile` source —
+    // distributed listing, (path, modificationTime, length, content)
+    // schema, glob + metadata-predicate pushdown (`pathGlobFilter`
+    // prunes at the listing, length filters never open a file). The
+    // file WRITE below is test scaffolding (executor-side, one file
+    // per doc, the layout an object store would hold); the operator
+    // under test is the read path: id recovered from the path, length
+    // and an md5 content digest proving every byte survived. At
+    // 100 TB this is exactly how image/audio corpora enter the
+    // engine — binary columns + typed metadata, decode downstream
+    // (Multimodal.*), never re-encoded through strings.
+    val base = s"/tmp/graft-binsource-${java.util.UUID.randomUUID()}"
+    new java.io.File(s"$base/docs").mkdirs()
+    t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .foreachPartition {
+          rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        rows.forEachRemaining { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/docs/doc_${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(s"$base/docs")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
     // TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
     // deterministic top-20 (exact micros revenue; ties by orderkey).
@@ -3406,6 +3443,7 @@ object SparkEntry {
     "sql_custom_funcs" -> (qSqlCustomFuncs _),
     "source_csv_json" -> (qSourceCsvJson _),
     "source_orc" -> (qSourceOrc _),
+    "source_binaryfile" -> (qSourceBinaryFile _),
     "layout_compact" -> (qLayoutCompact _),
     "corpus_report" -> (qCorpusReport _),
     "join_range_pred" -> (qJoinRangePred _),
@@ -5730,6 +5768,15 @@ object SparkEntry {
       """SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s.s_suppkey""".stripMargin,
+    // binaryFile round trip: byte length and md5 of each document's
+    // UTF-8 bytes — DuckDB's md5(VARCHAR) digests the same UTF-8
+    // encoding Spark's md5(binary) reads back from the file, so one
+    // corrupted byte anywhere in write → list → read fails the hash.
+    "source_binaryfile" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Compaction must be invisible to readers: oracle = the original.
     "layout_compact" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
