@@ -115,16 +115,21 @@ object Bench {
       sec
     }
 
+    // optional arg (dev only): comma-separated subset of headline names
+    val subset: Seq[String] =
+      if (args.nonEmpty) args(0).split(",").toSeq
+      else headline
+
     run("agg_q1") // warm-up (untimed): JIT, codegen, catalog, file listing
     // optional extra passes (stderr only) to expose state-accumulation
     // drift: the LAST pass is the one reported on stdout
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt
     (1 until passes).foreach { p =>
-      val r = headline.map(n => n -> run(n))
+      val r = subset.map(n => n -> run(n))
       System.err.println(
         f"[bench] pass $p total: ${r.map(_._2).filter(_ >= 0).sum}%.3f s")
     }
-    val results = headline.map(n => n -> run(n))
+    val results = subset.map(n => n -> run(n))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

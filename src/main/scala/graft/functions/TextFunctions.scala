@@ -49,15 +49,15 @@ object TextFunctions {
     regexp_extract_all(text, lit(BpePretokenPattern), lit(0))
 
   /** k-word shingles of the normalized text: array of space-joined
-    * k-grams (distinct). The unit MinHash/Jaccard dedup operates on. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+    * k-grams (first-occurrence-ordered distinct; < k tokens → the
+    * whole normalized text as one gram). The unit MinHash/Jaccard
+    * dedup operates on. One imperative codegen'd pass
+    * ([[graft.functions.VectorFunctions.WordShingles]]) — the
+    * equivalent builtin-HOF formulation re-tokenizes once per window
+    * position in interpreted eval, an O(tokens × normalize) blowup on
+    * the hottest scan of the decontamination family. */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.functions.VectorFunctions.word_shingles(text, k)
 
   /** Overlapping token-window chunks — the windowing step an
     * embedding/RAG pipeline runs before vectorizing long documents:

@@ -1378,6 +1378,86 @@ object VectorFunctions {
     sb.toString
   }
 
+  /** One-pass word-k-shingle extraction: normalize, then each k-token
+    * window as one string, first-occurrence-ordered distinct. Exactly
+    * [[graft.functions.TextFunctions.wordShingles]]' declarative
+    * semantics (< k tokens → the whole normalized text as ONE gram,
+    * so [""] for empty/null input), but imperative: the builtin HOF
+    * formulation re-evaluates its tokenizer subtree once per window
+    * position in interpreted eval (HOF lambdas don't cache non-lambda
+    * subtrees), turning a 50-token doc into 46 normalize+split+filter
+    * passes; this walks the normalized string's token offsets once and
+    * emits each gram as one substring. The shingle step sits under
+    * decontamination and common-gram scans, so it is hot at corpus
+    * scale. */
+  private[graft] def wordShinglesOf(text: UTF8String, k: Int)
+      : Array[UTF8String] = {
+    val norm = if (text == null) "" else normalizeStringOf(text)
+    if (norm.isEmpty) return Array(UTF8String.EMPTY_UTF8)
+    // token start offsets; norm is single-space separated, no
+    // leading/trailing space, so offsets fully describe the tokens
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    starts += 0
+    var i = 0
+    while (i < norm.length) {
+      if (norm.charAt(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nTok = starts.length
+    if (nTok < k) return Array(UTF8String.fromString(norm))
+    val seen = new java.util.LinkedHashSet[String]
+    var w = 0
+    while (w <= nTok - k) {
+      val end = if (w + k < nTok) starts(w + k) - 1 else norm.length
+      seen.add(norm.substring(starts(w), end))
+      w += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    out
+  }
+
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+
+    // eval, not nullSafeEval: the declarative formulation maps null
+    // text to [""] (concat_ws over a null array), never to null —
+    // preserved so every consumer's hashes are unchanged
+    override def eval(input: InternalRow): Any =
+      ArrayData.toArrayData(
+        wordShinglesOf(child.eval(input).asInstanceOf[UTF8String], k))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val expr = ctx.addReferenceObj("shingles", this,
+        classOf[WordShingles].getName)
+      val c = child.genCode(ctx)
+      ev.copy(isNull = FalseLiteral, code =
+        code"""
+          |${c.code}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          |    $expr.shinglesOf(${c.isNull} ? null :
+          |      (org.apache.spark.unsafe.types.UTF8String) ${c.value}));
+          """.stripMargin)
+    }
+
+    /** codegen entry point (public for generated code). */
+    def shinglesOf(v: UTF8String): Array[UTF8String] =
+      VectorFunctions.wordShinglesOf(v, k)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class NormalizeText(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
 
@@ -1462,6 +1542,8 @@ object VectorFunctions {
     toColumn(ShingleHashes(toExpression(text), k))
   def normalize_text(text: Column): Column =
     toColumn(NormalizeText(toExpression(text)))
+  def word_shingles(text: Column, k: Int): Column =
+    toColumn(WordShingles(toExpression(text), k))
   def char_ngram_hashes(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n))
   def fnv1a64(text: Column): Column =

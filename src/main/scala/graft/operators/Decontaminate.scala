@@ -81,8 +81,14 @@ object Decontaminate {
       train.sparkSession, evalGrams)
     val hits = graft.functions.VectorFunctions.broadcast_member_count(
       wordShingles(col("text"), n), bc)
-    train.select(col("doc_id"), hits.as("n_hits"),
-        (hits >= minHits).as("contaminated"))
+    // hits computed ONCE, the flag derived from the materialized
+    // column in a second projection — naming `hits` twice in one
+    // select builds two independent expression trees, and the
+    // shingle+membership chain is the scan's whole cost (the producer
+    // is non-cheap, so CollapseProject keeps the boundary)
+    train.select(col("doc_id"), hits.as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") >= minHits).as("contaminated"))
       .orderBy("doc_id")
   }
 

@@ -30,6 +30,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(short.toSet === Set("a b"))
   }
 
+  test("word shingles: codegen'd expression matches the declarative " +
+      "HOF formulation row for row, including null/empty/short edges") {
+    // the exact Column formula WordShingles replaced — any semantic
+    // drift (ordering, dedup, fallback, null mapping) fails here
+    def oldForm(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = tokens(text)
+      array_distinct(
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array(concat_ws(" ", toks))))
+    }
+    val docs = Seq(
+      "a b c d e", "A  b\tC", "one", "", "  ", "x y x y x y",
+      "Mixed CASE tokens here", null,
+      "repeat repeat repeat repeat", "a b", "tab\there and\nnewline")
+      .toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val both = docs.select(
+        wordShingles(col("text"), k).as("nu"),
+        oldForm(col("text"), k).as("old")).collect()
+      both.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"row $i k=$k")
+      }
+    }
+  }
+
   test("char ngrams cover the normalized text") {
     val g = one(charNgrams(col("text"), 3), "abcd")
       .asInstanceOf[scala.collection.Seq[String]]
