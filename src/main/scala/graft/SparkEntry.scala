@@ -3334,11 +3334,14 @@ object SparkEntry {
     // operators/Association.scala for the 100 TB design notes.
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = graft.operators.Association.frequentPairs(
-      li, "l_orderkey", "l_partkey",
-      itemMinSupport = 5L, pairMinSupport = 2L)
-    val nBaskets = li.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    // one materialized basket-sets fold feeds pair mining AND the
+    // basket count — without it the 600k-row scan re-runs once per
+    // dataflow branch (5x at sf0.1)
+    val sets = graft.operators.Association.basketSets(
+      li, "l_orderkey", "l_partkey")
+    val pairs = graft.operators.Association.frequentPairsFused(
+      sets, itemMinSupport = 5L, pairMinSupport = 2L)
+    val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
     graft.operators.Association.rules(pairs, nBaskets)
       .orderBy("antecedent", "consequent")
   }

@@ -1204,6 +1204,51 @@ object VectorFunctions {
     * [[broadcastStringSet]]). Distinctness is the CALLER's contract
     * (gram arrays are already array_distinct), so the count is the
     * distinct-intersection size. */
+  /** Filter an `array<long>` to the members of a broadcast set — the
+    * long-keyed sibling of [[BroadcastMemberCount]]. Order-preserving,
+    * null array → null. Used for scan-stage A-Priori pruning: each
+    * basket's item array is cut to frequent items BEFORE pair
+    * generation, with the frequent-item set shipped once per executor
+    * instead of joined per row. */
+  case class LongSetFilter(child: Expression,
+      members: org.apache.spark.broadcast.Broadcast[
+        scala.collection.immutable.Set[Long]])
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val set = members.value
+      val n = arr.numElements()
+      val keep = new scala.collection.mutable.ArrayBuffer[Long](n)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val v = arr.getLong(i)
+          if (set.contains(v)) keep += v
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        keep.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("longSetFilter", this,
+        classOf[LongSetFilter].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $expr.nullSafeEval($a);""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression)
+        : Expression = copy(child = c)
+  }
+
   case class BroadcastMemberCount(child: Expression,
       members: org.apache.spark.broadcast.Broadcast[
         scala.collection.immutable.Set[
@@ -1591,6 +1636,15 @@ object VectorFunctions {
 
   /** Build the executor broadcast for [[broadcast_member_count]]:
     * strings converted ONCE, driver-side, to UTF8String keys. */
+  def long_set_filter(arr: Column,
+      members: org.apache.spark.broadcast.Broadcast[
+        scala.collection.immutable.Set[Long]]): Column =
+    toColumn(LongSetFilter(toExpression(arr), members))
+  def broadcastLongSet(
+      spark: org.apache.spark.sql.SparkSession, longs: Seq[Long])
+      : org.apache.spark.broadcast.Broadcast[
+        scala.collection.immutable.Set[Long]] =
+    spark.sparkContext.broadcast(longs.toSet)
   def broadcastStringSet(
       spark: org.apache.spark.sql.SparkSession, strings: Seq[String])
       : org.apache.spark.broadcast.Broadcast[

@@ -42,13 +42,35 @@ object Association {
     *         both item supports and the pair support
     */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
-      itemMinSupport: Long, pairMinSupport: Long): DataFrame = {
-    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      itemMinSupport: Long, pairMinSupport: Long): DataFrame =
+    frequentPairsFrom(
+      basketRelation(baskets, basketCol, itemCol),
+      itemMinSupport, pairMinSupport)
+
+  /** The deduplicated `(bk, item)` relation, MATERIALIZED (eager
+    * localCheckpoint). Every downstream consumer — both sides of the
+    * pair self-join, the item-support aggregate under each, the
+    * caller's basket count — re-reads these blocks instead of
+    * re-running scan + distinct per dataflow branch (a plain DAG
+    * recomputes the distinct once per branch: 5 full scans for the
+    * rules query). Same discipline as the dedup family's
+    * finalizePairs; the bench's release() reclaims the blocks. */
+  def basketRelation(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
       .distinct()
+      .localCheckpoint(true)
+
+  /** [[frequentPairs]] over an already-materialized
+    * [[basketRelation]]. The filtered relation `f` is checkpointed
+    * too: it feeds BOTH self-join sides, and without the barrier each
+    * side re-runs the support aggregate and the prune join. */
+  def frequentPairsFrom(b: DataFrame, itemMinSupport: Long,
+      pairMinSupport: Long): DataFrame = {
     val freqItems = b.groupBy("item")
       .agg(count(lit(1)).as("item_n"))
       .filter(col("item_n") >= itemMinSupport)
-    val f = b.join(freqItems, "item")
+    val f = b.join(freqItems, "item").localCheckpoint(true)
     val lhs = f.select(col("bk"), col("item").as("a_item"),
       col("item_n").as("a_n"))
     val rhs = f.select(col("bk"), col("item").as("b_item"),
@@ -58,6 +80,61 @@ object Association {
       .groupBy("a_item", "b_item", "a_n", "b_n")
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= pairMinSupport)
+  }
+
+  /** One items-array row per basket, MATERIALIZED: `collect_set`
+    * folds the RAW (bk, item) stream in a single partial-aggregated
+    * shuffle — within-basket dedup happens in the aggregation
+    * buffers, so the separate corpus-wide `distinct` pass (and its
+    * checkpoint) disappears entirely. Buffers are bounded by basket
+    * size, a domain constant. Item supports, the basket count and
+    * pair generation all derive from this one frame. */
+  def basketSets(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .groupBy("bk").agg(collect_set(col("item")).as("items"))
+      .localCheckpoint(true)
+
+  /** [[frequentPairsFrom]] in its FUSED regime: identical output,
+    * half the shuffles. Input is [[basketSets]]' folded frame; item
+    * supports come from a narrow explode of the materialized arrays
+    * (distinct (bk, item) by construction — the corpus is never
+    * rescanned); the A-Priori prune cuts each array to frequent items
+    * INSIDE the scan via a broadcast long-set filter (one
+    * catalog-bounded collect, the same bounded-model discipline as
+    * the decontamination eval set and the IVF training sample); pair
+    * generation is the codegen'd [[graft.functions.VectorFunctions
+    * .CappedPairs]] generator on the pruned array. The whole
+    * pipeline: basket fold, support aggregate, pair aggregate — three
+    * key-partitioned shuffles, no self-join, and the support attaches
+    * run broadcast against the frequent-pair table.
+    * [[frequentPairsFrom]] remains the zero-collect path for
+    * unbounded item catalogs. */
+  def frequentPairsFused(sets: DataFrame, itemMinSupport: Long,
+      pairMinSupport: Long): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = sets.sparkSession
+    val itemN = sets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("item_n"))
+      .filter(col("item_n") >= itemMinSupport)
+      .localCheckpoint(true) // feeds the broadcast set + both attaches
+    val freq = VectorFunctions.broadcastLongSet(spark,
+      itemN.select("item").collect().map(_.getLong(0)).toSeq)
+    // CappedPairs sorts ids and emits i<j — exactly the a_item<b_item
+    // orientation; the cap is inert (baskets are domain-bounded)
+    val pairs = sets.select(explode(VectorFunctions.capped_pairs(
+        VectorFunctions.long_set_filter(col("items"), freq),
+        Int.MaxValue)).as("p"))
+      .select(col("p.id_a").as("a_item"), col("p.id_b").as("b_item"))
+      .groupBy("a_item", "b_item")
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= pairMinSupport)
+    pairs
+      .join(broadcast(itemN.select(col("item").as("a_item"),
+        col("item_n").as("a_n"))), "a_item")
+      .join(broadcast(itemN.select(col("item").as("b_item"),
+        col("item_n").as("b_n"))), "b_item")
+      .select("a_item", "b_item", "a_n", "b_n", "pair_n")
   }
 
   /** Frequent pairs → directed association rules with exact-integer
@@ -73,10 +150,15 @@ object Association {
     * broadcast, never a driver action inside the operator.
     */
   def rules(pairs: DataFrame, nBaskets: DataFrame): DataFrame = {
-    val fwd = pairs.select(col("a_item").as("antecedent"),
+    // both orientations read the SAME pair relation — materialize it
+    // once or the whole mining pipeline (self-join + pair aggregate)
+    // re-runs per branch; the frame is frequent-pairs-sized (post
+    // min-support), far smaller than anything upstream
+    val p = pairs.localCheckpoint(true)
+    val fwd = p.select(col("a_item").as("antecedent"),
       col("b_item").as("consequent"), col("pair_n"),
       col("a_n").as("ant_n"), col("b_n").as("cons_n"))
-    val bwd = pairs.select(col("b_item").as("antecedent"),
+    val bwd = p.select(col("b_item").as("antecedent"),
       col("a_item").as("consequent"), col("pair_n"),
       col("b_n").as("ant_n"), col("a_n").as("cons_n"))
     fwd.unionAll(bwd)

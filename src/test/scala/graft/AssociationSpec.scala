@@ -75,6 +75,25 @@ class AssociationSpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == 99L || r._2 == 99L))
   }
 
+  test("fused pipeline (basket fold + broadcast prune + generator) " +
+      "equals the classic self-join path on every threshold combo") {
+    val baskets: Seq[(Long, Long)] =
+      Seq[(Long, Long)]((1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1),
+        (3, 3), (4, 4), (4, 4), (5, 1), (5, 2), (5, 3), (6, 9)) ++
+        (10L to 30L).map(bk => (bk, bk % 4))
+    val df = baskets.toDF("bk", "item")
+    for ((im, pm) <- Seq((1L, 1L), (2L, 2L), (5L, 2L))) {
+      val classic = Association.frequentPairs(df, "bk", "item", im, pm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val fused = Association.frequentPairsFused(
+        Association.basketSets(df, "bk", "item"), im, pm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(fused === classic, s"itemMin=$im pairMin=$pm")
+    }
+  }
+
   test("lift is symmetric, confidence is not") {
     val baskets = Seq[(Long, Long)](
       (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (4, 1), (5, 3))
