@@ -48,9 +48,17 @@ object Graph {
     val n = nodes.select("id").count()
     require(n > 0, "pageRank: empty node set")
     val base = 15L * scale / (100L * n)
+    // materialize the edge set first — the caller's edge construction
+    // (joins, distinct) must run once, not once per consumer branch
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true) // re-read every round
+      .localCheckpoint(true)
+    // edge ⋈ out-degree is ROUND-INVARIANT: materialize it once
+    // outside the loop instead of re-joining the static degree table
+    // every iteration (one join per round saved; the checkpointed
+    // frame is re-read by all `iters` rounds)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
     var ranks = nodes.select(col("id").cast("long"))
       .withColumn("rank", lit(scale / n))
@@ -61,17 +69,18 @@ object Graph {
       // promotes to double, and a quotient one ulp below an integer
       // would round up and truncate differently from the oracle's
       // exact floor division
-      val contrib = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(deg, "src")
+      // every node contributes a zero row to its own inflow, so the
+      // aggregate's key set IS the node set — the dangling-node left
+      // join (one more two-sided shuffle per round) disappears
+      val contrib = eDeg
+        .join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr("rank div outdeg").as("contrib"))
+        .unionByName(ranks.select(col("id"), lit(0L).as("contrib")))
         .groupBy("id").agg(sum(col("contrib")).as("inflow"))
-      val next = ranks.select(col("id"))
-        .join(contrib, Seq("id"), "left")
+      val next = contrib
         .select(col("id"),
-          (lit(base) +
-            expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
+          (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
         .localCheckpoint(true)
       ranks = next
       it += 1

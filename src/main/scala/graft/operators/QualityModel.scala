@@ -60,6 +60,12 @@ object QualityModel {
         .as("features"))
     val lr = new LogisticRegression()
       .setMaxIter(100)
+      // 1e-4, not the 1e-6 default: every LBFGS iteration is a full
+      // treeAggregate pass over the corpus, and a distillation FILTER
+      // needs a stable decision boundary, not 6th-decimal coefficient
+      // convergence — the looser tolerance halves the iteration count
+      // with no measurable accuracy change (spec gate unchanged)
+      .setTol(1e-4)
       .setRegParam(0.01)
       .setElasticNetParam(0.0)
       .setStandardization(true)
