@@ -168,23 +168,19 @@ object TextFunctions {
 
   /** Word bigram INSTANCES (not distinct — repetition and collocation
     * are about instances) of the normalized token stream; empty for
-    * < 2 tokens. */
-  private[graft] def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Word bigram instances of a text column. */
-  def wordBigrams(text: Column): Column = bigrams(tokens(text))
+    * < 2 tokens. One imperative codegen'd pass
+    * ([[graft.functions.VectorFunctions.WordBigrams]]) for the same
+    * reason as [[wordShingles]]: the HOF formulation re-tokenized
+    * once per position. */
+  def wordBigrams(text: Column): Column =
+    graft.functions.VectorFunctions.word_bigrams(text)
 
   /** Fraction of bigram instances whose bigram occurs more than once in
     * the document — the classic repeated-n-gram quality filter. A doc
     * looping one phrase scores near 1; natural text near 0. Per-row
     * builtins only (scan-stage, no shuffle). */
   def dupBigramFrac(text: Column): Column = {
-    val b = bigrams(tokens(text))
+    val b = wordBigrams(text)
     when(size(b) > 0,
       (size(b) - size(array_distinct(b))).cast("double") /
         size(b).cast("double"))

@@ -1464,6 +1464,71 @@ object VectorFunctions {
     out
   }
 
+  /** One-pass word-bigram INSTANCES (the multiset twin of
+    * [[WordShingles]] — repetition and collocation statistics count
+    * instances, not distinct grams): every adjacent token pair of the
+    * normalized text as "w1 w2", in order; < 2 tokens (and null/empty
+    * input, matching the declarative `when(size>=2)…otherwise([])`
+    * formulation) → empty array. Same motivation as [[WordShingles]]:
+    * the builtin-HOF version re-tokenizes per position. */
+  private[graft] def wordBigramsOf(text: UTF8String)
+      : Array[UTF8String] = {
+    val norm = if (text == null) "" else normalizeStringOf(text)
+    if (norm.isEmpty) return Array.empty[UTF8String]
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    starts += 0
+    var i = 0
+    while (i < norm.length) {
+      if (norm.charAt(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nTok = starts.length
+    if (nTok < 2) return Array.empty[UTF8String]
+    val out = new Array[UTF8String](nTok - 1)
+    var w = 0
+    while (w < nTok - 1) {
+      val end = if (w + 2 < nTok) starts(w + 2) - 1 else norm.length
+      out(w) = UTF8String.fromString(norm.substring(starts(w), end))
+      w += 1
+    }
+    out
+  }
+
+  case class WordBigrams(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+
+    // eval, not nullSafeEval: null text → [] like the declarative form
+    override def eval(input: InternalRow): Any =
+      ArrayData.toArrayData(
+        wordBigramsOf(child.eval(input).asInstanceOf[UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val expr = ctx.addReferenceObj("bigrams", this,
+        classOf[WordBigrams].getName)
+      val c = child.genCode(ctx)
+      ev.copy(isNull = FalseLiteral, code =
+        code"""
+          |${c.code}
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          |    $expr.bigramsOf(${c.isNull} ? null :
+          |      (org.apache.spark.unsafe.types.UTF8String) ${c.value}));
+          """.stripMargin)
+    }
+
+    /** codegen entry point (public for generated code). */
+    def bigramsOf(v: UTF8String): Array[UTF8String] =
+      VectorFunctions.wordBigramsOf(v)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class WordShingles(child: Expression, k: Int)
       extends UnaryExpression {
     require(k >= 1)
@@ -1589,6 +1654,8 @@ object VectorFunctions {
     toColumn(NormalizeText(toExpression(text)))
   def word_shingles(text: Column, k: Int): Column =
     toColumn(WordShingles(toExpression(text), k))
+  def word_bigrams(text: Column): Column =
+    toColumn(WordBigrams(toExpression(text)))
   def char_ngram_hashes(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n))
   def fnv1a64(text: Column): Column =

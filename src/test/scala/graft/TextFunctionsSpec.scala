@@ -58,6 +58,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word bigrams: codegen'd expression matches the declarative " +
+      "HOF formulation row for row (instances, order, edges)") {
+    def oldForm(text: org.apache.spark.sql.Column) = {
+      val toks = tokens(text)
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = Seq(
+      "a b c d e", "A  b\tC", "one", "", "  ", "x y x y x y",
+      null, "repeat repeat repeat", "a b", "tab\there and\nnewline")
+      .toDF("text")
+    val both = docs.select(
+      wordBigrams(col("text")).as("nu"),
+      oldForm(col("text")).as("old")).collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"row $i")
+    }
+  }
+
   test("char ngrams cover the normalized text") {
     val g = one(charNgrams(col("text"), 3), "abcd")
       .asInstanceOf[scala.collection.Seq[String]]
