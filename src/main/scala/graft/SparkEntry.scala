@@ -1792,6 +1792,29 @@ object SparkEntry {
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(s, dir, "embeddings"))
 
+  private def qStreamEmbeddingDedup(s: SparkSession, dir: String)
+      : DataFrame = {
+    // A REAL streaming run of embedding near-dup: per-(band, bucket)
+    // member state scores each arriving vector against its bucket
+    // (DocsStream.embeddingPairsStream, banding and cosine shared
+    // with batch), emitting every in-bucket pair both ways; the
+    // epoch-close per-vector max over the sink rebuilds the batch
+    // best-neighbor report exactly and shares its oracle VERBATIM.
+    val sink = graft.streaming.DocsStream.runEmbeddingDedupStream(
+      s, dir, "stream_embdedup_sink")
+    val sinkDf = s.table(sink)
+    val base = s.createDataFrame(sinkDf.rdd, sinkDf.schema)
+    base.groupBy("vec_id")
+      // max over (cosine, -nn_id) is (cosine DESC, nn_id ASC) — the
+      // batch operator's exact tie-break, no window needed
+      .agg(max(struct(col("cosine"), (-col("nn_id")).as("negid")))
+        .as("m"))
+      .select(col("vec_id"), (-col("m.negid")).as("nn_id"),
+        col("m.cosine").as("cosine"),
+        (col("m.cosine") >= 0.95).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   private def qClusterKmeans(s: SparkSession, dir: String): DataFrame = {
     // Distributed k-means assignment over the embedding column: the
     // model is ONE bounded driver sample (Similarity.trainCentroids),
@@ -3599,6 +3622,7 @@ object SparkEntry {
     "agg_entropy" -> (qAggEntropy _),
     "sim_mmr_rerank" -> (qSimMmr _),
     "stream_assoc" -> (qStreamAssoc _),
+    "stream_embedding_dedup" -> (qStreamEmbeddingDedup _),
   )
 
   // --- SQL fragments for the text-quality oracles, generated from the
@@ -5440,25 +5464,10 @@ object SparkEntry {
     },
     // Embedding near-dup: same signature re-derivation, 4-band × 4-bit
     // banding, nearest neighbor by (cosine DESC, nn_id) within buckets.
-    "dedup_embedding" -> {
-      val sig = hyperplaneSigSql("ed", 16, 64)
-      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
-         |              FROM embeddings),
-         |sg AS (SELECT vec_id, ed, $sig AS sig FROM base),
-         |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
-         |bb AS (SELECT vec_id, ed, band, (sig >> (band * 4)) & 15 AS bkey
-         |       FROM sg, bands),
-         |s AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id,
-         |        ${cosineSql("a.ed", "b.ed")} AS cosine
-         |      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey
-         |        AND a.vec_id <> b.vec_id),
-         |r AS (SELECT vec_id, nn_id, cosine,
-         |        row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY cosine DESC, nn_id) AS rk
-         |      FROM s)
-         |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
-         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
-    },
+    "dedup_embedding" -> embDedupOracleSql,
+    // The streaming twin converges to the same best-neighbor report —
+    // the oracle IS the batch SQL (see qStreamEmbeddingDedup).
+    "stream_embedding_dedup" -> embDedupOracleSql,
     "dedup_minhash_lsh" -> minhashPairsOracle,
     // Epoch merge: the same exact pair set restricted to pairs with at
     // least one increment member.
@@ -7467,6 +7476,30 @@ object SparkEntry {
        |r AS (SELECT doc_id, score_micros,
        |    CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
        |      AS INTEGER) AS rank FROM sc)""".stripMargin
+  }
+
+  /** Shared by dedup_embedding (batch) and stream_embedding_dedup
+    * (streaming twin): the stream emits every in-bucket pair in both
+    * orientations, so its epoch-close per-vector max equals the batch
+    * per-bucket-best + cross-band max — same report, same SQL. */
+  private def embDedupOracleSql: String = {
+    val sig = hyperplaneSigSql("ed", 16, 64)
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
+       |              FROM embeddings),
+       |sg AS (SELECT vec_id, ed, $sig AS sig FROM base),
+       |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+       |bb AS (SELECT vec_id, ed, band, (sig >> (band * 4)) & 15 AS bkey
+       |       FROM sg, bands),
+       |s AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id,
+       |        ${cosineSql("a.ed", "b.ed")} AS cosine
+       |      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey
+       |        AND a.vec_id <> b.vec_id),
+       |r AS (SELECT vec_id, nn_id, cosine,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cosine DESC, nn_id) AS rk
+       |      FROM s)
+       |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
+       |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
   }
 
   /** Hybrid-RRF oracle: both candidate lists re-derived from scratch

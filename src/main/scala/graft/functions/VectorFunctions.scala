@@ -1287,6 +1287,26 @@ object VectorFunctions {
     * the primitive behind both [[SortedIntersectCount]] (column form)
     * and [[BroadcastJaccard]] (broadcast-map form), also used directly
     * by the streaming dedup's in-state verification. */
+  /** Scalar cosine over float arrays, replicating [[CosineSimilarity]]
+    * bit-for-bit (same sequential double accumulation, one divide);
+    * null for length mismatch / empty / zero norm. Shared with the
+    * streaming embedding-dedup twin so stream and batch score a pair
+    * identically. */
+  private[graft] def cosineOfFloats(a: Array[Float], b: Array[Float])
+      : java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = a.length
+    if (n != b.length || n == 0) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i).toDouble
+      val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
   private[graft] def mergeIntersectCount(
       x: Array[Long], y: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0

@@ -738,6 +738,16 @@ object Dedup {
     * ≤ 4-rows-per-vector reduce. Degenerate vectors (null/zero-norm)
     * cannot be scored and are skipped; `maxBucket` caps pathological
     * buckets (keep-smallest ids, the shared cap semantics). */
+  /** The embedding-LSH band-key structs for a 16-bit hyperplane
+    * signature column: 4 bands × 4 bits. Shared between the batch
+    * operator and the streaming twin so the two bandings cannot drift
+    * apart (same discipline as [[minhashBandKeys]]). */
+  private[graft] def embeddingBandKeys(sig: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * 4).bitwiseAND(0xfL).as("bkey")))
+
   def embeddingNearDup(
       embeddings: DataFrame, threshold: Double = 0.95,
       maxBucket: Int = 4096): DataFrame = {
@@ -745,10 +755,7 @@ object Dedup {
       .select(col("vec_id"), col("embedding"),
         hyperplane_sig(col("embedding"), 16).as("sig"))
       .select(col("vec_id"), col("embedding"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 4).bitwiseAND(0xfL)
-              .as("bkey"))): _*)).as("bk"))
+        explode(array(embeddingBandKeys(col("sig")): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val best = banded

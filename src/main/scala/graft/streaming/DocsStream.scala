@@ -401,4 +401,103 @@ object DocsStream {
     q.stop()
     sinkName
   }
+
+  case class EmbDoc(band: Int, bkey: Long, vec_id: Long,
+      embedding: Array[Float])
+  case class EmbMember(id: Long, emb: Array[Float])
+  case class EmbBucketState(members: List[EmbMember])
+  case class EmbPairOut(vec_id: Long, nn_id: Long, cosine: Double)
+
+  /** Streaming read of the embeddings table (file source). */
+  def readEmbeddingsStream(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Incremental embedding near-dup: the streaming twin of
+    * [[graft.operators.Dedup.embeddingNearDup]]. Vectors are
+    * hyperplane-signed in the scan stage (same custom expression as
+    * batch), exploded onto the SAME 4×4-bit band keys
+    * (`Dedup.embeddingBandKeys` — shared so the bandings cannot
+    * drift), and routed to per-(band, bucket) state. Each arriving
+    * vector scores against its bucket's members with the scalar
+    * replica of the codegen'd cosine
+    * ([[VectorFunctions.cosineOfFloats]]) and emits the pair in BOTH
+    * orientations — so the epoch-close per-vector max over the sink
+    * rebuilds exactly the batch operator's best-neighbor report
+    * (batch takes a per-bucket best then a cross-band max; the stream
+    * emits every in-bucket pair, and max over all in-bucket neighbors
+    * is the same value). Keep-smallest eviction under `maxBucket`
+    * with the same superset caveat as [[minhashPairsStream]]; the
+    * driver-gated query runs uncapped. Degenerate vectors (null /
+    * zero-norm / length-mismatched) score null and emit nothing,
+    * like the batch generator. */
+  def embeddingPairsStream(spark: SparkSession, embeddings: DataFrame,
+      maxBucket: Int = Int.MaxValue): Dataset[EmbPairOut] = {
+    import spark.implicits._
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.hyperplane_sig(col("embedding"), 16).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array(
+          graft.operators.Dedup.embeddingBandKeys(col("sig")): _*))
+          .as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("vec_id"), col("embedding"))
+      .as[EmbDoc]
+    banded
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState[EmbBucketState, EmbPairOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), batch: Iterator[EmbDoc],
+         state: GroupState[EmbBucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EmbPairOut]
+          batch.toSeq.sortBy(_.vec_id).foreach { d =>
+            if (!members.exists(_.id == d.vec_id)) {
+              members.foreach { m =>
+                val c = VectorFunctions.cosineOfFloats(m.emb, d.embedding)
+                if (c != null) {
+                  out += EmbPairOut(d.vec_id, m.id, c)
+                  out += EmbPairOut(m.id, d.vec_id, c)
+                }
+              }
+              if (members.size < maxBucket)
+                members = EmbMember(d.vec_id, d.embedding) :: members
+              else {
+                val worst = members.maxBy(_.id)
+                if (d.vec_id < worst.id)
+                  members = EmbMember(d.vec_id, d.embedding) ::
+                    members.filterNot(_.id == worst.id)
+              }
+            }
+          }
+          state.update(EmbBucketState(members))
+          out.iterator
+      }
+  }
+
+  /** Drive [[embeddingPairsStream]] synchronously to completion over
+    * the parquet embeddings dir (memory sink); returns the sink name. */
+  def runEmbeddingDedupStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "docs_embedding_pairs",
+      maxBucket: Int = Int.MaxValue): String = {
+    val q = embeddingPairsStream(spark,
+      readEmbeddingsStream(spark, sfDir), maxBucket)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
 }

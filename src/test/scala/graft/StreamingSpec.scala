@@ -329,6 +329,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming embedding near-dup equals the batch best-neighbor " +
+      "report row for row") {
+    val spark = TestSpark.spark
+    val streamed = SparkEntry.queries("stream_embedding_dedup")(
+      spark, TestSpark.sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getBoolean(3)))
+    val batch = SparkEntry.queries("dedup_embedding")(
+      spark, TestSpark.sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2),
+        x.getBoolean(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming association maintenance equals the batch A-Priori " +
       "derivation row for row") {
     val spark = TestSpark.spark
