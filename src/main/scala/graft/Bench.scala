@@ -66,7 +66,9 @@ object Bench {
     "geo_radius_join",
     "graph_bfs",
     "agg_bitmap_distinct",
-    "sim_mmr_rerank")
+    "sim_mmr_rerank",
+    "search_hybrid_rrf",
+    "text_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -404,13 +404,6 @@ object DumpPlans {
         |exchange in the plan is the presentation sort. At 100 TB the
         |quantizer cost is the scan itself; nothing accumulates
         |driver-side.""".stripMargin,
-    "assoc_rules" ->
-      """A-Priori in plan form: the item-support aggregate (map-side
-        |combined) feeds a hash join that prunes the basket relation
-        |BEFORE the within-basket self-join — the pair space never
-        |materializes for infrequent items. Pair counting is one
-        |basket-key-partitioned join plus one combined groupBy; the
-        |1-row basket count broadcasts into the rule projection.""".stripMargin,
     "pareto_skyline" ->
       """Dominance with no pairwise comparison: the bounds frame (1
         |row) and bucket-prefix frame (≤1024 rows) broadcast back onto
@@ -429,7 +422,30 @@ object DumpPlans {
         |bitmap_construct_agg runs map-side per (group, bucket), the
         |exchange carries 4 KB bitmaps instead of raw id values, and
         |the final popcount-sum is a second tiny combined aggregate —
-        |the plan a 100 TB COUNT(DISTINCT) wants.""".stripMargin)
+        |the plan a 100 TB COUNT(DISTINCT) wants.""".stripMargin,
+    "search_hybrid_rrf" ->
+      """Hybrid retrieval: the two retriever subtrees (BM25's
+        |scan-stage term filter + broadcast stats; the brute-force
+        |cosine with its broadcast query side) each end in a bounded
+        |top-k, so the fusion full-outer join and its one global
+        |window run on ≤ 40 rows — every corpus-sized stage belongs to
+        |a retriever, fusion is plan noise by construction.""".stripMargin,
+    "text_lm_score" ->
+      """Bigram-LM scoring: counts are two map-side-combined
+        |aggregates off the one-pass WordBigrams expression (prefix
+        |sums derive from the bigram counts — no corpus rescan); the
+        |model join is bigram-keyed and hash-partitioned because a
+        |web-scale LM table does not broadcast — that exchange IS the
+        |honest bottleneck, carrying only (doc_id, bigram); the
+        |vocabulary-sized prefix table broadcasts.""".stripMargin,
+    "assoc_rules" ->
+      """A-Priori, fused regime: ONE partial-aggregated collect_set
+        |shuffle folds baskets (dedup inside the aggregation buffers —
+        |no corpus-wide distinct pass), the frequent-item prune runs
+        |INSIDE the scan as a broadcast long-set filter, and pair
+        |generation is the codegen'd CappedPairs generator — three
+        |key-partitioned shuffles, no self-join; the support attaches
+        |are broadcast joins against the frequent-pair table.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
