@@ -191,13 +191,11 @@ object TextFunctions {
     * the token count — near 1 for degenerate "word word word ..." docs.
     * O(distinct·n) per row via higher-order builtins; documents are
     * bounded (they're rows), so this stays scan-stage and shuffle-free. */
-  def topTokenFrac(text: Column): Column = {
-    val toks = tokens(text)
-    val top = aggregate(array_distinct(toks), lit(0),
-      (acc, tk) => greatest(acc, size(filter(toks, x => x === tk))))
-    when(size(toks) > 0,
-      top.cast("double") / size(toks).cast("double")).otherwise(0.0)
-  }
+  def topTokenFrac(text: Column): Column =
+    // one imperative pass (VectorFunctions.TopTokenFrac): the
+    // declarative aggregate-over-distinct form was O(distinct·n) AND
+    // re-ran the tokenizer subtree once per distinct token
+    graft.functions.VectorFunctions.top_token_frac(text)
 
   /** Distinct-token fraction (type/token ratio): low values mean a
     * small vocabulary stretched over a long doc — repetition's other

@@ -1514,6 +1514,66 @@ object VectorFunctions {
     out
   }
 
+  /** Top-token fraction in one pass: max token multiplicity over the
+    * token count of the normalized text, 0.0 when empty. Exactly the
+    * declarative `aggregate(array_distinct(toks), …)/size(toks)`
+    * value (both divide the same exact ints), but O(n) with one hash
+    * map instead of O(distinct·n) with a full re-tokenization per
+    * distinct token (the HOF lambda re-evaluated the tokenizer
+    * subtree each iteration). */
+  private[graft] def topTokenFracOf(text: UTF8String): Double = {
+    val norm = if (text == null) "" else normalizeStringOf(text)
+    if (norm.isEmpty) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var start = 0
+    var n = 0
+    var top = 0
+    var i = 0
+    val len = norm.length
+    while (i <= len) {
+      if (i == len || norm.charAt(i) == ' ') {
+        val tok = norm.substring(start, i)
+        val c = counts.merge(tok, 1, Integer.sum)
+        if (c > top) top = c
+        n += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    top.toDouble / n.toDouble
+  }
+
+  case class TopTokenFrac(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+
+    // eval, not nullSafeEval: null text → 0.0 like the declarative
+    // when(size>0, …).otherwise(0.0) formulation
+    override def eval(input: InternalRow): Any =
+      topTokenFracOf(child.eval(input).asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val expr = ctx.addReferenceObj("topTokFrac", this,
+        classOf[TopTokenFrac].getName)
+      val c = child.genCode(ctx)
+      ev.copy(isNull = FalseLiteral, code =
+        code"""
+          |${c.code}
+          |double ${ev.value} = $expr.fracOf(${c.isNull} ? null :
+          |  (org.apache.spark.unsafe.types.UTF8String) ${c.value});
+          """.stripMargin)
+    }
+
+    /** codegen entry point (public for generated code). */
+    def fracOf(v: UTF8String): Double = VectorFunctions.topTokenFracOf(v)
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class WordBigrams(child: Expression) extends UnaryExpression {
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
@@ -1676,6 +1736,8 @@ object VectorFunctions {
     toColumn(WordShingles(toExpression(text), k))
   def word_bigrams(text: Column): Column =
     toColumn(WordBigrams(toExpression(text)))
+  def top_token_frac(text: Column): Column =
+    toColumn(TopTokenFrac(toExpression(text)))
   def char_ngram_hashes(text: Column, n: Int): Column =
     toColumn(CharNgramHashes(toExpression(text), n))
   def fnv1a64(text: Column): Column =

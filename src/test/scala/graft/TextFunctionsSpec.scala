@@ -80,6 +80,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("top-token fraction: codegen'd expression matches the " +
+      "declarative aggregate formulation row for row") {
+    def oldForm(text: org.apache.spark.sql.Column) = {
+      val toks = tokens(text)
+      val top = aggregate(array_distinct(toks), lit(0),
+        (acc, tk) => greatest(acc, size(filter(toks, x => x === tk))))
+      when(size(toks) > 0,
+        top.cast("double") / size(toks).cast("double")).otherwise(0.0)
+    }
+    val docs = Seq(
+      "word word word word", "all distinct tokens here", "one",
+      "", "  ", null, "a b a b b", "Mixed MIXED mixed case")
+      .toDF("text")
+    val both = docs.select(
+      topTokenFrac(col("text")).as("nu"),
+      oldForm(col("text")).as("old")).collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) === r.getDouble(1), s"row $i")
+    }
+  }
+
   test("char ngrams cover the normalized text") {
     val g = one(charNgrams(col("text"), 3), "abcd")
       .asInstanceOf[scala.collection.Seq[String]]
