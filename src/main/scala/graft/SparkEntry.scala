@@ -2232,6 +2232,36 @@ object SparkEntry {
   private val stratifiedFractions = scala.collection.immutable.ListMap(
     "en" -> 0.25, "zh" -> 0.8, "es" -> 1.0, "de" -> 0.5)
 
+  private def qAggSampleEstimate(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Sample-based aggregate estimation — the "answer from a tenth of
+    // the scan" move a 100 TB dashboard runs. Membership is a pure
+    // function of the row's key (XXH64 bucket < 1000 of 10000 — the
+    // same deterministic-sampling contract as sample_splits; rows
+    // sharing a key travel together, so the sample is stable under
+    // rerun/reshuffle/append). The gate query computes estimate AND
+    // exact in one conditional aggregate to REPORT the true error in
+    // exact ppm integers; the production path scans only the sample.
+    val li = t(s, dir, "lineitem")
+    val key = (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+    val inSample = pmod(xxhash64(key), lit(10000)) < 1000
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("exact_rows"),
+        sum(col("l_quantity").cast("long")).as("exact_qty"),
+        (sum(when(inSample, 1L).otherwise(0L)) * 10).as("est_rows"),
+        (sum(when(inSample, col("l_quantity").cast("long"))
+          .otherwise(0L)) * 10).as("est_qty"))
+      .select(col("l_returnflag"),
+        col("exact_rows"), col("est_rows"),
+        expr("abs(est_rows - exact_rows) * 1000000L DIV exact_rows")
+          .as("err_rows_ppm"),
+        col("exact_qty"), col("est_qty"),
+        expr("abs(est_qty - exact_qty) * 1000000L DIV exact_qty")
+          .as("err_qty_ppm"))
+      .orderBy("l_returnflag")
+  }
+
   private def qSampleSplits(s: SparkSession, dir: String): DataFrame =
     // Reproducible train/val/test assignment: pure function of the row
     // key (xxhash64 bucket), so membership survives reruns, reshuffles
@@ -3558,6 +3588,7 @@ object SparkEntry {
     "dedup_phash" -> (qDedupPhash _),
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
+    "agg_sample_estimate" -> (qAggSampleEstimate _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_weighted_mix" -> (qSampleWeightedMix _),
     "pack_sequences" -> (qPackSequences _),
@@ -4060,6 +4091,34 @@ object SparkEntry {
       s"""WITH ${xxhash64BucketSql("doc_id", "documents")}
          |SELECT k AS doc_id, $splitCaseSql AS split
          |FROM bk ORDER BY doc_id""".stripMargin,
+    // Sample estimate: XXH64 membership re-derived in HUGEINT SQL on
+    // the same composite key, then the identical conditional sums and
+    // exact-ppm error arithmetic. Duplicate keys hash once here
+    // (bucket is a pure function of k), so joining membership back by
+    // key reproduces Spark's per-row evaluation exactly.
+    "agg_sample_estimate" ->
+      s"""WITH ${xxhash64BucketSql(
+             "(l_orderkey * 10 + l_linenumber)", "lineitem")},
+         |mem AS (SELECT DISTINCT k, bucket < 1000 AS in_sample FROM bk),
+         |j AS (SELECT l.l_returnflag,
+         |        CAST(l.l_quantity AS BIGINT) AS qty, m.in_sample
+         |      FROM lineitem l
+         |      JOIN mem m ON m.k = l.l_orderkey * 10 + l.l_linenumber),
+         |g AS (SELECT l_returnflag,
+         |        count(*) AS exact_rows,
+         |        CAST(sum(qty) AS BIGINT) AS exact_qty,
+         |        CAST(10 * sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS est_rows,
+         |        CAST(10 * sum(CASE WHEN in_sample THEN qty ELSE 0 END)
+         |          AS BIGINT) AS est_qty
+         |      FROM j GROUP BY l_returnflag)
+         |SELECT l_returnflag, exact_rows, est_rows,
+         |  CAST(abs(est_rows - exact_rows) * 1000000 // exact_rows
+         |    AS BIGINT) AS err_rows_ppm,
+         |  exact_qty, est_qty,
+         |  CAST(abs(est_qty - exact_qty) * 1000000 // exact_qty
+         |    AS BIGINT) AS err_qty_ppm
+         |FROM g ORDER BY l_returnflag""".stripMargin,
     "sample_stratified" ->
       s"""WITH ${xxhash64BucketSql("doc_id", "documents")}
          |SELECT d.doc_id, d.lang
