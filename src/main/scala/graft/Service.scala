@@ -55,6 +55,18 @@ final class Service(engine: Engine, port: Int = 0,
       val (schema, rows, n) = rowsJson(engine.getData(sql), limit)
       respond(ex, 200, s"""{"schema":$schema,"rows":$rows,"rowCount":$n}""")
     })
+    // plan-only: parse → analyze → optimize, NOTHING executes — the
+    // reference's Sql2AlgTree without its discarded execution
+    // (`QueryService.asmx.cs:85-88` ran the query just to drop the
+    // rows); plan inspection on a 100 TB table must cost zero scans
+    server.createContext("/explain", (ex: HttpExchange) => safely(ex) {
+      val (sql, _) = parse(ex)
+      val r = engine.query(sql)
+      respond(ex, 200,
+        s"""{"originalPlan":${r.originalPlan},""" +
+          s""""optimizedPlan":${r.optimizedPlan},""" +
+          s""""statistics":${r.statistics}}""")
+    })
     server.start()
     server.getAddress.getPort
   }

@@ -1865,6 +1865,8 @@ object VectorFunctions {
       "word_bigrams" -> (es =>
         org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
           graft.functions.TextFunctions.wordBigrams(toColumn(es(0))))),
+      "word_shingles" ->
+        (es => WordShingles(es(0), litInt(es(1), "k"))),
       "pii_redact" -> (es =>
         org.apache.spark.sql.graft.bridge.toAnalyzableExpression(
           graft.functions.PiiFunctions.redact(toColumn(es(0))))),

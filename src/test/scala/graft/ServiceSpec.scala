@@ -43,6 +43,23 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /explain returns plans and stats WITHOUT rows — " +
+      "plan inspection costs zero scans") {
+    withService { (c, port) =>
+      val body = post(c, port, "/explain",
+        "sql=" + java.net.URLEncoder.encode(
+          "SELECT count(*) FROM lineitem WHERE l_quantity > 10",
+          "UTF-8"))
+      assert(body.contains("\"originalPlan\""), body.take(200))
+      assert(body.contains("\"optimizedPlan\""))
+      assert(body.contains("\"statistics\""))
+      // no result payload: the plan-stats "rowCount" (a Catalyst
+      // estimate) is fine, a "rows" array is not
+      assert(!body.contains("\"rows\""))
+      assert(!body.contains("\"schema\""))
+    }
+  }
+
   test("POST /getData returns rows only; limit bounds the payload") {
     withService { (c, port) =>
       val body = post(c, port, "/getData",
