@@ -256,4 +256,63 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       s"bounds/prefix frames should broadcast:\n$p")
   }
+
+  test("search_hybrid_rrf: fusion never shuffles corpus-sized data — " +
+      "the retrievers end in bounded top-k, the fused window is " +
+      "single-partition by construction") {
+    val p = plan("search_hybrid_rrf")
+    // both retriever top-k shapes present: BM25's TakeOrdered and the
+    // vector side's per-query rank filter
+    assert(p.contains("TakeOrderedAndProject"),
+      s"lexical top-k lost its heap plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion produced a cartesian:\n$p")
+  }
+
+  test("text_lm_score: counts are map-side partial aggregates, joins " +
+      "are size-chosen hash joins (at this SF everything broadcasts; " +
+      "at scale the bigram join flips to shuffle by the same " +
+      "size-based rule), nothing loops") {
+    val p = plan("text_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring must not cartesian:\n$p")
+    // the ONE BroadcastNestedLoopJoin is the 1-row vocabulary frame
+    // crossed in — the accepted 1-row-bounds pattern, not a loop over
+    // corpus data
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"unexpected nested loop beyond the 1-row vocab cross:\n$p")
+  }
+
+  test("assoc_rules (fused): no self-join — pair generation is a " +
+      "generator over the folded basket arrays (inspected before the " +
+      "rules() checkpoint barrier), support attaches are broadcast " +
+      "joins") {
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+    val pairs = graft.operators.Association.frequentPairsFused(
+      graft.operators.Association.basketSets(
+        li, "l_orderkey", "l_partkey"), 5L, 2L)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"),
+      s"pair generation should be a Generate over CappedPairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"support attaches should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fused path should not contain a corpus self-join:\n$p")
+  }
+
+  test("agg_sample_estimate: estimate and exact come from ONE " +
+      "conditional aggregate pass — a single scan, partial before " +
+      "the exchange") {
+    val p = plan("agg_sample_estimate")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+    // one scan of lineitem only
+    assert(p.sliding("lineitem.parquet".length)
+      .count(_ == "lineitem.parquet") <= 2,
+      s"sample estimate should not rescan:\n$p")
+  }
 }
