@@ -2092,6 +2092,20 @@ object SparkEntry {
       Multimodal.asPngMedia(t(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  private def qMultimodalVideo(s: SparkSession, dir: String): DataFrame =
+    // The VIDEO container: every document becomes a real RIFF AVI
+    // (MainAVIHeader + 'vids'/'DIB ' stream + movi LIST of
+    // uncompressed bottom-up DIB frames), then the full decode — RIFF
+    // walk, header consistency checks, row de-pad/un-flip — and
+    // every-2nd-frame sampling (the keyframe-sampling move that turns
+    // hours of footage into a bounded frame set). The oracle
+    // re-derives geometry, frame count, sample count AND the
+    // sampled-frame pixel checksum from the raw text bytes, so one
+    // wrong byte anywhere in the container round trip fails the hash.
+    Multimodal.aviFrameSample(s,
+      Multimodal.asAviMedia(t(s, dir, "documents")), step = 2)
+      .orderBy("doc_id").toDF()
+
   private def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
     // The resize stage: decode (full PNG pipeline) then a REAL
     // materialized nearest-neighbor ½× downsample; the oracle
@@ -3583,6 +3597,7 @@ object SparkEntry {
     "multimodal_pipeline" -> (qMultimodal _),
     "multimodal_sizes" -> (qMultimodalSizes _),
     "multimodal_png" -> (qMultimodalPng _),
+    "multimodal_video" -> (qMultimodalVideo _),
     "multimodal_resize" -> (qMultimodalResize _),
     "multimodal_audio" -> (qMultimodalAudio _),
     "dedup_phash" -> (qDedupPhash _),
@@ -6191,6 +6206,31 @@ object SparkEntry {
         |  CAST(CASE WHEN n = 0 THEN 0
         |    ELSE (m // n) * sum_all + sum_rem END AS BIGINT) AS px_sum
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Video oracle: geometry/frame count from strlen, sampled frames
+    // f = 0,2,4,…, and per sampled frame the cyclic-byte sum
+    // Σ_i byte((f·3wh + i) mod n) re-derived from the text's UTF-8
+    // bytes — the same hex-nibble extraction as the PNG oracle.
+    "multimodal_video" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n,
+        |    CAST(1 + strlen(text) % 24 AS INTEGER) AS w,
+        |    CAST(1 + (strlen(text) * 5) % 18 AS INTEGER) AS h,
+        |    CAST(2 + strlen(text) % 6 AS INTEGER) AS frames
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height, frames AS n_frames,
+        |  CAST((frames + 1) // 2 AS INTEGER) AS n_sampled,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |    list_aggregate(list_transform(
+        |      generate_series(0, frames - 1), f ->
+        |      CASE WHEN f % 2 = 0 THEN
+        |        list_aggregate(list_transform(
+        |          generate_series(0, 3 * w * h - 1), i ->
+        |          strpos('123456789ABCDEF', substring(hx,
+        |            2 * ((f * 3 * w * h + i) % n) + 1, 1)) * 16
+        |        + strpos('123456789ABCDEF', substring(hx,
+        |            2 * ((f * 3 * w * h + i) % n) + 2, 1))), 'sum')
+        |      ELSE 0 END), 'sum') END AS BIGINT) AS px_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Resize oracle: every sampled byte re-derived at its exact
     // position — dst (y,x,ch) samples src byte ((2y·w + 2x)·3 + ch)
     // mod n (pixels are the text's UTF-8 bytes cycled, per the encode).

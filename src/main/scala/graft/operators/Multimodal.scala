@@ -690,6 +690,212 @@ object Multimodal {
     }
   }
 
+  // --- Video: RIFF AVI ---------------------------------------------
+
+  /** Video geometry from the utf-8 byte length `n` — shared with the
+    * DuckDB oracle like [[bmpDims]]/[[pngDims]]: (width, height,
+    * frame count). Small frames, 2–7 frames, so every doc exercises
+    * multi-frame walking and the every-2nd-frame sample keeps ≥1
+    * frame. */
+  private[graft] def videoShape(n: Int): (Int, Int, Int) =
+    (1 + n % 24, 1 + (n * 5) % 18, 2 + n % 6)
+
+  private def leInt(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  /** A real RIFF AVI container: `RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' '00db'×F))` per the public
+    * RIFF/AVI spec — MainAVIHeader + a 'vids'/'DIB ' stream of
+    * uncompressed bottom-up 24-bit DIB frames (4-byte-aligned rows,
+    * logical row r stored at physical row h−1−r like any BMP). Frame
+    * f's logical pixel p carries text byte (f·3wh + p) mod n (cyclic,
+    * zeros for empty text) — the same byte-cycling contract as the
+    * BMP/PNG encoders, so an external oracle re-derives every sampled
+    * byte from the raw text. */
+  private[graft] def encodeAvi(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val (w, h, frames) = videoShape(n)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val frameSize = rowSize * h
+    def frameData(f: Int): Array[Byte] = {
+      val a = new Array[Byte](frameSize)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < 3 * w) {
+          a((h - 1 - r) * rowSize + c) =
+            if (n > 0) text((f * 3 * w * h + r * 3 * w + c) % n)
+            else 0.toByte
+          c += 1
+        }
+        r += 1
+      }
+      a
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    // avih: MainAVIHeader (56 bytes)
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(66667).putInt(frameSize * 15).putInt(0).putInt(0)
+      .putInt(frames).putInt(0).putInt(1).putInt(frameSize)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    // strh: AVIStreamHeader (56 bytes), 'vids' / 'DIB '
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(15).putInt(0).putInt(frames)
+      .putInt(frameSize).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    // strf: BITMAPINFOHEADER (40 bytes)
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val strl = new java.io.ByteArrayOutputStream()
+    strl.write("strl".getBytes("US-ASCII"))
+    writeChunk(strl, "strh", strh.array())
+    writeChunk(strl, "strf", strf.array())
+    val hdrl = new java.io.ByteArrayOutputStream()
+    hdrl.write("hdrl".getBytes("US-ASCII"))
+    writeChunk(hdrl, "avih", avih.array())
+    writeChunk(hdrl, "LIST", strl.toByteArray)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    (0 until frames).foreach(f => writeChunk(movi, "00db", frameData(f)))
+    val riffBody = new java.io.ByteArrayOutputStream()
+    riffBody.write("AVI ".getBytes("US-ASCII"))
+    writeChunk(riffBody, "LIST", hdrl.toByteArray)
+    writeChunk(riffBody, "LIST", movi.toByteArray)
+    writeChunk(out, "RIFF", riffBody.toByteArray)
+    out.toByteArray
+  }
+
+  private def writeChunk(b: java.io.ByteArrayOutputStream, id: String,
+      data: Array[Byte]): Unit = {
+    b.write(id.getBytes("US-ASCII"))
+    b.write(leInt(data.length))
+    b.write(data)
+    if (data.length % 2 == 1) b.write(0)
+  }
+
+  private[graft] def isAvi(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+      b(11) == ' '
+
+  /** Full RIFF walk: verify the RIFF/'AVI ' envelope, read
+    * MainAVIHeader geometry from hdrl/avih, confirm the stream is
+    * 'vids' with a consistent 24-bpp BITMAPINFOHEADER, then collect
+    * every '00db' frame from the movi LIST — sizes checked against
+    * the header geometry, rows de-padded and un-flipped back to
+    * logical order. Returns (w, h, frames, logicalPixels per frame);
+    * None on any structural violation (truncation, bad magic, frame
+    * count/size mismatch, non-vids stream). */
+  private[graft] def parseAvi(b: Array[Byte])
+      : Option[(Int, Int, Int, Array[Array[Byte]])] = {
+    if (!isAvi(b)) return None
+    val riffSize = le32(b, 4)
+    if (riffSize + 8 > b.length) return None
+    var w = -1; var h = -1; var frames = -1
+    var sawVids = false
+    val frameBufs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(off0: Int, end: Int): Boolean = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val sz = le32(b, off + 4)
+        val body = off + 8
+        if (sz < 0 || body + sz > end) return false
+        if (id == "LIST") {
+          if (sz < 4) return false
+          // recurse into hdrl/strl/movi with the 4-byte kind skipped
+          if (!walk(body + 4, body + sz)) return false
+        } else if (id == "avih") {
+          if (sz < 56) return false
+          frames = le32(b, body + 16)
+          w = le32(b, body + 32)
+          h = le32(b, body + 36)
+        } else if (id == "strh") {
+          if (sz < 8) return false
+          sawVids = new String(b, body, 4, "US-ASCII") == "vids"
+        } else if (id == "strf") {
+          if (sz < 40) return false
+          if (le32(b, body + 4) != w || le32(b, body + 8) != h ||
+            le16(b, body + 14) != 24) return false
+        } else if (id == "00db") {
+          frameBufs += java.util.Arrays.copyOfRange(b, body, body + sz)
+        }
+        off = body + sz + (sz % 2) // RIFF word alignment
+      }
+      true
+    }
+    if (!walk(12, 8 + riffSize)) return None
+    if (w <= 0 || h <= 0 || frames < 0 || !sawVids) return None
+    if (frameBufs.length != frames) return None
+    val rowSize = (3 * w + 3) / 4 * 4
+    if (frameBufs.exists(_.length != rowSize * h)) return None
+    val logical = frameBufs.map { fb =>
+      val a = new Array[Byte](3 * w * h)
+      var r = 0
+      while (r < h) {
+        System.arraycopy(fb, (h - 1 - r) * rowSize, a, r * 3 * w, 3 * w)
+        r += 1
+      }
+      a
+    }.toArray
+    Some((w, h, frames, logical))
+  }
+
+  /** Model every document as a real AVI (mapPartitions, like
+    * [[asPngMedia]]). */
+  def asAviMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          MediaRow(id, "video/avi", encodeAvi(text.getBytes("UTF-8")))
+        }
+      }
+      .toDF()
+  }
+
+  case class VideoStatsRow(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int, px_sum: Long)
+
+  /** Frame-sampling decode — the video stage of a multimodal
+    * pipeline: full RIFF walk, keep every `step`-th frame (the
+    * keyframe-sampling move that turns hours of video into a bounded
+    * frame set for feature extraction), and checksum the SAMPLED
+    * frames' recovered logical pixels so an external oracle verifies
+    * both the container round trip and the sampling arithmetic.
+    * Partition-mapped, no shuffle. */
+  def aviFrameSample(spark: SparkSession, media: DataFrame,
+      step: Int = 2): Dataset[VideoStatsRow] = {
+    require(step >= 1)
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        parseAvi(m.payload) match {
+          case Some((w, h, frames, px)) =>
+            var s = 0L
+            var sampled = 0
+            var f = 0
+            while (f < frames) {
+              if (f % step == 0) {
+                sampled += 1
+                val a = px(f)
+                var i = 0
+                while (i < a.length) { s += a(i) & 0xff; i += 1 }
+              }
+              f += 1
+            }
+            VideoStatsRow(m.doc_id, w, h, frames, sampled, s)
+          case None => VideoStatsRow(m.doc_id, 0, 0, 0, 0, -1L)
+        }
+      }
+    }
+  }
+
   /** End-to-end pipeline used by the declared query: media modeling →
     * real header decode → per-type size/shape stats. Aggregation is
     * plain groupBy — fully distributed, no driver materialization. */

@@ -331,6 +331,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L, 0)))
   }
 
+  test("avi round trip: the RIFF walk recovers every frame's exact " +
+      "logical pixels, sampling keeps every 2nd frame") {
+    val d = Seq((1L, "a moving picture of several frames"), (2L, ""))
+      .toDF("doc_id", "text")
+    val r = Multimodal.aviFrameSample(spark, Multimodal.asAviMedia(d))
+      .orderBy("doc_id").collect()
+    val text = "a moving picture of several frames".getBytes("UTF-8")
+    val n = text.length // 34
+    val (w, h, frames) = (1 + n % 24, 1 + (n * 5) % 18, 2 + n % 6)
+    assert((r(0).width, r(0).height, r(0).n_frames) === ((w, h, frames)))
+    // reference: sum text((f*3wh + i) % n) over sampled frames
+    var expect = 0L
+    for (f <- 0 until frames if f % 2 == 0; i <- 0 until 3 * w * h)
+      expect += text((f * 3 * w * h + i) % n) & 0xff
+    assert(r(0).px_sum === expect)
+    assert(r(0).n_sampled === (frames + 1) / 2)
+    // empty text: zero-filled frames, geometry from n = 0
+    assert((r(1).width, r(1).height, r(1).n_frames, r(1).px_sum)
+      === ((1, 1, 2, 0L)))
+  }
+
+  test("avi decode rejects corruption instead of returning wrong data") {
+    val good = {
+      val d = Seq((1L, "some frames here please")).toDF("doc_id", "text")
+      Multimodal.asAviMedia(d).collect()(0).getAs[Array[Byte]]("payload")
+    }
+    def stats(b: Array[Byte]): Long = {
+      val m = Seq(Multimodal.MediaRow(9L, "video/avi", b)).toDF()
+      Multimodal.aviFrameSample(spark, m).collect()(0).px_sum
+    }
+    assert(stats(good) >= 0L)
+    // truncated mid-movi
+    assert(stats(java.util.Arrays.copyOfRange(good, 0, good.length / 2))
+      === -1L)
+    // bad magic
+    val bad = good.clone(); bad(9) = 'X'.toByte
+    assert(stats(bad) === -1L)
+    // frame-count lie in avih (offset: RIFF(12) + LIST hdr(8) +
+    // 'hdrl'(4) + 'avih'+size(8) + dwTotalFrames at +16)
+    val lied = good.clone()
+    lied(12 + 8 + 4 + 8 + 16) = 99.toByte
+    assert(stats(lied) === -1L)
+    // junk entirely
+    assert(stats(Array.fill[Byte](64)(7)) === -1L)
+  }
+
   test("audioStats is partition-mapped: no shuffle in the plan") {
     val plan = Multimodal
       .audioStats(spark, Multimodal.asWavMedia(docs))
