@@ -3237,6 +3237,30 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  private def qEventsEwma(s: SparkSession, dir: String): DataFrame =
+    // Exponential smoothing (α = 1/2) of each event type's hourly
+    // micro-total — the trend signal a monitoring/curation pipeline
+    // keeps per stream. Bit-reproducible WITHOUT rounding the result:
+    // hourly totals are exact longs (per-row micro-round, the events
+    // contract), and the fold s_t = (x_t + s_{t−1})/2 runs
+    // left-to-right over the hour-sorted array — halving is EXACT in
+    // binary floating point and addition is correctly rounded, so two
+    // engines replaying the same sequence produce the same bits (the
+    // agg_entropy order-pinning discipline, minus the libm caveat —
+    // there is no transcendental here). Two map-side-combined
+    // aggregates; the array is hours-long, bounded by the window.
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("x"))
+      .groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(hour, x)))").as("arr"))
+      .selectExpr("event_type", "CAST(size(arr) AS INT) AS n_hours",
+        "aggregate(slice(arr, 2, size(arr) - 1), " +
+          "CAST(element_at(arr, 1).x AS DOUBLE), " +
+          "(acc, e) -> (acc + CAST(e.x AS DOUBLE)) / 2D) AS ewma")
+      .orderBy("event_type")
+
   private def qAggEntropy(s: SparkSession, dir: String): DataFrame =
     // Shannon entropy of each nation's segment mix. Float logs are
     // unavoidable, so determinism comes from pinning the ACCUMULATION
@@ -3666,6 +3690,7 @@ object SparkEntry {
     "graph_bfs" -> (qGraphBfs _),
     "agg_bitmap_distinct" -> (qAggBitmapDistinct _),
     "agg_entropy" -> (qAggEntropy _),
+    "events_ewma" -> (qEventsEwma _),
     "sim_mmr_rerank" -> (qSimMmr _),
     "stream_assoc" -> (qStreamAssoc _),
     "stream_embedding_dedup" -> (qStreamEmbeddingDedup _),
@@ -6709,6 +6734,22 @@ object SparkEntry {
         |        (acc, x) -> acc + x * ln(x)) / CAST(n AS DOUBLE))
         |    * 1e6) AS BIGINT) AS entropy_micros
         |FROM a ORDER BY c_nationkey""".stripMargin,
+    // EWMA: the same pinned left-to-right fold over the hour-sorted
+    // exact micro-totals; 2-arg list_reduce seeds the accumulator with
+    // the first element — exactly the engine's slice+init form. No
+    // rounding needed: halving is exact, addition correctly rounded,
+    // so the doubles are bit-equal.
+    "events_ewma" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |        list(CAST(x AS DOUBLE) ORDER BY hour) AS arr
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, CAST(len(arr) AS INTEGER) AS n_hours,
+        |  list_reduce(arr, (acc, x) -> (acc + x) / 2.0) AS ewma
+        |FROM a ORDER BY event_type""".stripMargin,
     "sim_mmr_rerank" ->
       // the 5 greedy rounds unrolled; every float step (cosine folds,
       // 7e-1/3e-1 mixing) shares its shape with the engine, so scores
