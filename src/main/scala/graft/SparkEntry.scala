@@ -2636,6 +2636,14 @@ object SparkEntry {
     graft.operators.Profile.numeric(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
+  private def qProfileKeys(s: SparkSession, dir: String): DataFrame =
+    // Candidate-key discovery on orders: per column (+ one composite)
+    // exact distinct vs non-null rows, uniqueness in exact ppm, is_key
+    // verdict. One Expand aggregate — the profile_numeric plan shape.
+    graft.operators.Profile.candidateKeys(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
+      pairs = Seq(("o_custkey", "o_orderdate")))
+
   private def qEventsSessionWindow(s: SparkSession, dir: String)
       : DataFrame =
     // Spark's BUILTIN gap sessionization (session_window merges
@@ -3657,6 +3665,7 @@ object SparkEntry {
     "events_anomaly" -> (qEventsAnomaly _),
     "agg_corr_exact" -> (qAggCorrExact _),
     "profile_numeric" -> (qProfileNumeric _),
+    "profile_keys" -> (qProfileKeys _),
     "user_profiles" -> (qUserProfiles _),
     "checks_constraints" -> (qChecksConstraints _),
     "feat_hashing" -> (qFeatHashing _),
@@ -6417,6 +6426,33 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(branch).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
+    },
+    // Candidate keys: the same union-branch derivation, plus the
+    // row-syntax composite distinct and the identical ppm/is_key
+    // integer arithmetic.
+    "profile_keys" -> {
+      val branch = (name: String, distinctExpr: String,
+          nullPred: String) =>
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $nullPred THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  count(DISTINCT $distinctExpr) AS n_distinct
+           |FROM orders""".stripMargin
+      val branches = Seq(
+        branch("o_orderkey", "o_orderkey", "o_orderkey IS NULL"),
+        branch("o_custkey", "o_custkey", "o_custkey IS NULL"),
+        branch("o_orderstatus", "o_orderstatus",
+          "o_orderstatus IS NULL"),
+        branch("o_orderdate", "o_orderdate", "o_orderdate IS NULL"),
+        branch("o_custkey,o_orderdate", "(o_custkey, o_orderdate)",
+          "o_custkey IS NULL OR o_orderdate IS NULL"))
+      s"""SELECT col_name, n_rows, n_nulls, n_distinct,
+         |  CAST(n_distinct * 1000000 // (n_rows - n_nulls) AS BIGINT)
+         |    AS uniqueness_ppm,
+         |  n_distinct = n_rows - n_nulls AND n_nulls = 0 AS is_key
+         |FROM (
+         |${branches.mkString("\nUNION ALL\n")}
+         |) ORDER BY col_name""".stripMargin
     },
     "bpe_train" -> bpeOracleSql(3),
     "bpe_segment" -> bpeSegmentOracleSql(3),

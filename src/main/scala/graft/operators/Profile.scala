@@ -32,6 +32,42 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Candidate-key discovery — the schema-inference pass a curation
+    * pipeline runs on an unfamiliar table: per column (and optional
+    * column pairs), exact distinct count vs non-null row count, a
+    * uniqueness ratio in exact ppm, and the is_key verdict (unique AND
+    * total — no nulls). Same one-scan discipline as [[numeric]]: all
+    * the COUNT(DISTINCT)s plan into a single Expand + two-phase
+    * aggregate. Composite candidates are expressed as struct columns,
+    * so pairs cost nothing extra in plan shape. */
+  def candidateKeys(df: DataFrame, cols: Seq[String],
+      pairs: Seq[(String, String)] = Nil): DataFrame = {
+    require(cols.nonEmpty)
+    val singles = cols.map { c =>
+      (c, col(c), col(c).isNull)
+    }
+    val composites = pairs.map { case (a, b) =>
+      (s"$a,$b", struct(col(a), col(b)),
+        col(a).isNull || col(b).isNull)
+    }
+    val entries = (singles ++ composites).map { case (name, e, isNull) =>
+      struct(
+        lit(name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(e).as("n_distinct"))
+    }
+    df.agg(array(entries: _*).as("p"))
+      .select(explode(col("p")).as("e"))
+      .select(col("e.col_name"), col("e.n_rows"), col("e.n_nulls"),
+        col("e.n_distinct"),
+        expr("e.n_distinct * 1000000L DIV (e.n_rows - e.n_nulls)")
+          .as("uniqueness_ppm"),
+        (col("e.n_distinct") === col("e.n_rows") - col("e.n_nulls") &&
+          col("e.n_nulls") === 0L).as("is_key"))
+      .orderBy("col_name")
+  }
+
   /** Per-group Pearson correlation + OLS slope with the moment sums
     * accumulated as EXACT integers — the engine-reproducibility trick
     * the anomaly detector uses, applied to second-order statistics.
