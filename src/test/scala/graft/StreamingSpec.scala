@@ -329,6 +329,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("checkpoint recovery: the exact-dedup stream restarted over a " +
+      "grown input emits each decision exactly once and equals batch") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-restart").toString
+    val (inDir, ckpt, outDir) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    val docs = graft.sources.Tables.load(spark, TestSpark.sfDir,
+      "documents")
+    def runEpoch(): Unit = {
+      // a REAL durable sink + checkpoint: progress (file offsets,
+      // per-fingerprint state) survives the stop, so run 2 resumes
+      // instead of reprocessing — exactly-once across restarts
+      val q = graft.streaming.DocsStream.exactDecisionsStream(spark,
+          spark.readStream.schema(docs.schema).parquet(inDir))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // epoch 1: the id-low half; epoch 2 appends the rest — id-ordered
+    // phases mean each fingerprint's minimum id arrives first, so the
+    // append-mode stream must agree with batch EXACTLY (no retraction
+    // caveat on this split)
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(inDir)
+    runEpoch()
+    val afterEpoch1 = spark.read.parquet(outDir).count()
+    docs.filter(col("doc_id") >= 250).write.mode("append").parquet(inDir)
+    runEpoch()
+    val out = spark.read.parquet(outDir)
+    assert(afterEpoch1 > 0 && afterEpoch1 < out.count())
+    // exactly once: one decision per doc, no replays across restarts
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    val streamed = out
+      .select(col("doc_id"), col("keep"), col("dup_of"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val batch = graft.operators.Dedup.exact(docs)
+      .select(col("doc_id"), col("keep"), col("dup_of"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming embedding near-dup equals the batch best-neighbor " +
       "report row for row") {
     val spark = TestSpark.spark
