@@ -761,6 +761,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  private def qSourceCsvCorrupt(s: SparkSession, dir: String): DataFrame = {
+    // Corrupt-tolerant ingestion — what a real crawl feed looks like:
+    // a CSV directory where a deterministic subset of lines (doc_id
+    // divisible by 7) is type-corrupted, read back in PERMISSIVE mode
+    // with an explicit _corrupt_record column. Bad lines become
+    // quarantine rows instead of failed tasks (FAILFAST would kill
+    // the job; DROPMALFORMED would silently lose data — the
+    // quarantine column is the 100 TB answer: ingest everything,
+    // route rejects to a repair queue). The write below is test
+    // scaffolding; the operator under test is the permissive read +
+    // quarantine accounting, which the oracle re-derives exactly.
+    val base = s"/tmp/graft-csvcorrupt-${java.util.UUID.randomUUID()}"
+    t(s, dir, "documents")
+      .select(when(col("doc_id") % 7 === 0,
+          concat(lit("xx"), col("doc_id"), lit(","), col("n_chars")))
+        .otherwise(concat(col("doc_id"), lit(","), col("n_chars")))
+        .as("value"))
+      .write.mode("overwrite").text(base)
+    s.read
+      .schema("id BIGINT, n BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(base)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("id")).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("id")).as("sum_good_ids"),
+        sum(when(col("_corrupt_record").isNull, col("n"))
+          .otherwise(0L)).as("sum_good_chars"))
+  }
+
   private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
     // TPC-H Q3 shape: 3-way join, filtered both sides, grouped revenue,
     // deterministic top-20 (exact micros revenue; ties by orderkey).
@@ -3546,6 +3578,7 @@ object SparkEntry {
     "source_csv_json" -> (qSourceCsvJson _),
     "source_orc" -> (qSourceOrc _),
     "source_binaryfile" -> (qSourceBinaryFile _),
+    "source_csv_corrupt" -> (qSourceCsvCorrupt _),
     "layout_compact" -> (qLayoutCompact _),
     "corpus_report" -> (qCorpusReport _),
     "join_range_pred" -> (qJoinRangePred _),
@@ -5897,6 +5930,19 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Quarantine accounting re-derived from the corruption rule: rows
+    // with doc_id % 7 = 0 were type-poisoned, everything else parses.
+    "source_csv_corrupt" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN doc_id ELSE 0 END)
+        |    AS BIGINT) AS sum_good_ids,
+        |  CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS sum_good_chars
+        |FROM documents""".stripMargin,
     // Compaction must be invisible to readers: oracle = the original.
     "layout_compact" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
