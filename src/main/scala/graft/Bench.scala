@@ -121,6 +121,9 @@ object Bench {
     val subset: Seq[String] =
       if (args.nonEmpty) args(0).split(",").toSeq
       else headline
+    // fail fast on a typo instead of dying mid-run after the warm-up
+    subset.foreach(n => require(SparkEntry.queries.contains(n),
+      s"unknown bench query: $n"))
 
     run("agg_q1") // warm-up (untimed): JIT, codegen, catalog, file listing
     // optional extra passes (stderr only) to expose state-accumulation

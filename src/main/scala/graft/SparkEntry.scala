@@ -738,7 +738,10 @@ object SparkEntry {
     // 100 TB this is exactly how image/audio corpora enter the
     // engine — binary columns + typed metadata, decode downstream
     // (Multimodal.*), never re-encoded through strings.
-    val base = s"/tmp/graft-binsource-${java.util.UUID.randomUUID()}"
+    // fixed per-sf directory, not a fresh UUID: repeated bench/verify
+    // passes overwrite the same doc files instead of accumulating
+    // O(docs × runs) /tmp debris
+    val base = s"/tmp/graft-binsource-${dir.hashCode.toHexString}"
     new java.io.File(s"$base/docs").mkdirs()
     t(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
@@ -772,7 +775,9 @@ object SparkEntry {
     // route rejects to a repair queue). The write below is test
     // scaffolding; the operator under test is the permissive read +
     // quarantine accounting, which the oracle re-derives exactly.
-    val base = s"/tmp/graft-csvcorrupt-${java.util.UUID.randomUUID()}"
+    // fixed per-sf directory + overwrite mode: reruns replace, never
+    // accumulate
+    val base = s"/tmp/graft-csvcorrupt-${dir.hashCode.toHexString}"
     t(s, dir, "documents")
       .select(when(col("doc_id") % 7 === 0,
           concat(lit("xx"), col("doc_id"), lit(","), col("n_chars")))

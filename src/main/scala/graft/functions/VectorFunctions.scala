@@ -1455,12 +1455,12 @@ object VectorFunctions {
     * emits each gram as one substring. The shingle step sits under
     * decontamination and common-gram scans, so it is hot at corpus
     * scale. */
-  private[graft] def wordShinglesOf(text: UTF8String, k: Int)
-      : Array[UTF8String] = {
-    val norm = if (text == null) "" else normalizeStringOf(text)
-    if (norm.isEmpty) return Array(UTF8String.EMPTY_UTF8)
-    // token start offsets; norm is single-space separated, no
-    // leading/trailing space, so offsets fully describe the tokens
+  /** Token start offsets of an already-normalized (single-spaced,
+    * trimmed, non-empty) string — THE token-boundary definition,
+    * shared by [[wordShinglesOf]], [[wordBigramsOf]] and
+    * [[topTokenFracOf]] so the three walks can never drift apart.
+    * Token i spans [starts(i), starts(i+1) − 1) (or the string end). */
+  private def tokenStartsOf(norm: String): Array[Int] = {
     val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
     starts += 0
     var i = 0
@@ -1468,6 +1468,14 @@ object VectorFunctions {
       if (norm.charAt(i) == ' ') starts += i + 1
       i += 1
     }
+    starts.toArray
+  }
+
+  private[graft] def wordShinglesOf(text: UTF8String, k: Int)
+      : Array[UTF8String] = {
+    val norm = if (text == null) "" else normalizeStringOf(text)
+    if (norm.isEmpty) return Array(UTF8String.EMPTY_UTF8)
+    val starts = tokenStartsOf(norm)
     val nTok = starts.length
     if (nTok < k) return Array(UTF8String.fromString(norm))
     val seen = new java.util.LinkedHashSet[String]
@@ -1495,13 +1503,7 @@ object VectorFunctions {
       : Array[UTF8String] = {
     val norm = if (text == null) "" else normalizeStringOf(text)
     if (norm.isEmpty) return Array.empty[UTF8String]
-    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
-    starts += 0
-    var i = 0
-    while (i < norm.length) {
-      if (norm.charAt(i) == ' ') starts += i + 1
-      i += 1
-    }
+    val starts = tokenStartsOf(norm)
     val nTok = starts.length
     if (nTok < 2) return Array.empty[UTF8String]
     val out = new Array[UTF8String](nTok - 1)
@@ -1524,20 +1526,16 @@ object VectorFunctions {
   private[graft] def topTokenFracOf(text: UTF8String): Double = {
     val norm = if (text == null) "" else normalizeStringOf(text)
     if (norm.isEmpty) return 0.0
+    val starts = tokenStartsOf(norm)
+    val n = starts.length
     val counts = new java.util.HashMap[String, Int]()
-    var start = 0
-    var n = 0
     var top = 0
     var i = 0
-    val len = norm.length
-    while (i <= len) {
-      if (i == len || norm.charAt(i) == ' ') {
-        val tok = norm.substring(start, i)
-        val c = counts.merge(tok, 1, Integer.sum)
-        if (c > top) top = c
-        n += 1
-        start = i + 1
-      }
+    while (i < n) {
+      val end = if (i + 1 < n) starts(i + 1) - 1 else norm.length
+      val c = counts.merge(norm.substring(starts(i), end), 1,
+        Integer.sum)
+      if (c > top) top = c
       i += 1
     }
     top.toDouble / n.toDouble

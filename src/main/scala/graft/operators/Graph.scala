@@ -57,10 +57,17 @@ object Graph {
     // every iteration (one join per round saved; the checkpointed
     // frame is re-read by all `iters` rounds)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodeIds = nodes.select(col("id").cast("long"))
+    // dst constrained to the node universe HERE, once — the zero-row
+    // union below makes the inflow aggregate's key set the node set,
+    // and this round-invariant semi-join keeps edge targets outside
+    // `nodes` from leaking phantom rows into it (the per-round left
+    // join this replaced confined output by construction)
     val eDeg = e.join(deg, "src")
+      .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
-    var ranks = nodes.select(col("id").cast("long"))
+    var ranks = nodeIds
       .withColumn("rank", lit(scale / n))
       .localCheckpoint(true)
     var it = 0

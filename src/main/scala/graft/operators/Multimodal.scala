@@ -804,7 +804,10 @@ object Multimodal {
         val id = new String(b, off, 4, "US-ASCII")
         val sz = le32(b, off + 4)
         val body = off + 8
-        if (sz < 0 || body + sz > end) return false
+        // bounds math in LONG: a hostile size like 0x7FFFFFFF would
+        // wrap `body + sz` negative in Int and slip past the check,
+        // crashing the copy instead of rejecting the container
+        if (sz < 0 || body.toLong + sz > end) return false
         if (id == "LIST") {
           if (sz < 4) return false
           // recurse into hdrl/strl/movi with the 4-byte kind skipped

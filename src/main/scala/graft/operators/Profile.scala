@@ -61,9 +61,14 @@ object Profile {
       .select(explode(col("p")).as("e"))
       .select(col("e.col_name"), col("e.n_rows"), col("e.n_nulls"),
         col("e.n_distinct"),
-        expr("e.n_distinct * 1000000L DIV (e.n_rows - e.n_nulls)")
+        // all-null column → null ratio (no non-null rows to be unique
+        // over), never a division error; empty table → is_key false,
+        // not vacuously true
+        when(col("e.n_rows") - col("e.n_nulls") > 0L,
+          expr("e.n_distinct * 1000000L DIV (e.n_rows - e.n_nulls)"))
           .as("uniqueness_ppm"),
-        (col("e.n_distinct") === col("e.n_rows") - col("e.n_nulls") &&
+        (col("e.n_rows") > 0L &&
+          col("e.n_distinct") === col("e.n_rows") - col("e.n_nulls") &&
           col("e.n_nulls") === 0L).as("is_key"))
       .orderBy("col_name")
   }

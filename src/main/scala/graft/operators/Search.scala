@@ -163,6 +163,13 @@ object Search {
       k: Int = 10): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k0 >= 0 && k >= 1)
+    // names are interpolated into column names and the DIV expression:
+    // reject non-identifiers (a '-' would parse as subtraction) and
+    // duplicates (ambiguous <name>_rank references) up front
+    require(lists.forall(_._1.matches("[A-Za-z][A-Za-z0-9_]*")),
+      s"list names must be identifiers: ${lists.map(_._1)}")
+    require(lists.map(_._1).distinct.size == lists.size,
+      s"duplicate list names: ${lists.map(_._1)}")
     val named = lists.map { case (name, df) =>
       df.select(col("doc_id"), col("rank").cast("int")
         .as(s"${name}_rank"))

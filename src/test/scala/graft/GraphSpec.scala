@@ -71,6 +71,15 @@ class GraphSpec extends AnyFunSuite {
     assert(once === again)
   }
 
+  test("edge targets outside the node universe never leak phantom " +
+      "rows into the rank output") {
+    val got = Graph.pageRank(
+        Seq(1L, 2L).toDF("id"),
+        Seq((1L, 99L), (1L, 2L), (2L, 1L)).toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L), s"phantom nodes: ${got.keySet}")
+  }
+
   test("constant-size lineage: the returned plan is a checkpoint scan, " +
       "not 5 iterations of accumulated joins") {
     val nodes = (1L to 10L).toSeq

@@ -375,6 +375,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats(lied) === -1L)
     // junk entirely
     assert(stats(Array.fill[Byte](64)(7)) === -1L)
+    // hostile chunk size 0x7FFFFFFF: body+sz wraps negative in Int
+    // arithmetic — must reject, not crash the copy
+    val overflow = good.clone()
+    overflow(12 + 4) = -1; overflow(12 + 5) = -1
+    overflow(12 + 6) = -1; overflow(12 + 7) = 0x7f.toByte
+    assert(stats(overflow) === -1L)
   }
 
   test("audioStats is partition-mapped: no shuffle in the plan") {
