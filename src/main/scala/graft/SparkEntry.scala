@@ -3265,6 +3265,26 @@ object SparkEntry {
       .orderBy("antecedent", "consequent")
   }
 
+  private def qSimHardNegatives(s: SparkSession, dir: String)
+      : DataFrame =
+    // Contrastive-pair mining — the retrieval-training data op: per
+    // query, one ranking pass yields the positives (top-4), the
+    // near-duplicate EXCLUSION band (cosine ≥ 0.95 below the positive
+    // cut — treating a near-dup as a negative would teach the model
+    // to push apart copies, the classic false-negative poison), and
+    // the hard negatives (the next-closest non-dup candidates, ranks
+    // 5–12 — close enough to be informative, far enough to be
+    // genuinely negative). Everything rides the already-oracled
+    // brute-force ranking; the labeling is one scan-stage CASE.
+    Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), annQueries(s, dir), k = 12)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"),
+        when(col("rank") <= 4, lit("positive"))
+          .when(col("cosine") >= 0.95, lit("dup_skip"))
+          .otherwise(lit("hard_negative")).as("role"))
+      .orderBy("query_id", "rank")
+
   private def qSimMmr(s: SparkSession, dir: String): DataFrame = {
     // Diversified retrieval: MMR re-rank (λ=0.7) of the query vector's
     // top-16 brute-force candidates, 5 selections. Candidate scoring
@@ -3739,6 +3759,7 @@ object SparkEntry {
     "agg_entropy" -> (qAggEntropy _),
     "events_ewma" -> (qEventsEwma _),
     "sim_mmr_rerank" -> (qSimMmr _),
+    "sim_hard_negatives" -> (qSimHardNegatives _),
     "stream_assoc" -> (qStreamAssoc _),
     "stream_embedding_dedup" -> (qStreamEmbeddingDedup _),
   )
@@ -5544,6 +5565,29 @@ object SparkEntry {
          |JOIN sc ON sc.doc_id = d.doc_id
          |JOIN rep ON rep.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // Hard-negative mining: the same ranking CTE to rank 12, the
+    // identical CASE labeling (positive cut, dup exclusion, negative
+    // band) — roles are a pure function of already-bit-equal scores.
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |        CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_dot_product(qe, ce) /
+        |          (sqrt(list_dot_product(qe, qe)) *
+        |           sqrt(list_dot_product(ce, ce))) AS cosine
+        |      FROM c JOIN q ON neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank,
+        |  CASE WHEN rank <= 4 THEN 'positive'
+        |       WHEN cosine >= 0.95 THEN 'dup_skip'
+        |       ELSE 'hard_negative' END AS role
+        |FROM r WHERE rank <= 12 ORDER BY query_id, rank""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             CAST(embedding AS DOUBLE[]) AS qe
