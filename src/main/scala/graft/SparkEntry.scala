@@ -1636,6 +1636,19 @@ object SparkEntry {
     graft.operators.Search.bm25TopK(
       t(s, dir, "documents"), Seq("spark", "query", "merge"), k = 20)
 
+  private def qSearchBm25Indexed(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The PERSISTED inverted index: postings bucketed by term, query
+    // reads only its terms' buckets (bucket pruning pinned in
+    // PlanQualitySpec). Same scoring expression, same ranking tail,
+    // same oracle as the live-scan search_bm25 — the index must be
+    // invisible to results, which is the whole contract.
+    graft.operators.Search.writeBm25Index(
+      t(s, dir, "documents"), "bm25idx")
+    graft.operators.Search.bm25IndexedTopK(
+      s, "bm25idx", Seq("spark", "query", "merge"), k = 20)
+  }
+
   private def qSearchHybridRrf(s: SparkSession, dir: String): DataFrame = {
     // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-20 and the vector (cosine, doc 0's embedding) top-20 — the
@@ -3653,6 +3666,7 @@ object SparkEntry {
     "text_common_ngrams" -> (qTextCommonNgrams _),
     "search_bm25" -> (qSearchBm25 _),
     "search_hybrid_rrf" -> (qSearchHybridRrf _),
+    "search_bm25_indexed" -> (qSearchBm25Indexed _),
     "text_lm_score" -> (qTextLmScore _),
     "text_collocations" -> (qTextCollocations _),
     "text_chunks" -> (qTextChunks _),
@@ -6118,6 +6132,8 @@ object SparkEntry {
     // scores round to micros BEFORE the cross-term sum, so shuffle
     // order can't perturb a single bit.
     "search_bm25" -> bm25OracleSql,
+    // the persisted-index path must be result-invisible: same oracle
+    "search_bm25_indexed" -> bm25OracleSql,
     // Hybrid RRF: both lists re-derived (bm25 chain + cosine ranking)
     // and the integer fusion recomputed — see hybridRrfOracleSql.
     "search_hybrid_rrf" -> hybridRrfOracleSql,

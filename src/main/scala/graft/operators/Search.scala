@@ -38,6 +38,34 @@ import graft.functions.TextFunctions
   */
 object Search {
 
+  /** The per-term BM25 score in exact micros over columns
+    * (tf, dl, avgdl, n_docs, df) — factored so the live-scan path and
+    * the persisted-index path evaluate the IDENTICAL parenthesization
+    * (the oracle repeats it verbatim; every intermediate double must
+    * match bit-for-bit on both paths). */
+  private def termMicros(k1: Double, b: Double)
+      : org.apache.spark.sql.Column = {
+    val idf = (col("n_docs").cast("double") - col("df").cast("double")
+      + 0.5) / (col("df").cast("double") + 0.5)
+    val dlNorm = lit(1 - b) +
+      lit(b) * col("dl").cast("double") / col("avgdl")
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") + lit(k1) * dlNorm)
+    round(idf * tfNorm * 1e6).cast("long")
+  }
+
+  /** Shared ranking tail: per-doc long sum, bounded top-k, dense rank. */
+  private def rankTail(perTerm: DataFrame, k: Int): DataFrame = {
+    val top = perTerm.groupBy("doc_id")
+      .agg(sum(col("term_micros")).as("score_micros"))
+      .orderBy(col("score_micros").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_micros").desc,
+        col("doc_id"))).cast("int"))
+      .orderBy("rank")
+  }
+
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
@@ -55,28 +83,63 @@ object Search {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val idf = (col("n_docs").cast("double") - col("df").cast("double")
-      + 0.5) / (col("df").cast("double") + 0.5)
-    // parenthesization is part of the contract: the oracle SQL repeats
-    // it verbatim so every intermediate double matches bit-for-bit
-    val dlNorm = lit(1 - b) +
-      lit(b) * col("dl").cast("double") / col("avgdl")
-    val tfNorm = (col("tf").cast("double") * lit(k1 + 1)) /
-      (col("tf").cast("double") + lit(k1) * dlNorm)
     val perTerm = tf
       .join(dls, "doc_id")
       .crossJoin(broadcast(stats))
       .join(broadcast(dfs), "tok")
+      .select(col("doc_id"), termMicros(k1, b).as("term_micros"))
+    rankTail(perTerm, k)
+  }
+
+  /** Persist the inverted index: postings `(tok, doc_id, tf, dl)`
+    * hash-bucketed AND per-bucket sorted by term (dl denormalized
+    * onto each posting — the classic index layout trade: one wide
+    * row per posting buys a join-free score), plus the doc-length
+    * table for corpus stats. Build cost is one tokenize scan + one
+    * (doc, term) aggregate, paid once; every query after reads ONLY
+    * its terms' buckets. */
+  def writeBm25Index(docs: DataFrame, prefix: String,
+      buckets: Int = 32): Unit = {
+    val dls = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("dl"))
+    val postings = docs
       .select(col("doc_id"),
-        round(idf * tfNorm * 1e6).cast("long").as("term_micros"))
-    val top = perTerm.groupBy("doc_id")
-      .agg(sum(col("term_micros")).as("score_micros"))
-      .orderBy(col("score_micros").desc, col("doc_id"))
-      .limit(k)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score_micros").desc,
-        col("doc_id"))).cast("int"))
-      .orderBy("rank")
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .join(dls, "doc_id")
+      .select("tok", "doc_id", "tf", "dl")
+    graft.sources.Layout.writeBucketed(postings,
+      s"${prefix}_postings", "tok", buckets)
+    graft.sources.Layout.writeBucketed(dls,
+      s"${prefix}_dls", "doc_id", buckets)
+  }
+
+  /** BM25 over the PERSISTED index — the retrieval shape that
+    * actually scales: the term filter prunes the bucketed postings
+    * scan to the query terms' buckets (pinned in PlanQualitySpec), so
+    * query cost is proportional to the matching postings, not the
+    * corpus; df comes from the pruned postings, corpus stats from the
+    * doc-length table (doc-count-sized — a production deployment
+    * caches the 1-row aggregate in table metadata at write time).
+    * Identical scoring expression and ranking tail as [[bm25TopK]] ⇒
+    * identical results, same oracle. */
+  def bm25IndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      prefix: String, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25IndexedTopK needs at least one term")
+    val p = spark.table(s"${prefix}_postings")
+      .filter(col("tok").isin(terms: _*))
+    val stats = spark.table(s"${prefix}_dls")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs").cast("double"))
+    val dfs = p.groupBy("tok").agg(count(lit(1)).as("df"))
+    val perTerm = p
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfs), "tok")
+      .select(col("doc_id"), termMicros(k1, b).as("term_micros"))
+    rankTail(perTerm, k)
   }
 
   /** Exact phrase search over the positional index: every start

@@ -257,6 +257,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bounds/prefix frames should broadcast:\n$p")
   }
 
+  test("search_bm25_indexed: the term filter prunes the bucketed " +
+      "postings scan to the query terms' buckets") {
+    val p = plan("search_bm25_indexed")
+    assert(p.contains("SelectedBucketsCount"),
+      s"postings scan not bucket-pruned:\n$p")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+    assert(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"bucket pruning selected everything:\n$p")
+  }
+
   test("search_hybrid_rrf: fusion never shuffles corpus-sized data — " +
       "the retrievers end in bounded top-k, the fused window is " +
       "single-partition by construction") {
