@@ -1649,6 +1649,22 @@ object SparkEntry {
       s, "bm25idx", Seq("spark", "query", "merge"), k = 20)
   }
 
+  private def qSearchBm25IndexAppend(s: SparkSession, dir: String)
+      : DataFrame = {
+    // The ingest loop: index built from 80% of the corpus, the rest
+    // appended as an epoch increment (only the increment tokenizes
+    // and shuffles), then the SAME query — df and corpus stats derive
+    // from the tables at query time, so the appended index must be
+    // indistinguishable from a fresh full build: same oracle again.
+    val d = t(s, dir, "documents")
+    graft.operators.Search.writeBm25Index(
+      d.filter(col("doc_id") % 5 =!= 0), "bm25inc")
+    graft.operators.Search.appendToBm25Index(
+      d.filter(col("doc_id") % 5 === 0), "bm25inc")
+    graft.operators.Search.bm25IndexedTopK(
+      s, "bm25inc", Seq("spark", "query", "merge"), k = 20)
+  }
+
   private def qSearchHybridRrf(s: SparkSession, dir: String): DataFrame = {
     // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-20 and the vector (cosine, doc 0's embedding) top-20 — the
@@ -3667,6 +3683,7 @@ object SparkEntry {
     "search_bm25" -> (qSearchBm25 _),
     "search_hybrid_rrf" -> (qSearchHybridRrf _),
     "search_bm25_indexed" -> (qSearchBm25Indexed _),
+    "search_bm25_index_append" -> (qSearchBm25IndexAppend _),
     "text_lm_score" -> (qTextLmScore _),
     "text_collocations" -> (qTextCollocations _),
     "text_chunks" -> (qTextChunks _),
@@ -6134,6 +6151,8 @@ object SparkEntry {
     "search_bm25" -> bm25OracleSql,
     // the persisted-index path must be result-invisible: same oracle
     "search_bm25_indexed" -> bm25OracleSql,
+    // build + epoch append must equal a fresh full build: same oracle
+    "search_bm25_index_append" -> bm25OracleSql,
     // Hybrid RRF: both lists re-derived (bm25 chain + cosine ranking)
     // and the integer fusion recomputed — see hybridRrfOracleSql.
     "search_hybrid_rrf" -> hybridRrfOracleSql,

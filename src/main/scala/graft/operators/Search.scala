@@ -115,6 +115,29 @@ object Search {
       s"${prefix}_dls", "doc_id", buckets)
   }
 
+  /** APPEND an increment's postings into an existing index (same
+    * bucket spec — Spark validates it), closing the ingest loop the
+    * same way the minhash index does: build once, append each epoch,
+    * and because df and corpus stats derive from the TABLES at query
+    * time, an appended index is indistinguishable from a fresh full
+    * build. The append tokenizes and shuffles ONLY the increment. */
+  def appendToBm25Index(newDocs: DataFrame, prefix: String,
+      buckets: Int = 32): Unit = {
+    val dls = newDocs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("dl"))
+    val postings = newDocs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+      .join(dls, "doc_id")
+      .select("tok", "doc_id", "tf", "dl")
+    graft.sources.Layout.appendBucketed(postings,
+      s"${prefix}_postings", "tok", buckets)
+    graft.sources.Layout.appendBucketed(dls,
+      s"${prefix}_dls", "doc_id", buckets)
+  }
+
   /** BM25 over the PERSISTED index — the retrieval shape that
     * actually scales: the term filter prunes the bucketed postings
     * scan to the query terms' buckets (pinned in PlanQualitySpec), so
