@@ -907,6 +907,28 @@ object SparkEntry {
     joined
   }
 
+  private def qLayoutPartitioned(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Directory partitioning — the third layout primitive next to
+    // bucketing and z-order: orders written partitionBy(o_year), a
+    // year predicate prunes whole directories AT PLANNING TIME (the
+    // scan's PartitionFilters — pinned in PlanQualitySpec — means
+    // non-matching years are never listed, let alone read). At 100 TB
+    // this is the first line of defense: time-partitioned facts make
+    // every time-bounded query touch only its slice.
+    graft.sources.Layout.writePartitioned(
+      t(s, dir, "orders").withColumn("o_year",
+        year(col("o_orderdate"))),
+      "orders_byyear", "o_year")
+    s.table("orders_byyear")
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   private def qLayoutZorder(s: SparkSession, dir: String): DataFrame = {
     // Z-order layout as a declared query: the Morton z-value of
     // (l_partkey, l_suppkey) over data-derived bounds (one tiny agg,
@@ -3667,6 +3689,7 @@ object SparkEntry {
     "grouping_id" -> (qGroupingId _),
     "layout_bucketed_join" -> (qLayoutBucketedJoin _),
     "layout_zorder" -> (qLayoutZorder _),
+    "layout_partitioned" -> (qLayoutPartitioned _),
     "bloom_prefilter_join" -> (qBloomPrefilterJoin _),
     "skew_salted_agg" -> (qSkewSaltedAgg _),
     "join_skew_salted" -> (qJoinSkewSalted _),
@@ -6027,6 +6050,14 @@ object SparkEntry {
     "layout_compact" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    // Partition layout must be invisible to results — the oracle
+    // filters the ORIGINAL table by the same derived year.
+    "layout_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Chunking: the same window arithmetic in exact integers; list
     // slices are end-clamped in both engines.
     "text_chunks" ->

@@ -257,6 +257,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bounds/prefix frames should broadcast:\n$p")
   }
 
+  test("layout_partitioned: the year predicate is a PLANNING-TIME " +
+      "partition filter — non-matching directories are never listed") {
+    val p = plan("layout_partitioned")
+    assert(p.contains("PartitionFilters") && p.contains("o_year"),
+      s"year predicate did not become a partition filter:\n$p")
+  }
+
   test("search_bm25_indexed: the term filter prunes the bucketed " +
       "postings scan to the query terms' buckets") {
     val p = plan("search_bm25_indexed")
