@@ -423,6 +423,38 @@ object DumpPlans {
         |exchange carries 4 KB bitmaps instead of raw id values, and
         |the final popcount-sum is a second tiny combined aggregate —
         |the plan a 100 TB COUNT(DISTINCT) wants.""".stripMargin,
+    "search_bm25_indexed" ->
+      """The persisted-index regime: the postings scan shows
+        |SelectedBucketsCount strictly below the bucket total — the
+        |term filter pruned the read to the query terms' buckets at
+        |planning time, so query cost tracks matching postings, not
+        |corpus size. Scoring is join-free off the denormalized
+        |posting rows; df and the 1-row stats broadcast.""".stripMargin,
+    "layout_partitioned" ->
+      """Directory partitioning: the year predicate appears under
+        |PartitionFilters, not as a data filter — non-matching year
+        |directories are never listed. The aggregate above it is the
+        |usual partial+final pair. Layout invisibility is the oracle's
+        |job; the plan's job is proving the prune happened before any
+        |IO.""".stripMargin,
+    "agg_sample_estimate" ->
+      """Estimate and exact in ONE conditional-aggregate scan:
+        |membership is a scan-stage hash expression, both sums run as
+        |map-side partials, and nothing is scanned twice. The
+        |production shape reads only the sample partition; this plan
+        |exists to price the full-accounting variant.""".stripMargin,
+    "events_ewma" ->
+      """Two map-side-combined aggregates (hourly totals, then the
+        |per-type array fold); the only exchanges are the two group
+        |hashes and the presentation sort. The EWMA fold itself is a
+        |scan-stage higher-order expression over an hours-long array —
+        |no window, no per-row state.""".stripMargin,
+    "multimodal_video" ->
+      """Partition-mapped encode → decode → frame-sample: one
+        |mapPartitions chain, no shuffle but the output sort. The
+        |container walk is constant-memory per row; at 100 TB the
+        |binary column streams through executors without ever pivoting
+        |to the driver.""".stripMargin,
     "search_hybrid_rrf" ->
       """Hybrid retrieval: the two retriever subtrees (BM25's
         |scan-stage term filter + broadcast stats; the brute-force
