@@ -201,25 +201,38 @@ object Graph {
   def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50, "maxHops must be in [1, 50]")
+    // dst confined to the node universe once, round-invariantly —
+    // an edge target outside `nodes` must not seed phantom traversal
+    // (same discipline as pageRank's eDeg)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .join(nodes.select(col("id").cast("long").as("dst")),
+        Seq("dst"), "left_semi")
       .localCheckpoint(true)
-    var dist = nodes.select(col("id").cast("long"))
-      .join(seeds.select(col("id").cast("long")).distinct()
-        .withColumn("_d0", lit(0L)), Seq("id"), "left")
-      .select(col("id"), col("_d0").as("hops"))
+    // per-round state is the VISITED set (id, hops) — frontier-sized
+    // work stays frontier-sized: each round anti-joins new arrivals
+    // against visited instead of left-joining the whole node universe
+    // (first arrival = min hop, because rounds only increase); the
+    // node frame enters exactly once, at the end, to backfill
+    // never-reached nodes with null
+    var visited = seeds.select(col("id").cast("long")).distinct()
+      .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
+      .withColumn("hops", lit(0L))
       .localCheckpoint(true)
+    var frontier = visited
     var round = 1
     while (round <= maxHops) {
-      val frontier = dist.filter(col("hops") === (round - 1))
-        .select(col("id").as("_fid"))
-      val reached = e.join(frontier, e("src") === col("_fid"))
+      val reached = e.join(frontier.select(col("id").as("_fid")),
+          e("src") === col("_fid"))
         .select(e("dst").as("id")).distinct()
-        .withColumn("_nd", lit(round.toLong))
-      dist = dist.join(reached, Seq("id"), "left")
-        .select(col("id"), coalesce(col("hops"), col("_nd")).as("hops"))
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hops", lit(round.toLong))
         .localCheckpoint(true)
+      visited = visited.unionByName(reached).localCheckpoint(true)
+      frontier = reached
       round += 1
     }
-    dist
+    nodes.select(col("id").cast("long"))
+      .join(visited, Seq("id"), "left")
+      .select(col("id"), col("hops"))
   }
 }
