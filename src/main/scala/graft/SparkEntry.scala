@@ -3133,6 +3133,49 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  private def qAsofJoinNearest(s: SparkSession, dir: String)
+      : DataFrame = {
+    // NEAREST-mode as-of: the third member of the family, composed
+    // from the custom backward operator run TWICE — once as-is (last
+    // signup ≤ ts) and once over negated micros (first signup ≥ ts is
+    // backward in mirrored time) — then one row-local CASE picks the
+    // smaller |Δt|, ties to backward (the earlier signup). Still two
+    // merge passes over key-sorted streams, no window over the fact
+    // table. The oracle derives nearest from scratch with an
+    // (|Δt|, s_ts) ranking, pinning the tie rule.
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("t", expr("unix_micros(ts)"))
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .distinct()
+      .withColumn("st", expr("unix_micros(s_ts)"))
+    val back = graft.plans.AsOfJoin.join(p, su, p("user_id"),
+        su("s_user"), p("t"), su("st"))
+      .select(col("event_id"), col("st").as("back_st"))
+    val pn = p.withColumn("nt", -col("t"))
+    val sn = su.withColumn("nst", -col("st"))
+    val fwd = graft.plans.AsOfJoin.join(pn, sn, pn("user_id"),
+        sn("s_user"), pn("nt"), sn("nst"))
+      .select(col("event_id"), col("st").as("fwd_st"))
+    p.join(back, Seq("event_id"), "left")
+      .join(fwd, Seq("event_id"), "left")
+      .filter(col("back_st").isNotNull || col("fwd_st").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        expr("""CASE WHEN back_st IS NULL THEN fwd_st
+                WHEN fwd_st IS NULL THEN back_st
+                WHEN t - back_st <= fwd_st - t THEN back_st
+                ELSE fwd_st END""").as("nearest_st"),
+        col("t"))
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(nearest_st)").as("nearest_s_ts"),
+        abs(col("t") - col("nearest_st")).as("dt_micros"),
+        when(col("nearest_st") <= col("t"), lit("backward"))
+          .otherwise(lit("forward")).as("direction"))
+      .orderBy("event_id")
+  }
+
   private def qAggRobustOutliers(s: SparkSession, dir: String)
       : DataFrame = {
     // Robust outlier counts on top of the MAD pair: per status, how
@@ -3797,6 +3840,7 @@ object SparkEntry {
     "source_schema_evolution" -> (qSourceSchemaEvolution _),
     "agg_contingency" -> (qAggContingency _),
     "asof_join_left" -> (qAsofJoinLeft _),
+    "asof_join_nearest" -> (qAsofJoinNearest _),
     "agg_robust_outliers" -> (qAggRobustOutliers _),
     "bpe_train" -> (qBpeTrain _),
     "bpe_segment" -> (qBpeSegment _),
@@ -6650,6 +6694,25 @@ object SparkEntry {
         |                FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.s_user AND p.ts >= s.s_ts
         |ORDER BY p.event_id""".stripMargin,
+    // Nearest-mode as-of: derived from scratch — every candidate
+    // signup ranked by (|Δt|, s_ts), pinning the backward tie rule
+    // the engine's two-pass composition implements.
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t
+        |           FROM events WHERE event_type = 'purchase'),
+        |su AS (SELECT DISTINCT user_id AS s_user, ts AS s_ts
+        |       FROM events WHERE event_type = 'signup'),
+        |cand AS (SELECT p.event_id, p.user_id, p.t, su.s_ts,
+        |           epoch_us(su.s_ts) AS st
+        |         FROM p JOIN su ON p.user_id = su.s_user),
+        |r AS (SELECT event_id, user_id, s_ts, st, t,
+        |        row_number() OVER (PARTITION BY event_id
+        |          ORDER BY abs(t - st), st) AS rk FROM cand)
+        |SELECT event_id, user_id, s_ts AS nearest_s_ts,
+        |  CAST(abs(t - st) AS BIGINT) AS dt_micros,
+        |  CASE WHEN st <= t THEN 'backward' ELSE 'forward' END
+        |    AS direction
+        |FROM r WHERE rk = 1 ORDER BY event_id""".stripMargin,
     // Median/MAD via quantile_cont, identical flag comparison.
     "agg_robust_outliers" ->
       """WITH med AS (
