@@ -112,6 +112,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(st === truth(u), s"user $u") }
   }
 
+  test("watermark drops late data: an event older than the watermark " +
+      "never lands in an already-finalized window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val agg = EventsStream.windowedAgg(in.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("spec_late_drop").start()
+    // window [0h, 1h): two events; then advance event time far past
+    // the 10-minute watermark so that window finalizes and emits
+    in.addData((1L, ts(5), 7L, "click", 1.0, ""),
+      (2L, ts(20), 7L, "click", 1.0, ""))
+    q.processAllAvailable()
+    in.addData((3L, ts(200), 7L, "click", 1.0, ""))
+    q.processAllAvailable()
+    val afterClose = spark.table("spec_late_drop")
+      .filter(col("window_start") === ts(0)).collect()
+    assert(afterClose.length === 1 && afterClose(0).getLong(2) === 2L,
+      "the [0,1h) window must finalize with exactly its 2 events")
+    // a LATE arrival into the closed window: watermark semantics must
+    // drop it — the emitted row for that window never updates or
+    // duplicates (append mode emits a window at most once)
+    in.addData((4L, ts(10), 7L, "click", 1.0, ""))
+    q.processAllAvailable()
+    q.stop()
+    val finalRows = spark.table("spec_late_drop")
+      .filter(col("window_start") === ts(0)).collect()
+    assert(finalRows.length === 1 && finalRows(0).getLong(2) === 2L,
+      "late event leaked into a finalized window")
+  }
+
   test("streaming dedup bucket cap keeps the smallest ids under any arrival order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
