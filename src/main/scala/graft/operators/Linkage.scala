@@ -32,7 +32,10 @@ object Linkage {
       maxPairs: Long): DataFrame = {
     require(blockCols.nonEmpty, "blocking columns required")
     val notNull = blockCols.map(col(_).isNotNull).reduce(_ && _)
-    val ok = okBlocks(a, b, blockCols, maxPairs)
+    // materialized once: the admitted-block list is block-count-sized
+    // (small by construction) and feeds BOTH semi-joins — without the
+    // barrier each side re-runs both count aggregates and their join
+    val ok = okBlocks(a, b, blockCols, maxPairs).localCheckpoint(true)
     val af = prefixed(a, blockCols, "a_").join(ok, blockCols, "left_semi")
     val bf = prefixed(b, blockCols, "b_").join(ok, blockCols, "left_semi")
     af.join(bf, blockCols)
