@@ -1718,6 +1718,45 @@ object SparkEntry {
       TextFunctions.topTokenFrac(col("text")).as("top_token_frac"))
       .orderBy("doc_id")
 
+  private def qTextHtmlExtract(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Boilerplate extraction — the C4/trafilatura stage every web
+    // corpus passes through before anything else: each document is
+    // wrapped in a deterministic page shell (head/nav/footer chrome +
+    // per-doc link noise), then the extractor must strip element
+    // boilerplate and tags and recover EXACTLY the original text.
+    // The recovered-equals-original boolean and the md5 make the
+    // round trip hash-checkable; link_count is the link-density
+    // signal the quality filters consume. Scan-stage regex only (the
+    // corpus carries no markup of its own — planted chrome is the
+    // fixture, like qPiiRedact's planted PII).
+    val page = concat(
+      lit("<html><head><title>t</title><style>p{}</style></head>" +
+        "<body><nav><a href=\"/home\">home</a>" +
+        "<a href=\"/about\">about</a></nav><p>"),
+      col("text"),
+      lit("</p><footer>(c) corp <a href=\"/tos\">tos</a>" +
+        "</footer></body></html>"))
+    // explicit alternation, no backreference — the oracle's RE2
+    // dialect has no \1, and the pattern string must be IDENTICAL in
+    // both engines
+    val noBoiler = regexp_replace(page,
+      "(?s)<nav>.*?</nav>|<footer>.*?</footer>" +
+        "|<style>.*?</style>|<head>.*?</head>", " ")
+    val stripped = regexp_replace(noBoiler, "<[^>]+>", " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.normalize(stripped).as("extracted"),
+        page.as("page"))
+      .select(col("doc_id"),
+        md5(col("extracted")).as("extracted_md5"),
+        (col("extracted") <=> TextFunctions.normalize(col("text")))
+          .as("clean_roundtrip"),
+        expr("CAST((length(page) - length(replace(page, '<a ', ''))) " +
+          "DIV 3 AS INT)").as("link_count"))
+      .orderBy("doc_id")
+  }
+
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     // Bigram-LM fluency scoring (the KenLM-filter shape): model
     // trained on the corpus in two map-side aggregates, every doc
@@ -3751,6 +3790,7 @@ object SparkEntry {
     "search_bm25_indexed" -> (qSearchBm25Indexed _),
     "search_bm25_index_append" -> (qSearchBm25IndexAppend _),
     "text_lm_score" -> (qTextLmScore _),
+    "text_html_extract" -> (qTextHtmlExtract _),
     "text_collocations" -> (qTextCollocations _),
     "text_chunks" -> (qTextChunks _),
     "dedup_chunks" -> (qDedupChunks _),
@@ -6180,6 +6220,39 @@ object SparkEntry {
         |SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, lift_micros
         |FROM j ORDER BY lift_micros DESC, bigram
         |LIMIT 20""".stripMargin,
+    // HTML extraction: the identical page shell, the identical
+    // alternation + tag-strip regexes (RE2-safe, no backreferences),
+    // the shared normalize equivalence — so extracted text, round-trip
+    // flag and link count all re-derive exactly.
+    "text_html_extract" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>t</title><style>p{}</style></head>'
+        |    || '<body><nav><a href="/home">home</a>'
+        |    || '<a href="/about">about</a></nav><p>' || text
+        |    || '</p><footer>(c) corp <a href="/tos">tos</a>'
+        |    || '</footer></body></html>' AS page
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, page,
+        |    regexp_replace(page,
+        |      '(?s)<nav>.*?</nav>|<footer>.*?</footer>'
+        |      || '|<style>.*?</style>|<head>.*?</head>', ' ', 'g')
+        |      AS nb
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, text, page,
+        |    trim(regexp_replace(lower(
+        |      regexp_replace(nb, '<[^>]+>', ' ', 'g')),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM b)
+        |SELECT doc_id, md5(extracted) AS extracted_md5,
+        |  extracted IS NOT DISTINCT FROM
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |    AS clean_roundtrip,
+        |  CAST((length(page) - length(replace(page, '<a ', ''))) // 3
+        |    AS INTEGER) AS link_count
+        |FROM e ORDER BY doc_id""".stripMargin,
     // Bigram LM: counts, prefix sums, vocabulary and the add-one
     // smoothed per-bigram floor-micros all re-derived from the same
     // normalized token stream; integer `//` everywhere, so the hash
