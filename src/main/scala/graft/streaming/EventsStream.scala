@@ -268,4 +268,41 @@ object EventsStream {
     q.stop()
     sinkName
   }
+
+  /** Streaming OHLC bars: the batch derivation's EXACT expressions
+    * (open/close as struct-min/max argmax over (ts, event_id, v) —
+    * tie-free because event_id is unique; exact micro longs) grouped
+    * under an hourly event-time window with a watermark. min/max of
+    * structs are ordinary mergeable aggregates, so the bar is
+    * incrementally maintained in window state and emitted once when
+    * the watermark closes the hour — the same append-mode discipline
+    * as [[windowedAgg]], sharing the batch `events_ohlc` oracle. */
+  def ohlcAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"),
+          round(col("value") * 1e6).cast("long").as("v")))
+          .getField("v").as("open_micros"),
+        max(struct(col("ts"), col("event_id"),
+          round(col("value") * 1e6).cast("long").as("v")))
+          .getField("v").as("close_micros"),
+        min(round(col("value") * 1e6).cast("long")).as("low_micros"),
+        max(round(col("value") * 1e6).cast("long")).as("high_micros"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("open_micros"), col("close_micros"),
+        col("low_micros"), col("high_micros"))
+
+  def runOhlcStream(spark: SparkSession, sfDir: String,
+      sinkName: String = "events_ohlc_stream"): String = {
+    val q = ohlcAgg(readEventsStream(spark, sfDir)).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    sinkName
+  }
 }

@@ -112,6 +112,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(st === truth(u), s"user $u") }
   }
 
+  test("streaming OHLC bars: every emitted (closed) window matches " +
+      "the batch bar exactly") {
+    val sink = EventsStream.runOhlcStream(
+      spark, TestSpark.sfDir, "spec_ohlc_stream")
+    val streamed = spark.table(sink)
+    graft.sources.Tables.register(spark, TestSpark.sfDir)
+    val batch = EventsStream.ohlcAgg(spark.table("events"))
+    // append mode holds back windows the watermark hasn't closed; all
+    // emitted bars must equal their batch twins bar for bar
+    val diff = streamed.exceptAll(batch)
+    assert(diff.isEmpty, s"streamed bars not in batch: ${diff.count()}")
+    val nTypes = spark.table("events")
+      .select("event_type").distinct().count()
+    assert(streamed.count() >= batch.count() - nTypes,
+      "more than the final open hour per type was held back")
+    assert(streamed.count() > 0)
+  }
+
   test("watermark drops late data: an event older than the watermark " +
       "never lands in an already-finalized window") {
     import spark.implicits._
