@@ -98,8 +98,11 @@ object Search {
     * table for corpus stats. Build cost is one tokenize scan + one
     * (doc, term) aggregate, paid once; every query after reads ONLY
     * its terms' buckets. */
-  def writeBm25Index(docs: DataFrame, prefix: String,
-      buckets: Int = 32): Unit = {
+  /** The index rows for a document set: (doc-length table, postings)
+    * — ONE derivation shared by build and append so the two paths
+    * cannot drift (the termMicros/rankTail discipline applied to the
+    * write side). */
+  private def indexRows(docs: DataFrame): (DataFrame, DataFrame) = {
     val dls = docs.select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("dl"))
     val postings = docs
@@ -109,6 +112,12 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .join(dls, "doc_id")
       .select("tok", "doc_id", "tf", "dl")
+    (dls, postings)
+  }
+
+  def writeBm25Index(docs: DataFrame, prefix: String,
+      buckets: Int = 32): Unit = {
+    val (dls, postings) = indexRows(docs)
     graft.sources.Layout.writeBucketed(postings,
       s"${prefix}_postings", "tok", buckets)
     graft.sources.Layout.writeBucketed(dls,
@@ -123,15 +132,16 @@ object Search {
     * build. The append tokenizes and shuffles ONLY the increment. */
   def appendToBm25Index(newDocs: DataFrame, prefix: String,
       buckets: Int = 32): Unit = {
-    val dls = newDocs.select(col("doc_id"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("dl"))
-    val postings = newDocs
-      .select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
-      .join(dls, "doc_id")
-      .select("tok", "doc_id", "tf", "dl")
+    val spark = newDocs.sparkSession
+    // admit only genuinely-new doc_ids: an at-least-once ingest retry
+    // (or a re-shipped update) would otherwise duplicate postings and
+    // dls rows, silently inflating tf/df/n_docs/avgdl — the anti-join
+    // makes the append idempotent (an update flow must delete first,
+    // which an append-only index does not support by design)
+    val fresh = newDocs.join(
+      spark.table(s"${prefix}_dls").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val (dls, postings) = indexRows(fresh)
     graft.sources.Layout.appendBucketed(postings,
       s"${prefix}_postings", "tok", buckets)
     graft.sources.Layout.appendBucketed(dls,

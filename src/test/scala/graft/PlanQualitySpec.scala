@@ -260,7 +260,11 @@ class PlanQualitySpec extends AnyFunSuite {
   test("layout_partitioned: the year predicate is a PLANNING-TIME " +
       "partition filter — non-matching directories are never listed") {
     val p = plan("layout_partitioned")
-    assert(p.contains("PartitionFilters") && p.contains("o_year"),
+    // o_year must appear INSIDE the PartitionFilters bracket — the
+    // scan prints 'PartitionFilters: []' even when nothing pruned, so
+    // substring presence alone cannot fail
+    assert("PartitionFilters: \\[[^\\]]*o_year".r
+      .findFirstIn(p).isDefined,
       s"year predicate did not become a partition filter:\n$p")
   }
 

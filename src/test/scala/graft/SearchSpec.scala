@@ -106,6 +106,21 @@ class SearchSpec extends AnyFunSuite {
     assert(r.map(_.getInt(4)).toSeq === (1 to 4))
   }
 
+  test("bm25 index append is idempotent: re-shipping already-indexed " +
+      "docs changes nothing (at-least-once ingest retry)") {
+    Search.writeBm25Index(docs, "spec_bm25_idem", buckets = 4)
+    val before = Search.bm25IndexedTopK(spark, "spec_bm25_idem",
+      Seq("spark"), k = 10).collect().toSeq
+    // retry: the same docs arrive again — the anti-join must admit none
+    Search.appendToBm25Index(docs, "spec_bm25_idem", buckets = 4)
+    val after = Search.bm25IndexedTopK(spark, "spec_bm25_idem",
+      Seq("spark"), k = 10).collect().toSeq
+    assert(after === before)
+    // and the indexed path equals the live scan
+    val live = Search.bm25TopK(docs, Seq("spark"), k = 10).collect().toSeq
+    assert(after === live)
+  }
+
   test("rrf: equal-score ties order by doc_id ascending") {
     val a = Seq((7L, 1), (3L, 2)).toDF("doc_id", "rank")
     val b = Seq((3L, 1), (7L, 2)).toDF("doc_id", "rank")
