@@ -1909,6 +1909,20 @@ object SparkEntry {
       d.filter(col("doc_id") % 17 === 0), n = 5)
   }
 
+  private def qDecontamMulti(s: SparkSession, dir: String): DataFrame = {
+    // Three benchmark sets screened in one corpus pass (mod-17/19/23
+    // doc families — overlapping memberships on purpose); the corpus
+    // never rescans per set, and only contaminated (doc, set) pairs
+    // come back. See Decontaminate.overlapMulti.
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 17 =!= 0 &&
+      col("doc_id") % 19 =!= 0 && col("doc_id") % 23 =!= 0)
+    graft.operators.Decontaminate.overlapMulti(train, Seq(
+      "eval_a" -> d.filter(col("doc_id") % 17 === 0),
+      "eval_b" -> d.filter(col("doc_id") % 19 === 0),
+      "eval_c" -> d.filter(col("doc_id") % 23 === 0)), n = 5)
+  }
+
   private def qTextHeavyHitters(s: SparkSession, dir: String): DataFrame =
     // Two bounded passes (Misra–Gries sketch → exact rescore of ≤ 64
     // candidates); the oracle is the naive full groupBy top-20, which
@@ -3806,6 +3820,7 @@ object SparkEntry {
     "dedup_cc_decisions" -> (qDedupCcDecisions _),
     "decontam_ngram" -> (qDecontamNgram _),
     "decontam_ngram_bc" -> (qDecontamNgramBc _),
+    "decontam_multi" -> (qDecontamMulti _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "cluster_kmeans" -> (qClusterKmeans _),
     "dedup_semantic" -> (qDedupSemantic _),
@@ -5821,6 +5836,34 @@ object SparkEntry {
     // the eval side's distinct grams, and left-joins counts back to the
     // training corpus.
     "decontam_ngram" -> decontamOracle,
+    // Multi-set screening: the same gram CTE, three tagged eval sides
+    // unioned, one join, per-(doc, set) counts — delta rows only.
+    "decontam_multi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |      THEN list_transform(generate_series(1, len(w) - 4),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |             || w[i+3] || ' ' || w[i+4])
+        |      ELSE [array_to_string(w, ' ')] END) AS g
+        |    FROM toks) u),
+        |ev AS (
+        |  SELECT DISTINCT 'eval_a' AS eval_set, g FROM sh
+        |  WHERE doc_id % 17 = 0
+        |  UNION
+        |  SELECT DISTINCT 'eval_b', g FROM sh WHERE doc_id % 19 = 0
+        |  UNION
+        |  SELECT DISTINCT 'eval_c', g FROM sh WHERE doc_id % 23 = 0)
+        |SELECT sh.doc_id, ev.eval_set,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN ev USING (g)
+        |WHERE sh.doc_id % 17 <> 0 AND sh.doc_id % 19 <> 0
+        |  AND sh.doc_id % 23 <> 0
+        |GROUP BY sh.doc_id, ev.eval_set
+        |ORDER BY sh.doc_id, ev.eval_set""".stripMargin,
     // The zero-shuffle broadcast-expression regime and the stateless
     // streaming twin must both equal the join-based operator
     // row-for-row — one oracle for all three.

@@ -61,6 +61,29 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
+  /** Multi-benchmark decontamination in ONE pass: real pipelines
+    * screen against MANY eval sets at once (each additional set must
+    * not cost another corpus scan). Eval grams are tagged with their
+    * set name and distinct-ed per (set, gram); the training corpus is
+    * scanned once, its gram stream hash-joined against the tagged
+    * side (broadcast under normal budgets — benchmark sets are small
+    * by construction), and hits aggregate per (doc, set). Output is
+    * the DELTA — only (doc_id, eval_set) pairs with ≥1 shared gram —
+    * because at 100 TB the interesting rows are the contaminated
+    * ones, not a clean-doc × set cross product. */
+  def overlapMulti(train: DataFrame, evals: Seq[(String, DataFrame)],
+      n: Int = 5): DataFrame = {
+    require(n >= 1 && evals.nonEmpty)
+    val tagged = evals.map { case (name, df) =>
+      grams(df, n).select(lit(name).as("eval_set"), col("g"))
+    }.reduce(_ unionByName _).distinct()
+    grams(train, n)
+      .join(broadcast(tagged), "g")
+      .groupBy("doc_id", "eval_set")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id", "eval_set")
+  }
+
   /** Broadcast-set variant of [[overlap]]: the eval gram set is
     * collected once (bounded — it's a benchmark) and shipped as a real
     * executor broadcast; each training doc counts its own grams via
