@@ -539,6 +539,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("imperative text walks equal their declarative HOF ancestors " +
+      "on random whitespace/unicode soup") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    // generator: random mixtures of words, repeated words, whitespace
+    // runs (space/tab/newline/unicode NBSP), casing, punctuation,
+    // accented + CJK glyphs, empty and blank strings
+    val rnd = new scala.util.Random(97)
+    val atoms = Seq("word", "Word", "WORD", "a", "bb", "répété", "漢字",
+      "x9", "p.q", "", " ", "\t", "\n", " ", "  ")
+    val docs = ((0 until 60).map { _ =>
+      (0 until rnd.nextInt(14)).map(_ =>
+        atoms(rnd.nextInt(atoms.length))).mkString(
+        Seq(" ", "", "\t", "\n")(rnd.nextInt(4)))
+    } ++ Seq("", " ", null)).toDF("text")
+    def oldShingles(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = tokens(text)
+      array_distinct(
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array(concat_ws(" ", toks))))
+    }
+    def oldBigrams(text: org.apache.spark.sql.Column) = {
+      val toks = tokens(text)
+      when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def oldTopFrac(text: org.apache.spark.sql.Column) = {
+      val toks = tokens(text)
+      val top = aggregate(array_distinct(toks), lit(0),
+        (acc, tk) => greatest(acc, size(filter(toks, x => x === tk))))
+      when(size(toks) > 0,
+        top.cast("double") / size(toks).cast("double")).otherwise(0.0)
+    }
+    for (k <- Seq(2, 3)) {
+      val rows = docs.select(
+        wordShingles(col("text"), k).as("sNew"),
+        oldShingles(col("text"), k).as("sOld"),
+        wordBigrams(col("text")).as("bNew"),
+        oldBigrams(col("text")).as("bOld"),
+        topTokenFrac(col("text")).as("fNew"),
+        oldTopFrac(col("text")).as("fOld")).collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"sh $i k=$k")
+        assert(r.getSeq[String](2) === r.getSeq[String](3), s"bg $i")
+        assert(r.getDouble(4) === r.getDouble(5), s"frac $i")
+      }
+    }
+  }
+
   test("canonicalUrl collapses every random noise rendering of one " +
       "resource to one key") {
     import spark.implicits._
