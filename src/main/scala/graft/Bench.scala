@@ -68,7 +68,10 @@ object Bench {
     "agg_bitmap_distinct",
     "sim_mmr_rerank",
     "search_hybrid_rrf",
-    "text_lm_score")
+    "text_lm_score",
+    "multimodal_video",
+    "decontam_multi",
+    "agg_sample_estimate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
