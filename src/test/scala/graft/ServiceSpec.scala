@@ -113,6 +113,27 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent requests all succeed — the engine and catalog are " +
+      "safe under the service's thread pool") {
+    withService { (c, port) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val sqls = (0 until 8).map(i =>
+        s"SELECT count(*) AS n FROM orders WHERE o_custkey % 8 = $i")
+      val bodies = Await.result(
+        Future.sequence(sqls.map(q => Future(
+          post(c, port, "/query",
+            "sql=" + java.net.URLEncoder.encode(q, "UTF-8"))))),
+        120.seconds)
+      bodies.foreach { b =>
+        assert(b.contains("\"rowCount\":1") && !b.contains("error"),
+          b.take(200))
+      }
+    }
+  }
+
   test("QueryResult bounded forms: rowsLimited and rowsIterator") {
     val r = engine.query(
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey")
