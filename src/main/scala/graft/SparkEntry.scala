@@ -3517,6 +3517,38 @@ object SparkEntry {
       .agg(sum(expr("bitmap_count(_bm)")).as("n_cust"))
       .orderBy("o_orderpriority")
 
+  private def qAggBitmapOverlap(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Exact audience overlap — |A ∩ B| for customers ordering in
+    // 1995 vs 1996 — via inclusion–exclusion over MERGEABLE bitmaps:
+    // per-cohort popcounts plus |A ∪ B| from bitmap_or_agg over the
+    // per-(cohort, bucket) cells, then n_a + n_b − n_union. Every
+    // stage carries bounded 4 KB bitmaps, never id lists, and the
+    // union is re-aggregation-idempotent — the audience-overlap
+    // question a segment store answers at 100 TB without ever
+    // materializing either id set. The oracle is the definitional
+    // three COUNT(DISTINCT)s.
+    val base = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+    val cells = base
+      .groupBy(col("yr"),
+        expr("bitmap_bucket_number(o_custkey)").as("_bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("_bm"))
+      .localCheckpoint(true) // feeds per-cohort counts AND the union
+    val perYear = cells.groupBy("yr")
+      .agg(sum(expr("bitmap_count(_bm)")).as("n"))
+    val union = cells.groupBy("_bucket")
+      .agg(expr("bitmap_or_agg(_bm)").as("_u"))
+      .agg(sum(expr("bitmap_count(_u)")).as("n_union"))
+    val a = perYear.filter(col("yr") === 1995).select(col("n").as("n_a"))
+    val b = perYear.filter(col("yr") === 1996).select(col("n").as("n_b"))
+    a.crossJoin(b).crossJoin(union) // three 1-row frames
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_overlap"))
+  }
+
   private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
     // Multi-source BFS over the customer↔supplier order graph (same
     // build as graph_pagerank): minimum hops from the nation-0
@@ -3909,6 +3941,7 @@ object SparkEntry {
     "agg_skew_kurtosis" -> (qAggSkewKurt _),
     "graph_bfs" -> (qGraphBfs _),
     "agg_bitmap_distinct" -> (qAggBitmapDistinct _),
+    "agg_bitmap_overlap" -> (qAggBitmapOverlap _),
     "agg_entropy" -> (qAggEntropy _),
     "events_ewma" -> (qEventsEwma _),
     "sim_mmr_rerank" -> (qSimMmr _),
@@ -7091,6 +7124,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_bitmap_overlap" ->
+      // definitional: three COUNT(DISTINCT)s and the same
+      // inclusion–exclusion — a green row proves the bitmap union
+      // neither loses nor double-counts across cohorts
+      """WITH a AS (SELECT count(DISTINCT o_custkey) AS n_a FROM orders
+        |           WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT count(DISTINCT o_custkey) AS n_b FROM orders
+        |      WHERE year(o_orderdate) = 1996),
+        |u AS (SELECT count(DISTINCT o_custkey) AS n_union FROM orders
+        |      WHERE year(o_orderdate) IN (1995, 1996))
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST(n_a + n_b - n_union AS BIGINT) AS n_overlap
+        |FROM a, b, u""".stripMargin,
     "agg_entropy" ->
       // same pinned fold: counts sorted by segment name, acc seeded by
       // list_prepend (this DuckDB's 2-arg list_reduce takes the first
