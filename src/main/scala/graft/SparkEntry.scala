@@ -1798,6 +1798,17 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
 
+  private def qDedupForget(s: SparkSession, dir: String): DataFrame =
+    // Right-to-be-forgotten propagation: docs with doc_id % 11 = 0 are
+    // deleted; classes whose KEPT representative died re-elect the
+    // next-smallest survivor — computed from the decision table alone
+    // (no text rescan; see Dedup.forget). The oracle re-derives
+    // decisions from the surviving corpus from scratch, so equality
+    // proves the decision-only maintenance equals a full re-run.
+    Dedup.forget(Dedup.exact(t(s, dir, "documents")),
+        col("doc_id") % 11 === 0)
+      .orderBy("doc_id")
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"))
 
@@ -3841,6 +3852,7 @@ object SparkEntry {
     "text_chunks" -> (qTextChunks _),
     "dedup_chunks" -> (qDedupChunks _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_forget" -> (qDedupForget _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
     "dedup_minhash_increment" -> (qDedupMinhashIncrement _),
@@ -6499,6 +6511,20 @@ object SparkEntry {
         |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS rep
         |  FROM f)
         |SELECT doc_id, fp, doc_id = rep AS keep,
+        |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // Forget propagation: the oracle re-runs dedup from scratch on
+    // the SURVIVING corpus — equality proves the decision-table-only
+    // maintenance (no text rescan) re-elects identically.
+    "dedup_forget" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |g AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep
+        |  FROM f)
+        |SELECT doc_id, doc_id = rep AS keep,
         |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
         |FROM g ORDER BY doc_id""".stripMargin,
     // The incremental exact-dedup twin must emit the batch decisions —

@@ -118,6 +118,30 @@ object Dedup {
         when(col("doc_id") =!= col("rep_id"), col("rep_id")).as("dup_of"))
   }
 
+  /** Deletion propagation through an existing decision table — the
+    * right-to-be-forgotten maintenance step: when a KEPT document is
+    * deleted, its duplicate class must re-elect a representative, and
+    * the update must run off the DECISIONS (doc_id, keep, dup_of)
+    * alone — no text rescan, no re-fingerprinting (at 100 TB the
+    * decision table is orders of magnitude cheaper than the corpus).
+    * Class key = coalesce(dup_of, doc_id) — exactly the equivalence
+    * class the original run assigned; survivors re-elect min(doc_id)
+    * per class, the same tie-free rule as [[exact]], so the output is
+    * byte-identical to re-running dedup on the surviving corpus. One
+    * class-keyed window over decision rows. */
+  def forget(decisions: DataFrame,
+      deleted: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy("cls")
+    decisions
+      .filter(!deleted)
+      .withColumn("cls", coalesce(col("dup_of"), col("doc_id")))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .select(col("doc_id"),
+        (col("doc_id") === col("rep_id")).as("keep"),
+        when(col("doc_id") =!= col("rep_id"), col("rep_id"))
+          .as("dup_of"))
+  }
+
   /** Exploded (doc_id, shingle-hash) pairs — the working representation
     * for MinHash and Jaccard. Shingling+hashing happens in one custom-
     * expression pass inside the scan stage; only 8-byte hashes are ever
