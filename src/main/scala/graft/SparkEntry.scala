@@ -3553,11 +3553,19 @@ object SparkEntry {
     val union = cells.groupBy("_bucket")
       .agg(expr("bitmap_or_agg(_bm)").as("_u"))
       .agg(sum(expr("bitmap_count(_u)")).as("n_union"))
-    val a = perYear.filter(col("yr") === 1995).select(col("n").as("n_a"))
-    val b = perYear.filter(col("yr") === 1996).select(col("n").as("n_b"))
-    a.crossJoin(b).crossJoin(union) // three 1-row frames
-      .select(col("n_a"), col("n_b"), col("n_union"),
-        (col("n_a") + col("n_b") - col("n_union")).as("n_overlap"))
+    // conditional sums, not filters: an EMPTY cohort must yield a
+    // zeros row (the oracle's scalar COUNT(DISTINCT)s always produce
+    // one row), never an empty cross join
+    val ab = perYear.agg(
+      coalesce(sum(when(col("yr") === 1995, col("n"))), lit(0L))
+        .as("n_a"),
+      coalesce(sum(when(col("yr") === 1996, col("n"))), lit(0L))
+        .as("n_b"))
+    ab.crossJoin(union) // two 1-row frames
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("n_union"), lit(0L)).as("n_union"),
+        (col("n_a") + col("n_b") -
+          coalesce(col("n_union"), lit(0L))).as("n_overlap"))
   }
 
   private def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
@@ -5881,20 +5889,11 @@ object SparkEntry {
     // the eval side's distinct grams, and left-joins counts back to the
     // training corpus.
     "decontam_ngram" -> decontamOracle,
-    // Multi-set screening: the same gram CTE, three tagged eval sides
-    // unioned, one join, per-(doc, set) counts — delta rows only.
+    // Multi-set screening: the SHARED gram CTE (decontamGramCtes),
+    // three tagged eval sides unioned, one join, per-(doc, set)
+    // counts — delta rows only.
     "decontam_multi" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
-        |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, g FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
-        |      THEN list_transform(generate_series(1, len(w) - 4),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
-        |             || w[i+3] || ' ' || w[i+4])
-        |      ELSE [array_to_string(w, ' ')] END) AS g
-        |    FROM toks) u),
+      s"""WITH $decontamGramCtes,
         |ev AS (
         |  SELECT DISTINCT 'eval_a' AS eval_set, g FROM sh
         |  WHERE doc_id % 17 = 0
@@ -7996,18 +7995,26 @@ object SparkEntry {
   /** Shared by the batch and streaming decontamination queries: exact
     * 5-gram re-derivation, eval-set intersection, counts joined back
     * to the training side. */
-  private val decontamOracle: String =
-    """WITH toks AS (
+  /** The per-doc distinct 5-gram CTE chain (toks → sh), shared by the
+    * whole decontamination oracle family so the shingle definition
+    * cannot drift between single- and multi-set variants. */
+  private val decontamGramCtes: String =
+    // no line may BEGIN with '||': consumers interpolate this body
+    // into their own stripMargin literals, which would eat one pipe
+    """toks AS (
       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
       |    '\s+', ' ', 'g')), ' ') AS w FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, g FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
       |      THEN list_transform(generate_series(1, len(w) - 4),
-      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
-      |             || w[i+3] || ' ' || w[i+4])
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |          w[i+3] || ' ' || w[i+4])
       |      ELSE [array_to_string(w, ' ')] END) AS g
-      |    FROM toks) u),
+      |    FROM toks) u)""".stripMargin
+
+  private val decontamOracle: String =
+    s"""WITH $decontamGramCtes,
       |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
       |hits AS (
       |  SELECT doc_id, count(*) AS n_hits

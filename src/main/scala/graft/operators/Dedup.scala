@@ -128,12 +128,21 @@ object Dedup {
     * class the original run assigned; survivors re-elect min(doc_id)
     * per class, the same tie-free rule as [[exact]], so the output is
     * byte-identical to re-running dedup on the surviving corpus. One
-    * class-keyed window over decision rows. */
+    * class-keyed window over decision rows.
+    *
+    * PRECONDITION: `decisions` must be an EQUIVALENCE-CLASS table —
+    * every dup_of points at its class representative ([[exact]]'s
+    * output, or [[connectedComponents]]' closure). The near-dup
+    * decision tables (minhash/simhash) share the schema but their
+    * dup_of is a nearest NEIGHBOR, which chains — run the transitive
+    * closure first or classes will silently split. A null `deleted`
+    * verdict means NOT deleted (a row is only dropped on an explicit
+    * true). */
   def forget(decisions: DataFrame,
       deleted: org.apache.spark.sql.Column): DataFrame = {
     val w = Window.partitionBy("cls")
     decisions
-      .filter(!deleted)
+      .filter(!coalesce(deleted, lit(false)))
       .withColumn("cls", coalesce(col("dup_of"), col("doc_id")))
       .withColumn("rep_id", min("doc_id").over(w))
       .select(col("doc_id"),

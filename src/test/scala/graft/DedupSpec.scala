@@ -224,4 +224,39 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ExistingRDD"), plan)
   }
+
+  test("forget re-elects representatives: kept-rep deletion, whole-" +
+      "class deletion, null verdicts — against a from-scratch re-run") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // class A = {1,2,3} (dup text), class B = {4,5}, singleton {6};
+    // the GATE corpus has no exact duplicates, so this spec is the
+    // real exercise of the re-election path
+    val docs = Seq(
+      (1L, "same text one"), (2L, "same text one"), (3L, "same text one"),
+      (4L, "same text two"), (5L, "same text two"),
+      (6L, "unique text")).toDF("doc_id", "text")
+    val decisions = Dedup.exact(docs)
+    def run(deleted: org.apache.spark.sql.Column) =
+      Dedup.forget(decisions, deleted).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    def rerun(deleted: org.apache.spark.sql.Column) =
+      Dedup.exact(docs.filter(!deleted)).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // 1) delete class A's kept rep (1): 2 must be re-elected, 3 -> 2
+    val d1 = col("doc_id") === 1L
+    assert(run(d1) === rerun(d1))
+    assert(run(d1).contains((2L, true, -1L)) &&
+      run(d1).contains((3L, false, 2L)))
+    // 2) delete ALL of class B: it vanishes entirely
+    val d2 = col("doc_id").isin(4L, 5L)
+    assert(run(d2) === rerun(d2))
+    assert(!run(d2).exists(r => r._1 == 4L || r._1 == 5L))
+    // 3) null verdict = not deleted (predicate over a nullable value)
+    val d3 = when(col("doc_id") === 1L, lit(true))
+      .otherwise(lit(null).cast("boolean"))
+    assert(run(d3).map(_._1) === Seq(2L, 3L, 4L, 5L, 6L))
+  }
 }

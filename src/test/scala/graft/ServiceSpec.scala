@@ -118,19 +118,29 @@ class ServiceSpec extends AnyFunSuite {
     withService { (c, port) =>
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
+      // a dedicated 8-thread pool, not ExecutionContext.global: the
+      // global pool sizes to the CPU count, so on a small box fewer
+      // than 8 posts would be in flight and the service pool never
+      // saturates — the concurrency this test exists to exercise
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.global
-      val sqls = (0 until 8).map(i =>
-        s"SELECT count(*) AS n FROM orders WHERE o_custkey % 8 = $i")
-      val bodies = Await.result(
-        Future.sequence(sqls.map(q => Future(
-          post(c, port, "/query",
-            "sql=" + java.net.URLEncoder.encode(q, "UTF-8"))))),
-        120.seconds)
-      bodies.foreach { b =>
-        assert(b.contains("\"rowCount\":1") && !b.contains("error"),
-          b.take(200))
-      }
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val sqls = (0 until 8).map(i =>
+          s"SELECT count(*) AS n FROM orders WHERE o_custkey % 8 = $i")
+        val bodies = Await.result(
+          Future.sequence(sqls.map(q => Future(
+            post(c, port, "/query",
+              "sql=" + java.net.URLEncoder.encode(q, "UTF-8"))))),
+          120.seconds)
+        bodies.foreach { b =>
+          // the terminal `"rowCount":1}` — the RESULT count, not a
+          // plan-statistics rowCount estimate that happens to start
+          // with 1
+          assert(b.endsWith("\"rowCount\":1}") && !b.contains("error"),
+            b.take(200))
+        }
+      } finally pool.shutdown()
     }
   }
 
