@@ -2398,6 +2398,33 @@ object SparkEntry {
   private val stratifiedFractions = scala.collection.immutable.ListMap(
     "en" -> 0.25, "zh" -> 0.8, "es" -> 1.0, "de" -> 0.5)
 
+  private def qAggWeightedMedian(s: SparkSession, dir: String)
+      : DataFrame = {
+    // Exact weighted median — price weighted by quantity, the
+    // "median unit price actually paid" statistic no built-in
+    // covers. All-integer: cents values, long weights, and the
+    // textbook rule (smallest v whose cumulative weight reaches half
+    // the total) evaluated over DISTINCT values, so intra-tie row
+    // order cannot matter. Two map-side-combined aggregates + one
+    // per-group window over |distinct prices| rows.
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+    val byVal = li.groupBy("g", "v").agg(sum(col("wt")).as("w"))
+    val cumW = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy("g")
+    byVal
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("total", sum(col("w")).over(totW))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("g")
+      .agg(min(col("v")).as("weighted_median_cents"),
+        max(col("total")).as("total_weight"))
+      .orderBy("g")
+  }
+
   private def qAggSampleEstimate(s: SparkSession, dir: String)
       : DataFrame = {
     // Sample-based aggregate estimation — the "answer from a tenth of
@@ -3898,6 +3925,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (qCleanCorpus _),
     "sample_splits" -> (qSampleSplits _),
     "agg_sample_estimate" -> (qAggSampleEstimate _),
+    "agg_weighted_median" -> (qAggWeightedMedian _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_weighted_mix" -> (qSampleWeightedMix _),
     "pack_sequences" -> (qPackSequences _),
@@ -4405,6 +4433,23 @@ object SparkEntry {
       s"""WITH ${xxhash64BucketSql("doc_id", "documents")}
          |SELECT k AS doc_id, $splitCaseSql AS split
          |FROM bk ORDER BY doc_id""".stripMargin,
+    // Weighted median: the same distinct-value cumulative-weight rule
+    // in exact integers — window cumsum, half-total crossing, min v.
+    "agg_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, v, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY g) AS total
+        |  FROM b)
+        |SELECT g, CAST(min(v) AS BIGINT) AS weighted_median_cents,
+        |  CAST(max(total) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= total GROUP BY g ORDER BY g""".stripMargin,
     // Sample estimate: XXH64 membership re-derived in HUGEINT SQL on
     // the same composite key, then the identical conditional sums and
     // exact-ppm error arithmetic. Duplicate keys hash once here
