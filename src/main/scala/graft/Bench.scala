@@ -71,7 +71,11 @@ object Bench {
     "text_lm_score",
     "multimodal_video",
     "decontam_multi",
-    "agg_sample_estimate")
+    "agg_sample_estimate",
+    "dedup_forget",
+    "agg_weighted_median",
+    "asof_join_nearest",
+    "text_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
