@@ -115,6 +115,38 @@ object SparkEntry {
     // QueryService.asmx.cs:320-337): customer_f ≡ customer.
     t(s, dir, "customer_f").orderBy("c_custkey")
 
+  private def qSourceJdbc(s: SparkSession, dir: String): DataFrame = {
+    // The reference's actual source modality exercised END TO END:
+    // per-site relational databases (`RPC/RPC/RPC.cs:313` — MySQL,
+    // `database=site{Site}`), here an embedded Derby site db built once
+    // from the same parquet the oracle reads (content-identical by
+    // construction). Four horizontal orders fragments and the vertical
+    // customer split come back over REAL JDBC — driver, dialect, SQL
+    // pushdown — are reassembled, and feed a cents-exact segment
+    // rollup. Each site read is range-PARTITIONED on the primary key
+    // (the shape a 100 TB relational ingest needs: per-site parallel
+    // extraction, no single-connection bottleneck).
+    val url = graft.sources.JdbcScaffold.ensure(s, dir)
+    val props = new java.util.Properties()
+    val sites = (0 until 4).map { i =>
+      // Derby folds unquoted identifiers to upper case; Spark's JDBC
+      // writer created the columns quoted-lowercase — quote to match
+      val b = s.read.jdbc(url,
+        s"""(SELECT MIN("o_orderkey") lo, MAX("o_orderkey") hi """ +
+          s"FROM orders_site$i) b", props).collect()(0)
+      s.read.jdbc(url, s"orders_site$i", "o_orderkey",
+        b.getLong(0), b.getLong(1), 4, props)
+    }
+    val orders = sites.reduce(_ unionByName _)
+    val customer = s.read.jdbc(url, "customer_v1", props)
+      .join(s.read.jdbc(url, "customer_v2", props), "c_custkey")
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        centsSum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   private def qUnionAll(s: SparkSession, dir: String): DataFrame = {
     // Language-level UNION ALL (bag semantics, ref doUnion Merge
     // behavior): two disjoint selections recombined.
@@ -3783,6 +3815,7 @@ object SparkEntry {
     "union_horizontal_frag" -> (qUnionHorizontalFrag _),
     "join_vertical_frag" -> (qJoinVerticalFrag _),
     "union_all" -> (qUnionAll _),
+    "source_jdbc" -> (qSourceJdbc _),
     "passthrough_sql" -> (qPassthroughSql _),
     "recursive_cte" -> (qRecursiveCte _),
     "frag_transparency_agg" -> (qGroupProduct _),
@@ -4894,6 +4927,14 @@ object SparkEntry {
         |ORDER BY o.o_orderkey""".stripMargin,
     "union_horizontal_frag" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    // The JDBC site db is seeded from the same parquet, so the oracle
+    // is the plain relational rollup over the logical tables.
+    "source_jdbc" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+        |    AS revenue
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_vertical_frag" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

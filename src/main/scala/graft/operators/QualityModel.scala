@@ -49,15 +49,34 @@ object QualityModel {
     * feature projection. Small L2 keeps the weights finite on linearly
     * separable seeds (unregularized LR diverges there — the margin
     * grows without bound). The returned model is 5 doubles; nothing
-    * else leaves the cluster. */
-  def train(docs: DataFrame, text: Column, label: Column): Model = {
+    * else leaves the cluster.
+    *
+    * Scale contract: the corpus is touched by exactly ONE bounded
+    * Spark job — a TakeOrdered selecting the `sampleN` rows with the
+    * smallest `xxhash64` of the projected (label, features) row (the
+    * [[Similarity.trainCentroids]] discipline: a seeded,
+    * order-independent sample; hash ties are near-certainly identical
+    * projected rows, so the training multiset is well-defined). LBFGS
+    * then iterates over the driver-local sample, so training cost is
+    * independent of corpus size — previously every iteration was a
+    * full corpus pass, the classic scale-killer for a filter that
+    * should cost one projection. A 4096-row sample is far past the
+    * statistical needs of a 4-feature linear model. */
+  def train(docs: DataFrame, text: Column, label: Column,
+      sampleN: Int = 4096): Model = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
-    val assembled = docs.select(
-      label.cast("double").as("label"),
-      array_to_vector(
-        array(features(text).map(_._2.cast("double")): _*))
-        .as("features"))
+    val spark = docs.sparkSession
+    val sample: Array[(Double, Seq[Double])] = docs
+      .select(label.cast("double").as("label"),
+        array(features(text).map(_._2.cast("double")): _*).as("f"))
+      .orderBy(xxhash64(col("label"), col("f")))
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getDouble(0), r.getSeq[Double](1)))
+    import spark.implicits._
+    val assembled = sample.toSeq.toDF("label", "f").select(
+      col("label"), array_to_vector(col("f")).as("features"))
     val lr = new LogisticRegression()
       .setMaxIter(100)
       // 1e-4, not the 1e-6 default: every LBFGS iteration is a full

@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions._
   *     is provably dominated and dropped where it sits. The running
   *     max is computed on the B-row bucket-stats frame — the only
   *     window over a global order runs on ≤ B rows.
-  *  2. **Exact pass (small).** Survivors get the textbook sweep: keep
-  *     a row iff it holds its equal-`minCol` group's best `maxCol` AND
-  *     strictly beats the prefix max over all strictly smaller
-  *     `minCol` values (`RANGE 1 PRECEDING` — exact because the
-  *     criteria are integers). Survivor count is ~|skyline| + O(B) for
-  *     real distributions; a huge frontier is output size, which any
-  *     engine pays.
+  *  2. **Exact pass (bucket-local).** Survivors get the textbook
+  *     sweep: keep a row iff it holds its equal-`minCol` group's best
+  *     `maxCol` AND strictly beats the prefix max over all strictly
+  *     smaller `minCol` values. The sweep is decomposed so it never
+  *     needs a global order: a per-(bucket, value) hash aggregate,
+  *     a per-bucket window over the bucket's DISTINCT values, and the
+  *     cross-bucket prefix from step 1 — even a corpus whose frontier
+  *     is the whole table (anti-correlated criteria) sorts at most
+  *     one bucket's distinct values per partition.
   *
   * Contract: both criteria columns must be integral (cents/micros the
   * caller scales) — the strict-prefix RANGE frame relies on it.
@@ -55,14 +57,38 @@ object Skyline {
       .select("_bkt", "_pfx")
     val cand = withB.join(broadcast(prefix), Seq("_bkt"))
       .filter(col("_pfx").isNull || col(maxCol).cast("long") > col("_pfx"))
-    val wStrict = Window.orderBy(col(minCol).cast("long"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wGroup = Window.partitionBy(col(minCol))
+    // Exact pass, decomposed so no stage has an unpartitioned window
+    // over an unbounded set (an adversarial all-frontier corpus used
+    // to funnel every candidate into ONE partition here):
+    //  a. per-(bucket, minCol-value) max of maxCol — a hash aggregate,
+    //     map-side combined, skew-safe;
+    //  b. the strict-prefix max over strictly smaller minCol, split
+    //     into a within-bucket part (_lpfx: a window PARTITIONED by
+    //     bucket over the bucket's DISTINCT minCol values — heavy
+    //     duplication collapses in the aggregate before any sort) and
+    //     the cross-bucket part (_pfx, already computed on the B-row
+    //     bucket frame). A strictly earlier bucket holds only strictly
+    //     smaller values (floor quantization is monotone) and equal
+    //     values always share a bucket, so the two parts cover exactly
+    //     the strictly-smaller rows — max of the two is the old
+    //     partition-less RANGE-frame result.
+    val wLocal = Window.partitionBy("_bkt").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val values = cand
+      .select(col("_bkt"), col(minCol).cast("long").as("_v"),
+        col(maxCol).cast("long").as("_m"))
+      .groupBy("_bkt", "_v")
+      .agg(max(col("_m")).as("_vmax"))
+      .withColumn("_lpfx", max(col("_vmax")).over(wLocal))
     cand
-      .withColumn("_spfx", max(col(maxCol).cast("long")).over(wStrict))
-      .withColumn("_gmax", max(col(maxCol).cast("long")).over(wGroup))
-      .filter(col(maxCol).cast("long") === col("_gmax") &&
+      .withColumn("_v", col(minCol).cast("long"))
+      .join(values, Seq("_bkt", "_v"))
+      .withColumn("_spfx",
+        when(col("_pfx").isNull, col("_lpfx"))
+          .when(col("_lpfx").isNull, col("_pfx"))
+          .otherwise(greatest(col("_pfx"), col("_lpfx"))))
+      .filter(col(maxCol).cast("long") === col("_vmax") &&
         (col("_spfx").isNull || col(maxCol).cast("long") > col("_spfx")))
-      .drop("_bkt", "_pfx", "_spfx", "_gmax", "_lo", "_hi")
+      .drop("_bkt", "_v", "_pfx", "_vmax", "_lpfx", "_spfx", "_lo", "_hi")
   }
 }

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Embedded-Derby "site database" scaffold — the reference engine's
+  * actual source modality is a relational database per site
+  * (`RPC/RPC/RPC.cs:313`: MySQL, connection string `database=site{N}`);
+  * this populates a local Derby instance (on the Spark classpath for
+  * the Hive metastore) with the same fragment layout the parquet views
+  * model — four hash-split horizontal `orders` fragments and the
+  * two-way vertical `customer` split — so the JDBC read path can be
+  * exercised END TO END: real driver, real SQL pushdown, real
+  * partitioned reads, not a mocked seam.
+  *
+  * The site db is built ONCE per sf dir from the same parquet the
+  * oracle reads (content-identical by construction) and memoized via a
+  * done-marker; every later call is a path lookup. At 100 TB the
+  * analog is the fleet of per-site OLTP databases the lake ingests
+  * from — bounded per-site volumes, partitioned JDBC reads keyed on
+  * the primary key.
+  */
+object JdbcScaffold {
+
+  /** Build (once) and return the JDBC url of the site database seeded
+    * from `sfDir`'s parquet tables. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir) & 0x7fffffff)
+    val dbDir = s"/tmp/graft_derby_$key"
+    val url = s"jdbc:derby:$dbDir"
+    val marker = new java.io.File(s"$dbDir.done")
+    if (marker.exists()) return url
+    deleteRec(new java.io.File(dbDir))
+    val createUrl = s"$url;create=true"
+    val props = new java.util.Properties()
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // horizontal fragments: same deterministic hash split as the
+    // parquet fragment views (Tables.register)
+    (0 until 4).foreach { site =>
+      orders.filter(pmod(hash(col("o_orderkey")), lit(4)) === site)
+        .coalesce(1)
+        .write.mode("overwrite").jdbc(createUrl, s"orders_site$site", props)
+    }
+    // vertical fragments: name side + account side sharing the key
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.select("c_custkey", "c_name", "c_mktsegment").coalesce(1)
+      .write.mode("overwrite").jdbc(createUrl, "customer_v1", props)
+    cust.select("c_custkey", "c_acctbal", "c_nationkey").coalesce(1)
+      .write.mode("overwrite").jdbc(createUrl, "customer_v2", props)
+    // whole logical dimension tables, for the `spark.graft.jdbc.url`
+    // overlay path (Tables.load routes these via JDBC when the
+    // allowlist names them)
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
+        .write.mode("overwrite").jdbc(createUrl, t, props)
+    }
+    marker.createNewFile()
+    url
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(): Unit
+  }
+}

@@ -33,7 +33,8 @@ object Tables {
       new java.util.WeakHashMap[SparkSession, String]())
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    if (jdbcUrl(spark).isDefined) loadJdbc(spark, table)
+    if (jdbcUrl(spark).isDefined && jdbcHolds(spark, table))
+      loadJdbc(spark, table)
     else if (table == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$table.parquet")
 
@@ -52,6 +53,16 @@ object Tables {
   private def jdbcUrl(spark: SparkSession): Option[String] =
     spark.conf.getOption("spark.graft.jdbc.url").filter(_.nonEmpty)
 
+  /** `spark.graft.jdbc.tables` (comma-separated, optional) restricts
+    * the JDBC overlay to the tables the relational side actually
+    * holds — a site database carries the OLTP relations while
+    * lake-native tables (documents, embeddings: wide text, arrays)
+    * stay parquet. Unset ⇒ every table resolves via JDBC. */
+  private def jdbcHolds(spark: SparkSession, table: String): Boolean =
+    spark.conf.getOption("spark.graft.jdbc.tables")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .forall(_.contains(table))
+
   private def loadJdbc(spark: SparkSession, table: String): DataFrame = {
     val reader = spark.read.format("jdbc")
       .option("url", jdbcUrl(spark).get)
@@ -63,16 +74,26 @@ object Tables {
       .load()
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and convert to a microsecond
-    * timestamp (the data is µs-aligned, so this is lossless). */
+  /** `events.ts` has appeared as two physical types across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read raw nano longs and divide) and plain TIMESTAMP(MICROS)
+    * without the UTC flag (read as TIMESTAMP_NTZ). Normalize both to a
+    * session-timezone TIMESTAMP so downstream operators see one schema;
+    * sessions pin UTC, so the NTZ cast preserves the stored micros. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18,
-    // beyond double's 2^53 exact range) silently loses microseconds
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18,
+        // beyond double's 2^53 exact range) silently loses microseconds
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register all base-table views + fragment views for `sfDir`. */

@@ -183,25 +183,34 @@ object EventsStream {
         max(col("ts")).as("last_seen"))
       .orderBy("user_id")
 
-  /** Streaming read of the events table (file source). The nanos `ts` is
-    * read as long and converted exactly like the batch path. */
+  /** Streaming read of the events table (file source). `ts` is normalized
+    * exactly like the batch path ([[graft.sources.Tables]]): nano longs
+    * divide to micros, TIMESTAMP_NTZ casts to session-tz TIMESTAMP. The
+    * physical type is sniffed from a one-footer batch read (streaming
+    * sources need an explicit schema up front). */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
+    val tsType =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", tsType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
     // file streaming sources take a directory; select just the events
     // table out of the shared sf dir with a glob filter
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   case class Transition(prev_type: String, next_type: String)

@@ -255,6 +255,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // the bounds frame and offsets are broadcast, never shuffled wide
     assert(p.contains("BroadcastExchange"),
       s"bounds/prefix frames should broadcast:\n$p")
+    // every window over candidate rows must be PARTITIONED (by bucket)
+    // — only the _pfx windows, which run on the ≤buckets-row bucket
+    // stats frame, may be global. An all-frontier adversarial corpus
+    // otherwise lands every row in one partition.
+    val unpartitioned = p.split("\n")
+      .filter(_.contains("windowspecdefinition"))
+      .filterNot(_.contains("AS _pfx"))
+      .filterNot(_.contains("], [_bkt"))
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned window over candidate rows:\n" +
+        unpartitioned.mkString("\n"))
+    // and the strict-sweep window itself exists, bucket-partitioned
+    assert("AS _lpfx\\S*\\], \\[_bkt".r.findFirstIn(p).isDefined ||
+      p.contains("AS _lpfx"), s"missing bucket-local sweep window:\n$p")
   }
 
   test("layout_partitioned: the year predicate is a PLANNING-TIME " +

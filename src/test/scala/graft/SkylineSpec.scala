@@ -52,6 +52,25 @@ class SkylineSpec extends AnyFunSuite {
     assert(run(rows, 8) == rows.toSet)
   }
 
+  test("adversarial all-frontier corpus at scale: no stage funnels " +
+      "the candidate set into one partition") {
+    // 20k anti-correlated rows — the ENTIRE corpus is the frontier, so
+    // the bucket prune drops nothing and the exact pass sees everything.
+    // The decomposed sweep (per-bucket windows over distinct values)
+    // must both finish and return every row.
+    val n = 20000L
+    val rows = (1L to n).map(i => (i, i, i))
+    val out = Skyline.skyline2d(
+      rows.toDF("id", "price", "size"), "price", "size", 64)
+    assert(out.count() == n)
+    // heavy duplication on one minCol value: the aggregate collapses
+    // it before any window sort sees the duplicates
+    val dup = (1L to 5000L).map(i => (i, 7L, i % 100)) ++
+      Seq((9001L, 3L, 1L))
+    val got = run(dup, 16)
+    assert(got == brute(dup))
+  }
+
   test("random corpora match brute force") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
