@@ -75,7 +75,11 @@ object QualityModel {
       .collect()
       .map(r => (r.getDouble(0), r.getSeq[Double](1)))
     import spark.implicits._
-    val assembled = sample.toSeq.toDF("label", "f").select(
+    // ONE partition: every LBFGS iteration is a treeAggregate job over
+    // this frame, and at 4096 rows the job's cost is pure task-launch
+    // overhead — 32 tasks × ~100 iterations was most of the training
+    // wall time
+    val assembled = sample.toSeq.toDF("label", "f").coalesce(1).select(
       col("label"), array_to_vector(col("f")).as("features"))
     val lr = new LogisticRegression()
       .setMaxIter(100)
