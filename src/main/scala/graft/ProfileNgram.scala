@@ -24,13 +24,15 @@ object ProfileNgram {
       .persist()
     timed("1 base materialize")(base.count())
 
+    val modelSize = sys.env.getOrElse("SPARK_GRAFT_MODEL_SIZE",
+      (1 << 16).toString).toInt
     val hotDf: Map[Long, Long] = timed("2 hotDf collect (sampled)") {
       base.filter(pmod(xxhash64(col("doc_id")), lit(4)) === 0)
         .select(explode(col("gs")).as("g"))
         .groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2)
         .orderBy(col("df").desc, col("g"))
-        .limit(1 << 16)
+        .limit(modelSize)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     println("[profile] hotDf size=" + hotDf.size)

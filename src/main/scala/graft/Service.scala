@@ -128,9 +128,12 @@ final class Service(engine: Engine, port: Int = 0,
 object Service {
 
   /** Self-contained plan-view page: textarea → POST /query → the two
-    * plan trees rendered as nested boxes (original left, optimized
-    * right) plus the first rows. Inline JS/CSS only — the environment
-    * has no egress, and the machine contract stays the JSON routes. */
+    * plan trees rendered as NODE-EDGE DIAGRAMS (inline SVG, tidy-tree
+    * layout — the reference renders the same trees with JointJS,
+    * `DistributedQueryService/index.js:86-120`; this closes that last
+    * cosmetic gap without any runtime dependency) plus the first rows.
+    * Inline JS/CSS only — the environment has no egress, and the
+    * machine contract stays the JSON routes. */
   private[graft] val indexHtml: String =
     """<!doctype html>
       |<html><head><meta charset="utf-8"><title>graft</title><style>
@@ -167,15 +170,61 @@ object Service {
       |  return String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;')
       |    .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
       |}
-      |function tree(n) {
-      |  const lbl = '<span class="node"><span class="op">' +
-      |    esc(n.OpType) +
-      |    '</span>' + (n.TabName ? ' ' + esc(n.TabName) : '') +
-      |    (n.Condition ? ' <span class="cond">' + esc(n.Condition) +
-      |     '</span>' : '') + '</span>';
-      |  const kids = (n.Oprands || []).map(c =>
-      |    '<li>' + tree(c) + '</li>').join('');
-      |  return lbl + (kids ? '<ul>' + kids + '</ul>' : '');
+      |// tidy-tree layout: each subtree claims max(own width, sum of
+      |// child subtree widths); parents center over their children
+      |function layout(n, depth) {
+      |  const label = (n.OpType || '?') +
+      |    (n.TabName ? ' ' + n.TabName : '');
+      |  const cond = (n.Condition || '').slice(0, 42) +
+      |    ((n.Condition || '').length > 42 ? '…' : '');
+      |  const w = Math.max(label.length, cond.length) * 7 + 18;
+      |  const kids = (n.Oprands || []).map(c => layout(c, depth + 1));
+      |  const kw = kids.reduce((s, k) => s + k.tw, 0) +
+      |    16 * Math.max(0, kids.length - 1);
+      |  return { label, cond, w, kids, depth, tw: Math.max(w, kw),
+      |    full: n.Condition || '' };
+      |}
+      |function place(t, x0) {
+      |  t.cx = x0 + t.tw / 2;
+      |  const kw = t.kids.reduce((s, k) => s + k.tw, 0) +
+      |    16 * Math.max(0, t.kids.length - 1);
+      |  let x = x0 + (t.tw - kw) / 2;
+      |  for (const k of t.kids) { place(k, x); x += k.tw + 16; }
+      |}
+      |function graph(root) {
+      |  const t = layout(root, 0);
+      |  place(t, 10);
+      |  const H = 64, nodes = [], edges = [];
+      |  let maxd = 0;
+      |  (function walk(p) {
+      |    maxd = Math.max(maxd, p.depth);
+      |    nodes.push(p);
+      |    for (const k of p.kids) { edges.push([p, k]); walk(k); }
+      |  })(t);
+      |  const nodeY = p => 14 + p.depth * H;
+      |  const nh = p => p.cond ? 40 : 26;
+      |  const svg = [];
+      |  svg.push('<svg xmlns="http://www.w3.org/2000/svg" width="' +
+      |    (t.tw + 20) + '" height="' + ((maxd + 1) * H + 10) + '">');
+      |  for (const [p, k] of edges)
+      |    svg.push('<line x1="' + p.cx + '" y1="' + (nodeY(p) + nh(p)) +
+      |      '" x2="' + k.cx + '" y2="' + nodeY(k) +
+      |      '" stroke="#999"/>');
+      |  for (const p of nodes) {
+      |    const y = nodeY(p);
+      |    svg.push('<g><title>' + esc(p.full) + '</title>' +
+      |      '<rect x="' + (p.cx - p.w / 2) + '" y="' + y +
+      |      '" width="' + p.w + '" height="' + nh(p) +
+      |      '" rx="5" fill="#f3f6fa" stroke="#888"/>' +
+      |      '<text x="' + p.cx + '" y="' + (y + 17) +
+      |      '" text-anchor="middle" font-size="13" ' +
+      |      'font-weight="600">' + esc(p.label) + '</text>' +
+      |      (p.cond ? '<text x="' + p.cx + '" y="' + (y + 33) +
+      |        '" text-anchor="middle" font-size="11" fill="#555">' +
+      |        esc(p.cond) + '</text>' : '') + '</g>');
+      |  }
+      |  svg.push('</svg>');
+      |  return svg.join('');
       |}
       |async function run() {
       |  document.getElementById('err').textContent = '';
@@ -186,8 +235,8 @@ object Service {
       |  if (j.error) {
       |    document.getElementById('err').textContent = j.error; return;
       |  }
-      |  document.getElementById('orig').innerHTML = tree(j.originalPlan);
-      |  document.getElementById('opt').innerHTML = tree(j.optimizedPlan);
+      |  document.getElementById('orig').innerHTML = graph(j.originalPlan);
+      |  document.getElementById('opt').innerHTML = graph(j.optimizedPlan);
       |  const rows = j.rows; // toJSON objects arrive pre-parsed
       |  document.getElementById('rows').innerHTML =
       |    '<h3>rows (' + esc(j.rowCount) + ')</h3><table><tr>' +

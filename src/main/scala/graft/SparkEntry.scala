@@ -3678,9 +3678,13 @@ object SparkEntry {
     // Grid-bucketed: ONE equi-join shuffle on cell keys, no nested
     // loop — see operators/Geo.scala. The oracle is the definitional
     // cross join, so a green row proves grid completeness.
+    // key reduced mod 1e7 BEFORE the multiply: ((k%m)*c)%m ≡ (k*c)%m,
+    // same coordinates, but the product stays < 2.7e16 — the unreduced
+    // form overflows long (ANSI error) for keys above ~3.5e9, i.e. any
+    // realistically large int64 id space
     def place(df: DataFrame, key: String) = df.select(col(key),
-      expr(s"($key * 2654435761L) % 10000000L").as("x"),
-      expr(s"($key * 2246822519L) % 10000000L").as("y"))
+      expr(s"(($key % 10000000L) * 2654435761L) % 10000000L").as("x"),
+      expr(s"(($key % 10000000L) * 2246822519L) % 10000000L").as("y"))
     val cust = place(t(s, dir, "customer"), "c_custkey")
     val supp = place(t(s, dir, "supplier"), "s_suppkey")
     graft.operators.Geo.gridRadiusJoin(cust, supp, "x", "y", 500000L)
@@ -7142,13 +7146,13 @@ object SparkEntry {
     "geo_radius_join" ->
       """WITH c AS (
         |  SELECT c_custkey,
-        |         (c_custkey * 2654435761) % 10000000 AS x,
-        |         (c_custkey * 2246822519) % 10000000 AS y
+        |         ((c_custkey % 10000000) * 2654435761) % 10000000 AS x,
+        |         ((c_custkey % 10000000) * 2246822519) % 10000000 AS y
         |  FROM customer),
         |s AS (
         |  SELECT s_suppkey,
-        |         (s_suppkey * 2654435761) % 10000000 AS x,
-        |         (s_suppkey * 2246822519) % 10000000 AS y
+        |         ((s_suppkey % 10000000) * 2654435761) % 10000000 AS x,
+        |         ((s_suppkey % 10000000) * 2246822519) % 10000000 AS y
         |  FROM supplier)
         |SELECT c.c_custkey, s.s_suppkey,
         |       CAST((c.x - s.x) * (c.x - s.x)

@@ -47,11 +47,23 @@ object Bpe {
         .select(lit(r.toLong).as("round"), col("m.p").as("pair"),
           col("m.cnt").as("cnt"))
       // the ONE driver row this round: the winning pair, needed as a
-      // literal inside the next round's fold expression
+      // literal inside the next round's fold expression. This per-round
+      // driver round-trip is the accepted cost of BPE — merge r+1's
+      // pair counts are defined on the state AFTER merge r, so rounds
+      // cannot be batched without changing the learned vocabulary
+      // (reference trainers are equally sequential). What scales it:
+      // every round touches only the VOCAB frame (distinct words ×
+      // symbol arrays, orders of magnitude smaller than the corpus,
+      // and shrinking as merges fuse symbols), never the corpus.
       val row = best.collect()(0)
       val Array(a, b) = row.getString(1).split(" ", 2)
       syms = syms.withColumn("s",
         VectorFunctions.bpe_merge(col("s"), a, b))
+      // truncate the merge-chain lineage periodically: without this,
+      // round r re-applies all r-1 prior folds to the raw vocab (an
+      // O(rounds²) recompute); a materialized vocab-sized snapshot
+      // every 8 rounds bounds it at O(rounds·8) fold applications
+      if (r % 8 == 0 && r < rounds) syms = syms.localCheckpoint()
       best
     }
     perRound.reduce(_.unionByName(_))

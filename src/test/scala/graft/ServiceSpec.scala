@@ -98,7 +98,10 @@ class ServiceSpec extends AnyFunSuite {
       // the esc() helper exists and every interpolation site uses it —
       // a data cell like '<img onerror=…>' must render inert
       assert(body.contains("function esc("))
-      assert(body.contains("esc(n.Condition)") &&
+      // every SVG interpolation site (node label, truncated condition,
+      // tooltip) and every table cell goes through esc()
+      assert(body.contains("esc(p.label)") &&
+        body.contains("esc(p.cond)") && body.contains("esc(p.full)") &&
         body.contains("esc(x[c])"))
     }
   }
