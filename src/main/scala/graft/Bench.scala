@@ -75,7 +75,10 @@ object Bench {
     "dedup_forget",
     "agg_weighted_median",
     "asof_join_nearest",
-    "text_html_extract")
+    "text_html_extract",
+    "dedup_quality_rep",
+    "sample_topk_stratum",
+    "curation_quality_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -232,11 +232,13 @@ object DumpPlans {
         |counter per host — no per-host buffering, no skew hazard
         |beyond the windowed partition itself.""".stripMargin,
     "quality_model_lr" ->
-      """Model-based quality filtering: training is ONE bounded MLlib
-        |job that reduces to 5 doubles; corpus scoring is the plan
-        |below — a pure scan-stage projection (score, micro-rounded
-        |rank key, keep decision) whose only exchange is the
-        |presentation sort (QualityModelSpec pins the scoring
+      """Model-based quality filtering: the corpus is touched by ONE
+        |bounded job (a TakeOrdered hash-sample of 4096 feature rows);
+        |LBFGS then iterates on a one-partition driver-local frame, so
+        |training cost is independent of corpus size. Corpus scoring is
+        |the plan below — a pure scan-stage projection (score,
+        |micro-rounded rank key, keep decision) whose only exchange is
+        |the presentation sort (QualityModelSpec pins the scoring
         |projection itself exchange-free). At 100 TB the classifier
         |costs exactly one pass over the text column.""".stripMargin,
     "agg_incremental" ->
@@ -408,9 +410,12 @@ object DumpPlans {
       """Dominance with no pairwise comparison: the bounds frame (1
         |row) and bucket-prefix frame (≤1024 rows) broadcast back onto
         |the scan, so the corpus-wide stages are scan + filter. The
-        |two unpartitioned windows visible in the plan run AFTER the
-        |prune, on the surviving candidates (~frontier-sized), not the
-        |corpus.""".stripMargin,
+        |exact sweep never sees a global order: a per-(bucket, value)
+        |hash aggregate, then a window PARTITIONED by bucket over the
+        |bucket's distinct values — the only unpartitioned window in
+        |the plan is the ≤1024-row bucket-stats prefix (plan-pinned in
+        |PlanQualitySpec). An all-frontier adversarial corpus sorts at
+        |most one bucket's distinct values per partition.""".stripMargin,
     "geo_radius_join" ->
       """The spatial join is a BroadcastHashJoin on (cellx, celly) —
         |no nested loop anywhere (PlanQualitySpec pins this). The ×9
@@ -477,7 +482,32 @@ object DumpPlans {
         |INSIDE the scan as a broadcast long-set filter, and pair
         |generation is the codegen'd CappedPairs generator — three
         |key-partitioned shuffles, no self-join; the support attaches
-        |are broadcast joins against the frequent-pair table.""".stripMargin)
+        |are broadcast joins against the frequent-pair table.""".stripMargin,
+    "dedup_quality_rep" ->
+      """Quality-weighted representative election: fingerprint, score
+        |and the max-struct argmax all ride the scan stage; the only
+        |exchange before the presentation sort is ONE hash partition
+        |by fingerprint for the class window — dedup_exact's shape
+        |with the min swapped for an argmax, no extra cost.""".stripMargin,
+    "sample_topk_stratum" ->
+      """Exact k-per-stratum sampling: the rank<=k filter plans as
+        |WindowGroupLimit — per-partition k-row heaps run BEFORE the
+        |single stratum exchange, so no stratum is ever fully sorted
+        |and the shuffle carries at most k rows per stratum per input
+        |partition (plan-pinned in SamplingSpec).""".stripMargin,
+    "curation_quality_rebalance" ->
+      """Quality-band rebalance: band (score cutoffs) and verdict
+        |(XXH64 bucket threshold per band) are pure scan-stage
+        |expressions — zero exchanges except the presentation sort; a
+        |100 TB corpus pays one projection, and any shard of the input
+        |admits exactly the same rows (no RNG, no global state).""".stripMargin,
+    "source_jdbc" ->
+      """The reference's per-site relational source, end to end: four
+        |JDBCRelation scans each range-partitioned 4 ways on the
+        |primary key (numPartitions=4 visible in the scan), reassembled
+        |by UNION ALL + key join, then the same broadcast-dimension
+        |aggregate shape as the parquet path — the source swaps, the
+        |plan above it does not.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

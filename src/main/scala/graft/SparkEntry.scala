@@ -1830,6 +1830,43 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")
 
+  private def qDedupQualityRep(s: SparkSession, dir: String): DataFrame =
+    // Quality-weighted representative election: the kept copy of each
+    // exact-duplicate class is the BEST-scoring member (composite
+    // quality score, ties to the smallest doc_id), not the first-seen
+    // id — the curation pipeline's actual rule when mirrors/AMP/print
+    // variants share a normalized fingerprint (see Dedup.bestRep).
+    // Oracle replays score, class key and argmax from scratch.
+    Dedup.bestRep(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")))
+      .orderBy("doc_id")
+
+  private def qSampleTopkStratum(s: SparkSession, dir: String): DataFrame =
+    // Exact per-language eval slice: the 20 docs per lang with the
+    // smallest md5(doc_id) — sample_stratified's fixed-COUNT sibling
+    // (fractions give proportional sizes; eval slices need exactly k),
+    // deterministic, uniform within stratum, identical in any engine.
+    // rank<=k plans as WindowGroupLimit: per-partition k-row heaps
+    // before the one stratum exchange, never a full stratum sort.
+    graft.operators.Sampling.topKPerStratum(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        "lang", "doc_id", 20)
+      .orderBy("lang", "doc_id")
+
+  private def qCurationQualityRebalance(s: SparkSession, dir: String)
+      : DataFrame =
+    // Quality-band mixture rebalance: fixed score cutoffs band the
+    // corpus, each band keeps a deterministic hash-bucket fraction
+    // (10% of the worst band up to 100% of the best) — the "keep the
+    // pristine mass, thin the junk" downsample, exact and replayable
+    // shard-by-shard; band and verdict are scan-stage expressions.
+    graft.operators.Sampling.qualityRebalance(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        TextFunctions.qualityScore(col("text")), col("doc_id"),
+        Seq(0.5, 0.65, 0.8), Seq(0.1, 0.3, 0.6, 1.0))
+      .select("doc_id", "band", "quality")
+      .orderBy("doc_id")
+
   private def qDedupForget(s: SparkSession, dir: String): DataFrame =
     // Right-to-be-forgotten propagation: docs with doc_id % 11 = 0 are
     // deleted; classes whose KEPT representative died re-elect the
@@ -3924,6 +3961,9 @@ object SparkEntry {
     "text_chunks" -> (qTextChunks _),
     "dedup_chunks" -> (qDedupChunks _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_quality_rep" -> (qDedupQualityRep _),
+    "sample_topk_stratum" -> (qSampleTopkStratum _),
+    "curation_quality_rebalance" -> (qCurationQualityRebalance _),
     "dedup_forget" -> (qDedupForget _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_minhash_decisions" -> (qDedupMinhashDecisions _),
@@ -4047,6 +4087,43 @@ object SparkEntry {
       s"len(list_filter(${sqlList(words)}, m -> list_contains(toksd, m)))" +
         s" AS h_$lang"
     }.mkString(",\n    ")
+  /** Self-contained oracle-dialect relation `(doc_id, text, quality)`
+    * over `documents` — the composite quality score (the exact
+    * expression text_quality pins bit-for-bit), shared by every
+    * oracle that consumes the score downstream so the replicas cannot
+    * drift. */
+  private val qualityScoredSql: String =
+    s"""SELECT doc_id, text,
+       |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + greatest(0.0, 1.0 - punct_ratio * 5) * 0.3
+       |      + greatest(0.0, 1.0 - digit_ratio * 5) * 0.2
+       |      + least(stopword_ratio * 3, 1.0) * 0.2 AS quality
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CASE WHEN len(toks) > 0 THEN
+       |        CAST(len(list_filter(toks, t ->
+       |          list_contains($stopwordsSql, t)))
+       |          AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |        ELSE 0.0 END AS stopword_ratio,
+       |      CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum - n_ws
+       |        AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+       |        AS punct_ratio,
+       |      CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)
+       |        / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS digit_ratio,
+       |      toks
+       |    FROM (
+       |      SELECT doc_id, text,
+       |        list_filter(string_split(trim(regexp_replace(lower(text),
+       |          '\\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks,
+       |        length(text) AS n_chars,
+       |        length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+       |          AS n_alnum,
+       |        length(regexp_replace(lower(text), '[^0-9]', '', 'g'))
+       |          AS n_digit,
+       |        length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+       |          AS n_ws
+       |      FROM documents))""".stripMargin
+
   /** Argmax over marker-hit counts, replicating Spark's
     * greatest-over-structs tie-break: among equal hit counts the
     * lexicographically LARGEST language code wins. */
@@ -6602,6 +6679,52 @@ object SparkEntry {
         |SELECT doc_id, fp, doc_id = rep AS keep,
         |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
         |FROM g ORDER BY doc_id""".stripMargin,
+    // Quality-weighted election: same classes as dedup_exact, but the
+    // representative is first_value by (quality DESC, doc_id ASC) —
+    // the oracle re-derives the score (shared replica), the class key
+    // and the argmax from scratch.
+    "dedup_quality_rep" ->
+      s"""WITH q AS (
+         |  $qualityScoredSql),
+         |f AS (
+         |  SELECT doc_id, quality,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         |      AS fp
+         |  FROM q),
+         |r AS (
+         |  SELECT doc_id, fp, quality,
+         |    first_value(doc_id) OVER (PARTITION BY fp
+         |      ORDER BY quality DESC, doc_id ASC) AS rep
+         |  FROM f)
+         |SELECT doc_id, fp, quality, doc_id = rep AS keep,
+         |  CASE WHEN doc_id <> rep THEN rep END AS dup_of
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "sample_topk_stratum" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    // Rebalance: the shared quality replica bands the corpus, the
+    // shared XXH64-bucket replica decides keeps — thresholds are the
+    // engine's exact frac·10000 bucket bounds (band 3 keeps all).
+    "curation_quality_rebalance" ->
+      s"""WITH ${xxhash64BucketSql("doc_id", "documents")},
+         |q AS (
+         |  $qualityScoredSql),
+         |b AS (
+         |  SELECT q.doc_id, q.quality, bk.bucket,
+         |    (CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END
+         |     + CASE WHEN quality >= 0.65 THEN 1 ELSE 0 END
+         |     + CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS band
+         |  FROM q JOIN bk ON bk.k = q.doc_id)
+         |SELECT doc_id, band, quality FROM b
+         |WHERE (band = 0 AND bucket < 1000)
+         |   OR (band = 1 AND bucket < 3000)
+         |   OR (band = 2 AND bucket < 6000)
+         |   OR band = 3
+         |ORDER BY doc_id""".stripMargin,
     // Forget propagation: the oracle re-runs dedup from scratch on
     // the SURVIVING corpus — equality proves the decision-table-only
     // maintenance (no text rescan) re-elects identically.

@@ -118,6 +118,30 @@ object Dedup {
         when(col("doc_id") =!= col("rep_id"), col("rep_id")).as("dup_of"))
   }
 
+  /** Quality-weighted representative election — [[exact]]'s curation
+    * twin: each duplicate class keeps its BEST member by a caller-
+    * supplied quality expression (ties to the smallest doc_id)
+    * instead of the first-seen id. Real pipelines prefer the cleanest
+    * copy of a duplicated page (mirror/AMP/print variants share a
+    * normalized fingerprint but differ in raw boilerplate), so
+    * election is an argmax, not a min. Same single hash-partitioned
+    * window as [[exact]]; the argmax is the repo's order-insensitive
+    * max-struct discipline (negated id so one max covers both the
+    * score and the tie-break). */
+  def bestRep(docs: DataFrame,
+      quality: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy("fp")
+    docs
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        quality.as("quality"))
+      .withColumn("m",
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).over(w))
+      .select(col("doc_id"), col("fp"), col("quality"),
+        (col("doc_id") === -col("m.nid")).as("keep"),
+        when(col("doc_id") =!= -col("m.nid"), -col("m.nid"))
+          .as("dup_of"))
+  }
+
   /** Deletion propagation through an existing decision table — the
     * right-to-be-forgotten maintenance step: when a KEPT document is
     * deleted, its duplicate class must re-elect a representative, and

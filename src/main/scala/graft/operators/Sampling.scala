@@ -113,4 +113,59 @@ object Sampling {
       .withColumn("rank", row_number().over(w))
       .withColumn("kept", col("rank") <= cap)
   }
+
+  /** Exact COUNT-k stratified sample — [[sampleStratified]]'s
+    * fixed-size sibling: the `k` rows per stratum with the
+    * lexicographically smallest `md5(key)` (key stringified; md5 ties
+    * break on the key itself). Fraction sampling gives proportional
+    * sizes; eval slices and per-class debug sets need exactly
+    * min(k, |stratum|) rows, uniform within the stratum and stable
+    * across runs, layouts and engines (md5 hex orders identically
+    * everywhere — the oracle-expressible rank the xxhash bucket
+    * cannot give a top-k).
+    *
+    * Scale shape: ONE hash exchange on the stratum key; the rank<=k
+    * filter plans as WindowGroupLimit (per-partition k-row heaps
+    * BEFORE the exchange — the window_rank discipline), so a stratum
+    * is never fully sorted and a 100 TB stratum costs a k-row heap
+    * per input partition. */
+  def topKPerStratum(df: DataFrame, stratum: String, key: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(col(key).cast("string")), col(key))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Quality-band mixture rebalance: rows band by fixed score cutoffs
+    * (band = number of cutoffs at or below the score) and each band
+    * keeps `keepFrac(band)` of its rows by the standard hash-bucket
+    * rule — the "thin the junk, keep the pristine mass" downsample of
+    * corpus curation, composed from this object's primitives so it
+    * inherits every determinism guarantee: the band is a scan-stage
+    * expression over the score, the verdict a pure function of the
+    * key, and re-running per-shard admits exactly the same rows. No
+    * global sort, no ntile, no RNG — at 100 TB the rebalance costs
+    * one projection. */
+  def qualityRebalance(df: DataFrame, quality: Column, key: Column,
+      cutoffs: Seq[Double], keepFrac: Seq[Double]): DataFrame = {
+    require(keepFrac.size == cutoffs.size + 1,
+      s"need ${cutoffs.size + 1} keep fractions, got ${keepFrac.size}")
+    require(keepFrac.forall(f => f >= 0 && f <= 1))
+    require(cutoffs == cutoffs.sorted, "cutoffs must ascend")
+    val band = cutoffs
+      .map(c => when(quality >= c, 1).otherwise(0))
+      .reduce(_ + _)
+    val b = hashBucket(key)
+    val kept = keepFrac.zipWithIndex
+      .foldLeft(lit(false)) { case (acc, (f, i)) =>
+        when(band === i, b < (f * Buckets).toLong).otherwise(acc)
+      }
+    df.withColumn("quality", quality)
+      .withColumn("band", band)
+      .filter(kept)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Sampling
+import graft.operators.{Dedup, Sampling}
 import graft.sources.Tables
 
 /** The reproducibility contract of deterministic sampling: splits are
@@ -11,6 +11,7 @@ import graft.sources.Tables
 class SamplingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private lazy val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+  import spark.implicits._
 
   test("splitByHash: disjoint, exhaustive, and fraction-accurate") {
     val split = Sampling.splitByHash(docs, col("doc_id"),
@@ -117,5 +118,93 @@ class SamplingSpec extends AnyFunSuite {
       // every row survives with a verdict (nothing silently dropped)
       assert(capped.count() === docs.count())
     } finally capped.unpersist()
+  }
+
+  test("bestRep elects the highest-quality member; ties go to the " +
+      "smallest doc_id; singletons keep themselves") {
+    // whitespace-insensitive fingerprint ⇒ 10/11/12 are one class
+    // (same words, different raw spacing ⇒ different punct/ws ratios
+    // ⇒ different quality); 20/21 are an exact-quality tie class;
+    // 30 is a singleton.
+    val a1 = "the quick brown fox jumps over the lazy dog"
+    val planted = Seq(
+      (10L, a1 + "   extra"), // same class as 11/12 after ws collapse?
+      (11L, a1 + " extra"),
+      (12L, a1 + " extra"),
+      (20L, "short tie text"), (21L, "short  tie   text"),
+      (30L, "a singleton document all alone")).toDF("doc_id", "text")
+    val out = Dedup.bestRep(planted,
+      graft.functions.TextFunctions.qualityScore(col("text")))
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getBoolean(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    // 10 and 11 and 12 share fp (whitespace-insensitive fingerprint);
+    // quality of 10 differs from 11/12 only via raw-text ratios; the
+    // class representative must be THE argmax the engine computed —
+    // assert structural invariants instead of hardcoding it:
+    val classes = out.groupBy(_.getString(1))
+    classes.foreach { case (_, rows) =>
+      val keeps = rows.filter(_.getBoolean(3))
+      assert(keeps.length == 1, "exactly one keep per class")
+      val rep = keeps.head.getLong(0)
+      val qs = rows.map(r => (r.getDouble(2), -r.getLong(0))).max
+      assert((keeps.head.getDouble(2), -rep) == qs,
+        "representative is the (quality, -id) argmax")
+      rows.filterNot(_.getBoolean(3)).foreach { r =>
+        assert(r.getLong(4) == rep, "dup_of points at the rep")
+      }
+    }
+    // the exact-tie class: equal quality ⇒ smaller id wins
+    assert(byId(20L)._1 || byId(21L)._1)
+    if (byId(20L)._2.isEmpty && byId(21L)._2.contains(20L))
+      assert(byId(20L)._1)
+    assert(byId(30L)._1 && byId(30L)._2.isEmpty)
+  }
+
+  test("stratified: exactly min(k, |stratum|) rows, deterministic " +
+      "across repartitionings") {
+    val df = (1L to 500L).map(i => (i, s"s${i % 3}")).toDF("id", "st")
+    val a = Sampling.topKPerStratum(df, "st", "id", 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sampling.topKPerStratum(df.repartition(13), "st", "id", 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "sample must not depend on physical layout")
+    assert(a.groupBy(_._2).forall(_._2.size == 25))
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "st")
+    val t = Sampling.topKPerStratum(tiny, "st", "id", 5).count()
+    assert(t == 3, "k larger than stratum keeps everything")
+  }
+
+  test("stratified plans as WindowGroupLimit, not a full sort") {
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("id", "st")
+    val p = Sampling.topKPerStratum(df, "st", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"no group limit:\n$p")
+  }
+
+  test("qualityRebalance: keep-all band keeps all, fractions bound " +
+      "bands, idempotent per shard") {
+    val df = (1L to 2000L).map(i => (i, "w " * (i % 120).toInt))
+      .toDF("doc_id", "text")
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
+    val out = Sampling.qualityRebalance(df, q, col("doc_id"),
+      Seq(0.2, 0.4), Seq(0.25, 0.5, 1.0))
+    val rows = out.select("doc_id", "band").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // band 2 (keepFrac 1.0) must retain every qualifying row
+    val all = df.withColumn("q", q)
+      .filter(col("q") >= 0.4).count()
+    assert(rows.count(_._2 == 2).toLong == all)
+    // md5 thresholds are row-local: running per-shard admits the
+    // exact same rows (split by parity and union)
+    val s1 = Sampling.qualityRebalance(
+      df.filter(col("doc_id") % 2 === 0), q, col("doc_id"),
+      Seq(0.2, 0.4), Seq(0.25, 0.5, 1.0))
+    val s2 = Sampling.qualityRebalance(
+      df.filter(col("doc_id") % 2 === 1), q, col("doc_id"),
+      Seq(0.2, 0.4), Seq(0.25, 0.5, 1.0))
+    val sharded = s1.unionByName(s2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sharded == rows.map(_._1).toSet)
   }
 }
