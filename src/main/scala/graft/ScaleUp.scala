@@ -76,19 +76,28 @@ object ScaleUp {
       shift("doc_id")(d, i)
         .withColumn("_w", split(col("text"), " "))
         .withColumn("_n", size(col("_w")))
-        // first prime, scanning from slot i, that does not divide n —
-        // distinct copies get distinct strides, hence disjoint pairings
-        .withColumn("_p", expr(
-          s"element_at(filter(transform(sequence($i, $i + 19), " +
-            s"j -> element_at($P, int(j % 20) + 1)), " +
-            "p -> _n % p != 0), 1)"))
+        // the i-th USABLE prime: usable = coprime to n (else the map
+        // is not a bijection) AND not ≡ 1 mod n (else the permutation
+        // is the identity and the copy is verbatim). Indexing the
+        // filtered list by i — not first-fit from slot i — keeps
+        // strides distinct across copies even when early primes are
+        // unusable (first-fit let copy 1 and copy 2 both land on 7
+        // whenever 5 | n, planting the exact cross-copy duplicates
+        // this permutation exists to prevent).
+        .withColumn("_u", expr(
+          s"filter($P, p -> _n % p != 0 AND p % _n != 1)"))
+        // branch-guarded: i % size(_u) divides by zero under ANSI when
+        // no prime is usable (tiny n) — those rows keep the original
+        .withColumn("_p", when(size(col("_u")) > 0, expr(
+          s"element_at(_u, int($i % size(_u)) + 1)")))
         .withColumn("text",
-          when(lit(i) === 0 || col("_n") < 2 || col("_p").isNull,
+          when(lit(i) === 0 || col("_n") < 2 ||
+              size(col("_u")) === 0 || col("_p").isNull,
             col("text"))
           .otherwise(expr(
             "array_join(transform(sequence(0, _n - 1), " +
               "j -> element_at(_w, int(pmod(j * _p, _n)) + 1)), ' ')")))
-        .drop("_w", "_n", "_p")))
+        .drop("_w", "_n", "_u", "_p")))
 
     // embeddings: shift ids, rotate vector elements per copy (norm-
     // preserving decorrelation)

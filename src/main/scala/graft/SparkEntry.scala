@@ -134,7 +134,10 @@ object SparkEntry {
       val b = s.read.jdbc(url,
         s"""(SELECT MIN("o_orderkey") lo, MAX("o_orderkey") hi """ +
           s"FROM orders_site$i) b", props).collect()(0)
-      s.read.jdbc(url, s"orders_site$i", "o_orderkey",
+      // an empty fragment yields NULL bounds — read it unpartitioned
+      // (nothing to parallelize) instead of feeding 0L to the ranges
+      if (b.isNullAt(0)) s.read.jdbc(url, s"orders_site$i", props)
+      else s.read.jdbc(url, s"orders_site$i", "o_orderkey",
         b.getLong(0), b.getLong(1), 4, props)
     }
     val orders = sites.reduce(_ unionByName _)
@@ -1637,7 +1640,8 @@ object SparkEntry {
     // captured coefficients.
     val d = t(s, dir, "documents")
     val seed = TextFunctions.qualityScore(col("text")) >= 0.72
-    val model = graft.operators.QualityModel.train(d, col("text"), seed)
+    val model = graft.operators.QualityModel.train(d, col("text"), seed,
+      col("doc_id"))
     qmLrModel.set(model)
     graft.operators.QualityModel.scoreAll(d, col("text"), model)
       .select(col("doc_id"), seed.as("label"),

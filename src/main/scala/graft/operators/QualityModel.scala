@@ -53,24 +53,29 @@ object QualityModel {
     *
     * Scale contract: the corpus is touched by exactly ONE bounded
     * Spark job — a TakeOrdered selecting the `sampleN` rows with the
-    * smallest `xxhash64` of the projected (label, features) row (the
-    * [[Similarity.trainCentroids]] discipline: a seeded,
-    * order-independent sample; hash ties are near-certainly identical
-    * projected rows, so the training multiset is well-defined). LBFGS
-    * then iterates over the driver-local sample, so training cost is
-    * independent of corpus size — previously every iteration was a
-    * full corpus pass, the classic scale-killer for a filter that
-    * should cost one projection. A 4096-row sample is far past the
-    * statistical needs of a 4-feature linear model. */
-  def train(docs: DataFrame, text: Column, label: Column,
+    * smallest `xxhash64` of the caller's UNIQUE row key (the
+    * [[Similarity.trainCentroids]] discipline — it hashes vec_id, not
+    * the vector). Hashing the key, not the projected row, matters
+    * twice: duplicate-heavy corpora (boilerplate pages share one
+    * (label, features) value by the thousands) would otherwise
+    * collapse the sample onto a few duplicate groups, and equal sort
+    * keys at the limit boundary would make the selection
+    * layout-dependent. LBFGS then iterates over the driver-local
+    * sample, so training cost is independent of corpus size —
+    * previously every iteration was a full corpus pass, the classic
+    * scale-killer for a filter that should cost one projection. A
+    * 4096-row sample is far past the statistical needs of a 4-feature
+    * linear model. */
+  def train(docs: DataFrame, text: Column, label: Column, key: Column,
       sampleN: Int = 4096): Model = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
     val spark = docs.sparkSession
     val sample: Array[(Double, Seq[Double])] = docs
       .select(label.cast("double").as("label"),
-        array(features(text).map(_._2.cast("double")): _*).as("f"))
-      .orderBy(xxhash64(col("label"), col("f")))
+        array(features(text).map(_._2.cast("double")): _*).as("f"),
+        key.as("k"))
+      .orderBy(xxhash64(col("k")), col("k"))
       .limit(sampleN)
       .collect()
       .map(r => (r.getDouble(0), r.getSeq[Double](1)))

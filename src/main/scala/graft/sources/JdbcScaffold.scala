@@ -23,14 +23,26 @@ import org.apache.spark.sql.functions._
 object JdbcScaffold {
 
   /** Build (once) and return the JDBC url of the site database seeded
-    * from `sfDir`'s parquet tables. */
+    * from `sfDir`'s parquet tables. The memo key hashes the SOURCE
+    * CONTENT signature (path + size + mtime of every seeded parquet),
+    * not just the path — the driver regenerating the testdata between
+    * rounds is a real, recurring event (round 6 died to one), and a
+    * path-keyed marker would silently serve the stale database while
+    * the oracle reads the fresh parquet. A reaped db directory with a
+    * surviving marker also rebuilds. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val sig = Seq("orders", "customer", "nation", "region")
+      .map { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        s"$sfDir/$t:${f.length}:${f.lastModified}"
+      }
+      .mkString("|")
     val key = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir) & 0x7fffffff)
+      scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffff)
     val dbDir = s"/tmp/graft_derby_$key"
     val url = s"jdbc:derby:$dbDir"
     val marker = new java.io.File(s"$dbDir.done")
-    if (marker.exists()) return url
+    if (marker.exists() && new java.io.File(dbDir).isDirectory) return url
     deleteRec(new java.io.File(dbDir))
     val createUrl = s"$url;create=true"
     val props = new java.util.Properties()

@@ -335,7 +335,7 @@ object DocsStream {
     val seed = graft.functions.TextFunctions
       .qualityScore(col("text")) >= 0.72
     val model = graft.operators.QualityModel.train(
-      batch, col("text"), seed)
+      batch, col("text"), seed, col("doc_id"))
     val q = qualityFilterStream(readDocsStream(spark, sfDir), model,
         graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72)
       .writeStream

@@ -267,8 +267,10 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unpartitioned window over candidate rows:\n" +
         unpartitioned.mkString("\n"))
     // and the strict-sweep window itself exists, bucket-partitioned
-    assert("AS _lpfx\\S*\\], \\[_bkt".r.findFirstIn(p).isDefined ||
-      p.contains("AS _lpfx"), s"missing bucket-local sweep window:\n$p")
+    // (no contains() fallback — a disjunct on 'AS _lpfx' alone would
+    // let an unpartitioned sweep pass this half of the pin)
+    assert("AS _lpfx\\S*\\], \\[_bkt".r.findFirstIn(p).isDefined,
+      s"missing bucket-partitioned sweep window:\n$p")
   }
 
   test("layout_partitioned: the year predicate is a PLANNING-TIME " +

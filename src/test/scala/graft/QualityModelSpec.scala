@@ -17,7 +17,7 @@ class QualityModelSpec extends AnyFunSuite {
   private def seed =
     graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72
 
-  private lazy val model = QualityModel.train(docs, col("text"), seed)
+  private lazy val model = QualityModel.train(docs, col("text"), seed, col("doc_id"))
 
   test("trained filter distills the hand rule well above chance") {
     val scored = QualityModel.scoreAll(docs, col("text"), model)
