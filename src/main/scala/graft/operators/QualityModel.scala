@@ -71,28 +71,44 @@ object QualityModel {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
     val spark = docs.sparkSession
-    val sample: Array[(Double, Seq[Double])] = docs
+    // sort/limit FIRST (the rank needs only the key hash), THEN
+    // project features: the four text expressions (tokenize + three
+    // regex scans) run on sampleN rows, not the whole corpus. Rows
+    // with a NULL label or NULL feature (null text) carry no training
+    // signal and would NPE the Row getters — dropped after selection
+    // so the sample stays key-deterministic.
+    val sample: Array[(Double, Seq[Double], String)] = docs
+      .orderBy(xxhash64(key), key)
+      .limit(sampleN)
       .select(label.cast("double").as("label"),
         array(features(text).map(_._2.cast("double")): _*).as("f"),
-        key.as("k"))
-      .orderBy(xxhash64(col("k")), col("k"))
-      .limit(sampleN)
+        key.cast("string").as("k"))
+      .filter(col("label").isNotNull &&
+        !expr("exists(f, x -> x IS NULL)"))
       .collect()
-      .map(r => (r.getDouble(0), r.getSeq[Double](1)))
+      .map(r => (r.getDouble(0), r.getSeq[Double](1), r.getString(2)))
+    require(sample.nonEmpty,
+      "QualityModel.train: no usable training rows (empty corpus, or " +
+        "every sampled row had a null label/feature)")
+    // the whole fix rests on key uniqueness (a duplicated key makes
+    // the limit boundary layout-dependent again) — cheap to enforce
+    // on the already-driver-local sample
+    require(sample.iterator.map(_._3).toSet.size == sample.length,
+      "QualityModel.train: key column must be unique per row")
     import spark.implicits._
     // ONE partition: every LBFGS iteration is a treeAggregate job over
     // this frame, and at 4096 rows the job's cost is pure task-launch
     // overhead — 32 tasks × ~100 iterations was most of the training
     // wall time
-    val assembled = sample.toSeq.toDF("label", "f").coalesce(1).select(
-      col("label"), array_to_vector(col("f")).as("features"))
+    val assembled = sample.toSeq.map(s => (s._1, s._2))
+      .toDF("label", "f").coalesce(1).select(
+        col("label"), array_to_vector(col("f")).as("features"))
     val lr = new LogisticRegression()
       .setMaxIter(100)
-      // 1e-4, not the 1e-6 default: every LBFGS iteration is a full
-      // treeAggregate pass over the corpus, and a distillation FILTER
-      // needs a stable decision boundary, not 6th-decimal coefficient
-      // convergence — the looser tolerance halves the iteration count
-      // with no measurable accuracy change (spec gate unchanged)
+      // 1e-4, not the 1e-6 default: a distillation FILTER needs a
+      // stable decision boundary, not 6th-decimal coefficient
+      // convergence — the looser tolerance halves the LBFGS iteration
+      // count with no measurable accuracy change (spec gate unchanged)
       .setTol(1e-4)
       .setRegParam(0.01)
       .setElasticNetParam(0.0)
