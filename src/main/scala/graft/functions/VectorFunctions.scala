@@ -161,20 +161,39 @@ object VectorFunctions {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
 
-    private def planeComponent(p: Int, d: Int): Double =
-      hyperplaneComponent(p, d)
+    // plane components are pure functions of (plane, dim): build the
+    // table ONCE per task on first eval instead of re-hashing bits×dim
+    // XXH64 calls per row (at 16 bits × 256 dims that was 4096 hashes
+    // per vector, identical for every row of the corpus). Sized to the
+    // first vector seen; rows with more dims extend it.
+    @transient private var planes: Array[Array[Double]] = _
+    private def planeTable(n: Int): Array[Array[Double]] = {
+      if (planes == null || planes(0).length < n) {
+        val t = Array.ofDim[Double](bits, n)
+        var p = 0
+        while (p < bits) {
+          var d = 0
+          while (d < n) { t(p)(d) = hyperplaneComponent(p, d); d += 1 }
+          p += 1
+        }
+        planes = t
+      }
+      planes
+    }
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val n = v.numElements()
       if (n == 0) return null
+      val t = planeTable(n)
       var sig = 0L
       var p = 0
       while (p < bits) {
+        val row = t(p)
         var dot = 0.0
         var d = 0
         while (d < n) {
-          dot += v.getFloat(d) * planeComponent(p, d)
+          dot += v.getFloat(d) * row(d)
           d += 1
         }
         if (dot >= 0) sig |= (1L << p)
@@ -183,8 +202,8 @@ object VectorFunctions {
       java.lang.Long.valueOf(sig)
     }
 
-    // Interpreted eval only (not on the per-row hot path in the ANN
-    // pipeline — signatures are computed once per vector, then joined).
+    // Interpreted eval only (the per-row work is the multiply-adds;
+    // the plane table is cached per task).
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
         : ExprCode = {
       val expr = ctx.addReferenceObj("hpsig", this,
@@ -223,9 +242,9 @@ object VectorFunctions {
       var i = 0
       val len = s.length
       while (i < len) {
-        while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && isRegexSpace(s.charAt(i))) i += 1
         val start = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isRegexSpace(s.charAt(i))) i += 1
         if (i > start) {
           val t = UTF8String.fromString(s.substring(start, i))
           tokenHashes.add(XXH64.hashUnsafeBytes(
@@ -411,7 +430,11 @@ object VectorFunctions {
       val out = new java.util.ArrayList[UTF8String](n)
       var i = 0
       while (i < n) {
-        if (i + 1 < n && arr.getUTF8String(i) == au &&
+        // a null symbol is malformed input: yield null rather than
+        // copying the null into a containsNull=false result array
+        if (arr.isNullAt(i)) return null
+        if (i + 1 < n && !arr.isNullAt(i + 1) &&
+            arr.getUTF8String(i) == au &&
             arr.getUTF8String(i + 1) == bu) {
           out.add(mu); i += 2
         } else { out.add(arr.getUTF8String(i)); i += 1 }
@@ -428,8 +451,9 @@ object VectorFunctions {
       nullSafeCodeGen(ctx, ev, v => {
         s"""
            |Object $r = $expr.nullSafeEval($v);
-           |${ev.value} =
-           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} =
+           |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
          """.stripMargin
       })
     }
@@ -596,6 +620,7 @@ object VectorFunctions {
       val ps = new Array[(Long, Int, Int)](n0)
       var i = 0
       while (i < n0) {
+        if (arr.isNullAt(i)) return null // malformed input yields null
         val r = arr.getStruct(i, 3)
         ps(i) = (r.getLong(0), r.getInt(1), r.getInt(2))
         i += 1
@@ -732,10 +757,20 @@ object VectorFunctions {
       if (n0 < 2)
         return new org.apache.spark.sql.catalyst.util.GenericArrayData(
           Array.empty[Any])
+      var ci = 0
+      while (ci < n0) { // toLongArray NPEs on null elements
+        if (arr.isNullAt(ci)) return null
+        ci += 1
+      }
       val ids = arr.toLongArray()
       java.util.Arrays.sort(ids)
       val m = math.min(n0, maxBucket)
-      val out = new Array[Any](m * (m - 1) / 2)
+      // long arithmetic: m*(m-1) overflows Int for m > 65536 and the
+      // misallocated array crashes mid-fill
+      val sz = m.toLong * (m - 1) / 2
+      require(sz <= Int.MaxValue,
+        s"capped_pairs: bucket cap $m yields $sz pairs (> 2^31)")
+      val out = new Array[Any](sz.toInt)
       var k = 0; var i = 0
       while (i < m) {
         var j = i + 1
@@ -793,6 +828,7 @@ object VectorFunctions {
       val order = new Array[Integer](n0)
       var i = 0
       while (i < n0) {
+        if (arr.isNullAt(i)) return null // malformed input yields null
         val r = arr.getStruct(i, 2)
         ids(i) = r.getLong(0); isNew(i) = r.getBoolean(1)
         order(i) = Integer.valueOf(i)
@@ -865,6 +901,7 @@ object VectorFunctions {
       val order = new Array[Integer](n0)
       var i = 0
       while (i < n0) {
+        if (arr.isNullAt(i)) return null // malformed input yields null
         val r = arr.getStruct(i, 2)
         ids(i) = r.getLong(0); sigs(i) = r.getLong(1)
         order(i) = Integer.valueOf(i)
@@ -925,6 +962,14 @@ object VectorFunctions {
       extends UnaryExpression {
     private val m = codebooks.size
     private val subDim = codebooks.head.head.size
+    // primitive copies for the hot loop: Seq.apply in the innermost
+    // dot product boxes every component (and degrades to an O(d) walk
+    // if a caller passes Lists); the case-class Seq fields stay for
+    // equality/serialization
+    @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    @transient private lazy val hnArr: Array[Array[Double]] =
+      halfNorms.map(_.toArray).toArray
     override def dataType: DataType =
       ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true
@@ -935,11 +980,11 @@ object VectorFunctions {
       val codes = new Array[Int](m)
       var mm = 0
       while (mm < m) {
-        val cb = codebooks(mm); val hn = halfNorms(mm)
+        val cb = cbArr(mm); val hn = hnArr(mm)
         var best = 0
         var bestScore = Double.NegativeInfinity
         var k = 0
-        while (k < cb.size) {
+        while (k < cb.length) {
           val c = cb(k)
           var dot = 0.0
           var d = 0
@@ -986,6 +1031,8 @@ object VectorFunctions {
       codebooks: Seq[Seq[Seq[Double]]]) extends BinaryExpression {
     private val m = codebooks.size
     private val subDim = codebooks.head.head.size
+    @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 
@@ -1000,8 +1047,8 @@ object VectorFunctions {
         val code = codes.getInt(mm)
         // corrupt/foreign code arrays yield null like every other
         // malformed input here, instead of failing the task
-        if (code < 0 || code >= codebooks(mm).size) return null
-        val c = codebooks(mm)(code)
+        if (code < 0 || code >= cbArr(mm).length) return null
+        val c = cbArr(mm)(code)
         var dot = 0.0
         var d = 0
         while (d < subDim) {
@@ -1066,6 +1113,9 @@ object VectorFunctions {
       val order = new Array[Integer](n0)
       var i = 0
       while (i < n0) {
+        // malformed input (null struct element) yields null, per the
+        // file-wide discipline — not a task-killing NPE
+        if (arr.isNullAt(i)) return null
         val r = arr.getStruct(i, 2)
         ids(i) = r.getLong(0)
         vecs(i) = if (r.isNullAt(1)) null else r.getArray(1).toFloatArray()
@@ -1095,7 +1145,11 @@ object VectorFunctions {
       while (i < m) {
         val oi = order(i); val vi = vecs(oi)
         if (vi != null && norms(oi) != 0.0) {
-          var bestId = -1L
+          // explicit found flag — an id sentinel (bestId >= 0) would
+          // silently drop members whose best neighbor has a negative
+          // id (hash-derived ids are negative half the time)
+          var found = false
+          var bestId = 0L
           var bestCos = Double.NegativeInfinity
           var j = 0
           while (j < m) {
@@ -1109,15 +1163,15 @@ object VectorFunctions {
                 }
                 val cos = dot /
                   (math.sqrt(norms(oi)) * math.sqrt(norms(oj)))
-                if (cos > bestCos ||
+                if (!found || cos > bestCos ||
                   (cos == bestCos && ids(oj) < bestId)) {
-                  bestCos = cos; bestId = ids(oj)
+                  bestCos = cos; bestId = ids(oj); found = true
                 }
               }
             }
             j += 1
           }
-          if (bestId >= 0)
+          if (found)
             out += org.apache.spark.sql.catalyst.InternalRow(
               ids(oi), bestId, bestCos)
         }
@@ -1193,17 +1247,6 @@ object VectorFunctions {
       copy(left = l, right = r)
   }
 
-  /** Count of a string-array column's elements present in a BROADCAST
-    * set — the membership primitive for decontamination-style lookups
-    * against a small reference set. Unlike a `typedLit` array (which
-    * rides inside the serialized plan and is re-walked per row by
-    * `array_intersect`), the broadcast ships once per executor and
-    * lookups are O(1) per element. The set holds `UTF8String` keys so
-    * probes compare the array's bytes in place — no per-gram String
-    * allocation in the hot loop (build the set with
-    * [[broadcastStringSet]]). Distinctness is the CALLER's contract
-    * (gram arrays are already array_distinct), so the count is the
-    * distinct-intersection size. */
   /** Filter an `array<long>` to the members of a broadcast set — the
     * long-keyed sibling of [[BroadcastMemberCount]]. Order-preserving,
     * null array → null. Used for scan-stage A-Priori pruning: each
@@ -1249,6 +1292,17 @@ object VectorFunctions {
         : Expression = copy(child = c)
   }
 
+  /** Count of a string-array column's elements present in a BROADCAST
+    * set — the membership primitive for decontamination-style lookups
+    * against a small reference set. Unlike a `typedLit` array (which
+    * rides inside the serialized plan and is re-walked per row by
+    * `array_intersect`), the broadcast ships once per executor and
+    * lookups are O(1) per element. The set holds `UTF8String` keys so
+    * probes compare the array's bytes in place — no per-gram String
+    * allocation in the hot loop (build the set with
+    * [[broadcastStringSet]]). Distinctness is the CALLER's contract
+    * (gram arrays are already array_distinct), so the count is the
+    * distinct-intersection size. */
   case class BroadcastMemberCount(child: Expression,
       members: org.apache.spark.broadcast.Broadcast[
         scala.collection.immutable.Set[
@@ -1283,10 +1337,6 @@ object VectorFunctions {
         : Expression = copy(child = c)
   }
 
-  /** Shared merge-intersection over sorted duplicate-free long arrays —
-    * the primitive behind both [[SortedIntersectCount]] (column form)
-    * and [[BroadcastJaccard]] (broadcast-map form), also used directly
-    * by the streaming dedup's in-state verification. */
   /** Scalar cosine over float arrays, replicating [[CosineSimilarity]]
     * bit-for-bit (same sequential double accumulation, one divide);
     * null for length mismatch / empty / zero norm. Shared with the
@@ -1307,6 +1357,10 @@ object VectorFunctions {
     else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
+  /** Shared merge-intersection over sorted duplicate-free long arrays —
+    * the primitive behind both [[SortedIntersectCount]] (column form)
+    * and [[BroadcastJaccard]] (broadcast-map form), also used directly
+    * by the streaming dedup's in-state verification. */
   private[graft] def mergeIntersectCount(
       x: Array[Long], y: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
@@ -1370,7 +1424,7 @@ object VectorFunctions {
 
   /** One-pass character-class census of the lowercased text:
     * (n_chars, n_alnum, n_digit, n_ws, n_words) where n_words counts
-    * non-whitespace runs and the ws class is `Character.isWhitespace` —
+    * non-whitespace runs and the ws class is the regex-`\s` set —
     * the SAME predicate `NormalizeText` (and therefore the tokenizer)
     * uses, so n_words always agrees with tokenCount, including on
     * Unicode whitespace. Replaces three separate regexp_replace passes
@@ -1383,7 +1437,7 @@ object VectorFunctions {
       StructField("n_ws", LongType, nullable = false),
       StructField("n_words", LongType, nullable = false)))
 
-    private def isWs(c: Char): Boolean = Character.isWhitespace(c)
+    private def isWs(c: Char): Boolean = isRegexSpace(c)
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toLowerCase.toString
@@ -1418,13 +1472,18 @@ object VectorFunctions {
       copy(child = c)
   }
 
-  /** One-pass text canonicalization: lowercase + collapse any whitespace
-    * run to a single space + trim. Equivalent to
-    * `trim(regexp_replace(lower(x), '\s+', ' '))` but without two regex
-    * engine passes — the normalize step sits under every fingerprint/
-    * dedup scan, so it is hot at corpus scale. */
   /** Canonicalization core shared by [[NormalizeText]] and
     * [[JaccardSim]]: lowercase + collapse whitespace runs + trim. */
+  /** The regex-`\s` character set — [ \t\n\x0B\f\r], identical in
+    * Java regex (the declarative ancestors' regexp_replace) and RE2
+    * (the DuckDB oracles). NOT Character.isWhitespace, which also
+    * matches U+2000-class Unicode spaces and would make the
+    * imperative walk diverge from both the declarative formulation
+    * and the oracle on non-ASCII whitespace. */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+
   private[graft] def normalizeStringOf(input: UTF8String): String = {
     val s = input.toLowerCase.toString
     val sb = new java.lang.StringBuilder(s.length)
@@ -1432,7 +1491,7 @@ object VectorFunctions {
     var pendingSpace = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (isRegexSpace(c)) {
         if (sb.length() > 0) pendingSpace = true
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
@@ -1443,18 +1502,6 @@ object VectorFunctions {
     sb.toString
   }
 
-  /** One-pass word-k-shingle extraction: normalize, then each k-token
-    * window as one string, first-occurrence-ordered distinct. Exactly
-    * [[graft.functions.TextFunctions.wordShingles]]' declarative
-    * semantics (< k tokens → the whole normalized text as ONE gram,
-    * so [""] for empty/null input), but imperative: the builtin HOF
-    * formulation re-evaluates its tokenizer subtree once per window
-    * position in interpreted eval (HOF lambdas don't cache non-lambda
-    * subtrees), turning a 50-token doc into 46 normalize+split+filter
-    * passes; this walks the normalized string's token offsets once and
-    * emits each gram as one substring. The shingle step sits under
-    * decontamination and common-gram scans, so it is hot at corpus
-    * scale. */
   /** Token start offsets of an already-normalized (single-spaced,
     * trimmed, non-empty) string — THE token-boundary definition,
     * shared by [[wordShinglesOf]], [[wordBigramsOf]] and
@@ -1607,6 +1654,18 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** One-pass word-k-shingle extraction: normalize, then each k-token
+    * window as one string, first-occurrence-ordered distinct. Exactly
+    * [[graft.functions.TextFunctions.wordShingles]]' declarative
+    * semantics (< k tokens → the whole normalized text as ONE gram,
+    * so [""] for empty/null input), but imperative: the builtin HOF
+    * formulation re-evaluates its tokenizer subtree once per window
+    * position in interpreted eval (HOF lambdas don't cache non-lambda
+    * subtrees), turning a 50-token doc into 46 normalize+split+filter
+    * passes; this walks the normalized string's token offsets once and
+    * emits each gram as one substring. The shingle step sits under
+    * decontamination and common-gram scans, so it is hot at corpus
+    * scale. */
   case class WordShingles(child: Expression, k: Int)
       extends UnaryExpression {
     require(k >= 1)
@@ -1646,6 +1705,11 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** One-pass text canonicalization: lowercase + collapse any whitespace
+    * run to a single space + trim. Equivalent to
+    * `trim(regexp_replace(lower(x), '\s+', ' '))` but without two regex
+    * engine passes — the normalize step sits under every fingerprint/
+    * dedup scan, so it is hot at corpus scale. */
   case class NormalizeText(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
 
@@ -1781,8 +1845,6 @@ object VectorFunctions {
           org.apache.spark.unsafe.types.UTF8String]]): Column =
     toColumn(BroadcastMemberCount(toExpression(arr), members))
 
-  /** Build the executor broadcast for [[broadcast_member_count]]:
-    * strings converted ONCE, driver-side, to UTF8String keys. */
   def long_set_filter(arr: Column,
       members: org.apache.spark.broadcast.Broadcast[
         scala.collection.immutable.Set[Long]]): Column =
@@ -1792,6 +1854,8 @@ object VectorFunctions {
       : org.apache.spark.broadcast.Broadcast[
         scala.collection.immutable.Set[Long]] =
     spark.sparkContext.broadcast(longs.toSet)
+  /** Build the executor broadcast for [[broadcast_member_count]]:
+    * strings converted ONCE, driver-side, to UTF8String keys. */
   def broadcastStringSet(
       spark: org.apache.spark.sql.SparkSession, strings: Seq[String])
       : org.apache.spark.broadcast.Broadcast[

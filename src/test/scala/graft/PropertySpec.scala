@@ -138,7 +138,10 @@ class PropertySpec extends AnyFunSuite {
     (0 until 25).foreach { i =>
       val n = 3 + i % 6
       val members: Seq[(Long, Array[Float])] = (0 until n).map { j =>
-        val id = Gen.choose(0L, 30L)
+        // ids span NEGATIVE values on purpose: hash-derived ids are
+        // negative half the time, and a found-sentinel of -1 silently
+        // dropped members whose best neighbor had a negative id
+        val id = Gen.choose(-30L, 30L)
           .apply(Gen.Parameters.default, Seed(7L * i + j)).get
         val v = (0 until 4).map(d => Gen.choose(-1.0f, 1.0f)
           .apply(Gen.Parameters.default, Seed(100L * i + 10L * j + d))
