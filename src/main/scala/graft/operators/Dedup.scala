@@ -48,6 +48,17 @@ object Dedup {
       struct(lit(b).as("band"), hash(cols: _*).as("bkey"))
     }
 
+  /** Driver-collect guard for the broadcast verification path, shared
+    * by every caller so the two load-bearing constants cannot drift:
+    * source plan stats × a conservative 8× expansion margin (the
+    * shingle multiset carries one 8-byte hash per word, bounding its
+    * bytes at ~8× the compressed text bytes) under a 256 MB ceiling.
+    * Overshooting only flips to the shuffle path early — never to an
+    * oversized driver collect. */
+  private def setsFitOnDriver(sources: DataFrame*): Boolean =
+    sources.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum *
+      8 < (256L << 20)
+
   /** Exact-Jaccard verification of distinct candidate pairs against a
     * per-doc sorted-distinct gram-set table, with the execution shape
     * picked by an estimated size guard (shared by minhashLsh and
@@ -77,11 +88,12 @@ object Dedup {
           broadcast_jaccard(col("id_a"), col("id_b"), bc))
         .filter(col("jaccard") >= threshold),
         "id_a", "id_b")
-      // unpersist (not destroy): frees the executor-side blocks now that
-      // the pairs are checkpointed, but keeps the driver-side value
-      // re-broadcastable — if a checkpointed partition is ever lost to
-      // executor death, recomputation re-fetches the broadcast instead
-      // of dying on a destroyed-broadcast SparkException
+      // unpersist (not destroy): frees the executor-side blocks now
+      // that the pairs are checkpointed. NOTE a lost checkpointed
+      // block is NOT recomputable (localCheckpoint truncates lineage —
+      // executor loss fails the job either way); unpersist-vs-destroy
+      // here is only about not racing an in-flight fetch, not a
+      // recovery path.
       bc.unpersist(blocking = false)
       pairs
     } else {
@@ -159,7 +171,11 @@ object Dedup {
     * output, or [[connectedComponents]]' closure). The near-dup
     * decision tables (minhash/simhash) share the schema but their
     * dup_of is a nearest NEIGHBOR, which chains — run the transitive
-    * closure first or classes will silently split. A null `deleted`
+    * closure first or classes will silently split. Election is
+    * MIN-ID: a [[bestRep]] (quality-elected) table satisfies the
+    * class-shape precondition but gets its representatives re-elected
+    * by id here — even with zero deletions — so quality-elected
+    * state needs a quality-aware forget, not this one. A null `deleted`
     * verdict means NOT deleted (a row is only dropped on an explicit
     * true). */
   def forget(decisions: DataFrame,
@@ -174,14 +190,6 @@ object Dedup {
         when(col("doc_id") =!= col("rep_id"), col("rep_id"))
           .as("dup_of"))
   }
-
-  /** Exploded (doc_id, shingle-hash) pairs — the working representation
-    * for MinHash and Jaccard. Shingling+hashing happens in one custom-
-    * expression pass inside the scan stage; only 8-byte hashes are ever
-    * shuffled. */
-  private def shingleTable(docs: DataFrame, shingleK: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(shingle_hashes(col("text"), shingleK)).as("sh"))
 
   /** Per-doc MinHash signature: `numHashes` independent min-hashes over
     * k-word shingle hashes, one column per hash function. Both the
@@ -227,11 +235,10 @@ object Dedup {
     // before returning (see the localCheckpoint at the end). At 100 TB
     // this is the table you'd WRITE once (bucketed by band key) and
     // reuse across incremental dedup runs.
-    val sigs = docs.select(col("doc_id"),
-      shingle_hashes(col("text"), shingleK).as("sh"))
-      .withColumn("mh", minhash_sig(col("sh"), numHashes))
-      .filter(col("mh").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature derivation shared verbatim with the persisted-index
+    // family (indexSignatures) — changing shingling or signing changes
+    // the batch operator, build, append and merge together
+    val sigs = indexSignatures(docs, shingleK, numHashes)
 
     // band key = hash of the band's signature slice (construction
     // shared with the streaming twin — see minhashBandKeys)
@@ -261,11 +268,9 @@ object Dedup {
     // its bytes by ~8× the (compressed) text bytes for any realistic
     // corpus — overshooting only flips to the shuffle path early,
     // never to an oversized driver collect.
-    val sets = sigs.select(col("doc_id"),
-      array_sort(array_distinct(col("sh"))).as("gs"))
-    val setsSmall = docs.queryExecution.optimizedPlan.stats.sizeInBytes *
-      8 < (256L << 20)
-    val pairs = verifiedJaccardPairs(sets, candidates, threshold, setsSmall)
+    val sets = indexSets(sigs)
+    val pairs = verifiedJaccardPairs(sets, candidates, threshold,
+      setsFitOnDriver(docs))
     sigs.unpersist(false)
     pairs
   }
@@ -295,29 +300,33 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sigs = docs.select(col("doc_id"), isNew.as("is_new"),
-      shingle_hashes(col("text"), shingleK).as("sh"))
-      .withColumn("mh", minhash_sig(col("sh"), numHashes))
-      .filter(col("mh").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = indexSignatures(docs, shingleK, numHashes,
+      Seq("is_new" -> isNew))
     val buckets = sigs
       .select(col("doc_id"), col("is_new"),
         explode(array(minhashBandKeys(col("mh"), bands, rows): _*))
           .as("bk"))
       .select(col("doc_id"), col("is_new"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
+    // ASYMMETRIC hot-bucket cap: new members sort first (pri 0), so a
+    // capped bucket keeps EVERY increment posting (up to the cap) plus
+    // the smallest old ids — the same old-side-only cap the persisted
+    // index merge applies. A plain min-doc_id cap under append-only
+    // monotone ids systematically evicted exactly the new rows this
+    // operator exists to match (new ids are always the largest).
     val candidates = buckets
       .groupBy("band", "bkey")
       .agg(bounded_min_collect(
-        struct(col("doc_id"), col("is_new")), maxBucket).as("ps"))
-      .select(explode(flagged_capped_pairs(col("ps"), maxBucket)).as("p"))
+        struct(when(col("is_new"), 0L).otherwise(1L).as("pri"),
+          col("doc_id"), col("is_new")), maxBucket).as("ps0"))
+      .select(explode(flagged_capped_pairs(expr(
+        "transform(ps0, x -> struct(x.doc_id AS doc_id, " +
+          "x.is_new AS is_new))"), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val sets = sigs.select(col("doc_id"),
-      array_sort(array_distinct(col("sh"))).as("gs"))
-    val setsSmall = docs.queryExecution.optimizedPlan.stats.sizeInBytes *
-      8 < (256L << 20)
-    val pairs = verifiedJaccardPairs(sets, candidates, threshold, setsSmall)
+    val sets = indexSets(sigs)
+    val pairs = verifiedJaccardPairs(sets, candidates, threshold,
+      setsFitOnDriver(docs))
     sigs.unpersist(false)
     pairs
   }
@@ -358,9 +367,10 @@ object Dedup {
     * unpersist. Changing shingling or signing here changes build,
     * append and merge together — they cannot drift apart. */
   private def indexSignatures(docs: DataFrame, shingleK: Int,
-      numHashes: Int): DataFrame =
-    docs.select(col("doc_id"),
-      shingle_hashes(col("text"), shingleK).as("sh"))
+      numHashes: Int, extra: Seq[(String, Column)] = Nil): DataFrame =
+    docs.select((col("doc_id") +:
+        extra.map { case (n, c) => c.as(n) }) :+
+        shingle_hashes(col("text"), shingleK).as("sh"): _*)
       .withColumn("mh", minhash_sig(col("sh"), numHashes))
       .filter(col("mh").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -455,46 +465,46 @@ object Dedup {
     // into JVM map entries when collected, same as any source
     val oldSets = spark.table(s"${prefix}_sets")
     val newSets = indexSets(sigs)
-    val setsSmall =
-      (oldSets.queryExecution.optimizedPlan.stats.sizeInBytes +
-        newDocs.queryExecution.optimizedPlan.stats.sizeInBytes) * 8 <
-        (256L << 20)
     val pairs = verifiedJaccardPairs(
-      oldSets.unionByName(newSets), candidates, threshold, setsSmall)
+      oldSets.unionByName(newSets), candidates, threshold,
+      setsFitOnDriver(oldSets, newDocs))
     sigs.unpersist(false)
     pairs
   }
 
-  /** Exact Jaccard for given (id_a, id_b) candidate pairs via shingle
-    * inverted join — cost proportional to candidates, not corpus².
-    * Set semantics via distributed `.distinct()` on the exploded hashes
-    * (replaces per-row O(n²) array_distinct). */
+  /** Exact Jaccard for EVERY given (id_a, id_b) candidate pair — the
+    * audit form: one output row per input pair, no threshold, cost
+    * proportional to candidates. A doc with no shingles (empty/null
+    * text, or absent from `docs` entirely) counts as the EMPTY
+    * shingle set — overlap 0 against anything non-empty and 1.0
+    * against another empty set (two empty docs are identical). Pairs
+    * NEVER silently vanish: the previous inner-join formulation
+    * dropped any pair with a shingle-less side, breaking row-parity
+    * audits. Scoring shares [[graft.functions.VectorFunctions
+    * .SortedIntersectCount]] with the threshold verifier so the edge
+    * semantics cannot drift. */
   def verifyJaccard(
-      docs: DataFrame, candidates: DataFrame, shingleK: Int): DataFrame =
-    verifyJaccardFrom(shingleTable(docs, shingleK).distinct(), candidates)
-
-  private def verifyJaccardFrom(
-      sh: DataFrame, candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-
-    val common = candidates
-      .join(sh.withColumnRenamed("doc_id", "id_a").as("sa"), Seq("id_a"))
-      .join(sh.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("sh", "sh_b").as("sb"), Seq("id_b"))
-      .filter(col("sh") === col("sh_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
-
+      docs: DataFrame, candidates: DataFrame, shingleK: Int): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), array_sort(array_distinct(
+        shingle_hashes(col("text"), shingleK))).as("gs"))
+      .filter(col("gs").isNotNull)
+    val emptyArr = array().cast("array<bigint>")
     candidates
-      .join(common, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .join(sets.select(col("doc_id").as("id_a"), col("gs").as("gs_a")),
+        Seq("id_a"), "left")
+      .join(sets.select(col("doc_id").as("id_b"), col("gs").as("gs_b")),
+        Seq("id_b"), "left")
+      .withColumn("gs_a", coalesce(col("gs_a"), emptyArr))
+      .withColumn("gs_b", coalesce(col("gs_b"), emptyArr))
+      .withColumn("n_a", size(col("gs_a")).cast("long"))
+      .withColumn("n_b", size(col("gs_b")).cast("long"))
+      .withColumn("n_common",
+        sorted_intersect_count(col("gs_a"), col("gs_b")).cast("long"))
       .select(col("id_a"), col("id_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        when(col("n_a") + col("n_b") === 0, lit(1.0))
+          .otherwise(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
   }
 
@@ -505,6 +515,14 @@ object Dedup {
     * their sub-representatives (full transitive closure would iterate
     * to a fixpoint; near-dup clusters are overwhelmingly stars in
     * practice, so one round is the standard scale/quality tradeoff). */
+  // PRECONDITION (shared with connectedComponents): every id in
+  // `pairs` must appear in `docs` — a pair id outside the corpus
+  // yields a dup_of pointing at a representative that has no row
+  // (and, in the closure, severs propagation through the missing
+  // node, splitting components). Pairs are produced by the operators
+  // above from the same corpus, which guarantees this by
+  // construction; callers filtering `docs` AFTER pair generation
+  // must re-filter the pairs too.
   def decisionsFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
       .unionByName(

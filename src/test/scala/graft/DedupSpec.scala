@@ -87,6 +87,44 @@ class DedupSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("increment hot-bucket cap never evicts the increment: new " +
+      "members survive even when their ids are the bucket's largest") {
+    // 12 identical old docs (ids 1..12) + 1 identical NEW doc with the
+    // LARGEST id — every posting lands in the same buckets. With
+    // maxBucket=10 a min-id cap would keep only old ids and emit no
+    // pair for the increment; the asymmetric cap keeps the new
+    // posting (pri 0) plus the smallest old ids.
+    val same = "alpha beta gamma delta epsilon zeta eta theta"
+    val hot = ((1L to 12L).map(i => (i, same)) :+ (100L, same))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshIncrement(hot, col("doc_id") === 100L,
+        threshold = 0.8, maxBucket = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "increment's near-dups were cap-evicted")
+    assert(pairs.forall { case (a, b) => a == 100L || b == 100L })
+    assert(pairs.length == 9, s"expected 9 kept-old partners: $pairs")
+  }
+
+  test("verifyJaccard: one row per candidate pair — shingle-less and " +
+      "absent docs score as empty sets, never vanish") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "the quick brown fox jumps over it"),
+      (3L, ""),                       // no shingles
+      (4L, "")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (3L, 4L), (1L, 99L))
+      .toDF("id_a", "id_b")           // 99 absent from docs entirely
+    val r = Dedup.verifyJaccard(d, cand, shingleK = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    assert(r.size == 4, s"row parity broken: $r")
+    assert(r((1L, 2L)) == 1.0)
+    assert(r((1L, 3L)) == 0.0)   // empty vs non-empty
+    assert(r((3L, 4L)) == 1.0)   // two empty docs are identical
+    assert(r((1L, 99L)) == 0.0)  // absent doc = empty set
+  }
+
   test("persisted index merge ≡ re-derive-everything increment; " +
       "index side is shuffle-free") {
     val isNew = col("doc_id") % 2 === 1 // new {1,3,5} / old {2,4}
