@@ -32,6 +32,11 @@ object Similarity {
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine_sim(col("q_emb"), col("embedding")).as("cosine"))
+      // an unscorable pair (zero-norm / malformed embedding → null
+      // cosine) is NOT a neighbor: without this filter a query with
+      // fewer than k scorable neighbors padded its result with
+      // cosine=null rows, which downstream rerankers then consumed
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -53,9 +58,14 @@ object Similarity {
       k: Int = 10,
       bits: Int = 16,
       bands: Int = 8): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     require(bits % bands == 0)
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
+    // Scala masks shift counts mod 64, so (1L << 64) - 1 would be 0 —
+    // a 64-bit band must mask to ALL bits, not none (bits=64, bands=1
+    // otherwise silently collapsed every vector into one bucket: a
+    // full cross product wearing an LSH label)
+    val mask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
 
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
@@ -75,6 +85,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
+      .filter(col("cosine").isNotNull) // unscorable ≠ a ranked neighbor
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -83,19 +94,6 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF (inverted-file) approximate top-k: the corpus is clustered into
-    * `nCentroids` lists; a query scans only its `nProbe` closest lists,
-    * so scan cost drops to ~nProbe/nCentroids of the corpus.
-    *
-    * The centroid "model" is deliberately tiny and deterministic, and is
-    * trained on a SAMPLE: the `sampleN` vectors with the smallest
-    * xxhash64(vec_id) (a seeded, order-independent sample) are collected
-    * once, then `refineIters` Lloyd steps run driver-side on that sample
-    * — standard practice for IVF index build (train on a sample, assign
-    * distributed) and exactly ONE Spark job for the whole model, versus
-    * one full-corpus assignment + recenter shuffle per iteration. At
-    * 100 TB the distributed assignment pass is one scan and the cluster
-    * id becomes a partition/bucket column for the written index. */
   /** Train the tiny deterministic IVF centroid model: the `sampleN`
     * vectors with the smallest xxhash64(vec_id) (a seeded,
     * order-independent sample) are collected once, then `refineIters`
@@ -109,12 +107,20 @@ object Similarity {
       nCentroids: Int = 16,
       refineIters: Int = 5,
       sampleN: Int = 1024): Seq[Seq[Float]] = {
-    val sample: Array[Array[Double]] = corpus
+    // null embeddings are excluded at the source; rows whose dimension
+    // disagrees with the sample head are dropped after collect — one
+    // malformed row among ~1024 must not kill the index build when
+    // every distributed scorer maps the same inputs to null
+    val raw: Array[Array[Double]] = corpus
+      .filter(col("embedding").isNotNull)
       .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h")
       .limit(math.max(sampleN, nCentroids))
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample: Array[Array[Double]] =
+      if (raw.isEmpty) raw
+      else raw.filter(_.length == raw.head.length)
 
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -179,12 +185,18 @@ object Similarity {
       codebookSize: Int = 16,
       refineIters: Int = 10,
       sampleN: Int = 1024): Option[PqModel] = {
-    val sample: Array[Array[Double]] = corpus
+    // same sample hygiene as trainCentroids: nulls excluded at the
+    // source, off-dimension rows dropped after collect
+    val raw: Array[Array[Double]] = corpus
+      .filter(col("embedding").isNotNull)
       .select(col("embedding"), xxhash64(col("vec_id")).as("h"))
       .orderBy("h")
       .limit(math.max(sampleN, codebookSize))
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample: Array[Array[Double]] =
+      if (raw.isEmpty) raw
+      else raw.filter(_.length == raw.head.length)
     if (sample.isEmpty) return None
     val dim = sample(0).length
     require(dim % numSubspaces == 0,
@@ -245,7 +257,6 @@ object Similarity {
       codebookSize: Int = 16,
       rerank: Int = 64,
       model: Option[PqModel] = None): DataFrame = {
-    import graft.functions.VectorFunctions.{pq_adc, pq_encode}
     val pq = model.orElse(trainPq(corpus, numSubspaces, codebookSize))
       .getOrElse(return bruteForceTopK(corpus, queries, k))
 
@@ -334,7 +345,6 @@ object Similarity {
       rerank: Int = 64,
       ivfModel: Option[Seq[Seq[Float]]] = None,
       pqModel: Option[PqModel] = None): DataFrame = {
-    import graft.functions.VectorFunctions.{pq_adc, pq_encode}
     val cents = ivfModel.getOrElse(trainCentroids(corpus, nCentroids))
     val pq = pqModel.orElse(trainPq(corpus))
       .getOrElse(return bruteForceTopK(corpus, queries, k))
@@ -410,11 +420,16 @@ object Similarity {
   private def probeTopK(indexed: DataFrame, queries: DataFrame,
       cents: Seq[Seq[Float]], k: Int, nProbe: Int): DataFrame = {
     val probes = probesFor(queries, cents, nProbe)
+    // no .distinct(): each neighbor lives in exactly ONE cluster and a
+    // probe list holds distinct cluster ids, so (query, neighbor)
+    // pairs are unique by construction — the dedup exchange the LSH
+    // path genuinely needs (multi-band collisions) was pure copy-paste
+    // cost here. Unscorable pairs (null cosine) are not neighbors.
     val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
-      .distinct()
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -422,6 +437,19 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is clustered into
+    * `nCentroids` lists; a query scans only its `nProbe` closest lists,
+    * so scan cost drops to ~nProbe/nCentroids of the corpus.
+    *
+    * The centroid "model" is deliberately tiny and deterministic, and is
+    * trained on a SAMPLE: the `sampleN` vectors with the smallest
+    * xxhash64(vec_id) (a seeded, order-independent sample) are collected
+    * once, then `refineIters` Lloyd steps run driver-side on that sample
+    * — standard practice for IVF index build (train on a sample, assign
+    * distributed) and exactly ONE Spark job for the whole model, versus
+    * one full-corpus assignment + recenter shuffle per iteration. At
+    * 100 TB the distributed assignment pass is one scan and the cluster
+    * id becomes a partition/bucket column for the written index. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -465,15 +493,21 @@ object Similarity {
   def mmrRerank(candidates: DataFrame, k: Int): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // a candidate with no relevance score cannot be ranked — drop it
+    // here instead of NPE-ing the driver collect; unscorable pairwise
+    // cosines (zero-norm/malformed embeddings) floor to -2.0, below
+    // any real cosine, so they never dominate the diversity penalty
+    // (the withCluster convention)
     val c = candidates.select(col("vec_id").cast("long"),
       col("rel").cast("double"), col("embedding"))
+      .filter(col("rel").isNotNull)
     val rels = c.select("vec_id", "rel").collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
     val a = c.select(col("vec_id").as("ai"), col("embedding").as("ae"))
     val b = c.select(col("vec_id").as("bi"), col("embedding").as("be"))
     val sims = a.join(b, col("ai") =!= col("bi"))
       .select(col("ai"), col("bi"),
-        cosine_sim(col("ae"), col("be")).as("sim"))
+        coalesce(cosine_sim(col("ae"), col("be")), lit(-2.0)).as("sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
       .toMap
     var selected = Vector.empty[Long]
@@ -484,7 +518,7 @@ object Similarity {
     while (rank <= k && remaining.nonEmpty) {
       val scored = remaining.toSeq.map { case (id, rel) =>
         val pen = if (selected.isEmpty) 0e0
-          else selected.map(s => sims((id, s))).max
+          else selected.map(s => sims.getOrElse((id, s), -2.0)).max
         (7e-1 * rel - 3e-1 * pen, id, rel)
       }
       // argmax, tie-break score desc then id asc
