@@ -249,6 +249,42 @@ object Similarity {
     * vectors and combines with the IVF cluster column for a classic
     * IVF-PQ index; here the two stages are separate operators.
     * Output schema matches the other ANN paths. */
+  /** Shared ADC-then-exact rerank tail for the PQ paths: candidates
+    * rank by ADC on SKINNY rows — (query_id, neighbor_id, adc) only,
+    * so the full embeddings never enter the ranking exchange and PQ's
+    * codes-only candidate-scan advantage survives the plan (carrying
+    * c_emb/q_emb through this window moved every full vector anyway,
+    * nullifying the ~64× compression the operator exists for) — then
+    * the ≤`rerank` survivors join back to the corpus embeddings, the
+    * queries broadcast, and the exact cosine picks the final top-k.
+    * ONE implementation for pqTopK and ivfPqTopK so the prelim bound
+    * and both tie-breaks cannot drift. Unscorable exact cosines
+    * (zero-norm/malformed) drop before the final ranking, as in every
+    * other ANN path. */
+  private def adcRerankTopK(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, rerank: Int, k: Int): DataFrame = {
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val survivors = cand
+      .select("query_id", "neighbor_id", "adc")
+      .withColumn("prelim", row_number().over(wAdc))
+      .filter(col("prelim") <= rerank)
+      .select("query_id", "neighbor_id")
+    val reranked = survivors
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -260,29 +296,17 @@ object Similarity {
     val pq = model.orElse(trainPq(corpus, numSubspaces, codebookSize))
       .getOrElse(return bruteForceTopK(corpus, queries, k))
 
+    // codes-only candidate frame: the scan carries the code table and
+    // the broadcast query vectors, never the corpus embeddings
     val indexed = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"),
       pq_encode(col("embedding"), pq.codebooks, pq.halfNorms).as("codes"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-
     val cand = indexed.join(broadcast(q),
         col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
-        pq_adc(col("q_emb"), col("codes"), pq.codebooks).as("adc"),
-        col("q_emb"))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val reranked = cand
-      .withColumn("prelim", row_number().over(wAdc))
-      .filter(col("prelim") <= rerank)
       .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    reranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+        pq_adc(col("q_emb"), col("codes"), pq.codebooks).as("adc"))
+    adcRerankTopK(cand, corpus, queries, rerank, k)
   }
 
   /** Corpus-side IVF cluster assignment (argmax centroid cosine;
@@ -351,29 +375,16 @@ object Similarity {
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k)
 
     val indexed = withCluster(corpus, cents)
-      .select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"), col("cluster_id"),
+      .select(col("vec_id").as("neighbor_id"), col("cluster_id"),
         pq_encode(col("embedding"), pq.codebooks, pq.halfNorms)
           .as("codes"))
     val probes = probesFor(queries, cents, nProbe)
     // each neighbor lives in exactly one cluster → no duplicate pairs
     val cand = indexed.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
-        col("q_emb"),
-        pq_adc(col("q_emb"), col("codes"), pq.codebooks).as("adc"))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val reranked = cand
-      .withColumn("prelim", row_number().over(wAdc))
-      .filter(col("prelim") <= rerank)
       .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("q_emb"), col("c_emb")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    reranked.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy("query_id", "rank")
+        pq_adc(col("q_emb"), col("codes"), pq.codebooks).as("adc"))
+    adcRerankTopK(cand, corpus, queries, rerank, k)
   }
 
   /** Persist the IVF index: the corpus with its cluster assignment,
