@@ -6724,10 +6724,11 @@ object SparkEntry {
          |     + CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS band
          |  FROM q JOIN bk ON bk.k = q.doc_id)
          |SELECT doc_id, band, quality FROM b
-         |WHERE (band = 0 AND bucket < 1000)
+         |WHERE quality IS NOT NULL
+         |  AND ((band = 0 AND bucket < 1000)
          |   OR (band = 1 AND bucket < 3000)
          |   OR (band = 2 AND bucket < 6000)
-         |   OR band = 3
+         |   OR band = 3)
          |ORDER BY doc_id""".stripMargin,
     // Forget propagation: the oracle re-runs dedup from scratch on
     // the SURVIVING corpus — equality proves the decision-table-only

@@ -29,14 +29,17 @@ import org.apache.spark.sql.types._
   *
   * Semantics: exactly `array_sort(collect_list(e))` truncated to its
   * `max` smallest elements by key, where the key is the element itself
-  * (LONG child) or its first field (STRUCT child with a leading LONG) —
-  * i.e. the same retained set as the pair generators' sort-by-doc_id +
-  * truncate cap ([[VectorFunctions.CappedPairs]] etc.), computed
-  * without ever materializing the uncapped bucket. Output order is
-  * ascending by key. Keys are assumed unique within a group (true for
-  * every dedup bucket: a doc posts at most once per band key); with
-  * duplicate keys the retained payloads among ties are
-  * arrival-order-dependent.
+  * (LONG child) or the tuple of its LEADING LONG FIELDS compared
+  * lexicographically (STRUCT child — the key prefix ends at the first
+  * non-LONG field) — i.e. the same retained set as the pair
+  * generators' sort-by-doc_id + truncate cap
+  * ([[VectorFunctions.CappedPairs]] etc.), computed without ever
+  * materializing the uncapped bucket. Output order is ascending by
+  * key. The long-prefix key is assumed unique and non-null within a
+  * group (true for every dedup bucket: a doc posts at most once per
+  * band key, and priority-tagged callers put the unique doc_id right
+  * after the tag); with fully-duplicate keys the retained payloads
+  * among ties are arrival-order-dependent.
   */
 case class BoundedMinCollect(
     child: Expression,
@@ -67,16 +70,32 @@ case class BoundedMinCollect(
   override def nullable: Boolean = false
   override def prettyName: String = "bounded_min_collect"
 
-  @transient private lazy val keyOf: Any => Long = child.dataType match {
-    case LongType => a => a.asInstanceOf[Long]
-    case _ => a => a.asInstanceOf[InternalRow].getLong(0)
-  }
   @transient private lazy val copyOf: Any => Any = child.dataType match {
     case _: StructType => a => a.asInstanceOf[InternalRow].copy()
     case _ => identity
   }
   @transient private lazy val cmp: java.util.Comparator[Any] =
-    (a: Any, b: Any) => java.lang.Long.compare(keyOf(a), keyOf(b))
+    child.dataType match {
+      case LongType =>
+        (a: Any, b: Any) =>
+          java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case s: StructType =>
+        // lexicographic over the leading run of LONG fields, so a
+        // (pri, doc_id, …) key breaks pri ties deterministically by
+        // doc_id instead of by arrival order
+        val keyLen = s.fields.iterator.takeWhile(_.dataType == LongType).size
+        (a: Any, b: Any) => {
+          val ra = a.asInstanceOf[InternalRow]
+          val rb = b.asInstanceOf[InternalRow]
+          var i = 0
+          var c = 0
+          while (c == 0 && i < keyLen) {
+            c = java.lang.Long.compare(ra.getLong(i), rb.getLong(i))
+            i += 1
+          }
+          c
+        }
+    }
   @transient private lazy val proj: UnsafeProjection =
     UnsafeProjection.create(Array(child.dataType))
   @transient private lazy val wrapper = new GenericInternalRow(1)

@@ -162,23 +162,28 @@ object VectorFunctions {
     override def nullable: Boolean = true
 
     // plane components are pure functions of (plane, dim): build the
-    // table ONCE per task on first eval instead of re-hashing bits×dim
+    // table ONCE per JVM on first eval instead of re-hashing bits×dim
     // XXH64 calls per row (at 16 bits × 256 dims that was 4096 hashes
     // per vector, identical for every row of the corpus). Sized to the
-    // first vector seen; rows with more dims extend it.
-    @transient private var planes: Array[Array[Double]] = _
+    // first vector seen; rows with more dims extend it. The codegen
+    // path shares ONE expression instance across all tasks in the JVM
+    // (addReferenceObj), so the cache must publish safely: volatile,
+    // built into a local and assigned once — a concurrent double-build
+    // wastes a few hashes, an unsafely published half-built table
+    // would silently corrupt signatures.
+    @transient @volatile private var planes: Array[Array[Double]] = _
     private def planeTable(n: Int): Array[Array[Double]] = {
-      if (planes == null || planes(0).length < n) {
-        val t = Array.ofDim[Double](bits, n)
-        var p = 0
-        while (p < bits) {
-          var d = 0
-          while (d < n) { t(p)(d) = hyperplaneComponent(p, d); d += 1 }
-          p += 1
-        }
-        planes = t
+      val cached = planes
+      if (cached != null && cached(0).length >= n) return cached
+      val t = Array.ofDim[Double](bits, n)
+      var p = 0
+      while (p < bits) {
+        var d = 0
+        while (d < n) { t(p)(d) = hyperplaneComponent(p, d); d += 1 }
+        p += 1
       }
-      planes
+      planes = t
+      t
     }
 
     override def nullSafeEval(input: Any): Any = {

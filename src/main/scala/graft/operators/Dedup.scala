@@ -314,6 +314,10 @@ object Dedup {
     // index merge applies. A plain min-doc_id cap under append-only
     // monotone ids systematically evicted exactly the new rows this
     // operator exists to match (new ids are always the largest).
+    // bounded_min_collect orders lexicographically over the leading
+    // LONG fields, so (pri, doc_id) ties break by doc_id — which old
+    // (and, past the cap, which new) ids survive is deterministic,
+    // not partition-arrival-order-dependent.
     val candidates = buckets
       .groupBy("band", "bkey")
       .agg(bounded_min_collect(

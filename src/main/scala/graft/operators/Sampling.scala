@@ -149,7 +149,15 @@ object Sampling {
     * expression over the score, the verdict a pure function of the
     * key, and re-running per-shard admits exactly the same rows. No
     * global sort, no ntile, no RNG — at 100 TB the rebalance costs
-    * one projection. */
+    * one projection.
+    *
+    * Rows whose score is NULL (unscorable: null text, failed feature
+    * extraction) are DROPPED before banding, matching the repo-wide
+    * treat-malformed-as-unscorable discipline (cf. the ANN paths
+    * filtering null cosines) — without the filter a null comparison
+    * would silently band them as worst-quality and keep keepFrac(0)
+    * of them. Callers that want to keep unscorable rows should score
+    * them explicitly (e.g. `coalesce(score, lit(0.0))`). */
   def qualityRebalance(df: DataFrame, quality: Column, key: Column,
       cutoffs: Seq[Double], keepFrac: Seq[Double]): DataFrame = {
     require(keepFrac.size == cutoffs.size + 1,
@@ -164,7 +172,8 @@ object Sampling {
       .foldLeft(lit(false)) { case (acc, (f, i)) =>
         when(band === i, b < (f * Buckets).toLong).otherwise(acc)
       }
-    df.withColumn("quality", quality)
+    df.filter(quality.isNotNull)
+      .withColumn("quality", quality)
       .withColumn("band", band)
       .filter(kept)
   }

@@ -83,6 +83,35 @@ class BoundedCollectSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("struct child: duplicate leading field breaks ties by the NEXT " +
+      "long field, independent of partitioning") {
+    // the incremental-LSH asymmetric cap keys on (pri∈{0,1}, doc_id):
+    // with the old single-field comparator, which rows survived a
+    // capped bucket among same-pri ties was arrival-order-dependent.
+    // Now the comparator is lexicographic over the leading long run,
+    // so the retained set must be the sort-by-(pri,doc_id) prefix —
+    // identically for ANY physical layout.
+    val base = (0 until 4000).map { i =>
+      (i % 5, (i % 3 == 0).compareTo(false).toLong, // pri 0 or 1
+        (i * 48271L) % 99991)
+    }
+    val want = base.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(30)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = base.toDF("g", "pri", "doc_id").repartition(parts)
+        .groupBy("g")
+        .agg(bounded_min_collect(
+          struct(col("pri"), col("doc_id")), 30).as("ps"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(p => (p.getLong(0), p.getLong(1))))
+        .toMap
+      assert(got === want, s"parts=$parts")
+    }
+  }
+
   test("empty groups and null inputs") {
     val ndf = Seq((0, Some(5L)), (0, None), (1, None))
       .toDF("g", "k")

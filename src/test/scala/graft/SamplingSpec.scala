@@ -207,4 +207,19 @@ class SamplingSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(sharded == rows.map(_._1).toSet)
   }
+
+  test("qualityRebalance: null-quality rows are dropped, not banded " +
+      "as worst") {
+    // unscorable rows (null score from a scorer that can't rate the
+    // row) must not silently land in band 0 and survive at
+    // keepFrac(0) — they are filtered before banding, like the ANN
+    // paths filter null cosines
+    val df = Seq((1L, Option(0.9)), (2L, None),
+        (3L, Option(0.1)), (4L, None))
+      .toDF("doc_id", "score")
+    val out = Sampling.qualityRebalance(df, col("score"), col("doc_id"),
+      Seq(0.5), Seq(1.0, 1.0)) // keep everything scorable
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"null-text rows leaked: $kept")
+  }
 }
