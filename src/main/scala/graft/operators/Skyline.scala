@@ -21,18 +21,31 @@ import org.apache.spark.sql.functions._
   *     a driver action). Floor quantization is monotone, so a strictly
   *     earlier bucket means a strictly smaller `minCol`; any row at or
   *     below the running max of `maxCol` over strictly-earlier buckets
-  *     is provably dominated and dropped where it sits. The running
-  *     max is computed on the B-row bucket-stats frame — the only
-  *     window over a global order runs on ≤ B rows.
-  *  2. **Exact pass (bucket-local).** Survivors get the textbook
-  *     sweep: keep a row iff it holds its equal-`minCol` group's best
-  *     `maxCol` AND strictly beats the prefix max over all strictly
-  *     smaller `minCol` values. The sweep is decomposed so it never
-  *     needs a global order: a per-(bucket, value) hash aggregate,
-  *     a per-bucket window over the bucket's DISTINCT values, and the
-  *     cross-bucket prefix from step 1 — even a corpus whose frontier
-  *     is the whole table (anti-correlated criteria) sorts at most
-  *     one bucket's distinct values per partition.
+  *     is provably dominated and dropped where it sits. Bucket stats
+  *     (max + count) are a B-row frame (B ≤ `buckets`), collected to
+  *     the driver — the one bounded driver action — where the running
+  *     prefix max is computed and rebroadcast as a literal relation.
+  *  2. **Exact pass, shape chosen by MEASURED skew.** The bucket
+  *     counts give a sound upper bound on surviving candidates: a
+  *     pruned row's `maxCol` is strictly below every candidate's in
+  *     its own or any later bucket, so only rows in buckets with
+  *     `_bmax > _pfx` can survive. When that bound is ≤
+  *     `singleSweepMax`, the textbook single-order sweep runs — ONE
+  *     window over the global `minCol` order on a set proven small
+  *     (the "all data to a single partition" plan is safe exactly
+  *     because the partition is provably tiny). Otherwise — the
+  *     adversarial regime: an all-frontier corpus where most of the
+  *     table survives pruning — the sweep is decomposed so it never
+  *     needs a global order: a per-(bucket, value) hash aggregate, a
+  *     per-bucket window over the bucket's DISTINCT values, and the
+  *     cross-bucket prefix from step 1; even a corpus whose frontier
+  *     is the whole table sorts at most one bucket's distinct values
+  *     per partition.
+  *
+  * Soundness of sweeping candidates only (both shapes): if p was
+  * pruned then p.max ≤ _pfx(p.bkt) ≤ _pfx(c.bkt) < c.max for every
+  * candidate c in p's bucket or later (candidates strictly beat their
+  * bucket's prefix), so no pruned row can dominate a candidate.
   *
   * Contract: both criteria columns must be integral (cents/micros the
   * caller scales) — the strict-prefix RANGE frame relies on it.
@@ -40,7 +53,8 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   def skyline2d(df: DataFrame, minCol: String, maxCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024, singleSweepMax: Long = 100000): DataFrame = {
+    val spark = df.sparkSession
     val bounds = df.agg(min(col(minCol).cast("long")).as("_lo"),
       max(col(minCol).cast("long")).as("_hi"))
     val withB = df.crossJoin(broadcast(bounds)) // 1 row by construction
@@ -48,45 +62,86 @@ object Skyline {
         when(col("_hi") === col("_lo"), lit(0L))
           .otherwise((col(minCol).cast("long") - col("_lo")) * buckets /
             (col("_hi") - col("_lo") + 1)).cast("long"))
-    val bucketStats = withB.groupBy("_bkt")
-      .agg(max(col(maxCol).cast("long")).as("_bmax"))
-    val wb = Window.orderBy("_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prefix = bucketStats
-      .withColumn("_pfx", max(col("_bmax")).over(wb))
-      .select("_bkt", "_pfx")
+    // B ≤ `buckets` rows: the bounded driver collect that decides the
+    // exact-pass shape AND replaces the former bucket-frame window —
+    // the running prefix max is computed here and shipped back as a
+    // literal broadcast relation. Null _bkt (null minCol) sorts first,
+    // matching the former Window.orderBy("_bkt") null ordering; those
+    // rows still feed the running max but never join back (equi-join
+    // on null), exactly as before.
+    val stats = withB.groupBy("_bkt")
+      .agg(max(col(maxCol).cast("long")).as("_bmax"),
+        count(lit(1)).as("_bcnt"))
+      .collect()
+      .map { r =>
+        val bkt = if (r.isNullAt(0)) None else Some(r.getLong(0))
+        val bmax = if (r.isNullAt(1)) None else Some(r.getLong(1))
+        (bkt, bmax, r.getLong(2))
+      }
+      .sortBy(_._1.getOrElse(Long.MinValue)) // nulls first, then asc
+    // running prefix max over strictly-earlier buckets + the candidate
+    // upper bound (rows of buckets whose _bmax strictly beats _pfx)
+    var running: Option[Long] = None
+    var candUpperBound = 0L
+    val prefixRows = stats.map { case (bkt, bmax, cnt) =>
+      val pfx = running
+      if (pfx.isEmpty || bmax.exists(_ > pfx.get)) candUpperBound += cnt
+      running = (running, bmax) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      (bkt, pfx)
+    }
+    import spark.implicits._
+    val prefix = prefixRows
+      .collect { case (Some(bkt), pfx) => (bkt, pfx.map(long2Long).orNull) }
+      .toSeq.toDF("_bkt", "_pfx")
     val cand = withB.join(broadcast(prefix), Seq("_bkt"))
       .filter(col("_pfx").isNull || col(maxCol).cast("long") > col("_pfx"))
-    // Exact pass, decomposed so no stage has an unpartitioned window
-    // over an unbounded set (an adversarial all-frontier corpus used
-    // to funnel every candidate into ONE partition here):
-    //  a. per-(bucket, minCol-value) max of maxCol — a hash aggregate,
-    //     map-side combined, skew-safe;
-    //  b. the strict-prefix max over strictly smaller minCol, split
-    //     into a within-bucket part (_lpfx: a window PARTITIONED by
-    //     bucket over the bucket's DISTINCT minCol values — heavy
-    //     duplication collapses in the aggregate before any sort) and
-    //     the cross-bucket part (_pfx, already computed on the B-row
-    //     bucket frame). A strictly earlier bucket holds only strictly
-    //     smaller values (floor quantization is monotone) and equal
-    //     values always share a bucket, so the two parts cover exactly
-    //     the strictly-smaller rows — max of the two is the old
-    //     partition-less RANGE-frame result.
-    val wLocal = Window.partitionBy("_bkt").orderBy("_v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val values = cand
-      .select(col("_bkt"), col(minCol).cast("long").as("_v"),
-        col(maxCol).cast("long").as("_m"))
-      .groupBy("_bkt", "_v")
-      .agg(max(col("_m")).as("_vmax"))
-      .withColumn("_lpfx", max(col("_vmax")).over(wLocal))
-    cand
-      .withColumn("_v", col(minCol).cast("long"))
-      .join(values, Seq("_bkt", "_v"))
-      .withColumn("_spfx",
-        when(col("_pfx").isNull, col("_lpfx"))
-          .when(col("_lpfx").isNull, col("_pfx"))
-          .otherwise(greatest(col("_pfx"), col("_lpfx"))))
+    val swept =
+      if (candUpperBound <= singleSweepMax) {
+        // measured-small frontier: the classic one-order sweep — the
+        // global-order window runs on a set PROVEN ≤ singleSweepMax
+        val wEq = Window.partitionBy("_v")
+        val wPrev = Window.orderBy("_v")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        cand
+          .withColumn("_v", col(minCol).cast("long"))
+          .withColumn("_vmax", max(col(maxCol).cast("long")).over(wEq))
+          .withColumn("_spfx", max(col(maxCol).cast("long")).over(wPrev))
+      } else {
+        // adversarial regime (frontier ~ table): decomposed so no
+        // stage has an unpartitioned window over an unbounded set:
+        //  a. per-(bucket, minCol-value) max of maxCol — a hash
+        //     aggregate, map-side combined, skew-safe;
+        //  b. the strict-prefix max over strictly smaller minCol,
+        //     split into a within-bucket part (_lpfx: a window
+        //     PARTITIONED by bucket over the bucket's DISTINCT minCol
+        //     values — heavy duplication collapses in the aggregate
+        //     before any sort) and the cross-bucket part (_pfx, from
+        //     the driver-computed B-row prefix). A strictly earlier
+        //     bucket holds only strictly smaller values (floor
+        //     quantization is monotone) and equal values always share
+        //     a bucket, so the two parts cover exactly the
+        //     strictly-smaller rows — max of the two is the
+        //     single-order RANGE-frame result.
+        val wLocal = Window.partitionBy("_bkt").orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val values = cand
+          .select(col("_bkt"), col(minCol).cast("long").as("_v"),
+            col(maxCol).cast("long").as("_m"))
+          .groupBy("_bkt", "_v")
+          .agg(max(col("_m")).as("_vmax"))
+          .withColumn("_lpfx", max(col("_vmax")).over(wLocal))
+        cand
+          .withColumn("_v", col(minCol).cast("long"))
+          .join(values, Seq("_bkt", "_v"))
+          .withColumn("_spfx",
+            when(col("_pfx").isNull, col("_lpfx"))
+              .when(col("_lpfx").isNull, col("_pfx"))
+              .otherwise(greatest(col("_pfx"), col("_lpfx"))))
+      }
+    swept
       .filter(col(maxCol).cast("long") === col("_vmax") &&
         (col("_spfx").isNull || col(maxCol).cast("long") > col("_spfx")))
       .drop("_bkt", "_v", "_pfx", "_vmax", "_lpfx", "_spfx", "_lo", "_hi")

@@ -249,19 +249,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"no hash join in spatial plan:\n$p")
   }
 
-  test("pareto_skyline: the corpus-wide stages are bucket-local — the " +
-      "only unpartitioned windows run after the prune") {
-    val p = plan("pareto_skyline")
-    // the bounds frame and offsets are broadcast, never shuffled wide
+  test("pareto_skyline: the skew-gated decomposed plan keeps every " +
+      "candidate window bucket-partitioned") {
+    // The skew gate picks the plan shape from the MEASURED candidate
+    // bound: small frontier → classic single-order sweep (safe because
+    // the one-partition set is proven ≤ singleSweepMax); large →
+    // decomposed. Pin the DECOMPOSED shape — the plan that must hold
+    // when an adversarial all-frontier corpus pushes the bound high —
+    // by forcing the gate with singleSweepMax=0 on the same input the
+    // headline query uses.
+    import org.apache.spark.sql.functions.{col, round}
+    val part = graft.sources.Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+    val p = graft.operators.Skyline
+      .skyline2d(part, "price_cents", "size", singleSweepMax = 0)
+      .queryExecution.executedPlan.toString
+    // the prefix frame is broadcast, never shuffled wide
     assert(p.contains("BroadcastExchange"),
-      s"bounds/prefix frames should broadcast:\n$p")
-    // every window over candidate rows must be PARTITIONED (by bucket)
-    // — only the _pfx windows, which run on the ≤buckets-row bucket
-    // stats frame, may be global. An all-frontier adversarial corpus
-    // otherwise lands every row in one partition.
+      s"prefix frame should broadcast:\n$p")
+    // every window over candidate rows must be PARTITIONED (by bucket).
+    // An all-frontier adversarial corpus otherwise lands every row in
+    // one partition.
     val unpartitioned = p.split("\n")
       .filter(_.contains("windowspecdefinition"))
-      .filterNot(_.contains("AS _pfx"))
       .filterNot(_.contains("], [_bkt"))
     assert(unpartitioned.isEmpty,
       s"unpartitioned window over candidate rows:\n" +
@@ -271,6 +283,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // let an unpartitioned sweep pass this half of the pin)
     assert("AS _lpfx\\S*\\], \\[_bkt".r.findFirstIn(p).isDefined,
       s"missing bucket-partitioned sweep window:\n$p")
+    // the headline query itself (default gate) still broadcasts its
+    // prefix frame; its sweep shape is data-dependent by design
+    val ph = plan("pareto_skyline")
+    assert(ph.contains("BroadcastExchange"),
+      s"headline prefix frame should broadcast:\n$ph")
   }
 
   test("layout_partitioned: the year predicate is a PLANNING-TIME " +

@@ -20,10 +20,10 @@ class SkylineSpec extends AnyFunSuite {
       }
     }.toSet
 
-  private def run(rows: Seq[(Long, Long, Long)], buckets: Int)
-      : Set[(Long, Long, Long)] =
+  private def run(rows: Seq[(Long, Long, Long)], buckets: Int,
+      singleSweepMax: Long = 100000): Set[(Long, Long, Long)] =
     Skyline.skyline2d(rows.toDF("id", "price", "size"), "price", "size",
-        buckets)
+        buckets, singleSweepMax)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
 
@@ -56,19 +56,35 @@ class SkylineSpec extends AnyFunSuite {
       "the candidate set into one partition") {
     // 20k anti-correlated rows — the ENTIRE corpus is the frontier, so
     // the bucket prune drops nothing and the exact pass sees everything.
-    // The decomposed sweep (per-bucket windows over distinct values)
+    // singleSweepMax=0 forces the skew-gate into the decomposed sweep
+    // (per-bucket windows over distinct values) — the plan shape the
+    // gate picks when the MEASURED candidate bound is large — which
     // must both finish and return every row.
     val n = 20000L
     val rows = (1L to n).map(i => (i, i, i))
     val out = Skyline.skyline2d(
-      rows.toDF("id", "price", "size"), "price", "size", 64)
+      rows.toDF("id", "price", "size"), "price", "size", 64,
+      singleSweepMax = 0)
     assert(out.count() == n)
     // heavy duplication on one minCol value: the aggregate collapses
     // it before any window sort sees the duplicates
     val dup = (1L to 5000L).map(i => (i, 7L, i % 100)) ++
       Seq((9001L, 3L, 1L))
-    val got = run(dup, 16)
+    val got = run(dup, 16, singleSweepMax = 0)
     assert(got == brute(dup))
+  }
+
+  test("skew gate: single-sweep and decomposed paths are equivalent") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val rows = (1L to 400L).map(i =>
+        (i, rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val want = brute(rows)
+      assert(run(rows, 16, singleSweepMax = Long.MaxValue) == want,
+        s"single-sweep trial=$trial")
+      assert(run(rows, 16, singleSweepMax = 0) == want,
+        s"decomposed trial=$trial")
+    }
   }
 
   test("random corpora match brute force") {
