@@ -587,11 +587,11 @@ object Dedup {
     while (!converged && iter < maxIter + 1) {
       val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
-        .select(labels("doc_id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"))
-        .localCheckpoint(true)
+      val next = Iterate.materialize(
+        labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+          .select(labels("doc_id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+              .as("comp")), iter)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -32,12 +32,30 @@ object Graph {
     * Dangling nodes (no out-edges) leak their mass instead of
     * redistributing it — the common sparse-graph simplification; it
     * keeps every step a pure per-edge/per-node integer expression, and
-    * the leak is identical in any compliant replay. Each iteration is
-    * two key-partitioned shuffles (contrib groupBy dst + rank join),
-    * localCheckpointed so the plan stays constant-size across rounds —
-    * at cluster scale both shuffles hash-partition on the node id, so
-    * consecutive iterations reuse the same partitioning and the edge
-    * table (the big side) can be pre-bucketed by `src` once.
+    * the leak is identical in any compliant replay.
+    *
+    * Two measured regimes (the skyline-gate discipline: plan shape
+    * follows a measured bound, not a guess — we already hold N on the
+    * driver):
+    *  - **Broadcast regime** (N·16 bytes fits the session's broadcast
+    *    threshold): every round is a map-side join of the checkpointed
+    *    edge⋈degree frame against the BROADCAST rank frame — zero
+    *    shuffle on either side, AQE left on to coalesce the skinny
+    *    inflow aggregate. The right plan for graphs up to millions of
+    *    nodes.
+    *  - **Pinned-layout regime** (billion-node graphs, rank frame not
+    *    broadcastable): the edge⋈degree frame is PRE-BUCKETED by `src`
+    *    (repartition + in-partition sort, one materialization —
+    *    checkpointing preserves partitioning and ordering; AQE is
+    *    scoped OFF because [[Iterate.pinnedLayout]] explains it breaks
+    *    capture) and per-round ranks come out of the inflow aggregate
+    *    hash-partitioned by id, so the rank join is co-partitioned
+    *    with ZERO exchange on either side — the edge table, the
+    *    100 TB frame, never moves after its one setup shuffle; each
+    *    round's only exchange is the skinny (id, contrib) aggregate
+    *    (pinned by PlanQualitySpec). On a persisted graph the same
+    *    effect comes from storing the edge table bucketed by `src`
+    *    ([[graft.sources.Layout.writeBucketed]]).
     *
     * The driver sees only `N = nodes.count()` — one O(1)-row job to pin
     * the base-rank constant; ranks and edges never leave the cluster.
@@ -48,6 +66,59 @@ object Graph {
     val n = nodes.select("id").count()
     require(n > 0, "pageRank: empty node set")
     val base = 15L * scale / (100L * n)
+    val bcastThreshold = nodes.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold
+    val bcastRanks = bcastThreshold > 0 && n * 16 <= bcastThreshold
+    def loop(eDeg: DataFrame, ranks0: DataFrame): DataFrame = {
+      var ranks = ranks0
+      var it = 0
+      while (it < iters) {
+        ranks = Iterate.materialize(
+          rankStep(eDeg, ranks, base, bcastRanks), it)
+        it += 1
+      }
+      ranks
+    }
+    if (bcastRanks) {
+      val (eDeg, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
+      loop(eDeg, ranks0)
+    } else Iterate.pinnedLayout(nodes.sparkSession) {
+      val (eDeg, ranks0) = prepareRank(nodes, edges, scale / n)
+      loop(eDeg, ranks0)
+    }
+  }
+
+  /** Broadcast-regime inputs: the round-invariant edge⋈degree frame
+    * and initial ranks, materialized once under normal (AQE-on)
+    * planning — layout is irrelevant because every round broadcasts
+    * the rank side. */
+  private def prepareRankBroadcast(nodes: DataFrame, edges: DataFrame,
+      initRank: Long): (DataFrame, DataFrame) = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodeIds = nodes.select(col("id").cast("long"))
+    val eDeg = e.join(deg, "src")
+      .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint(true)
+    val ranks0 = nodeIds
+      .withColumn("rank", lit(initRank))
+      .localCheckpoint(true)
+    (eDeg, ranks0)
+  }
+
+  /** Pinned-regime inputs: the src-bucketed edge⋈degree frame and the
+    * uniform initial ranks, both materialized once with the loop
+    * join's exact layout (edge side hash-partitioned AND sorted by
+    * `src`, rank side hash-partitioned by `id`, equal partition
+    * counts) so no iteration re-shuffles them. Callers wrap in
+    * [[Iterate.pinnedLayout]]; this method wraps itself too so the
+    * plan pin can call it directly. */
+  private[graft] def prepareRank(nodes: DataFrame, edges: DataFrame,
+      initRank: Long): (DataFrame, DataFrame) =
+    Iterate.pinnedLayout(nodes.sparkSession) {
+    val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // materialize the edge set first — the caller's edge construction
     // (joins, distinct) must run once, not once per consumer branch
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -66,33 +137,39 @@ object Graph {
     val eDeg = e.join(deg, "src")
       .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(parts, col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint(true)
-    var ranks = nodeIds
-      .withColumn("rank", lit(scale / n))
+    val ranks0 = nodeIds
+      .withColumn("rank", lit(initRank))
+      .repartition(parts, col("id"))
       .localCheckpoint(true)
-    var it = 0
-    while (it < iters) {
-      // `div` (integral division), NOT `/`: the `/` operator on longs
-      // promotes to double, and a quotient one ulp below an integer
-      // would round up and truncate differently from the oracle's
-      // exact floor division
-      // every node contributes a zero row to its own inflow, so the
-      // aggregate's key set IS the node set — the dangling-node left
-      // join (one more two-sided shuffle per round) disappears
-      val contrib = eDeg
-        .join(ranks, eDeg("src") === ranks("id"))
-        .select(col("dst").as("id"),
-          expr("rank div outdeg").as("contrib"))
-        .unionByName(ranks.select(col("id"), lit(0L).as("contrib")))
-        .groupBy("id").agg(sum(col("contrib")).as("inflow"))
-      val next = contrib
-        .select(col("id"),
-          (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
-        .localCheckpoint(true)
-      ranks = next
-      it += 1
+    (eDeg, ranks0)
     }
-    ranks
+
+  /** One pageRank round — the loop body, exposed for the plan pin.
+    * With [[prepareRank]]'s layout the join is exchange-free; the
+    * round's single exchange is the (id, contrib) inflow aggregate.
+    * `bcastRanks` (decided once from N on the driver) broadcasts the
+    * rank side instead — the small-graph fast path. */
+  private[graft] def rankStep(eDeg: DataFrame, ranks0: DataFrame,
+      base: Long, bcastRanks: Boolean = false): DataFrame = {
+    val ranks = if (bcastRanks) broadcast(ranks0) else ranks0
+    // `div` (integral division), NOT `/`: the `/` operator on longs
+    // promotes to double, and a quotient one ulp below an integer
+    // would round up and truncate differently from the oracle's
+    // exact floor division
+    // every node contributes a zero row to its own inflow, so the
+    // aggregate's key set IS the node set — the dangling-node left
+    // join (one more two-sided shuffle per round) disappears
+    eDeg
+      .join(ranks, eDeg("src") === ranks0("id"))
+      .select(col("dst").as("id"),
+        expr("rank div outdeg").as("contrib"))
+      .unionByName(ranks0.select(col("id"), lit(0L).as("contrib")))
+      .groupBy("id").agg(sum(col("contrib")).as("inflow"))
+      .select(col("id"),
+        (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
   }
 
   /** Per-node triangle counts + degree over an UNDIRECTED edge set
@@ -179,9 +256,10 @@ object Graph {
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
           .as("b"))
         .select(col("nid").as("id"), col("b.l").as("nbl"))
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      labels = Iterate.materialize(
+        labels.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nbl"), col("lbl")).as("lbl")),
+        it)
       it += 1
     }
     labels
@@ -201,38 +279,60 @@ object Graph {
   def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50, "maxHops must be in [1, 50]")
-    // dst confined to the node universe once, round-invariantly —
-    // an edge target outside `nodes` must not seed phantom traversal
-    // (same discipline as pageRank's eDeg)
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .join(nodes.select(col("id").cast("long").as("dst")),
-        Seq("dst"), "left_semi")
-      .localCheckpoint(true)
-    // per-round state is the VISITED set (id, hops) — frontier-sized
-    // work stays frontier-sized: each round anti-joins new arrivals
-    // against visited instead of left-joining the whole node universe
-    // (first arrival = min hop, because rounds only increase); the
-    // node frame enters exactly once, at the end, to backfill
-    // never-reached nodes with null
-    var visited = seeds.select(col("id").cast("long")).distinct()
-      .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
-      .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
-    var frontier = visited
-    var round = 1
-    while (round <= maxHops) {
-      val reached = e.join(frontier.select(col("id").as("_fid")),
-          e("src") === col("_fid"))
-        .select(e("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .withColumn("hops", lit(round.toLong))
+    // two measured regimes, like [[pageRank]]: a node universe whose
+    // (id, hops) frame fits the broadcast threshold means every
+    // frontier does too (frontier ⊆ nodes) — rounds are map-side
+    // joins under normal AQE planning. Past the threshold, the
+    // pinned-layout regime pre-buckets the edge frame by the loop
+    // join key (src) so only the frontier ever shuffles, and a
+    // per-round count (an O(1) job on the already-materialized
+    // frontier) still broadcasts the early, small frontiers.
+    val bcastThreshold =
+      nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val nodesSmall = bcastThreshold > 0 &&
+      nodes.count() * 16 <= bcastThreshold
+    def run(pinned: Boolean): DataFrame = {
+      val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
+      // dst confined to the node universe once, round-invariantly —
+      // an edge target outside `nodes` must not seed phantom traversal
+      // (same discipline as pageRank's eDeg)
+      val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .join(nodes.select(col("id").cast("long").as("dst")),
+          Seq("dst"), "left_semi")
+      val e = (if (pinned)
+          e0.repartition(parts, col("src")).sortWithinPartitions("src")
+        else e0)
         .localCheckpoint(true)
-      visited = visited.unionByName(reached).localCheckpoint(true)
-      frontier = reached
-      round += 1
+      // per-round state is the VISITED set (id, hops) — frontier-sized
+      // work stays frontier-sized: each round anti-joins new arrivals
+      // against visited instead of left-joining the whole node universe
+      // (first arrival = min hop, because rounds only increase); the
+      // node frame enters exactly once, at the end, to backfill
+      // never-reached nodes with null
+      var visited = seeds.select(col("id").cast("long")).distinct()
+        .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
+        .withColumn("hops", lit(0L))
+        .localCheckpoint(true)
+      var frontier = visited
+      var round = 1
+      while (round <= maxHops) {
+        val f = frontier.select(col("id").as("_fid"))
+        val fSmall = nodesSmall || (bcastThreshold > 0 &&
+          frontier.count() * 16 <= bcastThreshold)
+        val reached = Iterate.materialize(
+          e.join(if (fSmall) broadcast(f) else f, e("src") === col("_fid"))
+          .select(e("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .withColumn("hops", lit(round.toLong)), round)
+        visited = Iterate.materialize(visited.unionByName(reached), round)
+        frontier = reached
+        round += 1
+      }
+      nodes.select(col("id").cast("long"))
+        .join(visited, Seq("id"), "left")
+        .select(col("id"), col("hops"))
     }
-    nodes.select(col("id").cast("long"))
-      .join(visited, Seq("id"), "left")
-      .select(col("id"), col("hops"))
+    if (nodesSmall) run(pinned = false)
+    else Iterate.pinnedLayout(nodes.sparkSession) { run(pinned = true) }
   }
 }

@@ -55,13 +55,18 @@ object Skyline {
   def skyline2d(df: DataFrame, minCol: String, maxCol: String,
       buckets: Int = 1024, singleSweepMax: Long = 100000): DataFrame = {
     val spark = df.sparkSession
-    val bounds = df.agg(min(col(minCol).cast("long")).as("_lo"),
-      max(col(minCol).cast("long")).as("_hi"))
-    val withB = df.crossJoin(broadcast(bounds)) // 1 row by construction
-      .withColumn("_bkt",
-        when(col("_hi") === col("_lo"), lit(0L))
-          .otherwise((col(minCol).cast("long") - col("_lo")) * buckets /
-            (col("_hi") - col("_lo") + 1)).cast("long"))
+    // 1-row bounds collect (bounded driver action, like the B-row
+    // stats below): quantization becomes a LITERAL scan-stage
+    // expression instead of a broadcast-joined bounds frame — every
+    // downstream job loses a scan + broadcast of the bounds subquery
+    val Array(bRow) = df.agg(min(col(minCol).cast("long")).as("_lo"),
+      max(col(minCol).cast("long")).as("_hi")).collect()
+    if (bRow.isNullAt(0)) return df.limit(0) // empty or all-null minCol
+    val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+    val withB = df.withColumn("_bkt",
+      if (hi == lo) lit(0L)
+      else ((col(minCol).cast("long") - lit(lo)) * buckets /
+        lit(hi - lo + 1)).cast("long"))
     // B ≤ `buckets` rows: the bounded driver collect that decides the
     // exact-pass shape AND replaces the former bucket-frame window —
     // the running prefix max is computed here and shipped back as a

@@ -247,4 +247,79 @@ class GraphSpec extends AnyFunSuite {
     // hop budget: node 5 unreached within 2 hops of node 1
     assert(run(Seq(1L), 2)(5L) === None)
   }
+
+  test("pinned-layout regime (rank frame too big to broadcast) is " +
+      "result-identical to the broadcast regime") {
+    // forcing autoBroadcastJoinThreshold=-1 sends pageRank and bfsHops
+    // down the billion-node co-partitioned path; results must match
+    // the broadcast-regime plans bit for bit
+    val nodes = (1L to 60L).toSeq
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1))
+      .filter(e => e._1 != e._2)
+    def both[T](body: => T): (T, T) = {
+      val fast = body
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pinned = try body
+        finally spark.conf
+          .set("spark.sql.autoBroadcastJoinThreshold", saved)
+      (fast, pinned)
+    }
+    val (prFast, prPinned) = both {
+      Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(prFast === prPinned)
+    val (bfsFast, bfsPinned) = both {
+      Graph.bfsHops(nodes.toDF("id"), edges.toDF("src", "dst"),
+          Seq(1L, 7L).toDF("id"), 4)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+    }
+    assert(bfsFast === bfsPinned)
+  }
+
+  test("reliable-checkpoint mode: identical results to localCheckpoint " +
+      "across pageRank, LPA, BFS and connectedComponents") {
+    // cluster mode opt-in (Iterate.materialize): a checkpoint dir +
+    // spark.graft.reliableCheckpoint=true routes every interval-th
+    // round through a reliable checkpoint. Results must be
+    // bit-identical either way — only fault-tolerance differs.
+    val nodes = (1L to 40L).toSeq
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val docs = nodes.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val prs = (1L to 12L).map(i => (i, i + 12L)).toDF("id_a", "id_b")
+    def runAll(): Seq[Set[(Long, Long)]] = Seq(
+      Graph.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      Graph.labelPropagation(
+          nodes.toDF("id"), edges.toDF("src", "dst"), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      Graph.bfsHops(nodes.toDF("id"), edges.toDF("src", "dst"),
+          Seq(1L).toDF("id"), 3)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet,
+      graft.operators.Dedup.connectedComponents(docs, prs)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet)
+    val local = runAll()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.operators.Iterate.ReliableKey, "true")
+    spark.conf.set(graft.operators.Iterate.IntervalKey, "2")
+    try {
+      assert(runAll() === local)
+    } finally {
+      spark.conf.set(graft.operators.Iterate.ReliableKey, "false")
+    }
+  }
 }

@@ -370,4 +370,43 @@ class PlanQualitySpec extends AnyFunSuite {
       .count(_ == "lineitem.parquet") <= 2,
       s"sample estimate should not rescan:\n$p")
   }
+
+  test("pageRank loop body: the rank join is co-partitioned — the " +
+      "pre-bucketed edge frame never re-shuffles, one exchange per " +
+      "round (the inflow aggregate)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // force the at-scale regime: at 100 TB the rank frame is NOT
+    // broadcastable, so pin the shuffle-join plan shape
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nodes = (1L to 2000L).toDF("id")
+      val edges = (1L to 6000L)
+        .map(i => (i % 2000 + 1, (i * 7) % 2000 + 1))
+        .toDF("src", "dst")
+      val (eDeg, r0) = graft.operators.Graph.prepareRank(
+        nodes, edges, 1000L)
+      val p = graft.operators.Graph.rankStep(eDeg, r0, 1L)
+        .queryExecution.executedPlan.toString
+      // prepareRank pins hash(src)/hash(id) layouts with equal
+      // partition counts on both join inputs (preserved through the
+      // checkpoint), so EnsureRequirements must add NO exchange at
+      // the join: the round's single exchange is the skinny
+      // (id, contrib) inflow aggregate over the union
+      val exchanges = p.split("\n")
+        .filter(_.contains("Exchange hashpartitioning"))
+      assert(exchanges.length == 1,
+        s"expected exactly 1 exchange (inflow aggregate), got " +
+          s"${exchanges.length}:\n$p")
+      assert(exchanges.head.contains("id"),
+        s"the one exchange should partition by id:\n$p")
+      // and the big side arrives pre-sorted: no Sort node directly
+      // over the edge-frame scan (ordering survives the checkpoint)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join in the no-broadcast regime:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
 }
