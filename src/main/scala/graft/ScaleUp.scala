@@ -4,27 +4,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only scale-rehearsal corpus builder: derives a K×-scale copy of
-  * a driver testdata dir (default 10× of sf0.1 ≈ sf1) so the headline
-  * bench can be measured one decade past the largest driver-provided
-  * scale factor. NOT part of the graded surface — correctness gates
-  * always run on the driver's own parquet.
+  * a driver testdata dir (10× of sf0.1 ≈ sf1; 100× ≈ sf10) so the
+  * headline bench can be measured decades past the largest
+  * driver-provided scale factor. NOT part of the graded surface —
+  * correctness gates always run on the driver's own parquet.
   *
   * Construction: K key-shifted copies of every fact/dim table (offsets
   * preserve every foreign-key relationship; fixed dimensions region/
-  * nation copy once). Text and embeddings are additionally ROTATED per
-  * copy (word-array rotation by a copy-dependent stride; embedding
-  * element rotation) so the shingle/cosine neighborhoods of different
-  * copies stay apart — 10 verbatim copies of each document would give
-  * every LSH bucket 10× density and ~100× in-bucket candidate pairs,
-  * a quadratic blow-up REAL 10× data does not have (fresh documents
-  * are mostly novel). Rotation keeps per-copy length/token statistics
-  * and vector norms identical, so per-row operator cost is unchanged —
-  * only the artificial cross-copy duplicate structure is removed. */
+  * nation copy once). Text and embeddings are additionally PERMUTED
+  * per copy so the shingle/cosine neighborhoods of different copies
+  * stay apart — K verbatim copies of each document would give every
+  * LSH bucket K× density and ~K²× in-bucket candidate pairs, a
+  * quadratic blow-up REAL K× data does not have (fresh documents are
+  * mostly novel).
+  *
+  * The permutation is a deterministic hash-argsort keyed on
+  * (copy, length): position j of copy i reads the word at the rank of
+  * `xxhash64(i, n, j)` among all positions. Properties that make the
+  * rehearsal honest:
+  *  - the word MULTISET (and vector element multiset) is unchanged, so
+  *    lengths, token counts, quality ratios, vector norms — the
+  *    per-row operator costs — are identical to the source rows;
+  *  - two copies' permutations are hash-independent, so cross-copy
+  *    shared shingles are O(1) — at ANY K, unlike the former
+  *    20-prime stride scheme whose strides alias once K exceeds the
+  *    usable-prime pool (copies i and i+20 came out verbatim-equal,
+  *    planting fake K/20-deep duplicate classes);
+  *  - keying on (copy, length) — never doc_id — applies the SAME
+  *    permutation to equal-length texts of one copy, so exact
+  *    duplicate pairs inside the source stay exact duplicates and a
+  *    near-dup pair differing in d positions still differs in exactly
+  *    d positions (each divergent position perturbs ≤ shingle-k grams
+  *    before AND after, so planted near-dup similarity carries over);
+  *  - embeddings permute per (copy, dim) — one permutation for a whole
+  *    copy — and any fixed element permutation preserves every
+  *    within-copy cosine exactly, so planted ANN neighborhoods
+  *    replicate into every copy. */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    // "highEntropy" mode (arg 3): additionally remap every word to a
+    // length-preserving pseudo-word keyed on (word, position%8) —
+    // vocabulary ×8 and near-uniform char-8-gram space, the
+    // real-web-corpus regime the synthetic generator's ~14.5k-gram
+    // vocabulary understates by orders of magnitude. Aligned positions
+    // of equal-length docs remap identically, so planted exact and
+    // near-dup pairs survive; word lengths are preserved exactly, so
+    // token/length statistics (per-row operator cost) are unchanged.
+    // Used to MEASURE how dedup_ngram_jaccard's prefix-bucket pair
+    // mass scales when gram entropy is realistic instead of argued.
+    val highEntropy = args.length > 3 && args(3) == "highEntropy"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,57 +91,47 @@ object ScaleUp {
       shift("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", copies(rd("events"), shift("event_id", "user_id")))
 
-    // documents: shift ids, permute word order per copy by a
-    // per-copy prime STRIDE coprime to the word count. A stride
-    // permutation places originally-distance-p words adjacent, so
-    // word-shingle sets of different copies (and vs the original) are
-    // ~disjoint — a cyclic shift would preserve nearly every adjacent
-    // pair and hand the dedup families an artificial 10-deep
-    // near-duplicate class per document (quadratic in-bucket candidate
-    // blow-up real fresh data does not have). The word MULTISET is
-    // unchanged, so lengths, token counts and quality ratios — the
-    // per-row operator costs — are identical to the source rows.
-    val P = "array(3,5,7,11,13,17,19,23,29,31," +
-      "37,41,43,47,53,59,61,67,71,73)"
+    // documents: shift ids, permute word order per copy by the
+    // (copy, length)-keyed hash argsort (see the object scaladoc for
+    // why this decorrelates at any K while preserving per-row stats
+    // and planted duplicate/near-dup structure). Hash ties are broken
+    // by position, so the argsort is a total order and the map a
+    // bijection for every length.
     write("documents", copies(rd("documents"), (d, i) =>
       shift("doc_id")(d, i)
-        .withColumn("_w", split(col("text"), " "))
+        .withColumn("_w0", split(col("text"), " "))
+        // high-entropy word remap (position-bucket-salted hash,
+        // base-36-encoded and cut/padded to the source word's exact
+        // length); identity otherwise
+        .withColumn("_w", if (!highEntropy) col("_w0") else expr(
+          "transform(_w0, (w, j) -> substring(rpad(conv(pmod(" +
+            "xxhash64(w, j % 8), 999999999999999999), 10, 36), " +
+            "greatest(length(w), 18), 'x'), 1, length(w)))"))
         .withColumn("_n", size(col("_w")))
-        // the i-th USABLE prime: usable = coprime to n (else the map
-        // is not a bijection) AND not ≡ 1 mod n (else the permutation
-        // is the identity and the copy is verbatim). Indexing the
-        // filtered list by i — not first-fit from slot i — keeps
-        // strides distinct across copies even when early primes are
-        // unusable (first-fit let copy 1 and copy 2 both land on 7
-        // whenever 5 | n, planting the exact cross-copy duplicates
-        // this permutation exists to prevent).
-        .withColumn("_u", expr(
-          s"filter($P, p -> _n % p != 0 AND p % _n != 1)"))
-        // branch-guarded: i % size(_u) divides by zero under ANSI when
-        // no prime is usable (tiny n) — those rows keep the original
-        .withColumn("_p", when(size(col("_u")) > 0, expr(
-          s"element_at(_u, int($i % size(_u)) + 1)")))
         .withColumn("text",
-          when(lit(i) === 0 || col("_n") < 2 ||
-              size(col("_u")) === 0 || col("_p").isNull,
-            col("text"))
+          when(lit(i) === 0 || col("_n") < 2,
+            when(lit(highEntropy), array_join(col("_w"), " "))
+              .otherwise(col("text")))
           .otherwise(expr(
-            "array_join(transform(sequence(0, _n - 1), " +
-              "j -> element_at(_w, int(pmod(j * _p, _n)) + 1)), ' ')")))
-        .drop("_w", "_n", "_u", "_p")))
+            s"array_join(transform(array_sort(transform(" +
+              s"sequence(0, _n - 1), " +
+              s"j -> struct(xxhash64($i, _n, j) AS h, j AS ix))), " +
+              s"s -> element_at(_w, s.ix + 1)), ' ')")))
+        .drop("_w0", "_w", "_n")))
 
-    // embeddings: shift ids, rotate vector elements per copy (norm-
-    // preserving decorrelation)
+    // embeddings: shift ids, permute vector elements by ONE hash
+    // argsort per copy — a fixed element permutation is norm- and
+    // within-copy-cosine-preserving, and hash-independent permutations
+    // decorrelate copies at any K (the former stride rotation broke
+    // past i=21 at dim 64)
     write("embeddings", copies(rd("embeddings"), (d, i) =>
       shift("vec_id")(d, i)
         .withColumn("_n", size(col("embedding")))
-        // distinct per-copy rotation strides (3i+1 < dim for k ≤ 21 at
-        // dim 64) — i%8 would alias copy 8 back onto copy 0 verbatim
         .withColumn("embedding", when(lit(i) === 0, col("embedding"))
-          .otherwise(concat(
-            slice(col("embedding"), lit(3 * i + 2),
-              col("_n") - lit(3 * i + 1)),
-            slice(col("embedding"), lit(1), lit(3 * i + 1)))))
+          .otherwise(expr(
+            s"transform(array_sort(transform(sequence(0, _n - 1), " +
+              s"x -> struct(xxhash64($i, x) AS h, x AS ix))), " +
+              s"s -> element_at(embedding, s.ix + 1))")))
         .drop("_n")))
 
     spark.stop()

@@ -18,6 +18,9 @@ import graft.plans.PlanJson
   *  - `POST /query`   → `{"originalPlan":…,"optimizedPlan":…,
   *    "statistics":…,"schema":[…],"rows":[…],"rowCount":n}`
   *  - `POST /getData` → `{"schema":[…],"rows":[…],"rowCount":n}`
+  *  - `POST /stream`  → NDJSON rows over chunked transfer, driver
+  *    memory bounded by one partition (the large-result path)
+  *  - `POST /explain` → plans + statistics, zero scans
   *  - `GET  /`        → a self-contained HTML page that renders the
   *    original-vs-optimized trees (the JointJS parity view,
   *    `index.js:86-120`) with inline JS only.
@@ -66,6 +69,30 @@ final class Service(engine: Engine, port: Int = 0,
         s"""{"originalPlan":${r.originalPlan},""" +
           s""""optimizedPlan":${r.optimizedPlan},""" +
           s""""statistics":${r.statistics}}""")
+    })
+    // UNBOUNDED results with BOUNDED driver memory: NDJSON over
+    // chunked transfer, one row object per line, streamed partition
+    // at a time via toLocalIterator — the driver (and this handler)
+    // holds at most one partition, so a full-table export that would
+    // OOM /getData's limit-bounded collect flows through here at any
+    // result size. Analysis/optimization errors are raised BEFORE the
+    // 200 header goes out (plan forced first); a mid-stream executor
+    // failure truncates the chunked body, which every HTTP client
+    // detects as an incomplete transfer.
+    server.createContext("/stream", (ex: HttpExchange) => safely(ex) {
+      val (sql, _) = parse(ex)
+      val df = engine.getData(sql)
+      df.queryExecution.optimizedPlan // force analyzer/optimizer errors
+      val it = df.toJSON.toLocalIterator()
+      ex.getResponseHeaders.set("Content-Type",
+        "application/x-ndjson; charset=utf-8")
+      ex.sendResponseHeaders(200, 0) // length 0 = chunked encoding
+      val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+      while (it.hasNext) {
+        os.write(it.next().getBytes(StandardCharsets.UTF_8))
+        os.write('\n')
+      }
+      os.flush()
     })
     server.start()
     server.getAddress.getPort

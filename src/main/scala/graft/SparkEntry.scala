@@ -169,6 +169,22 @@ object SparkEntry {
         |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin)
   }
 
+  private def qSqlDialect(s: SparkSession, dir: String): DataFrame = {
+    // The reference's SQL input surface is MySQL dialect
+    // (QueryService.asmx.cs:143-157, TDbVendor.DbVMysql): this parity
+    // query exercises every MySQL-ism in the reference's SPJ shapes —
+    // backtick quoting, a double-quoted string literal, <> and !=,
+    // and the two-argument LIMIT — through MySqlDialect.translate
+    // into the same raw-SQL surface as passthrough_sql.
+    Tables.register(s, dir)
+    new Engine(s, dir).getData(MySqlDialect.translate(
+      """SELECT `c_custkey`, `c_name`, `c_acctbal`
+        |FROM `customer`
+        |WHERE `c_nationkey` <> 3 AND `c_mktsegment` = "BUILDING"
+        |  AND `c_acctbal` != 0
+        |ORDER BY `c_custkey` LIMIT 5, 10""".stripMargin))
+  }
+
   // ---------------------------------------------------------------------
   // SQL breadth (SURVEY.md §2.7 — everything the reference lacks)
   // ---------------------------------------------------------------------
@@ -3862,6 +3878,7 @@ object SparkEntry {
     "union_all" -> (qUnionAll _),
     "source_jdbc" -> (qSourceJdbc _),
     "passthrough_sql" -> (qPassthroughSql _),
+    "sql_dialect" -> (qSqlDialect _),
     "recursive_cte" -> (qRecursiveCte _),
     "frag_transparency_agg" -> (qGroupProduct _),
     // SQL breadth (SURVEY §2.7)
@@ -5033,6 +5050,14 @@ object SparkEntry {
     "passthrough_sql" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
         |WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+    // The MySQL-dialect statement above, re-spelled in the oracle's
+    // ANSI dialect: backticks dropped, the double-quoted literal
+    // single-quoted, LIMIT off,cnt as LIMIT cnt OFFSET off.
+    "sql_dialect" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_nationkey <> 3 AND c_mktsegment = 'BUILDING'
+        |  AND c_acctbal != 0
+        |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin,
     // Identical recursion in the oracle dialect (div spelled //).
     "recursive_cte" ->
       """WITH RECURSIVE t(doc_id, depth) AS (

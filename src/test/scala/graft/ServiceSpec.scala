@@ -147,6 +147,52 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /stream sends the FULL result as NDJSON — unbounded rows, " +
+      "bounded driver memory — and survives concurrent streams") {
+    withService { (c, port) =>
+      val expect = engine.getData("SELECT count(*) c FROM customer")
+        .collect()(0).getLong(0)
+      def streamCount(): Int = {
+        val body = post(c, port, "/stream",
+          "sql=" + java.net.URLEncoder.encode(
+            "SELECT c_custkey, c_name FROM customer", "UTF-8"))
+        val lines = body.split("\n").filter(_.nonEmpty)
+        assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")),
+          lines.take(2).mkString("|"))
+        lines.length
+      }
+      // the whole table comes back — no default limit on this route
+      assert(streamCount().toLong === expect)
+      // concurrency: three simultaneous full-table streams plus a
+      // bounded /query must all complete intact on the 4-thread pool
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(4)
+      val streams = (1 to 3).map(_ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = streamCount()
+        }))
+      val q = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = post(c, port, "/query",
+          "sql=" + java.net.URLEncoder.encode(
+            "SELECT count(*) AS n FROM nation", "UTF-8"))
+      })
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      streams.foreach(f => assert(f.get().toLong === expect))
+      assert(q.get().contains("\"rowCount\":1"))
+    }
+  }
+
+  test("POST /stream raises analysis errors as JSON before any bytes " +
+      "stream") {
+    withService { (c, port) =>
+      val body = post(c, port, "/stream",
+        "sql=" + java.net.URLEncoder.encode(
+          "SELECT nope FROM customer", "UTF-8"))
+      assert(body.startsWith("{\"error\":"), body.take(120))
+    }
+  }
+
   test("QueryResult bounded forms: rowsLimited and rowsIterator") {
     val r = engine.query(
       "SELECT o_orderkey FROM orders ORDER BY o_orderkey")
