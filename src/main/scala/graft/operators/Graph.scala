@@ -91,15 +91,29 @@ object Graph {
   /** Broadcast-regime inputs: the round-invariant edge⋈degree frame
     * and initial ranks, materialized once under normal (AQE-on)
     * planning — layout is irrelevant because every round broadcasts
-    * the rank side. */
+    * the rank side.
+    *
+    * Out-degree rides in on ONE window (`count over partition by src`)
+    * instead of the former checkpoint → groupBy → join → checkpoint:
+    * the caller's edge construction has exactly one consumer, so the
+    * pre-checkpoint that existed to run it once is gone, and the edge
+    * frame crosses the wire once and materializes once (the second
+    * 2|E|-row localCheckpoint was the most expensive job of the whole
+    * operator at sf1). The dst semi-join broadcasts the node set — in
+    * this regime N·16 fits the broadcast threshold by definition — so
+    * it stays map-side. NOTE the window must run BEFORE the dst
+    * confinement: outdeg counts ALL out-edges, including those whose
+    * target lies outside `nodes` (the oracle unrolls that exact
+    * semantics). */
   private def prepareRankBroadcast(nodes: DataFrame, edges: DataFrame,
       initRank: Long): (DataFrame, DataFrame) = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodeIds = nodes.select(col("id").cast("long"))
-    val eDeg = e.join(deg, "src")
-      .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val eDeg = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .join(broadcast(nodeIds.select(col("id").as("dst"))),
+        Seq("dst"), "left_semi")
       .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
     val ranks0 = nodeIds
@@ -119,22 +133,23 @@ object Graph {
       initRank: Long): (DataFrame, DataFrame) =
     Iterate.pinnedLayout(nodes.sparkSession) {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
-    // materialize the edge set first — the caller's edge construction
-    // (joins, distinct) must run once, not once per consumer branch
+    // Edge ⋈ out-degree is ROUND-INVARIANT: built once, outside the
+    // loop. One window (`count over partition by src`) replaces the
+    // former checkpoint → groupBy → join: the edge construction has a
+    // single consumer (no pre-checkpoint needed) and the frame
+    // materializes ONCE, in the loop's exact layout. The window must
+    // run BEFORE the dst confinement — outdeg counts ALL out-edges,
+    // including targets outside `nodes` (the oracle's semantics).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    // edge ⋈ out-degree is ROUND-INVARIANT: materialize it once
-    // outside the loop instead of re-joining the static degree table
-    // every iteration (one join per round saved; the checkpointed
-    // frame is re-read by all `iters` rounds)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
     val nodeIds = nodes.select(col("id").cast("long"))
     // dst constrained to the node universe HERE, once — the zero-row
     // union below makes the inflow aggregate's key set the node set,
     // and this round-invariant semi-join keeps edge targets outside
     // `nodes` from leaking phantom rows into it (the per-round left
     // join this replaced confined output by construction)
-    val eDeg = e.join(deg, "src")
+    val eDeg = e
       .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(parts, col("src"))
