@@ -42,11 +42,33 @@ object ProfileNgram {
         posexplode(prefix_grams(col("gs"), hotDf, t)))
       .select(col("doc_id"), col("col").as("g"),
         (col("pos") + 1).as("rn"), col("sz"))
+    // the candidate-volume guard's exact histogram + its cap decision
+    // curve (mirrors Dedup.ngramJaccard's estPairs)
+    val hist = timed("2b guard histogram") {
+      prefix.groupBy("g").agg(count(lit(1)).as("m"))
+        .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
+        .groupBy("b").agg(count(lit(1)).as("ng"),
+          sum((col("m") * col("m")).cast("double")).as("sm2"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    }
+    def estPairs(c: Long): Double = hist.map { case (b, ng, sm2) =>
+      if ((2L << b) - 1 <= c) sm2 / 2.0
+      else math.min(sm2, ng.toDouble * c * c) / 2.0
+    }.sum
+    Seq(5000, 2500, 1250, 625, 312, 256, 128, 64, 32).foreach(c =>
+      println(f"[profile] estPairs(cap=$c) = ${estPairs(c)}%.3e"))
+    val budget = sys.env.getOrElse("SPARK_GRAFT_NGRAM_BUDGET",
+      "100000000").toLong
+    var effCap = 5000
+    while (effCap > 64 && estPairs(effCap) > budget)
+      effCap = math.max(64, effCap / 2)
+    println(s"[profile] guard effCap=$effCap (budget=$budget)")
+
     val candidates = prefix
       .groupBy("g")
       .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
         .as("ps"))
-      .select(explode(bucket_pairs(col("ps"), 5000, t)).as("p"))
+      .select(explode(bucket_pairs(col("ps"), effCap, t)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
       .persist()

@@ -46,15 +46,20 @@ object ScaleUp {
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
     // "highEntropy" mode (arg 3): additionally remap every word to a
-    // length-preserving pseudo-word keyed on (word, position%8) —
-    // vocabulary ×8 and near-uniform char-8-gram space, the
-    // real-web-corpus regime the synthetic generator's ~14.5k-gram
-    // vocabulary understates by orders of magnitude. Aligned positions
-    // of equal-length docs remap identically, so planted exact and
-    // near-dup pairs survive; word lengths are preserved exactly, so
-    // token/length statistics (per-row operator cost) are unchanged.
-    // Used to MEASURE how dedup_ngram_jaccard's prefix-bucket pair
-    // mass scales when gram entropy is realistic instead of argued.
+    // length-preserving pseudo-word keyed on (copy, word, position%8) —
+    // per-copy vocabulary ×8, and DISJOINT vocabularies across copies,
+    // so the gram universe grows ∝K exactly the way fresh documents
+    // bring mostly-novel text in a real corpus (the regime the
+    // synthetic generator's fixed ~14.5k-gram vocabulary understates by
+    // orders of magnitude — K copies over a FIXED gram universe give
+    // every posting list K× density and K²× pair mass, a quadratic
+    // blow-up real K× data does not have). Aligned positions of
+    // equal-length docs of the SAME copy remap identically, so planted
+    // exact and near-dup pairs survive; word lengths are preserved
+    // exactly, so token/length statistics (per-row operator cost) are
+    // unchanged. Used to MEASURE how dedup_ngram_jaccard's
+    // prefix-bucket pair mass scales when gram entropy is realistic
+    // instead of argued.
     val highEntropy = args.length > 3 && args(3) == "highEntropy"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -100,13 +105,13 @@ object ScaleUp {
     write("documents", copies(rd("documents"), (d, i) =>
       shift("doc_id")(d, i)
         .withColumn("_w0", split(col("text"), " "))
-        // high-entropy word remap (position-bucket-salted hash,
-        // base-36-encoded and cut/padded to the source word's exact
-        // length); identity otherwise
+        // high-entropy word remap (copy- and position-bucket-salted
+        // hash, base-36-encoded and cut/padded to the source word's
+        // exact length); identity otherwise
         .withColumn("_w", if (!highEntropy) col("_w0") else expr(
-          "transform(_w0, (w, j) -> substring(rpad(conv(pmod(" +
-            "xxhash64(w, j % 8), 999999999999999999), 10, 36), " +
-            "greatest(length(w), 18), 'x'), 1, length(w)))"))
+          s"transform(_w0, (w, j) -> substring(rpad(conv(pmod(" +
+            s"xxhash64(w, j % 8, $i), 999999999999999999), 10, 36), " +
+            s"greatest(length(w), 18), 'x'), 1, length(w)))"))
         .withColumn("_n", size(col("_w")))
         .withColumn("text",
           when(lit(i) === 0 || col("_n") < 2,

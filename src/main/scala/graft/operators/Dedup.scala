@@ -717,13 +717,24 @@ object Dedup {
     * prefix join loses nothing, while the inverted index shrinks to the
     * ~(1-t) rarest fraction of each doc — this is what replaces the old
     * absolute df-cutoff (df ≤ 50), which silently lost recall on short
-    * docs made of common grams once the corpus outgrew the constant. */
+    * docs made of common grams once the corpus outgrew the constant.
+    *
+    * `pairBudget` bounds the TOTAL candidate mass the job may emit
+    * (not just per-task): a degenerate low-entropy corpus — bounded
+    * gram universe, millions of docs — makes even the rarest prefix
+    * grams hot, and the per-bucket cap alone then admits
+    * ~(#buckets)·cap²/2 candidates (measured ~10¹¹ at the sf10
+    * rehearsal: an 80 GB disk filled with shuffle spill). The guard
+    * estimates the mass exactly from a ≤64-row posting-count histogram
+    * and halves the effective bucket cap until the bound fits; healthy
+    * corpora never engage it (estimate ≪ budget ⇒ output unchanged). */
   def ngramJaccard(
       docs: DataFrame,
       n: Int = 8,
       threshold: Double = 0.7,
       maxPrefixBucket: Int = 5000,
-      stopGramModelSize: Int = 1 << 16): DataFrame = {
+      stopGramModelSize: Int = 1 << 16,
+      pairBudget: Long = 100000000L): DataFrame = {
     // EPS guards the float evaluation of the exact-recall bounds:
     // ceil(0.7 * 60) evaluates to 43 in doubles (0.7*60 =
     // 42.000000000000007) where the true bound is 42 — without the
@@ -769,6 +780,53 @@ object Dedup {
         posexplode(prefix_grams(col("gs"), hotDf, threshold)))
       .select(col("doc_id"), col("col").as("g"),
         (col("pos") + 1).as("rn"), col("sz"))
+    // Candidate-volume guard: the per-bucket cap alone bounds a TASK,
+    // not the JOB — on a degenerate low-entropy corpus (a bounded gram
+    // universe shared by millions of docs: every "rare" prefix gram
+    // still has thousands of postings) the emitted pair mass is
+    // ~(#capped buckets)·cap²/2, which at the sf10 rehearsal reached
+    // ~10¹¹ rows and filled an 80 GB disk with shuffle spill before the
+    // distinct. So the TOTAL candidate mass is estimated FIRST, from an
+    // exact per-gram posting-count histogram — one skinny map-side-
+    // combined aggregate over the prefix postings, log2-bucketed to
+    // ≤64 driver rows — and the effective cap halves until the bound
+    // Σ_g min(m_g, cap)²/2 fits `pairBudget`. On healthy corpora the
+    // estimate is far under budget and the cap (and therefore the
+    // output) is untouched; on pathological ones the operator degrades
+    // the way the cap already documents — keep-smallest-ids per bucket,
+    // a recall/volume trade — instead of failing the job. The histogram
+    // is exact and deterministic, so the chosen cap (and the output)
+    // is layout-independent.
+    val hist: Array[(Int, Long, Double)] = prefix
+      .groupBy("g").agg(count(lit(1)).as("m"))
+      .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
+      .groupBy("b").agg(count(lit(1)).as("ng"),
+        sum((col("m") * col("m")).cast("double")).as("sm2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def estPairs(c: Long): Double = hist.map { case (b, ng, sm2) =>
+      // bucket holds grams with m in [2^b, 2^(b+1)); if the whole range
+      // is under the cap the exact Σm² applies, else cap each list
+      // (straddling buckets take the min of both bounds — still an
+      // upper bound on Σ min(m, c)²)
+      if ((2L << b) - 1 <= c) sm2 / 2.0
+      else math.min(sm2, ng.toDouble * c * c) / 2.0
+    }.sum
+    // Measured decision curve on the rehearsal corpora — the binding
+    // cost is the VERIFY join, whose rows carry both docs' full gram
+    // arrays (~KB each), so the budget must bound candidates tightly
+    // enough that candidate_count × array_bytes fits executor disks
+    // (est over-counts the post-distinct actual ~10-30×, measured at
+    // sf1 and sf10): sf0.1 est(5000)=2.8e7 → untouched, output
+    // identical; sf1 est(5000)=2.8e9 → cap 128; sf10 est(5000)=3.9e10
+    // (35M candidates at cap 156 spilled ~85 GB of verify sort and
+    // filled the disk) → cap 128, ~1e7 candidates, bounded verify.
+    // Floor 64: a corpus still over budget there is maximally
+    // degenerate (every doc sharing every gram) and the
+    // O(#grams·64²) mass is small enough to run regardless.
+    var effCap = maxPrefixBucket
+    while (effCap > 64 && estPairs(effCap) > pairBudget)
+      effCap = math.max(64, effCap / 2)
+
     // Candidate generation + verification. ONE shuffle (groupBy gram)
     // builds each inverted-index bucket, then a bucket generator emits
     // the surviving (id_a < id_b) pairs with every exact
@@ -779,7 +837,7 @@ object Dedup {
     // postings cross the wire once instead of three times. The cap
     // keeps one degenerate gram from exploding a task (observed max
     // prefix bucket on the driver testdata at sf0.1: 263 vs the 5000
-    // cap) and bounds the per-bucket pair array at maxPrefixBucket²/2.
+    // cap) and bounds the per-bucket pair array at effCap²/2.
     //
     // Verification via the shared size-guarded verifier; the guard can
     // use the REAL materialized cache stats here, because the hotDf
@@ -788,9 +846,9 @@ object Dedup {
       .groupBy("g")
       .agg(bounded_min_collect(
         struct(col("doc_id").as("doc_id"), col("rn"), col("sz")),
-        maxPrefixBucket).as("ps"))
+        effCap).as("ps"))
       .select(explode(
-        bucket_pairs(col("ps"), maxPrefixBucket, threshold)).as("p"))
+        bucket_pairs(col("ps"), effCap, threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     val setsSmall =

@@ -70,6 +70,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!r.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("ngram jaccard candidate-volume guard: a low-entropy corpus " +
+      "over budget shrinks the bucket cap — completes, yields a " +
+      "subset; a generous budget changes nothing") {
+    // 400 near-identical docs: a bounded gram universe shared by every
+    // doc, so even the RAREST prefix grams post ~400 deep — the
+    // degenerate regime that filled the disk at the sf10 rehearsal
+    val lowEntropy = (1L to 400L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog near the " +
+        s"old barn by the river variant $i")).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = pairSet(Dedup.ngramJaccard(lowEntropy,
+      threshold = 0.5))
+    // est mass here is ~(#shared prefix grams)·400²/2 ≫ 10⁴, so the
+    // cap halves to its 256 floor; bounded_min_collect keeps the
+    // smallest (doc_id, …) postings, so guarded candidates (and
+    // therefore verified pairs) are a SUBSET of the unguarded run's
+    val guarded = pairSet(Dedup.ngramJaccard(lowEntropy,
+      threshold = 0.5, pairBudget = 10000L))
+    assert(guarded.nonEmpty && guarded.subsetOf(unguarded))
+    assert(guarded.size < unguarded.size) // the cap actually bit
+    // docs 1..256 survive the keep-smallest cap together: their mutual
+    // pairs are intact
+    assert(guarded.contains((1L, 2L)))
+    // a budget the estimate cannot exceed leaves the output identical
+    val generous = pairSet(Dedup.ngramJaccard(lowEntropy,
+      threshold = 0.5, pairBudget = Long.MaxValue))
+    assert(generous === unguarded)
+  }
+
   test("incremental epoch merge emits exactly the increment's pairs") {
     // treat doc 5 as "today's increment": the merge must find 5's
     // pairs against the old corpus and emit NO old×old pair
