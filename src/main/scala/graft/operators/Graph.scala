@@ -37,12 +37,20 @@ object Graph {
     * Two measured regimes (the skyline-gate discipline: plan shape
     * follows a measured bound, not a guess — we already hold N on the
     * driver):
-    *  - **Broadcast regime** (N·16 bytes fits the session's broadcast
-    *    threshold): every round is a map-side join of the checkpointed
-    *    edge⋈degree frame against the BROADCAST rank frame — zero
-    *    shuffle on either side, AQE left on to coalesce the skinny
-    *    inflow aggregate. The right plan for graphs up to millions of
-    *    nodes.
+    *  - **Broadcast regime** (N·24 bytes fits the session's broadcast
+    *    threshold): the RAW edge frame is checkpointed once with no
+    *    shuffle and no sort — out-degree rides on the BROADCAST rank
+    *    frame (id, outdeg, rank), so every round is one map-side probe
+    *    of the cached edges plus the skinny inflow aggregate, which a
+    *    single N-row join folds back onto the node frame (reattaching
+    *    outdeg, confining the key set to the node universe, and
+    *    backfilling zero inflow in one step). The former shape here
+    *    joined out-degree onto all 2|E| edge rows via a
+    *    count-over-window, whose hash-partition + full sort of the
+    *    edge frame was the single most expensive job of the operator
+    *    at the sf10 rehearsal (50 s of 127 s) — for a frame whose
+    *    layout the broadcast join never even looks at. The right plan
+    *    for graphs up to millions of nodes.
     *  - **Pinned-layout regime** (billion-node graphs, rank frame not
     *    broadcastable): the edge⋈degree frame is PRE-BUCKETED by `src`
     *    (repartition + in-partition sort, one materialization —
@@ -68,58 +76,77 @@ object Graph {
     val base = 15L * scale / (100L * n)
     val bcastThreshold = nodes.sparkSession.sessionState.conf
       .autoBroadcastJoinThreshold
-    val bcastRanks = bcastThreshold > 0 && n * 16 <= bcastThreshold
-    def loop(eDeg: DataFrame, ranks0: DataFrame): DataFrame = {
+    val bcastRanks = bcastThreshold > 0 && n * 24 <= bcastThreshold
+    if (bcastRanks) {
+      val (e, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
       var ranks = ranks0
       var it = 0
       while (it < iters) {
-        ranks = Iterate.materialize(
-          rankStep(eDeg, ranks, base, bcastRanks), it)
+        ranks = Iterate.materialize(rankStepBroadcast(e, ranks, base), it)
+        it += 1
+      }
+      ranks.select(col("id"), col("rank"))
+    } else Iterate.pinnedLayout(nodes.sparkSession) {
+      val (eDeg, ranks0) = prepareRank(nodes, edges, scale / n)
+      var ranks = ranks0
+      var it = 0
+      while (it < iters) {
+        ranks = Iterate.materialize(rankStep(eDeg, ranks, base), it)
         it += 1
       }
       ranks
     }
-    if (bcastRanks) {
-      val (eDeg, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
-      loop(eDeg, ranks0)
-    } else Iterate.pinnedLayout(nodes.sparkSession) {
-      val (eDeg, ranks0) = prepareRank(nodes, edges, scale / n)
-      loop(eDeg, ranks0)
-    }
   }
 
-  /** Broadcast-regime inputs: the round-invariant edge⋈degree frame
-    * and initial ranks, materialized once under normal (AQE-on)
-    * planning — layout is irrelevant because every round broadcasts
-    * the rank side.
+  /** Broadcast-regime inputs: the RAW (src, dst) edge frame and the
+    * (id, outdeg, rank) node frame, materialized once under normal
+    * (AQE-on) planning.
     *
-    * Out-degree rides in on ONE window (`count over partition by src`)
-    * instead of the former checkpoint → groupBy → join → checkpoint:
-    * the caller's edge construction has exactly one consumer, so the
-    * pre-checkpoint that existed to run it once is gone, and the edge
-    * frame crosses the wire once and materializes once (the second
-    * 2|E|-row localCheckpoint was the most expensive job of the whole
-    * operator at sf1). The dst semi-join broadcasts the node set — in
-    * this regime N·16 fits the broadcast threshold by definition — so
-    * it stays map-side. NOTE the window must run BEFORE the dst
-    * confinement: outdeg counts ALL out-edges, including those whose
-    * target lies outside `nodes` (the oracle unrolls that exact
-    * semantics). */
+    * The edge checkpoint involves NO shuffle and NO sort — it only
+    * runs the caller's edge construction once and caches the rows as
+    * scanned, because in this regime the per-round join broadcasts the
+    * rank side and never cares about the edge frame's layout. Out-
+    * degree is a map-side-combined skinny aggregate over the cached
+    * frame, computed BEFORE any dst confinement (outdeg counts ALL
+    * out-edges, including targets outside `nodes` — the oracle unrolls
+    * that exact semantics) and carried on the N-row broadcast frame,
+    * where `contrib = rank div outdeg` can read it for free. Nodes
+    * with no out-edges carry a null outdeg that no join row ever
+    * evaluates (they match no edge); dst confinement happens in
+    * [[rankStepBroadcast]]'s fold-back join. */
   private def prepareRankBroadcast(nodes: DataFrame, edges: DataFrame,
       initRank: Long): (DataFrame, DataFrame) = {
     val nodeIds = nodes.select(col("id").cast("long"))
-    val eDeg = edges
+    val e = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .withColumn("outdeg", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("src")))
-      .join(broadcast(nodeIds.select(col("id").as("dst"))),
-        Seq("dst"), "left_semi")
-      .select(col("src"), col("dst"), col("outdeg"))
       .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ranks0 = nodeIds
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .withColumn("rank", lit(initRank))
       .localCheckpoint(true)
-    (eDeg, ranks0)
+    (e, ranks0)
+  }
+
+  /** One broadcast-regime pageRank round: probe the cached edge frame
+    * against the broadcast (id, outdeg, rank) node frame, aggregate
+    * the skinny (dst, contrib) inflow, and fold it back onto the node
+    * frame with ONE N-row left join — which reattaches outdeg for the
+    * next round, confines the key set to the node universe (an edge
+    * target outside `nodes` finds no row to land on), and backfills
+    * zero inflow for nodes nobody links to. The 2|E|-row frame crosses
+    * no exchange; the round's shuffles involve only N-row frames. */
+  private[graft] def rankStepBroadcast(e: DataFrame, ranks0: DataFrame,
+      base: Long): DataFrame = {
+    val inflow = e.join(broadcast(ranks0), e("src") === ranks0("id"))
+      .select(col("dst").as("id"),
+        expr("rank div outdeg").as("contrib"))
+      .groupBy("id").agg(sum(col("contrib")).as("inflow"))
+    ranks0.select(col("id"), col("outdeg"))
+      .join(inflow, Seq("id"), "left")
+      .select(col("id"), col("outdeg"),
+        (lit(base) + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+          .as("rank"))
   }
 
   /** Pinned-regime inputs: the src-bucketed edge⋈degree frame and the
@@ -162,14 +189,13 @@ object Graph {
     (eDeg, ranks0)
     }
 
-  /** One pageRank round — the loop body, exposed for the plan pin.
-    * With [[prepareRank]]'s layout the join is exchange-free; the
-    * round's single exchange is the (id, contrib) inflow aggregate.
-    * `bcastRanks` (decided once from N on the driver) broadcasts the
-    * rank side instead — the small-graph fast path. */
+  /** One pinned-regime pageRank round — the loop body, exposed for the
+    * plan pin. With [[prepareRank]]'s layout the join is exchange-free;
+    * the round's single exchange is the (id, contrib) inflow
+    * aggregate. */
   private[graft] def rankStep(eDeg: DataFrame, ranks0: DataFrame,
-      base: Long, bcastRanks: Boolean = false): DataFrame = {
-    val ranks = if (bcastRanks) broadcast(ranks0) else ranks0
+      base: Long): DataFrame = {
+    val ranks = ranks0
     // `div` (integral division), NOT `/`: the `/` operator on longs
     // promotes to double, and a quotient one ulp below an integer
     // would round up and truncate differently from the oracle's

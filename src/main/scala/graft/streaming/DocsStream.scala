@@ -349,14 +349,16 @@ object DocsStream {
   }
 
   /** Drive [[decontamStream]] synchronously to completion: eval side =
-    * docs with doc_id % 17 = 0 (read once, batch), stream side = the
-    * rest. Returns the memory-sink name. */
+    * docs with doc_id % 17 = 0 and doc_id < 100000 (read once, batch —
+    * the scale-invariant fixed benchmark set, matching the batch
+    * decontam queries and their shared oracle), stream side = every
+    * doc outside the % 17 family. Returns the memory-sink name. */
   def runDecontamStream(spark: SparkSession, sfDir: String,
       sinkName: String = "docs_decontam"): String = {
     import graft.functions.TextFunctions.wordShingles
     val evalGrams = spark.read
       .parquet(s"$sfDir/documents.parquet")
-      .filter(col("doc_id") % 17 === 0)
+      .filter(col("doc_id") % 17 === 0 && col("doc_id") < 100000)
       .select(explode(wordShingles(col("text"), 5)).as("g"))
       .distinct()
       .collect().map(_.getString(0)).toSeq
