@@ -48,13 +48,19 @@ object ProfileNgram {
       prefix.groupBy("g").agg(count(lit(1)).as("m"))
         .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
         .groupBy("b").agg(count(lit(1)).as("ng"),
-          sum((col("m") * col("m")).cast("double")).as("sm2"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+          sum((col("m") * col("m")).cast("double")).as("sm2"),
+          sum(col("m").cast("double")).as("sm1"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1)
     }
-    def estPairs(c: Long): Double = hist.map { case (b, ng, sm2) =>
-      if ((2L << b) - 1 <= c) sm2 / 2.0
-      else math.min(sm2, ng.toDouble * c * c) / 2.0
-    }.sum
+    // mirrors Dedup.ngramJaccard's bucketMass: m(m−1)/2 pair form
+    def bucketMass(c: Long)(h: (Int, Long, Double, Double)): Double = {
+      val (b, ng, sm2, sm1) = h
+      if ((2L << b) - 1 <= c) (sm2 - sm1) / 2.0
+      else math.min(sm2 - sm1, ng.toDouble * c * (c - 1)) / 2.0
+    }
+    def estPairs(c: Long): Double = hist.map(bucketMass(c)).sum
     Seq(5000, 2500, 1250, 625, 312, 256, 128, 64, 32).foreach(c =>
       println(f"[profile] estPairs(cap=$c) = ${estPairs(c)}%.3e"))
     val budget = sys.env.getOrElse("SPARK_GRAFT_NGRAM_BUDGET",
@@ -62,12 +68,25 @@ object ProfileNgram {
     var effCap = 5000
     while (effCap > 64 && estPairs(effCap) > budget)
       effCap = math.max(64, effCap / 2)
-    println(s"[profile] guard effCap=$effCap (budget=$budget)")
+    // mirrors the operator's second degrade stage (df-ceiling)
+    val dMax: Long =
+      if (estPairs(effCap) <= budget) Long.MaxValue
+      else {
+        var cum = 0.0; var d = 1L; var stop = false
+        for (h <- hist if !stop) {
+          val mass = bucketMass(effCap)(h)
+          if (cum + mass <= budget) { cum += mass; d = (2L << h._1) - 1 }
+          else stop = true
+        }
+        d
+      }
+    println(s"[profile] guard effCap=$effCap dMax=$dMax (budget=$budget)")
 
     val candidates = prefix
       .groupBy("g")
       .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
-        .as("ps"))
+        .as("ps"), count(lit(1)).as("m"))
+      .filter(col("m") <= dMax)
       .select(explode(bucket_pairs(col("ps"), effCap, t)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
@@ -75,15 +94,25 @@ object ProfileNgram {
     timed("3 candidates (group+BucketPairs)")(
       println("[profile] n_cand=" + candidates.count()))
 
-    val gsets: scala.collection.Map[Long, Array[Long]] = timed("4 sets collect") {
-      base.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    }
-    val bc = spark.sparkContext.broadcast(gsets)
-    val pairs = candidates
-      .withColumn("jaccard", broadcast_jaccard(col("id_a"), col("id_b"), bc))
-      .filter(col("jaccard") >= t)
-    timed("5 verify (broadcast lookup)")(
-      println("[profile] n_pairs=" + pairs.count()))
+    // Stage 4/5 mirror the operator's BROADCAST verify path, which the
+    // operator itself only takes when `setsFitOnDriver` says the gram
+    // sets fit (Dedup.scala) — apply the same discipline here instead
+    // of collecting half a terabyte of rehearsal corpus onto the
+    // driver (the sf10_he run died on spark.driver.maxResultSize).
+    val totalGrams = base.select(sum(size(col("gs")))).head().getLong(0)
+    if (totalGrams <= 50000000L) {
+      val gsets: scala.collection.Map[Long, Array[Long]] = timed("4 sets collect") {
+        base.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      }
+      val bc = spark.sparkContext.broadcast(gsets)
+      val pairs = candidates
+        .withColumn("jaccard", broadcast_jaccard(col("id_a"), col("id_b"), bc))
+        .filter(col("jaccard") >= t)
+      timed("5 verify (broadcast lookup)")(
+        println("[profile] n_pairs=" + pairs.count()))
+    } else println(s"[profile] 4/5 skipped: $totalGrams grams exceed " +
+      "the driver-collect bound (the operator takes its distributed " +
+      "verify fallback here)")
 
     base.unpersist(); candidates.unpersist()
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -99,7 +128,8 @@ object ProfileNgram {
             starts.getOrDefault(j.jobId, System.nanoTime())) / 1e9}%.2f s")
       })
     val t0 = System.nanoTime()
-    val full = graft.operators.Dedup.ngramJaccard(docs)
+    val full = graft.operators.Dedup.ngramJaccard(docs,
+      pairBudget = budget)
     println(f"[profile] full one-shot op: ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=" + full.count())
     Thread.sleep(500)
     jobs.forEach(s => println("[profile] " + s))

@@ -726,8 +726,16 @@ object Dedup {
     * ~(#buckets)·cap²/2 candidates (measured ~10¹¹ at the sf10
     * rehearsal: an 80 GB disk filled with shuffle spill). The guard
     * estimates the mass exactly from a ≤64-row posting-count histogram
-    * and halves the effective bucket cap until the bound fits; healthy
-    * corpora never engage it (estimate ≪ budget ⇒ output unchanged). */
+    * and halves the effective bucket cap until the bound fits. When
+    * halving bottoms out still over budget (mass spread over MANY
+    * medium-hot grams — the high-entropy rehearsal regime), a second
+    * degrade stage drops whole gram-frequency bands HOTTEST-FIRST
+    * (df-ceiling) until the bound fits, making the budget a hard
+    * guarantee at any corpus degeneracy; true near-dup pairs co-occur
+    * in rare grams, so the dropped bands carry the least recall.
+    * Healthy corpora never engage either stage (estimate ≪ budget ⇒
+    * output unchanged). Size the budget from per-executor disk: the
+    * verify join materializes ~(2·|gram set|·8 B) per candidate. */
   def ngramJaccard(
       docs: DataFrame,
       n: Int = 8,
@@ -790,27 +798,38 @@ object Dedup {
     // exact per-gram posting-count histogram — one skinny map-side-
     // combined aggregate over the prefix postings, log2-bucketed to
     // ≤64 driver rows — and the effective cap halves until the bound
-    // Σ_g min(m_g, cap)²/2 fits `pairBudget`. On healthy corpora the
+    // Σ_g min(m_g, cap)(min(m_g, cap) − 1)/2 fits `pairBudget`, with a
+    // rarest-first df-ceiling as the second degrade stage when halving
+    // alone cannot fit (see dMax below). On healthy corpora the
     // estimate is far under budget and the cap (and therefore the
     // output) is untouched; on pathological ones the operator degrades
     // the way the cap already documents — keep-smallest-ids per bucket,
     // a recall/volume trade — instead of failing the job. The histogram
     // is exact and deterministic, so the chosen cap (and the output)
     // is layout-independent.
-    val hist: Array[(Int, Long, Double)] = prefix
+    val hist: Array[(Int, Long, Double, Double)] = prefix
       .groupBy("g").agg(count(lit(1)).as("m"))
       .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
       .groupBy("b").agg(count(lit(1)).as("ng"),
-        sum((col("m") * col("m")).cast("double")).as("sm2"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-    def estPairs(c: Long): Double = hist.map { case (b, ng, sm2) =>
+        sum((col("m") * col("m")).cast("double")).as("sm2"),
+        sum(col("m").cast("double")).as("sm1"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // per-bucket pair mass under cap c: grams with m postings generate
+    // min(m, c)·(min(m, c) − 1)/2 pairs — the m(m−1)/2 form (not m²/2)
+    // so the single-posting grams that dominate a healthy corpus's
+    // gram universe contribute ZERO, exactly like the generator itself
+    def bucketMass(c: Long)(h: (Int, Long, Double, Double)): Double = {
+      val (b, ng, sm2, sm1) = h
       // bucket holds grams with m in [2^b, 2^(b+1)); if the whole range
-      // is under the cap the exact Σm² applies, else cap each list
-      // (straddling buckets take the min of both bounds — still an
-      // upper bound on Σ min(m, c)²)
-      if ((2L << b) - 1 <= c) sm2 / 2.0
-      else math.min(sm2, ng.toDouble * c * c) / 2.0
-    }.sum
+      // is under the cap the exact Σ m(m−1)/2 applies, else cap each
+      // list (straddling buckets take the min of both bounds — still an
+      // upper bound on Σ min(m, c)(min(m, c) − 1)/2)
+      if ((2L << b) - 1 <= c) (sm2 - sm1) / 2.0
+      else math.min(sm2 - sm1, ng.toDouble * c * (c - 1)) / 2.0
+    }
+    def estPairs(c: Long): Double = hist.map(bucketMass(c)).sum
     // Measured decision curve on the rehearsal corpora — the binding
     // cost is the VERIFY join, whose rows carry both docs' full gram
     // arrays (~KB each), so the budget must bound candidates tightly
@@ -820,12 +839,38 @@ object Dedup {
     // identical; sf1 est(5000)=2.8e9 → cap 128; sf10 est(5000)=3.9e10
     // (35M candidates at cap 156 spilled ~85 GB of verify sort and
     // filled the disk) → cap 128, ~1e7 candidates, bounded verify.
-    // Floor 64: a corpus still over budget there is maximally
-    // degenerate (every doc sharing every gram) and the
-    // O(#grams·64²) mass is small enough to run regardless.
     var effCap = maxPrefixBucket
     while (effCap > 64 && estPairs(effCap) > pairBudget)
       effCap = math.max(64, effCap / 2)
+    // Cap-halving bottoms out at 64 without fitting the budget when the
+    // mass lives in MANY medium-hot grams rather than a few monsters
+    // (measured at the high-entropy sf10 rehearsal: est(64) = 2.1e8 on
+    // a 1e8 budget — the budget was SOFT exactly when it mattered, and
+    // the verify join's ~KB-wide rows turned the overrun into a full
+    // disk). The second degrade stage makes the budget HARD at any
+    // corpus degeneracy: a df-ceiling from the same histogram — admit
+    // whole log2 buckets RAREST-GRAMS-FIRST while their cumulative
+    // capped mass fits, then drop every gram bucket past the first
+    // overflow. Rare-first is the AllPairs-optimal order: true near-dup
+    // pairs co-occur in RARE grams (a 0.7-Jaccard pair shares its
+    // rarest prefix grams), so the hottest buckets — the ones a
+    // degenerate corpus inflates — carry the least recall per
+    // candidate. Deterministic (exact histogram → same dMax on any
+    // layout); Long.MaxValue = disabled on every corpus whose floor
+    // mass fits, which includes every healthy one.
+    val dMax: Long =
+      if (estPairs(effCap) <= pairBudget) Long.MaxValue
+      else {
+        var cum = 0.0
+        var d = 1L
+        var stop = false
+        for (h <- hist if !stop) {
+          val mass = bucketMass(effCap)(h)
+          if (cum + mass <= pairBudget) { cum += mass; d = (2L << h._1) - 1 }
+          else stop = true
+        }
+        d
+      }
 
     // Candidate generation + verification. ONE shuffle (groupBy gram)
     // builds each inverted-index bucket, then a bucket generator emits
@@ -842,11 +887,14 @@ object Dedup {
     // Verification via the shared size-guarded verifier; the guard can
     // use the REAL materialized cache stats here, because the hotDf
     // model job above has already materialized `base`.
+    // the df-ceiling filter reads the posting count out of the SAME
+    // aggregate that builds the bucket — zero extra jobs or shuffles
     val candidates = prefix
       .groupBy("g")
       .agg(bounded_min_collect(
         struct(col("doc_id").as("doc_id"), col("rn"), col("sz")),
-        effCap).as("ps"))
+        effCap).as("ps"), count(lit(1)).as("m"))
+      .filter(col("m") <= dMax)
       .select(explode(
         bucket_pairs(col("ps"), effCap, threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))

@@ -84,21 +84,50 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val unguarded = pairSet(Dedup.ngramJaccard(lowEntropy,
       threshold = 0.5))
-    // est mass here is ~(#shared prefix grams)·400²/2 ≫ 10⁴, so the
-    // cap halves to its 256 floor; bounded_min_collect keeps the
-    // smallest (doc_id, …) postings, so guarded candidates (and
-    // therefore verified pairs) are a SUBSET of the unguarded run's
+    // est mass here is ≫ 10⁴ even at the cap floor, so both degrade
+    // stages run (cap → 64, then the df-ceiling drops the hottest
+    // gram bands); the guarded output completes, is a SUBSET of the
+    // unguarded run's, and is layout-independent (the histogram and
+    // ceiling are exact, so the same dMax falls out of any input
+    // partitioning)
     val guarded = pairSet(Dedup.ngramJaccard(lowEntropy,
       threshold = 0.5, pairBudget = 10000L))
-    assert(guarded.nonEmpty && guarded.subsetOf(unguarded))
-    assert(guarded.size < unguarded.size) // the cap actually bit
-    // docs 1..256 survive the keep-smallest cap together: their mutual
-    // pairs are intact
-    assert(guarded.contains((1L, 2L)))
+    assert(guarded.subsetOf(unguarded))
+    assert(guarded.size < unguarded.size) // the guard actually bit
+    val guardedOther = pairSet(Dedup.ngramJaccard(
+      lowEntropy.repartition(7), threshold = 0.5, pairBudget = 10000L))
+    assert(guardedOther === guarded)
     // a budget the estimate cannot exceed leaves the output identical
     val generous = pairSet(Dedup.ngramJaccard(lowEntropy,
       threshold = 0.5, pairBudget = Long.MaxValue))
     assert(generous === unguarded)
+  }
+
+  test("ngram jaccard df-ceiling: when cap-halving cannot fit the " +
+      "budget, hot gram bands drop but rare-gram pairs survive") {
+    // 300 degenerate docs (every gram ~300 deep — cap-halving alone
+    // cannot fit a 2000-pair budget) plus one planted pair of docs
+    // made of DISTINCT rare text whose shared grams post exactly 2
+    // deep: the rarest-first df-ceiling must keep the rare band (and
+    // with it the true pair) while dropping the hot bands that carry
+    // the degenerate mass
+    val degenerate = (1L to 300L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog near the " +
+        s"old barn by the river variant $i"))
+    val planted = Seq(
+      (901L, "zyxwvu tsrqpo nmlkji hgfedc xylophone quartz jigsaw"),
+      (902L, "zyxwvu tsrqpo nmlkji hgfedc xylophone quartz jigsaw"))
+    val corpus = (degenerate ++ planted).toDF("doc_id", "text")
+    val r = Dedup.ngramJaccard(corpus, threshold = 0.5,
+      pairBudget = 2000L)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((901L, 902L)))
+    // the degenerate mass was actually dropped: the 300 degenerate
+    // docs are pairwise ≥0.5-similar (a ~300·299/2 ≈ 45k-pair clique
+    // unguarded), and the ceiling must cut that by an order of
+    // magnitude to honor the 2000-candidate budget
+    assert(r.size < 5000)
   }
 
   test("incremental epoch merge emits exactly the increment's pairs") {
