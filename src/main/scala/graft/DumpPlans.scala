@@ -56,7 +56,13 @@ object DumpPlans {
         |loop; distinct candidates then verify via BroadcastJaccard
         |lookups (or size-guarded joins at corpus scale). Postings
         |cross the wire once; the ~2 KB gram arrays never enter a
-        |row on the small-table path.""".stripMargin,
+        |row on the small-table path. Before any pair is generated, a
+        |≤64-row exact posting-count histogram bounds the total
+        |candidate mass (Σ min(m,cap)(min(m,cap)−1)/2): the bucket cap
+        |halves, then a rarest-first df-ceiling drops hot gram bands,
+        |until the bound fits the configured pair budget — a HARD
+        |guarantee at any corpus degeneracy, inert on healthy corpora
+        |(estimate ≪ budget at every driver scale).""".stripMargin,
     "join_cosine_threshold" ->
       """The declarative similarity join: the user writes
         |`cosine_sim(a, b) >= t` — an O(n²) predicate Spark would plan
@@ -263,16 +269,22 @@ object DumpPlans {
         |ReadSchema carries doc_id alone, so at crawl scale the dedup
         |key pass touches URL metadata, not payloads.""".stripMargin,
     "graph_pagerank" ->
-      """Exact-integer PageRank, 5 fixed rounds. Each round is two
-        |key-partitioned shuffles (contrib groupBy dst + rank left
-        |join) over a localCheckpointed frame, so the lineage stays
-        |constant-size (the plan below is the final checkpoint scan +
-        |presentation projection — GraphSpec pins that). Both per-round
-        |shuffles hash-partition on the node id; on a cluster the edge
-        |table would be bucketed by src once and every round reuses
-        |that layout. Ranks are scaled longs with floor division —
-        |reproducible at any parallelism, which float PageRank can
-        |never be.""".stripMargin,
+      """Exact-integer PageRank, 5 fixed rounds, two MEASURED regimes
+        |chosen from N (known on the driver). Broadcast regime (N·24 B
+        |under the broadcast threshold): the raw edge frame checkpoints
+        |once with NO shuffle and NO sort, out-degree rides on the
+        |N-row broadcast (id, outdeg, rank) frame, and each round is
+        |one map-side probe of the cached edges plus a skinny inflow
+        |aggregate folded back by a single N-row join. Pinned regime
+        |(billion-node graphs): the edge⋈degree frame pre-buckets by
+        |src (repartition + sort, AQE scoped off so the capture holds)
+        |and each round's rank join is co-partitioned with zero
+        |exchange on either side — PlanQualitySpec pins exactly one
+        |exchange (the inflow aggregate) in the loop body. Ranks are
+        |scaled longs with floor division — reproducible at any
+        |parallelism, which float PageRank can never be; the plan
+        |below is the final checkpoint scan + presentation
+        |projection.""".stripMargin,
     "multimodal_audio" ->
       """Exact-integer audio features: WAV encode + full RIFF decode +
         |energy/magnitude/crossing accumulation all fuse into one
@@ -407,15 +419,18 @@ object DumpPlans {
         |quantizer cost is the scan itself; nothing accumulates
         |driver-side.""".stripMargin,
     "pareto_skyline" ->
-      """Dominance with no pairwise comparison: the bounds frame (1
-        |row) and bucket-prefix frame (≤1024 rows) broadcast back onto
-        |the scan, so the corpus-wide stages are scan + filter. The
-        |exact sweep never sees a global order: a per-(bucket, value)
-        |hash aggregate, then a window PARTITIONED by bucket over the
-        |bucket's distinct values — the only unpartitioned window in
-        |the plan is the ≤1024-row bucket-stats prefix (plan-pinned in
-        |PlanQualitySpec). An all-frontier adversarial corpus sorts at
-        |most one bucket's distinct values per partition.""".stripMargin,
+      """Dominance with no pairwise comparison: the 1-row bounds
+        |collect makes quantization a literal scan-stage expression,
+        |and the ≤1024-row bucket stats (collected with counts) both
+        |compute the cross-bucket prefix driver-side AND bound the
+        |surviving candidate set — the exact sweep's SHAPE follows
+        |that measured bound (the skyline-gate discipline): a provably
+        |tiny candidate set takes the classic single-order sweep; an
+        |adversarial all-frontier corpus takes the decomposed
+        |per-(bucket, value) aggregate + bucket-PARTITIONED windows,
+        |so no unbounded set ever funnels into one partition
+        |(plan-pinned in PlanQualitySpec, both paths cross-checked
+        |against brute force in SkylineSpec).""".stripMargin,
     "geo_radius_join" ->
       """The spatial join is a BroadcastHashJoin on (cellx, celly) —
         |no nested loop anywhere (PlanQualitySpec pins this). The ×9
