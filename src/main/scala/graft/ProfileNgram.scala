@@ -48,7 +48,7 @@ object ProfileNgram {
       prefix.groupBy("g").agg(count(lit(1)).as("m"))
         .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
         .groupBy("b").agg(count(lit(1)).as("ng"),
-          sum((col("m") * col("m")).cast("double")).as("sm2"),
+          sum(col("m").cast("double") * col("m")).as("sm2"),
           sum(col("m").cast("double")).as("sm1"))
         .collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
@@ -68,25 +68,36 @@ object ProfileNgram {
     var effCap = 5000
     while (effCap > 64 && estPairs(effCap) > budget)
       effCap = math.max(64, effCap / 2)
-    // mirrors the operator's second degrade stage (df-ceiling)
-    val dMax: Long =
-      if (estPairs(effCap) <= budget) Long.MaxValue
+    // mirrors the operator's second degrade stage (df-ceiling with
+    // deterministic partial admission of the first overflowing band)
+    val (dMax: Long, bandHi: Long, bandPpm: Long) =
+      if (estPairs(effCap) <= budget) (Long.MaxValue, 0L, 0L)
       else {
-        var cum = 0.0; var d = 1L; var stop = false
+        var cum = 0.0; var d = 1L; var hi = 0L; var ppm = 0L
+        var stop = false
         for (h <- hist if !stop) {
           val mass = bucketMass(effCap)(h)
           if (cum + mass <= budget) { cum += mass; d = (2L << h._1) - 1 }
-          else stop = true
+          else {
+            if (mass > 0) {
+              hi = (2L << h._1) - 1
+              ppm = ((budget - cum) / mass * 1000000L).toLong
+            }
+            stop = true
+          }
         }
-        d
+        (d, hi, ppm)
       }
-    println(s"[profile] guard effCap=$effCap dMax=$dMax (budget=$budget)")
+    println(s"[profile] guard effCap=$effCap dMax=$dMax " +
+      s"bandHi=$bandHi bandPpm=$bandPpm (budget=$budget)")
 
     val candidates = prefix
       .groupBy("g")
       .agg(collect_list(struct(col("doc_id"), col("rn"), col("sz")))
         .as("ps"), count(lit(1)).as("m"))
-      .filter(col("m") <= dMax)
+      .filter(col("m") <= dMax ||
+        (col("m") <= bandHi &&
+          pmod(xxhash64(col("g")), lit(1000000L)) < bandPpm))
       .select(explode(bucket_pairs(col("ps"), effCap, t)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
@@ -99,7 +110,12 @@ object ProfileNgram {
     // sets fit (Dedup.scala) — apply the same discipline here instead
     // of collecting half a terabyte of rehearsal corpus onto the
     // driver (the sf10_he run died on spark.driver.maxResultSize).
-    val totalGrams = base.select(sum(size(col("gs")))).head().getLong(0)
+    // null-safe: sum over zero rows is NULL (empty corpus). The 50M
+    // cutoff approximates (does not exactly mirror) the operator's
+    // setsFitOnDriver byte gate — close enough for a dev profiler
+    // whose job is the stage timings, not bit-identical path choice.
+    val totalGrams = Option(base.select(sum(size(col("gs"))))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     if (totalGrams <= 50000000L) {
       val gsets: scala.collection.Map[Long, Array[Long]] = timed("4 sets collect") {
         base.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap

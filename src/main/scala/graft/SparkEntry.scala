@@ -691,9 +691,12 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     val dups = Dedup.exact(d).filter(!col("keep"))
       .select(col("doc_id"), lit(1L).as("is_dup"))
+    // the same scale-invariant fixed benchmark set as the rest of the
+    // decontam family (< 100000 is a no-op at every driver scale)
     val contam = Decontaminate.overlap(
         d.filter(col("doc_id") % 17 =!= 0),
-        d.filter(col("doc_id") % 17 === 0), n = 5)
+        d.filter(col("doc_id") % 17 === 0 && col("doc_id") < 100000),
+        n = 5)
       .filter(col("contaminated"))
       .select(col("doc_id"), lit(1L).as("is_contam"))
     d.select(col("doc_id"), col("source"),
@@ -6417,7 +6420,8 @@ object SparkEntry {
         |             || w[i+3] || ' ' || w[i+4])
         |      ELSE [array_to_string(w, ' ')] END) AS gg
         |    FROM toks) u),
-        |ev AS (SELECT DISTINCT gg FROM sh WHERE doc_id % 17 = 0),
+        |ev AS (SELECT DISTINCT gg FROM sh
+        |       WHERE doc_id % 17 = 0 AND doc_id < 100000),
         |contam AS (
         |  SELECT DISTINCT doc_id FROM sh JOIN ev USING (gg)
         |  WHERE doc_id % 17 <> 0)

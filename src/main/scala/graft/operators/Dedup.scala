@@ -810,8 +810,11 @@ object Dedup {
     val hist: Array[(Int, Long, Double, Double)] = prefix
       .groupBy("g").agg(count(lit(1)).as("m"))
       .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
+      // m casts to double BEFORE the square: a long m·m overflows past
+      // m ≈ 3e9 postings and a negative sm2 would make the guard
+      // under-count exactly on the pathological corpora it exists for
       .groupBy("b").agg(count(lit(1)).as("ng"),
-        sum((col("m") * col("m")).cast("double")).as("sm2"),
+        sum(col("m").cast("double") * col("m")).as("sm2"),
         sum(col("m").cast("double")).as("sm1"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
@@ -858,18 +861,37 @@ object Dedup {
     // candidate. Deterministic (exact histogram → same dMax on any
     // layout); Long.MaxValue = disabled on every corpus whose floor
     // mass fits, which includes every healthy one.
-    val dMax: Long =
-      if (estPairs(effCap) <= pairBudget) Long.MaxValue
+    // The first band that overflows is admitted PARTIALLY — a
+    // deterministic xxhash64(g) per-mille draw sized so the admitted
+    // fraction's expected mass fills the remaining budget (per-gram
+    // mass inside one log2 band varies ≤4×, so the realized mass is
+    // within a small constant of the target; the estimate itself
+    // over-counts the post-distinct actual ~10-30×). Without partial
+    // admission the ceiling has a cliff: a corpus whose RAREST
+    // non-singleton band alone exceeds the budget (millions of
+    // 2-posting twin grams, say) would get dMax=1 and silently emit
+    // ZERO pairs where the budget could have funded thousands of true
+    // ones. Layout-independent: the draw keys on the gram value.
+    val (dMax: Long, bandHi: Long, bandPpm: Long) =
+      if (estPairs(effCap) <= pairBudget) (Long.MaxValue, 0L, 0L)
       else {
         var cum = 0.0
         var d = 1L
+        var hi = 0L
+        var ppm = 0L
         var stop = false
         for (h <- hist if !stop) {
           val mass = bucketMass(effCap)(h)
           if (cum + mass <= pairBudget) { cum += mass; d = (2L << h._1) - 1 }
-          else stop = true
+          else {
+            if (mass > 0) {
+              hi = (2L << h._1) - 1
+              ppm = ((pairBudget - cum) / mass * 1000000L).toLong
+            }
+            stop = true
+          }
         }
-        d
+        (d, hi, ppm)
       }
 
     // Candidate generation + verification. ONE shuffle (groupBy gram)
@@ -894,7 +916,9 @@ object Dedup {
       .agg(bounded_min_collect(
         struct(col("doc_id").as("doc_id"), col("rn"), col("sz")),
         effCap).as("ps"), count(lit(1)).as("m"))
-      .filter(col("m") <= dMax)
+      .filter(col("m") <= dMax ||
+        (col("m") <= bandHi &&
+          pmod(xxhash64(col("g")), lit(1000000L)) < bandPpm))
       .select(explode(
         bucket_pairs(col("ps"), effCap, threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))

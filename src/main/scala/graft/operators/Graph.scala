@@ -77,24 +77,23 @@ object Graph {
     val bcastThreshold = nodes.sparkSession.sessionState.conf
       .autoBroadcastJoinThreshold
     val bcastRanks = bcastThreshold > 0 && n * 24 <= bcastThreshold
-    if (bcastRanks) {
-      val (e, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
+    def loop(e: DataFrame, ranks0: DataFrame,
+        step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
       var ranks = ranks0
       var it = 0
       while (it < iters) {
-        ranks = Iterate.materialize(rankStepBroadcast(e, ranks, base), it)
-        it += 1
-      }
-      ranks.select(col("id"), col("rank"))
-    } else Iterate.pinnedLayout(nodes.sparkSession) {
-      val (eDeg, ranks0) = prepareRank(nodes, edges, scale / n)
-      var ranks = ranks0
-      var it = 0
-      while (it < iters) {
-        ranks = Iterate.materialize(rankStep(eDeg, ranks, base), it)
+        ranks = Iterate.materialize(step(e, ranks), it)
         it += 1
       }
       ranks
+    }
+    if (bcastRanks) {
+      val (e, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
+      loop(e, ranks0, rankStepBroadcast(_, _, base))
+        .select(col("id"), col("rank"))
+    } else Iterate.pinnedLayout(nodes.sparkSession) {
+      val (eDeg, ranks0) = prepareRank(nodes, edges, scale / n)
+      loop(eDeg, ranks0, rankStep(_, _, base))
     }
   }
 
@@ -141,6 +140,13 @@ object Graph {
     val inflow = e.join(broadcast(ranks0), e("src") === ranks0("id"))
       .select(col("dst").as("id"),
         expr("rank div outdeg").as("contrib"))
+      // phantom dsts (edge targets outside `nodes`) drop HERE, map-side
+      // against the N-row broadcast, so the inflow exchange never
+      // carries keys the fold-back join would discard — on a graph
+      // whose edges mostly point outside the node universe this is the
+      // difference between shuffling |E| rows and shuffling the
+      // in-universe fraction, every round
+      .join(broadcast(ranks0.select(col("id"))), Seq("id"), "left_semi")
       .groupBy("id").agg(sum(col("contrib")).as("inflow"))
     ranks0.select(col("id"), col("outdeg"))
       .join(inflow, Seq("id"), "left")

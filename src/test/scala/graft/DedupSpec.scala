@@ -92,6 +92,7 @@ class DedupSpec extends AnyFunSuite {
     // partitioning)
     val guarded = pairSet(Dedup.ngramJaccard(lowEntropy,
       threshold = 0.5, pairBudget = 10000L))
+    assert(guarded.nonEmpty) // degrade, never total recall loss
     assert(guarded.subsetOf(unguarded))
     assert(guarded.size < unguarded.size) // the guard actually bit
     val guardedOther = pairSet(Dedup.ngramJaccard(
@@ -101,6 +102,36 @@ class DedupSpec extends AnyFunSuite {
     val generous = pairSet(Dedup.ngramJaccard(lowEntropy,
       threshold = 0.5, pairBudget = Long.MaxValue))
     assert(generous === unguarded)
+  }
+
+  test("ngram jaccard df-ceiling: an overflowing RAREST band admits " +
+      "partially — never the dMax=1 total-recall cliff") {
+    // 600 exact twin pairs of mutually-distinct text: every shared
+    // gram posts exactly 2 deep, so the ENTIRE pair mass sits in the
+    // m=2 band — cap-halving is a no-op and whole-band admission
+    // would overflow any budget below the band's mass. The
+    // deterministic per-gram draw must admit a fraction of the band:
+    // some twin pairs survive (each twin shares ~dozens of grams, so
+    // a per-gram ppm admission catches nearly every pair), none are
+    // invented, and the output stays layout-independent.
+    val twins = (1L to 600L).flatMap { i =>
+      val txt = s"unique document number $i carries its own " +
+        s"distinct words alpha$i beta$i gamma$i delta$i epsilon$i " +
+        s"zeta$i eta$i theta$i iota$i kappa$i"
+      Seq((i * 2, txt), (i * 2 + 1, txt))
+    }.toDF("doc_id", "text")
+    val r = Dedup.ngramJaccard(twins, threshold = 0.9,
+      pairBudget = 3000L)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.nonEmpty) // the cliff would make this empty
+    // only true twins appear
+    assert(r.forall { case (a, b) => b == a + 1 && a % 2 == 0 })
+    val r2 = Dedup.ngramJaccard(twins.repartition(7), threshold = 0.9,
+      pairBudget = 3000L)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r2 === r)
   }
 
   test("ngram jaccard df-ceiling: when cap-halving cannot fit the " +
