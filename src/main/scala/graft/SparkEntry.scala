@@ -1495,7 +1495,7 @@ object SparkEntry {
         |             AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |             AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
         |          * 2 > ps.ps_avail_qc)
-        |ORDER BY s.s_name""".stripMargin)
+        |ORDER BY s.s_name, s.s_suppkey""".stripMargin)
   }
 
   private def qTextFingerprints(s: SparkSession, dir: String): DataFrame = {
@@ -5749,7 +5749,7 @@ object SparkEntry {
         |             AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |             AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
         |          * 2 > ps.ps_avail_qc)
-        |ORDER BY s.s_name""".stripMargin,
+        |ORDER BY s.s_name, s.s_suppkey""".stripMargin,
     "text_fingerprints" -> winnowingOracleSql,
     "unpivot_metrics" ->
       """WITH w AS (SELECT l_orderkey, l_linenumber, l_quantity,

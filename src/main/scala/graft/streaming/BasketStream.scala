@@ -37,10 +37,7 @@ object BasketStream {
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType),
       StructField("l_partkey", LongType)))
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "lineitem.parquet")
-      .parquet(sfDir)
+    StreamSource.table(spark, sfDir, "lineitem", schema)
   }
 
   def pairsStream(spark: SparkSession, items: DataFrame)

@@ -46,10 +46,7 @@ object DocsStream {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    StreamSource.table(spark, sfDir, "documents", schema)
   }
 
   /** Incremental MinHash-LSH near-dup pairs. Emits each (id_a < id_b,
@@ -417,10 +414,7 @@ object DocsStream {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir)
+    StreamSource.table(spark, sfDir, "embeddings", schema)
   }
 
   /** Incremental embedding near-dup: the streaming twin of

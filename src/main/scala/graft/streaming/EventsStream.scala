@@ -200,12 +200,7 @@ object EventsStream {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
-    // file streaming sources take a directory; select just the events
-    // table out of the shared sf dir with a glob filter
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val raw = StreamSource.table(spark, sfDir, "events", schema)
     tsType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
