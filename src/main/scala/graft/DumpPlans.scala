@@ -60,9 +60,11 @@ object DumpPlans {
         |≤64-row exact posting-count histogram bounds the total
         |candidate mass (Σ min(m,cap)(min(m,cap)−1)/2): the bucket cap
         |halves, then a rarest-first df-ceiling drops hot gram bands,
-        |until the bound fits the configured pair budget — a HARD
-        |guarantee at any corpus degeneracy, inert on healthy corpora
-        |(estimate ≪ budget at every driver scale).""".stripMargin,
+        |until the bound fits the configured pair budget — bounded
+        |within a small constant of the budget at any corpus
+        |degeneracy (the partial band admits by expected mass; ≤4×
+        |per-gram variance inside a log2 band), inert on healthy
+        |corpora (estimate ≪ budget at every driver scale).""".stripMargin,
     "join_cosine_threshold" ->
       """The declarative similarity join: the user writes
         |`cosine_sim(a, b) >= t` — an O(n²) predicate Spark would plan

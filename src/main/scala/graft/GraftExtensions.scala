@@ -47,7 +47,63 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(sp => RewriteCosineThresholdJoin(sp))
     ext.injectOptimizerRule(sp => RewriteJaccardThresholdJoin(sp))
     ext.injectOptimizerRule(sp => RewriteHammingThresholdJoin(sp))
+    // analysis-time (post-hoc resolution), NOT an optimizer rule:
+    // collation is a semantic property of the comparison, and optimizer
+    // batches like ConvertToLocalRelation may evaluate filters before a
+    // late rewrite could reach them
+    ext.injectPostHocResolutionRule(sp => MySqlCiCollation(sp))
   }
+}
+
+/** OPT-IN MySQL case-insensitive comparison semantics
+  * (`spark.graft.mysqlCollation=ci`).
+  *
+  * The reference's MySQL sites compare strings under a ci collation
+  * (utf8mb4's `_ci` defaults), so its `WHERE name = 'ALICE'` matches
+  * `'Alice'`; Spark compares binary. This was the ONE input-surface
+  * divergence that returned silently different rows instead of failing
+  * loudly (README §SQL dialect). Under the flag, every string
+  * comparison — `=`, `<=>`, `<`, `<=`, `>`, `>=`, `IN` — over
+  * binary-collation operands is rewritten to compare under Spark's
+  * own `UTF8_LCASE` collation (proper Unicode case folding, not an
+  * ASCII `lower()` wrap), which is exactly MySQL's ci contract for
+  * the reference's data.
+  *
+  * Spark-first mechanics: the rewrite wraps operands in the native
+  * [[Collate]] expression, so comparisons stay whole-stage-codegen'd,
+  * equi-joins on rewritten keys hash with [[CollationKey]] awareness,
+  * and collated equality still reaches data sources as
+  * `CollatedEqualTo` pushdown filters. Idempotent by construction:
+  * a wrapped operand's type is no longer binary-collation, so the
+  * fixed-point optimizer batch matches it once. Scope is comparisons
+  * (the silent-divergence hole); ci GROUP BY / ORDER BY / LIKE remain
+  * documented divergences — they change representative-row selection,
+  * not membership, and stay loud in the README. */
+case class MySqlCiCollation(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Collate, In, ResolvedCollation}
+
+  private def enabled: Boolean = spark.conf
+    .getOption("spark.graft.mysqlCollation").exists(_.equalsIgnoreCase("ci"))
+
+  // only operands still comparing binary get wrapped (an explicit
+  // user COLLATE, or this rule's own output on a later fixed-point
+  // pass, already compares collated)
+  private def binaryString(e: Expression): Boolean =
+    org.apache.spark.sql.graft.bridge.comparesBinary(e.dataType)
+
+  private def ci(e: Expression): Expression =
+    Collate(e, ResolvedCollation("UTF8_LCASE"))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformAllExpressions {
+      case bc: BinaryComparison
+          if binaryString(bc.left) && binaryString(bc.right) =>
+        bc.withNewChildren(Seq(ci(bc.left), ci(bc.right)))
+      case in @ In(v, list)
+          if binaryString(v) && list.forall(binaryString) =>
+        In(ci(v), list.map(ci))
+    }
 }
 
 /** OPT-IN rewrite of a declarative Hamming-distance join into its

@@ -12,6 +12,22 @@ package graft
   *  - **`LIMIT offset, count`** (MySQL's two-argument form) is
   *    rewritten to Spark's `LIMIT count OFFSET offset`. This is the
   *    one construct in the parity surface Spark rejects outright.
+  *  - **`GROUP_CONCAT(...)`** — MySQL's string-aggregation idiom —
+  *    rewrites to `array_join(collect_list/collect_set(...), sep)`,
+  *    covering `DISTINCT`, multiple concatenated expressions,
+  *    `ORDER BY` (same-expression and independent-key forms, the
+  *    latter via the sort-a-struct-then-project trick) and
+  *    `SEPARATOR`. Forms with no faithful Spark spelling (mixed
+  *    ASC/DESC keys, DISTINCT ordered by a non-collected key) fail
+  *    loudly with the manual rewrite in the message.
+  *  - **`DATE_FORMAT(expr, '%pattern')`** rewrites to Spark's
+  *    `date_format(expr, 'java-pattern')`: the `%`-token table maps
+  *    (`%Y`→`yyyy`, `%i`→`mm`, …) and every literal run is
+  *    single-quote-protected so pattern-letter collisions cannot
+  *    corrupt the output. Tokens whose semantics Spark's formatter
+  *    lacks (`%U/%u/%V/%v/%X/%x` mode-dependent week numbering, `%D`
+  *    ordinal suffix, `%w` 0-based weekday) fail loudly, as does a
+  *    non-literal pattern argument.
   *  - **Backtick identifier quoting** needs no translation: Spark's
   *    identifier quote IS the backtick, same as MySQL.
   *  - **`<>` / `!=`**, integer `DIV`, `%`/`MOD`: identical in both.
@@ -22,24 +38,35 @@ package graft
   *  - **`IFNULL`, `NOW()`, `CONCAT`, `SUBSTRING_INDEX`, `COALESCE`**:
   *    Spark ships the same functions with the same semantics.
   *
-  * Known divergences, documented rather than silently mistranslated
-  * (README §SQL dialect): `DATE_FORMAT` patterns (`%Y` vs `yyyy`),
-  * `GROUP_CONCAT` (use `array_join(collect_list(...), sep)`), implicit
-  * string↔number coercion corners, and MySQL's case-insensitive string
-  * comparison default (Spark compares binary). Statements relying on
-  * those fail analysis loudly instead of returning subtly different
-  * rows.
+  * Remaining divergences, documented rather than silently
+  * mistranslated (README §SQL dialect): implicit string↔number
+  * coercion corners, and MySQL's case-insensitive string comparison
+  * default (Spark compares binary) — the latter now closeable with the
+  * opt-in `spark.graft.mysqlCollation=ci` session mode (see
+  * [[MySqlCiCollation]]), which rewrites string comparisons to
+  * UTF8_LCASE collation so `WHERE name = 'ALICE'` matches the rows a
+  * ci-collated MySQL would return.
   *
   * The rewriter is a character-level scanner, not a regex: single- and
   * double-quoted literals (with `\`-escapes and doubled quotes) and
   * backtick identifiers are copied verbatim, so a literal containing
-  * `LIMIT 1, 2` is never touched.
+  * `LIMIT 1, 2` or `GROUP_CONCAT(` is never touched. Function
+  * arguments are re-scanned recursively, so nested MySQL-isms
+  * (`GROUP_CONCAT(DATE_FORMAT(...))`) translate at any depth.
   */
 object MySqlDialect {
 
+  /** Loud failure for a MySQL construct with no faithful Spark
+    * spelling — analysis-time, with the manual rewrite in the text. */
+  final class UntranslatableSqlException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def fail(msg: String): Nothing =
+    throw new UntranslatableSqlException(msg)
+
   /** Translate a MySQL-dialect statement into Spark SQL. Idempotent on
-    * statements that are already Spark SQL (the only rewrite triggers
-    * on a construct Spark cannot parse). */
+    * statements that are already Spark SQL (every rewrite triggers on
+    * a construct Spark cannot parse). */
   def translate(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
@@ -66,6 +93,38 @@ object MySqlDialect {
 
     def isWordChar(c: Char): Boolean =
       Character.isLetterOrDigit(c) || c == '_'
+
+    // index just past the ')' matching the '(' at `open` (quote-aware);
+    // -1 if unbalanced (leave untouched — Spark will report the error)
+    def matchParen(open: Int): Int = {
+      var k = open + 1
+      var depth = 1
+      while (k < n && depth > 0) {
+        val c = sql.charAt(k)
+        if (c == '\'' || c == '"' || c == '`') k = skipQuoted(k, c)
+        else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          k += 1
+        }
+      }
+      if (depth == 0) k else -1
+    }
+
+    // index just past a quoted region starting at `at` (which holds the
+    // opening quote)
+    def skipQuoted(at: Int, quote: Char): Int = {
+      var k = at + 1
+      while (k < n) {
+        val c = sql.charAt(k)
+        if (c == '\\' && k + 1 < n && quote != '`') k += 2
+        else if (c == quote && k + 1 < n && sql.charAt(k + 1) == quote)
+          k += 2
+        else if (c == quote) return k + 1
+        else k += 1
+      }
+      k
+    }
 
     while (i < n) {
       val c = sql.charAt(i)
@@ -98,11 +157,303 @@ object MySqlDialect {
               i = j4
             } else out.append(word)
           } else out.append(word)
+        } else if ((word.equalsIgnoreCase("GROUP_CONCAT") ||
+            word.equalsIgnoreCase("DATE_FORMAT"))) {
+          var j = i
+          while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
+          val close = if (j < n && sql.charAt(j) == '(') matchParen(j)
+            else -1
+          if (close < 0) out.append(word) // no args — Spark reports it
+          else {
+            val inner = sql.substring(j + 1, close - 1)
+            if (word.equalsIgnoreCase("GROUP_CONCAT"))
+              out.append(rewriteGroupConcat(inner))
+            else out.append(rewriteDateFormat(inner))
+            i = close
+          }
         } else out.append(word)
       } else {
         out.append(c); i += 1
       }
     }
     out.toString
+  }
+
+  // -------------------------------------------------------------------
+  // GROUP_CONCAT([DISTINCT] e1 [, e2...] [ORDER BY k [ASC|DESC] [, ...]]
+  //              [SEPARATOR 'sep'])
+  // -------------------------------------------------------------------
+
+  private def rewriteGroupConcat(argsRaw: String): String = {
+    val help = "GROUP_CONCAT translates to " +
+      "array_join(collect_list(expr), sep); rewrite manually if this " +
+      "form is unsupported"
+    var args = argsRaw.trim
+    // DISTINCT prefix
+    val distinct = hasPrefixWord(args, "DISTINCT")
+    if (distinct) args = args.substring("DISTINCT".length).trim
+
+    // SEPARATOR suffix: scan for the top-level keyword
+    var sep = "','"
+    findTopLevelWord(args, "SEPARATOR") match {
+      case Some(at) =>
+        val lit = args.substring(at + "SEPARATOR".length).trim
+        if (lit.isEmpty || (lit.charAt(0) != '\'' && lit.charAt(0) != '"'))
+          fail(s"GROUP_CONCAT SEPARATOR must be a string literal, " +
+            s"got: $lit — $help")
+        sep = lit
+        args = args.substring(0, at).trim
+      case None =>
+    }
+
+    // ORDER BY suffix
+    var orderKey: Option[String] = None
+    var orderAsc = true
+    findTopLevelWord(args, "ORDER") match {
+      case Some(at) =>
+        val tail0 = args.substring(at + "ORDER".length).trim
+        if (!hasPrefixWord(tail0, "BY"))
+          fail(s"GROUP_CONCAT: expected BY after ORDER in: $argsRaw")
+        var key = tail0.substring("BY".length).trim
+        if (splitTopLevel(key, ',').length > 1)
+          fail("GROUP_CONCAT ORDER BY with multiple keys is not " +
+            s"translated — $help")
+        if (endsWithWord(key, "DESC")) {
+          orderAsc = false; key = key.substring(0, key.length - 4).trim
+        } else if (endsWithWord(key, "ASC"))
+          key = key.substring(0, key.length - 3).trim
+        orderKey = Some(translate(key)) // nested MySQL-isms in the key
+        args = args.substring(0, at).trim
+      case None =>
+    }
+
+    // remaining: one or more concatenated expressions (recursively
+    // translated so nested DATE_FORMAT etc. rewrite too)
+    val exprs = splitTopLevel(args, ',').map(e => translate(e.trim))
+    if (exprs.isEmpty || exprs.exists(_.isEmpty))
+      fail(s"GROUP_CONCAT needs at least one expression: $argsRaw")
+    // MySQL concatenates the expression list per row, then aggregates;
+    // cast to string so numeric columns concatenate the way MySQL's
+    // implicit coercion does
+    val row =
+      if (exprs.length == 1) s"CAST(${exprs.head} AS STRING)"
+      else exprs.map(e => s"CAST($e AS STRING)").mkString("concat(", ", ", ")")
+
+    val asc = if (orderAsc) "true" else "false"
+    // ORDER BY sorts by the KEY's native type (MySQL sorts numerics
+    // numerically, then concatenates string forms — sorting the cast
+    // strings would order 10 before 9): collect (key, value) structs,
+    // sort by the struct's natural field-by-field order, project
+    // values. Ties between equal keys fall to the value — MySQL leaves
+    // tie order unspecified, so this is conformant AND deterministic.
+    val agg = (distinct, orderKey) match {
+      case (false, None) =>
+        s"collect_list($row)"
+      case (true, None) =>
+        // MySQL leaves unordered GROUP_CONCAT order unspecified; a
+        // sorted set is a conformant, deterministic choice
+        s"sort_array(collect_set($row))"
+      case (false, Some(k)) =>
+        s"transform(sort_array(collect_list(struct($k AS k, $row AS v))," +
+          s" $asc), x -> x.v)"
+      case (true, Some(k)) if stripParens(k) == stripParens(exprs.head)
+          && exprs.length == 1 =>
+        // DISTINCT over (key, value) pairs ≡ DISTINCT over the value
+        // exactly when the key IS the collected expression
+        s"transform(sort_array(collect_set(struct($k AS k, $row AS v))," +
+          s" $asc), x -> x.v)"
+      case (true, Some(_)) =>
+        fail("GROUP_CONCAT(DISTINCT ... ORDER BY <different key>) has " +
+          "no faithful Spark spelling (the key is lost by DISTINCT); " +
+          s"rewrite manually — $help")
+    }
+    s"array_join($agg, $sep)"
+  }
+
+  // -------------------------------------------------------------------
+  // DATE_FORMAT(expr, '%-pattern')  →  date_format(expr, 'java-pattern')
+  // -------------------------------------------------------------------
+
+  /** MySQL `%` token → Spark (DateTimeFormatter) pattern. Tokens absent
+    * here have no Spark formatter equivalent and fail loudly. */
+  private val dateTokens: Map[Char, String] = Map(
+    'a' -> "EEE", // abbreviated weekday
+    'b' -> "MMM", // abbreviated month
+    'c' -> "M", // month, numeric, no pad
+    'd' -> "dd", // day of month, zero-padded
+    'e' -> "d", // day of month, no pad
+    'f' -> "SSSSSS", // microseconds
+    'H' -> "HH", // hour 00-23
+    'h' -> "hh", // hour 01-12
+    'I' -> "hh", // hour 01-12 (synonym)
+    'i' -> "mm", // minutes (MySQL's odd letter)
+    'j' -> "DDD", // day of year
+    'k' -> "H", // hour 0-23, no pad
+    'l' -> "h", // hour 1-12, no pad
+    'M' -> "MMMM", // full month name
+    'm' -> "MM", // month, zero-padded
+    'p' -> "a", // AM/PM
+    'r' -> "hh:mm:ss a", // 12-hour time
+    'S' -> "ss", // seconds
+    's' -> "ss", // seconds (synonym)
+    'T' -> "HH:mm:ss", // 24-hour time
+    'W' -> "EEEE", // full weekday name
+    'Y' -> "yyyy", // 4-digit year
+    'y' -> "yy" // 2-digit year
+  )
+
+  private def rewriteDateFormat(argsRaw: String): String = {
+    val parts = splitTopLevel(argsRaw, ',')
+    if (parts.length != 2)
+      fail(s"DATE_FORMAT needs exactly (expr, 'pattern'): $argsRaw")
+    val expr = translate(parts(0).trim)
+    val patLit = parts(1).trim
+    if (patLit.isEmpty || (patLit.charAt(0) != '\'' && patLit.charAt(0) != '"'))
+      fail("DATE_FORMAT pattern must be a string literal (a computed " +
+        s"pattern cannot be translated): $argsRaw")
+    val mysqlPat = unquoteLiteral(patLit)
+    val java = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = {
+      if (lit.nonEmpty) {
+        val s = lit.toString
+        // quote-protect any run containing a letter (pattern letters
+        // are reserved); pure punctuation passes through bare
+        if (s.exists(Character.isLetter)) {
+          java.append('\'').append(s.replace("'", "''")).append('\'')
+        } else java.append(s.replace("'", "''"))
+        lit.clear()
+      }
+    }
+    var k = 0
+    while (k < mysqlPat.length) {
+      val ch = mysqlPat.charAt(k)
+      if (ch == '%' && k + 1 < mysqlPat.length) {
+        val t = mysqlPat.charAt(k + 1)
+        if (t == '%') { lit.append('%'); k += 2 }
+        else dateTokens.get(t) match {
+          case Some(jp) => flushLit(); java.append(jp); k += 2
+          case None => fail(s"DATE_FORMAT token %$t has no Spark " +
+            "formatter equivalent (mode-dependent week numbering / " +
+            "ordinal-suffix tokens are not translated); rewrite with " +
+            "weekofyear()/dayofweek() manually")
+        }
+      } else { lit.append(ch); k += 1 }
+    }
+    flushLit()
+    val sparkPat = java.toString.replace("'", "\\'")
+    s"date_format($expr, '$sparkPat')"
+  }
+
+  // -------------------------------------------------------------------
+  // small text utilities (all literal/paren aware)
+  // -------------------------------------------------------------------
+
+  private def isWord(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  private def hasPrefixWord(s: String, w: String): Boolean =
+    s.length >= w.length &&
+      s.substring(0, w.length).equalsIgnoreCase(w) &&
+      (s.length == w.length || !isWord(s.charAt(w.length)))
+
+  private def endsWithWord(s: String, w: String): Boolean =
+    s.length >= w.length &&
+      s.substring(s.length - w.length).equalsIgnoreCase(w) &&
+      (s.length == w.length || !isWord(s.charAt(s.length - w.length - 1)))
+
+  /** Offset of the first top-level (outside quotes/parens) occurrence
+    * of keyword `w` in `s`, or None. */
+  private def findTopLevelWord(s: String, w: String): Option[Int] = {
+    var k = 0
+    var depth = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\'' || c == '"' || c == '`') k = skipLit(s, k, c)
+      else if (c == '(') { depth += 1; k += 1 }
+      else if (c == ')') { depth -= 1; k += 1 }
+      else if (depth == 0 && isWord(c)) {
+        val st = k
+        while (k < s.length && isWord(s.charAt(k))) k += 1
+        if (s.substring(st, k).equalsIgnoreCase(w)) return Some(st)
+      } else k += 1
+    }
+    None
+  }
+
+  /** Split on a top-level separator, quote- and paren-aware. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var k = 0
+    var depth = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\'' || c == '"' || c == '`') {
+        val end = skipLit(s, k, c)
+        cur.append(s.substring(k, end)); k = end
+      } else if (c == '(') { depth += 1; cur.append(c); k += 1 }
+      else if (c == ')') { depth -= 1; cur.append(c); k += 1 }
+      else if (c == sep && depth == 0) { parts += cur.toString; cur.clear(); k += 1 }
+      else { cur.append(c); k += 1 }
+    }
+    if (cur.nonEmpty || s.isEmpty) parts += cur.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def skipLit(s: String, at: Int, quote: Char): Int = {
+    var k = at + 1
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\\' && k + 1 < s.length && quote != '`') k += 2
+      else if (c == quote && k + 1 < s.length && s.charAt(k + 1) == quote)
+        k += 2
+      else if (c == quote) return k + 1
+      else k += 1
+    }
+    k
+  }
+
+  /** Literal text of a single/double-quoted SQL literal (unescapes
+    * doubled quotes and backslash escapes). */
+  private def unquoteLiteral(lit: String): String = {
+    val q = lit.charAt(0)
+    val body = lit.substring(1, lit.length - 1)
+    val out = new StringBuilder
+    var k = 0
+    while (k < body.length) {
+      val c = body.charAt(k)
+      if (c == '\\' && k + 1 < body.length) {
+        out.append(body.charAt(k + 1)); k += 2
+      } else if (c == q && k + 1 < body.length && body.charAt(k + 1) == q) {
+        out.append(q); k += 2
+      } else { out.append(c); k += 1 }
+    }
+    out.toString
+  }
+
+  /** Textual comparison helper: `(x)` and `x` compare equal, case and
+    * whitespace insensitive — used to recognize ORDER BY keys that ARE
+    * the collected expression. */
+  private def stripParens(s0: String): String = {
+    var s = s0.trim
+    var changed = true
+    while (changed) {
+      changed = false
+      if (s.length >= 2 && s.charAt(0) == '(' && s.last == ')') {
+        // only strip when the outer parens actually match each other
+        var depth = 0
+        var matches = true
+        for (k <- s.indices if matches) {
+          if (s.charAt(k) == '(') depth += 1
+          else if (s.charAt(k) == ')') {
+            depth -= 1
+            if (depth == 0 && k != s.length - 1) matches = false
+          }
+        }
+        if (matches) { s = s.substring(1, s.length - 1).trim; changed = true }
+      }
+    }
+    s.toLowerCase.replaceAll("\\s+", "")
   }
 }

@@ -185,6 +185,54 @@ object SparkEntry {
         |ORDER BY `c_custkey` LIMIT 5, 10""".stripMargin))
   }
 
+  private def qSqlDialectFuncs(s: SparkSession, dir: String): DataFrame = {
+    // MySQL function-level dialect breadth (gudusoft accepts full
+    // MySQL, QueryService.asmx.cs:143-157): GROUP_CONCAT and
+    // DATE_FORMAT are the two most common constructs a migrated MySQL
+    // workload carries; both now translate structurally
+    // (MySqlDialect GROUP_CONCAT → array_join(collect/sort), %-token
+    // pattern mapping) instead of failing loudly. ORDER BY inside
+    // GROUP_CONCAT sorts by the key's NATIVE type (numeric, not
+    // lexicographic) — the oracle's string_agg(... ORDER BY o_orderkey)
+    // replays exactly that.
+    Tables.register(s, dir)
+    new Engine(s, dir).getData(MySqlDialect.translate(
+      """SELECT DATE_FORMAT(`o_orderdate`, '%Y-%m') AS ym,
+        |  GROUP_CONCAT(`o_orderkey` ORDER BY `o_orderkey` SEPARATOR "|")
+        |    AS ks,
+        |  COUNT(*) AS n
+        |FROM `orders`
+        |WHERE `o_totalprice` < 5000
+        |GROUP BY DATE_FORMAT(`o_orderdate`, '%Y-%m')
+        |ORDER BY ym""".stripMargin))
+  }
+
+  private def qSqlCollationCi(s: SparkSession, dir: String): DataFrame = {
+    // The reference's MySQL sites compare strings case-insensitively
+    // (utf8 `_ci` default collations), so its WHERE seg = 'building'
+    // matches the data's uppercase 'BUILDING'; Spark compares binary.
+    // The opt-in parity mode spark.graft.mysqlCollation=ci rewrites
+    // string comparisons to UTF8_LCASE collation at analysis time
+    // (MySqlCiCollation rule) — this query returns ZERO rows without
+    // the flag and the ci row set with it; the oracle replays MySQL's
+    // semantics with lower()-wrapped comparisons.
+    //
+    // The flag is scoped to an ISOLATED child session (own SQLConf +
+    // sessionState over the shared SparkContext — newSession is
+    // exactly Spark's mechanism for per-tenant conf): setting it on
+    // the caller's session would leak ci semantics into every query
+    // a concurrent thread analyzes in the window (Verify runs the
+    // gate through a thread pool).
+    val ci = s.newSession()
+    ci.conf.set("spark.graft.mysqlCollation", "ci")
+    Tables.register(ci, dir)
+    new Engine(ci, dir).getData(MySqlDialect.translate(
+      """SELECT `c_custkey`, `c_name`, `c_mktsegment`
+        |FROM `customer`
+        |WHERE `c_mktsegment` = "building" AND `c_acctbal` >= 0
+        |ORDER BY `c_custkey` LIMIT 0, 50""".stripMargin))
+  }
+
   // ---------------------------------------------------------------------
   // SQL breadth (SURVEY.md §2.7 — everything the reference lacks)
   // ---------------------------------------------------------------------
@@ -3931,6 +3979,8 @@ object SparkEntry {
     "source_jdbc" -> (qSourceJdbc _),
     "passthrough_sql" -> (qPassthroughSql _),
     "sql_dialect" -> (qSqlDialect _),
+    "sql_dialect_funcs" -> (qSqlDialectFuncs _),
+    "sql_collation_ci" -> (qSqlCollationCi _),
     "recursive_cte" -> (qRecursiveCte _),
     "frag_transparency_agg" -> (qGroupProduct _),
     // SQL breadth (SURVEY §2.7)
@@ -5110,6 +5160,23 @@ object SparkEntry {
         |WHERE c_nationkey <> 3 AND c_mktsegment = 'BUILDING'
         |  AND c_acctbal != 0
         |ORDER BY c_custkey LIMIT 10 OFFSET 5""".stripMargin,
+    // The MySQL GROUP_CONCAT/DATE_FORMAT statement in the oracle's
+    // dialect: string_agg with an ORDER BY on the NATIVE key (numeric,
+    // matching the translation's struct-sort), strftime's %-patterns
+    // (DuckDB shares MySQL's % tokens for these).
+    "sql_dialect_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), '|'
+        |             ORDER BY o_orderkey) AS ks,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_totalprice < 5000
+        |GROUP BY ym ORDER BY ym""".stripMargin,
+    // MySQL-ci semantics replayed with lower() wraps (DuckDB compares
+    // binary, like un-flagged Spark).
+    "sql_collation_ci" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE lower(c_mktsegment) = lower('building') AND c_acctbal >= 0
+        |ORDER BY c_custkey LIMIT 50 OFFSET 0""".stripMargin,
     // Identical recursion in the oracle dialect (div spelled //).
     "recursive_cte" ->
       """WITH RECURSIVE t(doc_id, depth) AS (

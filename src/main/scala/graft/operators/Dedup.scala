@@ -730,8 +730,13 @@ object Dedup {
     * halving bottoms out still over budget (mass spread over MANY
     * medium-hot grams — the high-entropy rehearsal regime), a second
     * degrade stage drops whole gram-frequency bands HOTTEST-FIRST
-    * (df-ceiling) until the bound fits, making the budget a hard
-    * guarantee at any corpus degeneracy; true near-dup pairs co-occur
+    * (df-ceiling) until the bound fits, bounding candidate mass within
+    * a small constant of the budget at any corpus degeneracy (the
+    * first overflowing band is admitted partially by a deterministic
+    * per-mille hash draw sized by EXPECTED mass; per-gram mass varies
+    * ≤4× inside one log2 band, so realized mass can exceed the
+    * remainder by that constant — and the estimate itself over-counts
+    * the post-distinct actual ~10–30×); true near-dup pairs co-occur
     * in rare grams, so the dropped bands carry the least recall.
     * Healthy corpora never engage either stage (estimate ≪ budget ⇒
     * output unchanged). Size the budget from per-executor disk: the
@@ -850,8 +855,10 @@ object Dedup {
     // (measured at the high-entropy sf10 rehearsal: est(64) = 2.1e8 on
     // a 1e8 budget — the budget was SOFT exactly when it mattered, and
     // the verify join's ~KB-wide rows turned the overrun into a full
-    // disk). The second degrade stage makes the budget HARD at any
-    // corpus degeneracy: a df-ceiling from the same histogram — admit
+    // disk). The second degrade stage bounds the mass within a small
+    // constant of the budget at any corpus degeneracy (strict for the
+    // fully-admitted bands; the partial band is sized by expected
+    // mass — see below): a df-ceiling from the same histogram — admit
     // whole log2 buckets RAREST-GRAMS-FIRST while their cumulative
     // capped mass fits, then drop every gram bucket past the first
     // overflow. Rare-first is the AllPairs-optimal order: true near-dup
@@ -886,7 +893,15 @@ object Dedup {
           else {
             if (mass > 0) {
               hi = (2L << h._1) - 1
-              ppm = ((pairBudget - cum) / mass * 1000000L).toLong
+              // floor at 1 ppm: when the overflowing band's mass exceeds
+              // 1e6× the remaining budget the truncation would admit
+              // NOTHING, re-creating (at extreme degeneracy) the
+              // zero-output cliff partial admission exists to remove —
+              // any nonzero remaining budget admits a nonzero fraction
+              ppm =
+                if (pairBudget > cum)
+                  math.max(1L, ((pairBudget - cum) / mass * 1000000L).toLong)
+                else 0L
             }
             stop = true
           }

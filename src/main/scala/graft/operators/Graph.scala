@@ -111,15 +111,32 @@ object Graph {
     * that exact semantics) and carried on the N-row broadcast frame,
     * where `contrib = rank div outdeg` can read it for free. Nodes
     * with no out-edges carry a null outdeg that no join row ever
-    * evaluates (they match no edge); dst confinement happens in
-    * [[rankStepBroadcast]]'s fold-back join. */
-  private def prepareRankBroadcast(nodes: DataFrame, edges: DataFrame,
+    * evaluates (they match no edge).
+    *
+    * dst confinement is ROUND-INVARIANT (the node universe never
+    * changes), so it happens HERE, once: after outdeg is counted over
+    * the unconfined frame (phantom-dst out-edges still count — the
+    * oracle unrolls that exact semantics), edges whose dst lies
+    * outside `nodes` drop via one semi-join against the N-row id set
+    * (broadcastable by this regime's own decision) and the confined
+    * frame is what the loop caches. Every round then runs ONE
+    * broadcast build (the rank probe) instead of the former two
+    * (probe + a per-round dst semi-join that re-shipped the same id
+    * set every iteration), and probes only edges whose contrib can
+    * land. The raw frame checkpoints first so the caller's edge
+    * construction (often a join) runs once, not twice. */
+  private[graft] def prepareRankBroadcast(nodes: DataFrame, edges: DataFrame,
       initRank: Long): (DataFrame, DataFrame) = {
     val nodeIds = nodes.select(col("id").cast("long"))
-    val e = edges
+    val raw = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = raw
+      .join(broadcast(nodeIds.select(col("id").as("dst"))),
+        Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
     val ranks0 = nodeIds
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .withColumn("rank", lit(initRank))
@@ -137,16 +154,15 @@ object Graph {
     * no exchange; the round's shuffles involve only N-row frames. */
   private[graft] def rankStepBroadcast(e: DataFrame, ranks0: DataFrame,
       base: Long): DataFrame = {
+    // `e` arrives dst-confined from [[prepareRankBroadcast]] (the
+    // universe never changes, so the phantom-dst drop happened ONCE at
+    // prep instead of a per-round semi-join that re-shipped the same
+    // N-row id set every iteration): the inflow exchange carries only
+    // keys the fold-back join will keep, and the round's single
+    // broadcast build is the rank probe itself
     val inflow = e.join(broadcast(ranks0), e("src") === ranks0("id"))
       .select(col("dst").as("id"),
         expr("rank div outdeg").as("contrib"))
-      // phantom dsts (edge targets outside `nodes`) drop HERE, map-side
-      // against the N-row broadcast, so the inflow exchange never
-      // carries keys the fold-back join would discard — on a graph
-      // whose edges mostly point outside the node universe this is the
-      // difference between shuffling |E| rows and shuffling the
-      // in-universe fraction, every round
-      .join(broadcast(ranks0.select(col("id"))), Seq("id"), "left_semi")
       .groupBy("id").agg(sum(col("contrib")).as("inflow"))
     ranks0.select(col("id"), col("outdeg"))
       .join(inflow, Seq("id"), "left")

@@ -54,15 +54,21 @@ object Search {
     round(idf * tfNorm * 1e6).cast("long")
   }
 
-  /** Shared ranking tail: per-doc long sum, bounded top-k, dense rank. */
+  /** Shared ranking tail: per-doc long sum, bounded top-k, dense rank.
+    * The rank window runs on ≤ k rows (post-TakeOrdered) — partitioning
+    * it on a constant key keeps the plan identical (one partition holds
+    * the whole ≤k-row frame either way) while keeping the "moving all
+    * data to a single partition" warning out of every bench tail: the
+    * empty-partition-spec warning exists to flag UNBOUNDED frames, and
+    * this one is bounded by the limit above it. */
   private def rankTail(perTerm: DataFrame, k: Int): DataFrame = {
     val top = perTerm.groupBy("doc_id")
       .agg(sum(col("term_micros")).as("score_micros"))
       .orderBy(col("score_micros").desc, col("doc_id"))
       .limit(k)
     top.withColumn("rank",
-      row_number().over(Window.orderBy(col("score_micros").desc,
-        col("doc_id"))).cast("int"))
+      row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("score_micros").desc, col("doc_id"))).cast("int"))
       .orderBy("rank")
   }
 
@@ -275,7 +281,11 @@ object Search {
     val contribs = lists.map { case (name, _) =>
       coalesce(expr(s"1000000L DIV ($k0 + ${name}_rank)"), lit(0L))
     }
-    val w = Window.orderBy(col("rrf_micros").desc, col("doc_id"))
+    // ≤ Σ k_i rows by construction (each input list is already
+    // k_i-bounded); the constant partition key keeps the single-
+    // partition warning out of the logs on a provably bounded frame
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("rrf_micros").desc, col("doc_id"))
     joined
       .withColumn("rrf_micros", contribs.reduce(_ + _).cast("long"))
       .withColumn("rank", row_number().over(w).cast("int"))

@@ -35,6 +35,16 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** True iff a string type still compares binary (UTF8_BINARY) —
+    * `StringType.supportsBinaryEquality` is private[sql]; graft's
+    * ci-collation rule needs it to wrap each comparison exactly once. */
+  def comparesBinary(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case s: org.apache.spark.sql.types.StringType =>
+        s.supportsBinaryEquality
+      case _ => false
+    }
+
   /** Register a custom Catalyst expression as a session-local SQL
     * function (`sessionState.functionRegistry` is package-private; this
     * is the classic-API registration path, same as

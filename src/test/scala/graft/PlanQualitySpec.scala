@@ -409,4 +409,34 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
+
+  test("pageRank broadcast regime: dst confinement is hoisted to prep " +
+      "— the round body has NO semi-join, and the rank frame is " +
+      "broadcast exactly once per round (the probe)") {
+    import spark.implicits._
+    val nodes = (1L to 100L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 99L), (1L, 200L))
+      .toDF("src", "dst")
+    val (e, r0) = graft.operators.Graph.prepareRankBroadcast(
+      nodes, edges, 1000000L)
+    // prep confined dst once: the phantom edge (1, 200) is gone from
+    // the cached frame, but its out-edge still counted toward node 1's
+    // outdeg (the oracle's semantics)
+    assert(e.count() == 4, "dst-confined edge frame should drop (1,200)")
+    assert(r0.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .select("outdeg")
+      .head.getLong(0) == 2L,
+      "outdeg must count ALL out-edges incl. phantom-dst targets")
+    val p = graft.operators.Graph.rankStepBroadcast(e, r0, 1L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("LeftSemi"),
+      s"the per-round dst semi-join should be gone (hoisted to prep):\n$p")
+    // the rank frame (3-col scan) broadcasts once — the fold-back may
+    // broadcast the skinny inflow aggregate, a different frame
+    val rankBuilds = p.split("\n").sliding(2).count(w =>
+      w.head.contains("BroadcastExchange") &&
+        w.last.contains("outdeg") && w.last.contains("rank"))
+    assert(rankBuilds <= 1,
+      s"the N-row rank frame must ship at most once per round:\n$p")
+  }
 }

@@ -66,6 +66,163 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  // -------------------------------------------------------------------
+  // GROUP_CONCAT
+  // -------------------------------------------------------------------
+
+  test("GROUP_CONCAT rewrites: plain, DISTINCT, SEPARATOR, ORDER BY " +
+      "same-expr, ORDER BY independent key, multi-expr concat") {
+    assert(translate("SELECT GROUP_CONCAT(x) FROM t") ===
+      "SELECT array_join(collect_list(CAST(x AS STRING)), ',') FROM t")
+    assert(translate("SELECT GROUP_CONCAT(DISTINCT x) FROM t") ===
+      "SELECT array_join(sort_array(collect_set(CAST(x AS STRING))), ',')" +
+        " FROM t")
+    assert(translate("SELECT GROUP_CONCAT(x SEPARATOR '|') FROM t") ===
+      "SELECT array_join(collect_list(CAST(x AS STRING)), '|') FROM t")
+    // ORDER BY sorts by the key's NATIVE type (numerics numerically,
+    // MySQL-style), so even the same-expression form struct-sorts
+    assert(translate("SELECT GROUP_CONCAT(x ORDER BY x) FROM t") ===
+      "SELECT array_join(transform(sort_array(collect_list(struct(" +
+        "x AS k, CAST(x AS STRING) AS v)), true), x -> x.v), ',') FROM t")
+    assert(translate("SELECT GROUP_CONCAT(x ORDER BY x DESC SEPARATOR " +
+      "';') FROM t") ===
+      "SELECT array_join(transform(sort_array(collect_list(struct(" +
+        "x AS k, CAST(x AS STRING) AS v)), false), x -> x.v), ';') FROM t")
+    // independent order key → sort-a-struct-then-project
+    assert(translate("SELECT GROUP_CONCAT(name ORDER BY id) FROM t") ===
+      "SELECT array_join(transform(sort_array(collect_list(struct(" +
+        "id AS k, CAST(name AS STRING) AS v)), true), x -> x.v), ',') " +
+        "FROM t")
+    // multiple expressions concatenate per row, MySQL-style
+    assert(translate("SELECT GROUP_CONCAT(a, b) FROM t") ===
+      "SELECT array_join(collect_list(concat(CAST(a AS STRING), " +
+        "CAST(b AS STRING))), ',') FROM t")
+    // a literal that LOOKS like GROUP_CONCAT( is never touched
+    assert(translate("SELECT 'GROUP_CONCAT(x)' FROM t") ===
+      "SELECT 'GROUP_CONCAT(x)' FROM t")
+  }
+
+  test("GROUP_CONCAT untranslatable forms fail loudly") {
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT GROUP_CONCAT(DISTINCT a ORDER BY b) FROM t")
+    }
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT GROUP_CONCAT(a ORDER BY b, c) FROM t")
+    }
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT GROUP_CONCAT(a SEPARATOR sepcol) FROM t")
+    }
+  }
+
+  test("GROUP_CONCAT end-to-end: per-nation ordered customer-key list " +
+      "matches a driver-side MySQL-semantics computation (numeric " +
+      "sort, string concat)") {
+    graft.sources.Tables.register(spark, sfDir)
+    val engine = new Engine(spark, sfDir)
+    val got = engine.getData(MySqlDialect.translate(
+      """SELECT `c_nationkey`,
+        |  GROUP_CONCAT(`c_custkey` ORDER BY `c_custkey` SEPARATOR "|")
+        |    AS ks
+        |FROM `customer` GROUP BY `c_nationkey`
+        |ORDER BY `c_nationkey` LIMIT 0, 5""".stripMargin))
+      .collect().map(r => (r.get(0).toString.toLong, r.getString(1))).toSeq
+    // independent spelling: group + numeric sort + concat on the driver
+    val want = graft.sources.Tables.load(spark, sfDir, "customer")
+      .select("c_nationkey", "c_custkey")
+      .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.mkString("|")).toSeq
+      .sortBy(_._1).take(5)
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  // -------------------------------------------------------------------
+  // DATE_FORMAT
+  // -------------------------------------------------------------------
+
+  test("DATE_FORMAT %-patterns map to Spark patterns; literals are " +
+      "quote-protected; unsupported tokens and computed patterns fail " +
+      "loudly") {
+    assert(translate("SELECT DATE_FORMAT(d, '%Y-%m-%d') FROM t") ===
+      "SELECT date_format(d, 'yyyy-MM-dd') FROM t")
+    assert(translate("SELECT DATE_FORMAT(d, '%H:%i:%s') FROM t") ===
+      "SELECT date_format(d, 'HH:mm:ss') FROM t")
+    assert(translate("SELECT DATE_FORMAT(d, '%Y%m%d%H%i%s') FROM t") ===
+      "SELECT date_format(d, 'yyyyMMddHHmmss') FROM t")
+    // literal text containing pattern letters gets single-quoted
+    // (and the protecting quotes escape as \' inside the SQL literal)
+    assert(translate("SELECT DATE_FORMAT(d, 'week %W of %Y') FROM t") ===
+      "SELECT date_format(d, '\\'week \\'EEEE\\' of \\'yyyy') FROM t")
+    // %% is a literal percent
+    assert(translate("SELECT DATE_FORMAT(d, '%Y %% %m') FROM t") ===
+      "SELECT date_format(d, 'yyyy % MM') FROM t")
+    // nested inside GROUP_CONCAT translates too
+    assert(translate(
+      "SELECT GROUP_CONCAT(DATE_FORMAT(d, '%Y-%m')) FROM t") ===
+      "SELECT array_join(collect_list(CAST(date_format(d, 'yyyy-MM') " +
+        "AS STRING)), ',') FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT DATE_FORMAT(d, '%X-%V') FROM t") // week-mode
+    }
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT DATE_FORMAT(d, fmtcol) FROM t") // computed
+    }
+  }
+
+  test("DATE_FORMAT end-to-end over events timestamps matches the " +
+      "native date_format spelling") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.register(spark, sfDir)
+    val engine = new Engine(spark, sfDir)
+    val got = engine.getData(MySqlDialect.translate(
+      """SELECT DATE_FORMAT(`ts`, '%Y-%m-%d %H:%i') AS f, `event_id`
+        |FROM `events` ORDER BY `event_id` LIMIT 0, 10""".stripMargin))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm").as("f"),
+        col("event_id"))
+      .orderBy("event_id").limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.size === 10)
+  }
+
+  // -------------------------------------------------------------------
+  // ci collation mode
+  // -------------------------------------------------------------------
+
+  test("spark.graft.mysqlCollation=ci: string comparisons match " +
+      "MySQL's case-insensitive semantics; off by default") {
+    import spark.implicits._
+    val t = Seq("Alice", "ALICE", "alice", "Bob", "Carol")
+      .toDF("name")
+    t.createOrReplaceTempView("ci_people")
+    val q = "SELECT name FROM ci_people WHERE name = 'ALICE' ORDER BY name"
+    // default (binary, Spark semantics): exactly the one exact match
+    assert(spark.sql(q).as[String].collect().toSeq === Seq("ALICE"))
+    spark.conf.set("spark.graft.mysqlCollation", "ci")
+    try {
+      // ci (MySQL semantics): all three case variants
+      assert(spark.sql(q).as[String].collect().toSeq ===
+        Seq("ALICE", "Alice", "alice"))
+      // inequality + IN also collate
+      assert(spark.sql("SELECT count(*) FROM ci_people WHERE name <> " +
+        "'alice'").head.getLong(0) === 2L)
+      assert(spark.sql("SELECT name FROM ci_people WHERE name IN " +
+        "('ALICE', 'bob') ORDER BY name").as[String].collect().toSeq ===
+        Seq("ALICE", "Alice", "Bob", "alice"))
+      // range comparison collates too: 'an' < 'B' only case-insensitively
+      assert(spark.sql("SELECT count(*) FROM ci_people WHERE name < 'b'")
+        .head.getLong(0) === 3L)
+      // non-string comparisons are untouched
+      assert(spark.sql("SELECT count(*) FROM ci_people WHERE 1 = 1")
+        .head.getLong(0) === 5L)
+    } finally spark.conf.unset("spark.graft.mysqlCollation")
+    // and the flag really is off again
+    assert(spark.sql(q).as[String].collect().toSeq === Seq("ALICE"))
+  }
+
   test("shared MySQL/Spark constructs pass through: <>, !=, IFNULL, " +
       "NOW comparison, backticks, double-quoted literals") {
     graft.sources.Tables.register(spark, sfDir)
