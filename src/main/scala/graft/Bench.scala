@@ -83,8 +83,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    // local-cluster[4,8,8192] runs the identical gate across real
+    // executor JVMs (serialization boundaries, real broadcasts,
+    // executor-side classloading), the multi-JVM rehearsal for code
+    // that must survive a 1000-executor cluster
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
@@ -94,7 +100,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // executor JVMs (any non-local master) need the compiled graft
+    // classes on their classpath — expressions/encoders deserialize
+    // executor-side — and a memory setting that fits the worker size
+    if (!master.startsWith("local[")) {
+      builder
+        .config("spark.executor.extraClassPath",
+          sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+            new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     /** Deterministically release the state a query leaves behind:

@@ -106,6 +106,29 @@ case class MySqlCiCollation(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** Shared by the three similarity-join rewrites: pin SHUFFLE_MERGE on
+  * the banded/gram equi-join the rewrite introduced (identified by its
+  * __graft_ key columns), directly on the Join node's JoinHint — these
+  * rules run AFTER EliminateResolvedHint, so a DataFrame-level .hint()
+  * would survive as an unprocessed ResolvedHint and fail planning. The
+  * pin exists because the explode each rewrite performs multiplies the
+  * real row count by the prefix/band factor while Catalyst keeps the
+  * pre-explode sizeInBytes, so an autoBroadcastJoinThreshold decision
+  * is made on stats wrong by that factor (measured: a "64 MB" build
+  * side that was actually GBs OOMed the broadcast build at the sf1
+  * rehearsal). */
+private[graft] trait ShuffleJoinPin {
+  import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, JoinHint, SHUFFLE_MERGE}
+  protected def pinShuffleJoin(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case jn: Join if jn.hint == JoinHint.NONE &&
+          jn.condition.exists(_.references.exists(
+            _.name.startsWith("__graft_"))) =>
+        val hi = Some(HintInfo(strategy = Some(SHUFFLE_MERGE)))
+        jn.copy(hint = JoinHint(hi, hi))
+    }
+}
+
 /** OPT-IN rewrite of a declarative Hamming-distance join into its
   * banded physical shape — the third of the similarity-join trio, and
   * the only one whose predicate is PURE BUILTINS: an inner join whose
@@ -121,7 +144,7 @@ case class MySqlCiCollation(spark: SparkSession) extends Rule[LogicalPlan] {
   * than silently losing recall. Opt-in:
   * `spark.graft.hammingRewrite.enabled=true`. */
 case class RewriteHammingThresholdJoin(spark: SparkSession)
-    extends Rule[LogicalPlan] with PredicateHelper {
+    extends Rule[LogicalPlan] with PredicateHelper with ShuffleJoinPin {
   private val bands = 8
   private val bandBits = 8
   private val bandMask = 255L
@@ -187,6 +210,19 @@ case class RewriteHammingThresholdJoin(spark: SparkSession)
          |  b -> (shiftright(__graft_hsig_l, b * $bandBits) & $bandMask)
          |     = (shiftright(__graft_hsig_r, b * $bandBits) & $bandMask))"""
         .stripMargin)
+    // NO shuffle pin here, deliberately (contrast the jaccard
+    // rewrite): the banded key space is small (bands x 2^bandBits
+    // keys), so a key-partitioned shuffle join serializes each key's
+    // candidate mass into one long task — measured at the sf1
+    // rehearsal, where the pinned plan ran 25x+ past the broadcast
+    // plan's time — while the broadcast plan keeps the probe side's
+    // natural partitioning and its build is bands x sig-width rows
+    // (small). The band explosion skews the size estimate by only the
+    // band factor (8x), bounded enough that the planner's own
+    // threshold decision stays safe: a side estimated broadcastable
+    // is at worst 8x the 64 MB threshold, and at corpus scale the
+    // pre-explode estimate alone exceeds the threshold so a shuffle
+    // join is chosen naturally.
     val joined = lb.join(rb,
         col("__graft_band_l") === col("__graft_band_r") &&
           col("__graft_key_l") === col("__graft_key_r") &&
@@ -219,7 +255,7 @@ case class RewriteHammingThresholdJoin(spark: SparkSession)
   * because replanning a user's predicate should still be a visible
   * choice, not magic. */
 case class RewriteJaccardThresholdJoin(spark: SparkSession)
-    extends Rule[LogicalPlan] with PredicateHelper {
+    extends Rule[LogicalPlan] with PredicateHelper with ShuffleJoinPin {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf
@@ -286,6 +322,16 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // intersection is well-defined and cheap on prefix-sized arrays)
     val canonical = col("__graft_g_l") ===
       array_min(array_intersect(col("__graft_pg_l"), col("__graft_pg_r")))
+    // SHUFFLE join pinned via JoinHint on the Join node itself (the
+    // rule runs after EliminateResolvedHint, so a DataFrame-level
+    // .hint would survive as an unprocessed ResolvedHint and crash
+    // planning): the gram explosion makes each side ~|prefix| x the
+    // scan the planner estimated from (Catalyst keeps the pre-explode
+    // sizeInBytes), so its broadcast decision is made on stats that
+    // are wrong by the prefix factor — measured at the sf1 rehearsal,
+    // where the "64 MB" build side was actually GBs and the broadcast
+    // build OOMed. At gate scales the pin costs one small exchange;
+    // at corpus scale it is the only plan that survives.
     val joined = lb.join(rb,
         col("__graft_g_l") === col("__graft_g_r") &&
           canonical &&
@@ -293,7 +339,7 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
         "inner")
       .select((j.left.output ++ j.right.output)
         .map(a => bridge.toColumn(a)): _*)
-    bridge.planOf(joined)
+    pinShuffleJoin(bridge.planOf(joined))
   }
 }
 
@@ -321,7 +367,7 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
   * contract, tunable via the band structure), not a strict
   * equivalence, so the user must ask for it. */
 case class RewriteCosineThresholdJoin(spark: SparkSession)
-    extends Rule[LogicalPlan] with PredicateHelper {
+    extends Rule[LogicalPlan] with PredicateHelper with ShuffleJoinPin {
   private val bits = 16
   private val bands = 8
   private val bandBits = bits / bands
@@ -388,6 +434,19 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
          |  b -> (shiftright(__graft_sig_l, b * $bandBits) & $bandMask)
          |     = (shiftright(__graft_sig_r, b * $bandBits) & $bandMask))"""
         .stripMargin)
+    // NO shuffle pin here, deliberately (contrast the jaccard
+    // rewrite): the banded key space is small (bands x 2^bandBits
+    // keys), so a key-partitioned shuffle join serializes each key's
+    // candidate mass into one long task — measured at the sf1
+    // rehearsal, where the pinned plan ran 25x+ past the broadcast
+    // plan's time — while the broadcast plan keeps the probe side's
+    // natural partitioning and its build is bands x sig-width rows
+    // (small). The band explosion skews the size estimate by only the
+    // band factor (8x), bounded enough that the planner's own
+    // threshold decision stays safe: a side estimated broadcastable
+    // is at worst 8x the 64 MB threshold, and at corpus scale the
+    // pre-explode estimate alone exceeds the threshold so a shuffle
+    // join is chosen naturally.
     val joined = lb.join(rb,
         col("__graft_band_l") === col("__graft_band_r") &&
           col("__graft_key_l") === col("__graft_key_r") &&

@@ -2255,7 +2255,16 @@ object SparkEntry {
     // by GraftExtensionsSpec). The oracle re-derives the banded
     // semantics — signature, band collision, canonical first band,
     // residual cosine filter — independently in DuckDB.
-    val e = t(s, dir, "embeddings")
+    // the opt-in rewrite flag is scoped to an ISOLATED child session
+    // (own SQLConf over the shared SparkContext): setting it on the
+    // caller's session raced every concurrently-optimizing query —
+    // measured at the sf1 gate, where the semantic-pairs join (whose
+    // pushed-down condition contains cosine_sim >= t) silently planned
+    // as the recall-losing banded join while this query held the flag,
+    // desyncing dedup_semantic_decisions from its own pair set
+    val iso = s.newSession()
+    iso.conf.set("spark.graft.cosineRewrite.enabled", "true")
+    val e = t(iso, dir, "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     import graft.functions.VectorFunctions.cosine_sim
@@ -2265,13 +2274,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         cosine_sim(col("emb_a"), col("emb_b")).as("cosine"))
       .orderBy("id_a", "id_b")
-    // scope the opt-in flag to THIS query: execute the banded plan
-    // eagerly while the flag is on (downstream consumers would replan
-    // a lazy frame AFTER the finally, losing the rewrite), then
-    // restore — other queries in the shared session keep exact joins
-    s.conf.set("spark.graft.cosineRewrite.enabled", "true")
-    try df.localCheckpoint(true)
-    finally s.conf.set("spark.graft.cosineRewrite.enabled", "false")
+    df.localCheckpoint(true)
   }
 
   private def qJoinJaccardThreshold(s: SparkSession, dir: String)
@@ -2284,7 +2287,10 @@ object SparkEntry {
     // discipline as qCosineThresholdJoin: execute eagerly while the
     // flag is on.
     import graft.functions.VectorFunctions.text_jaccard
-    val d = t(s, dir, "documents")
+    // isolated child session for the flag — see qCosineThresholdJoin
+    val iso = s.newSession()
+    iso.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+    val d = t(iso, dir, "documents")
     val a = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
     val b = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
     val df = a.join(b,
@@ -2293,9 +2299,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         text_jaccard(col("text_a"), col("text_b"), 8).as("jaccard"))
       .orderBy("id_a", "id_b")
-    s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
-    try df.localCheckpoint(true)
-    finally s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
+    df.localCheckpoint(true)
   }
 
   private def qDedupSortedNbr(s: SparkSession, dir: String): DataFrame =
@@ -2318,7 +2322,10 @@ object SparkEntry {
     // STRICT equivalence by pigeonhole (3 < 8 bands), so the oracle is
     // the naive full pairwise Hamming join.
     import graft.functions.VectorFunctions.simhash64
-    val d = t(s, dir, "documents").select(col("doc_id"),
+    // isolated child session for the flag — see qCosineThresholdJoin
+    val iso = s.newSession()
+    iso.conf.set("spark.graft.hammingRewrite.enabled", "true")
+    val d = t(iso, dir, "documents").select(col("doc_id"),
       simhash64(TextFunctions.tokens(col("text"))).as("sig"))
     val a = d.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = d.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
@@ -2328,9 +2335,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .orderBy("id_a", "id_b")
-    s.conf.set("spark.graft.hammingRewrite.enabled", "true")
-    try df.localCheckpoint(true)
-    finally s.conf.set("spark.graft.hammingRewrite.enabled", "false")
+    df.localCheckpoint(true)
   }
 
   private def qStreamMinhashPairs(s: SparkSession, dir: String)
@@ -3139,9 +3144,17 @@ object SparkEntry {
     // declared pair budget), then integer Fellegi–Sunter-style
     // weights: 2·|name-word overlap| + 3·price-closeness, match at
     // score >= 6 — exact arithmetic the oracle replays in full.
+    // blocking includes the 6-char name prefix (same reasoning as
+    // join_edit_distance: a FIXED (brand, size) block count means
+    // occupancy — and pair mass — grows quadratically with the
+    // corpus, and at sf1 the per-block pair budget dropped every
+    // block; the re-listing perturbation is suffix-only, so prefix
+    // blocking keeps every true match while block cardinality scales
+    // with the corpus and the budget stays inert at any scale)
     val p0 = t(s, dir, "part")
-      .select("p_partkey", "p_name", "p_brand", "p_size",
-        "p_retailprice")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), col("p_retailprice"),
+        substring(col("p_name"), 1, 6).as("p_pfx"))
     val p1 = t(s, dir, "part").select(
       (col("p_partkey") + 5000000L).as("p_partkey"),
       when(col("p_partkey") % 3 === 0,
@@ -3150,13 +3163,15 @@ object SparkEntry {
       col("p_brand"), col("p_size"),
       when(col("p_partkey") % 5 === 0, col("p_retailprice") + 0.5)
         .otherwise(col("p_retailprice")).as("p_retailprice"))
+      .withColumn("p_pfx", substring(col("p_name"), 1, 6))
     val overlap = size(array_intersect(
       array_distinct(split(col("a_p_name"), " ")),
       array_distinct(split(col("b_p_name"), " ")))).cast("long")
     val priceClose =
       abs(col("a_p_retailprice") - col("b_p_retailprice")) <= 0.75
     graft.operators.Linkage
-      .candidates(p0, p1, Seq("p_brand", "p_size"), maxPairs = 4096L)
+      .candidates(p0, p1, Seq("p_brand", "p_size", "p_pfx"),
+        maxPairs = 4096L)
       .select(col("a_p_partkey").as("a_key"),
         col("b_p_partkey").as("b_key"), overlap.as("overlap"),
         priceClose.as("price_close"),
@@ -3302,16 +3317,31 @@ object SparkEntry {
     // codegen'd levenshtein builtin is the verify (unit-cost edits,
     // identical in DuckDB, proven by the hash match). Re-listed parts
     // (table_diff's perturbation family) re-identified by name shape.
+    // blocking key includes a 6-char NAME PREFIX (6 < the corpus-wide
+    // minimum name length 7, so a suffix-only perturbation can never
+    // reach into the blocked prefix): the coarse
+    // (brand, size) key has a FIXED block count, so block occupancy —
+    // and the blocked join's pair mass — grew quadratically with the
+    // corpus, and at the sf1 gate the per-block cap dropped EVERY
+    // block (documented degrade, but a diverged answer: 4k rows vs
+    // the oracle's 11M). The re-listing perturbation this query hunts
+    // is suffix-only, so prefix blocking loses no true pair BY
+    // CONSTRUCTION, block cardinality now scales with the corpus, and
+    // the cap stays inert at any scale — the key choice a real 100 TB
+    // linkage job makes. The oracle replays the same key.
     val p0 = t(s, dir, "part")
-      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"), substring(col("p_name"), 1, 6).as("p_pfx"))
     val p1 = t(s, dir, "part").select(
       (col("p_partkey") + 5000000L).as("p_partkey"),
       when(col("p_partkey") % 3 === 0,
         concat(col("p_name"), lit(" deluxe")))
         .otherwise(col("p_name")).as("p_name"),
       col("p_brand"), col("p_size"))
+      .withColumn("p_pfx", substring(col("p_name"), 1, 6))
     graft.operators.Linkage
-      .candidates(p0, p1, Seq("p_brand", "p_size"), maxPairs = 4096L)
+      .candidates(p0, p1, Seq("p_brand", "p_size", "p_pfx"),
+        maxPairs = 4096L)
       .withColumn("edit_dist",
         levenshtein(col("a_p_name"), col("b_p_name")).cast("long"))
       .filter(col("edit_dist") <= 7L)
@@ -7309,6 +7339,7 @@ object SparkEntry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
         |FROM v0 a JOIN v1 b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6)
         |WHERE levenshtein(a.p_name, b.p_name) <= 7
         |ORDER BY a_key, b_key""".stripMargin,
     // Both epochs re-derived from the source table — the written
@@ -7802,7 +7833,8 @@ object SparkEntry {
         |    abs(a.p_retailprice - b.p_retailprice) <= 0.75
         |      AS price_close
         |  FROM v0 a JOIN v1 b
-        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size)
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6))
         |SELECT a_key, b_key, overlap, price_close,
         |  CAST(2 * overlap + CASE WHEN price_close THEN 3 ELSE 0 END
         |    AS BIGINT) AS score

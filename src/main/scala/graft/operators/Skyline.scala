@@ -107,8 +107,10 @@ object Skyline {
       if (candUpperBound <= singleSweepMax) {
         // measured-small frontier: the classic one-order sweep — the
         // global-order window runs on a set PROVEN ≤ singleSweepMax
+        // (constant partition key = same single-partition plan, but no
+        // scary unbounded-window warning on a measured-bounded frame)
         val wEq = Window.partitionBy("_v")
-        val wPrev = Window.orderBy("_v")
+        val wPrev = Window.partitionBy(lit(0)).orderBy("_v")
           .rangeBetween(Window.unboundedPreceding, -1)
         cand
           .withColumn("_v", col(minCol).cast("long"))

@@ -67,14 +67,7 @@ object BasketStream {
   /** Drive [[pairsStream]] to completion; returns the sink name. */
   def runPairsStream(spark: SparkSession, sfDir: String,
       sinkName: String = "basket_pairs_stream"): String = {
-    val q = pairsStream(spark, readBasketsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      pairsStream(spark, readBasketsStream(spark, sfDir)), sinkName)
   }
 }

@@ -176,15 +176,8 @@ object DocsStream {
     * the parquet documents dir (memory sink); returns the sink name. */
   def runExactDedupStream(spark: SparkSession, sfDir: String,
       sinkName: String = "docs_exact_decisions"): String = {
-    val q = exactDecisionsStream(spark, readDocsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      exactDecisionsStream(spark, readDocsStream(spark, sfDir)), sinkName)
   }
 
   /** Drive [[minhashPairsStream]] synchronously to completion over the
@@ -197,16 +190,9 @@ object DocsStream {
   def runMinhashStream(spark: SparkSession, sfDir: String,
       sinkName: String = "docs_minhash_pairs",
       maxBucket: Int = Int.MaxValue): String = {
-    val q = minhashPairsStream(spark, readDocsStream(spark, sfDir),
-      maxBucket = maxBucket)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      minhashPairsStream(spark, readDocsStream(spark, sfDir),
+      maxBucket = maxBucket), sinkName)
   }
 
   case class TokShard(shard: Int, tok: String)
@@ -269,16 +255,9 @@ object DocsStream {
   def runHeavyHitterStream(spark: SparkSession, sfDir: String,
       sinkName: String = "docs_heavy_hitters",
       shards: Int = 8, capacity: Int = 64): String = {
-    val q = heavyHitterCandidatesStream(spark,
-      readDocsStream(spark, sfDir), shards, capacity)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      heavyHitterCandidatesStream(spark,
+      readDocsStream(spark, sfDir), shards, capacity), sinkName)
   }
 
   /** Streaming decontamination: the incremental twin of
@@ -333,15 +312,10 @@ object DocsStream {
       .qualityScore(col("text")) >= 0.72
     val model = graft.operators.QualityModel.train(
       batch, col("text"), seed, col("doc_id"))
-    val q = qualityFilterStream(readDocsStream(spark, sfDir), model,
-        graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    StreamSource.runToFileSink(spark,
+      qualityFilterStream(readDocsStream(spark, sfDir), model,
+        graft.functions.TextFunctions.qualityScore(col("text")) >= 0.72),
+      sinkName)
     (sinkName, model)
   }
 
@@ -361,15 +335,8 @@ object DocsStream {
       .collect().map(_.getString(0)).toSeq
     val stream = readDocsStream(spark, sfDir)
       .filter(col("doc_id") % 17 =!= 0)
-    val q = decontamStream(stream, evalGrams)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      decontamStream(stream, evalGrams), sinkName)
   }
 
   /** Streaming twin of the declarative data-quality gate: the
@@ -391,6 +358,9 @@ object DocsStream {
           length(col("text")) === col("n_chars")),
         Satisfies("lang_known",
           col("lang").isin("en", "fr", "es", "de", "zh"))))
+    // complete-mode memory sink stays: the report is |checks|+1 longs
+    // in ONE row by construction — bounded at any corpus size (the
+    // file sink is append-only and unnecessary here)
     val q = report.writeStream
       .outputMode("complete")
       .format("memory")
@@ -481,19 +451,16 @@ object DocsStream {
   }
 
   /** Drive [[embeddingPairsStream]] synchronously to completion over
-    * the parquet embeddings dir (memory sink); returns the sink name. */
+    * the parquet embeddings dir; returns the sink name. FILE sink:
+    * this stream emits every in-bucket pair in both orientations —
+    * output quadratic in bucket occupancy, the very stream that blew
+    * spark.driver.maxResultSize (1.2 GiB of task results) through the
+    * old memory sink at the sf1 rehearsal. */
   def runEmbeddingDedupStream(spark: SparkSession, sfDir: String,
       sinkName: String = "docs_embedding_pairs",
       maxBucket: Int = Int.MaxValue): String = {
-    val q = embeddingPairsStream(spark,
-      readEmbeddingsStream(spark, sfDir), maxBucket)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      embeddingPairsStream(spark,
+        readEmbeddingsStream(spark, sfDir), maxBucket), sinkName)
   }
 }

@@ -247,31 +247,17 @@ object EventsStream {
   /** Drive [[transitionsStream]] to completion; returns the sink. */
   def runTransitionsStream(spark: SparkSession, sfDir: String,
       sinkName: String = "events_transitions_stream"): String = {
-    val q = transitionsStream(spark, readEventsStream(spark, sfDir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
+    StreamSource.runToFileSink(spark,
+      transitionsStream(spark, readEventsStream(spark, sfDir)), sinkName)
   }
 
   /** Drive [[windowedAgg]] as a real streaming query over the parquet
     * events dir, synchronously to completion (memory sink). Used by the
     * streaming spec; returns the sink table name. */
   def runWindowedStream(spark: SparkSession, sfDir: String,
-      sinkName: String = "events_windowed"): String = {
-    val q = windowedAgg(readEventsStream(spark, sfDir)).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
-  }
+      sinkName: String = "events_windowed"): String =
+    StreamSource.runToFileSink(spark,
+      windowedAgg(readEventsStream(spark, sfDir)), sinkName)
 
   /** Streaming OHLC bars: the batch derivation's EXACT expressions
     * (open/close as struct-min/max argmax over (ts, event_id, v) —
@@ -299,14 +285,7 @@ object EventsStream {
         col("low_micros"), col("high_micros"))
 
   def runOhlcStream(spark: SparkSession, sfDir: String,
-      sinkName: String = "events_ohlc_stream"): String = {
-    val q = ohlcAgg(readEventsStream(spark, sfDir)).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    sinkName
-  }
+      sinkName: String = "events_ohlc_stream"): String =
+    StreamSource.runToFileSink(spark,
+      ohlcAgg(readEventsStream(spark, sfDir)), sinkName)
 }

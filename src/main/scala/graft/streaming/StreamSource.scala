@@ -35,4 +35,36 @@ object StreamSource {
     if (isDir) rd.parquet(path)
     else rd.option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
   }
+
+  /** Drive an append-mode stream synchronously to completion through a
+    * FILE sink and expose the result as a temp view named `sinkName`
+    * (same consumption surface as the former memory sinks).
+    *
+    * The memory sink keeps every emitted row in DRIVER memory — fine
+    * for a bounded aggregate, but an output that scales with the
+    * corpus crosses `spark.driver.maxResultSize` long before state
+    * does: at the sf1 rehearsal the embedding pair stream shipped
+    * 1.2 GiB of in-bucket pair rows to the driver and died. A file
+    * sink keeps unbounded output distributed on executors/storage —
+    * the shape a production pipeline sinks to anyway — and the
+    * downstream epoch-close aggregation reads it back as an ordinary
+    * parquet table. The explicit read schema covers the zero-row
+    * stream (no part files to infer from). */
+  def runToFileSink(spark: SparkSession, ds: org.apache.spark.sql.Dataset[_],
+      sinkName: String): String = {
+    val df = ds.toDF()
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_sink_$sinkName").toString
+    val q = df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.schema(df.schema).parquet(s"$dir/data")
+      .createOrReplaceTempView(sinkName)
+    sinkName
+  }
 }
