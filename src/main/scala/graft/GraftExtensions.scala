@@ -301,45 +301,137 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
       n: Int, t: Double): LogicalPlan = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.bridge
-    // prefix selection against the EMPTY df model: all grams rank
-    // df=1, ties by gram value — a consistent global order, which is
-    // all the exact-recall proof needs (a trained stop-gram model only
-    // shrinks candidate volume, never correctness)
-    def withPrefix(plan: LogicalPlan, textE: Expression, side: String) =
+    // Stop-gram df model, trained HERE with one bounded job before the
+    // rewritten plan is returned (the optimizer runs once per
+    // execution; the __graft_ guard keeps the rule from re-firing on
+    // its own output). The PPJoin global order this model induces —
+    // rarest grams first, unknown grams df=1, ties by gram value — is
+    // what makes the rewrite survive scale: under the former EMPTY
+    // model a corpus-hot gram whose hash lands in the low percentiles
+    // sits in the prefix of nearly every doc containing it, and one
+    // such gram contributes |docs(g)|² candidate pairs (measured at
+    // the sf1 gate: the 50k-doc corpus ground for 25+ minutes and
+    // starved every query queued behind it; with the trained model the
+    // same query answers in seconds). Exact recall is UNAFFECTED: the
+    // prefix-filter lemma holds for ANY consistent global total order,
+    // both sides share this one model, and df only shapes candidate
+    // volume. The 1-in-4 content-hash doc sample + df>=2 floor +
+    // 64k-row cap bound the job and the collected model at any corpus
+    // size (same shape as Dedup.ngramJaccard's trainer).
+    val hotDf: Map[Long, Long] = {
+      val gramsL = VectorFunctions.CharNgramHashes(
+        VectorFunctions.NormalizeText(aText), n, distinctSorted = true)
+      bridge.ofRows(spark, j.left)
+        .filter(pmod(xxhash64(bridge.toColumn(aText)), lit(4)) === 0)
+        .select(bridge.toColumn(gramsL).as("__graft_gs"))
+        .filter(col("__graft_gs").isNotNull)
+        .select(explode(col("__graft_gs")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("g"))
+        .limit(1 << 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // The rewritten shape is the operator family's fused-bucket
+    // pipeline, generalized to arbitrary join inputs through CONTENT
+    // identity — because the naive alternative measurably dies: a
+    // posting-level equi-join enumerates Σ_g df(g)² row pairs
+    // (5.6e9 at the sf1 gate even with the trained model; this
+    // corpus's bounded vocabulary keeps thousands of postings on
+    // "rare" prefix grams), and a join operator cannot iterate pairs
+    // anywhere near the ~1e8/s/core an in-memory bucket loop gets —
+    // the former join shape ground for 25+ minutes at sf1 while
+    // the fused loop below covers the same 2.8e9 candidate checks in
+    // under 30 s measured. Shape:
+    //   1. id := xxhash64(join text) per side — CONTENT identity, so
+    //      the candidate stage runs once per distinct text while the
+    //      back-join restores full row multiplicity exactly (every
+    //      left row with text-hash a × every right row with text-hash
+    //      b, precisely the original join's output for that text
+    //      pair). A 64-bit hash collision between different texts
+    //      could only DROP pairs of one of the colliding texts
+    //      (~n²/2⁶⁵ for n distinct texts — negligible below billions
+    //      of distinct texts; the operator API is the knob past that).
+    //   2. distinct (text) docs from BOTH sides → sorted distinct
+    //      gram sets → df-ordered prefix postings (PrefixGrams with
+    //      the trained model) → ONE groupBy(gram) shuffle →
+    //      VerifiedBucketPairs: the m²/2 loop with fused length +
+    //      positional prunes, survivors verified INLINE by the shared
+    //      sorted-merge intersect (no pair materialization carries a
+    //      gram array anywhere).
+    //   3. verified id pairs (+ both orientations + the identity
+    //      pairs id→id, which cover equal-text row pairs the
+    //      id_a < id_b generator never emits) back-join to the
+    //      original rows, and the ORIGINAL join condition re-evaluates
+    //      on every surviving row pair — output-sized work that makes
+    //      the final filter authoritative (>= vs >, extra conjuncts,
+    //      exact float semantics) rather than trusting the
+    //      generator's relaxed-EPS admission.
+    // .distinct() would inject a Deduplicate node, which only the
+    // "Replace Operators" batch (already past) lowers to an Aggregate —
+    // surviving to planning it is an internal error. Build the
+    // Aggregate directly.
+    def distinctAll(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val plan = bridge.planOf(df)
+      bridge.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+          plan.output, plan.output, plan))
+    }
+    def textsOf(plan: LogicalPlan, textE: Expression) =
       bridge.ofRows(spark, plan)
-        .withColumn(s"__graft_pg_$side", bridge.toColumn(
-          VectorFunctions.PrefixGrams(
-            VectorFunctions.CharNgramHashes(
-              VectorFunctions.NormalizeText(textE), n,
-              distinctSorted = true),
-            Map.empty, t)))
-        .withColumn(s"__graft_g_$side",
-          explode(col(s"__graft_pg_$side")))
-    val lb = withPrefix(j.left, aText, "l")
-    val rb = withPrefix(j.right, bText, "r")
-    // canonical gram: emit a pair only at the smallest shared prefix
-    // gram (prefix arrays are sorted ascending, so the min of the
-    // intersection is well-defined and cheap on prefix-sized arrays)
-    val canonical = col("__graft_g_l") ===
-      array_min(array_intersect(col("__graft_pg_l"), col("__graft_pg_r")))
-    // SHUFFLE join pinned via JoinHint on the Join node itself (the
-    // rule runs after EliminateResolvedHint, so a DataFrame-level
-    // .hint would survive as an unprocessed ResolvedHint and crash
-    // planning): the gram explosion makes each side ~|prefix| x the
-    // scan the planner estimated from (Catalyst keeps the pre-explode
-    // sizeInBytes), so its broadcast decision is made on stats that
-    // are wrong by the prefix factor — measured at the sf1 rehearsal,
-    // where the "64 MB" build side was actually GBs and the broadcast
-    // build OOMed. At gate scales the pin costs one small exchange;
-    // at corpus scale it is the only plan that survives.
-    val joined = lb.join(rb,
-        col("__graft_g_l") === col("__graft_g_r") &&
-          canonical &&
-          bridge.toColumn(j.condition.get),
-        "inner")
-      .select((j.left.output ++ j.right.output)
-        .map(a => bridge.toColumn(a)): _*)
-    pinShuffleJoin(bridge.planOf(joined))
+        .select(bridge.toColumn(textE).as("__graft_text"))
+    val docs = distinctAll(textsOf(j.left, aText)
+      .union(textsOf(j.right, bText)))
+      .select(xxhash64(col("__graft_text")).as("__graft_id"),
+        col("__graft_text"))
+    val base = docs.select(col("__graft_id"),
+      bridge.toColumn(VectorFunctions.CharNgramHashes(
+        VectorFunctions.NormalizeText(
+          bridge.toExpression(col("__graft_text"))), n,
+        distinctSorted = true)).as("__graft_gs"))
+      .filter(col("__graft_gs").isNotNull)
+    val postings = base.select(col("__graft_id"), col("__graft_gs"),
+        posexplode(VectorFunctions.prefix_grams(
+          col("__graft_gs"), hotDf, t)))
+      .select(col("__graft_id"),
+        (col("pos") + 1).cast("int").as("__graft_rn"),
+        col("__graft_gs"), col("col").as("__graft_g"))
+    val verified = postings.groupBy("__graft_g")
+      .agg(collect_list(struct(col("__graft_id").as("id"),
+        col("__graft_rn").as("rn"),
+        col("__graft_gs").as("gs"))).as("__graft_ps"))
+      .select(explode(VectorFunctions.verified_bucket_pairs(
+        col("__graft_ps"), 1 << 30, t)).as("__graft_p"))
+      .select(col("__graft_p.id_a").as("__graft_id_a"),
+        col("__graft_p.id_b").as("__graft_id_b"))
+    val verifiedD = distinctAll(verified)
+    val pairs = verifiedD
+      .union(verifiedD.select(col("__graft_id_b").as("__graft_id_a"),
+        col("__graft_id_a").as("__graft_id_b")))
+      .union(base.select(col("__graft_id").as("__graft_id_a"),
+        col("__graft_id").as("__graft_id_b")))
+    // The back-join is built from RAW Catalyst nodes on j.left/j.right
+    // so the original condition's attribute references stay valid —
+    // routing it through the Dataset join API re-runs
+    // DeduplicateRelations, which re-aliases the right side's exprIds
+    // on a self-join and orphans the captured condition.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, XxHash64}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject, Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.logical.JoinHint
+    val pairsPlan = bridge.planOf(pairs)
+    val Seq(idA, idB) = pairsPlan.output
+    val idLAlias = Alias(XxHash64(Seq(aText), 42L), "__graft_id_l")()
+    val idRAlias = Alias(XxHash64(Seq(bText), 42L), "__graft_id_r")()
+    val lPlan = LProject(j.left.output :+ idLAlias, j.left)
+    val rPlan = LProject(j.right.output :+ idRAlias, j.right)
+    val join1 = LJoin(lPlan, pairsPlan, Inner,
+      Some(EqualTo(idLAlias.toAttribute, idA)), JoinHint.NONE)
+    val join2 = LJoin(join1, rPlan, Inner,
+      Some(EqualTo(idB, idRAlias.toAttribute)), JoinHint.NONE)
+    val filtered = LFilter(j.condition.get, join2)
+    pinShuffleJoin(
+      LProject((j.left.output ++ j.right.output).map(a => a), filtered))
   }
 }
 
