@@ -25,12 +25,19 @@ object Dedup {
   /** Finalize a pair-list result: materialize the UNSORTED pairs first
     * (the total-order sort's range partitioner samples its child — on an
     * unmaterialized plan that re-runs the whole verification DAG), then
-    * sort + localCheckpoint (eager; blocks are reference-tracked and
-    * GC-cleaned), then drop the temp cache. */
+    * sort + eager checkpoint under the session's [[Iterate]] policy
+    * (default localCheckpoint — executor-storage blocks, reference-
+    * tracked and GC-cleaned, NOT recomputable on executor loss; with
+    * `spark.graft.reliableCheckpoint=true` + a checkpoint dir, a
+    * RELIABLE checkpoint that survives losing an executor — the seam a
+    * long dedup job on a real cluster wants, because the pair frame is
+    * the expensive artifact everything downstream reads), then drop the
+    * temp cache. */
   private def finalizePairs(df: DataFrame, sortCols: String*): DataFrame = {
     val unsorted = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = unsorted.orderBy(sortCols.map(col): _*).localCheckpoint(true)
+    val out = Iterate.materialize(
+      unsorted.orderBy(sortCols.map(col): _*))
     unsorted.unpersist(false)
     out
   }

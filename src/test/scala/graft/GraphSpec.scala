@@ -322,4 +322,34 @@ class GraphSpec extends AnyFunSuite {
       spark.conf.set(graft.operators.Iterate.ReliableKey, "false")
     }
   }
+
+  test("reliable-checkpoint mode reaches finalizePairs: a dedup pair " +
+      "frame checkpoints RELIABLY (files on the checkpoint dir), " +
+      "results identical") {
+    // the pair frame is the expensive artifact of every dedup job —
+    // under the cluster opt-in it must survive executor loss, so
+    // Dedup.finalizePairs routes through Iterate.materialize too
+    val docs = (1L to 30L).map(i =>
+        (i, if (i % 3 == 0) s"shared near duplicate text body ${i % 2}"
+        else s"unique document body number $i with extra words"))
+      .toDF("doc_id", "text")
+    def pairSet() = graft.operators.Dedup
+      .minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = pairSet()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-pairs").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.operators.Iterate.ReliableKey, "true")
+    try {
+      assert(pairSet() === local)
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(written > 0,
+        "reliable mode must write the pair frame to the checkpoint dir")
+    } finally {
+      spark.conf.set(graft.operators.Iterate.ReliableKey, "false")
+    }
+  }
 }
