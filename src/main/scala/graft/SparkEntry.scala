@@ -7328,18 +7328,30 @@ object SparkEntry {
     // identically in both engines — the hash match is the proof).
     "join_edit_distance" ->
       """WITH v0 AS (
-        |  SELECT p_partkey, p_name, p_brand, p_size FROM part),
+        |  SELECT p_partkey, p_name, p_brand, p_size,
+        |    substr(p_name, 1, 6) AS p_pfx FROM part),
         |v1 AS (
         |  SELECT p_partkey + 5000000 AS p_partkey,
         |    CASE WHEN p_partkey % 3 = 0 THEN p_name || ' deluxe'
         |         ELSE p_name END AS p_name,
-        |    p_brand, p_size
-        |  FROM part)
+        |    p_brand, p_size, substr(p_name, 1, 6) AS p_pfx
+        |  FROM part),
+        |ok AS (
+        |  SELECT a.p_brand, a.p_size, a.p_pfx
+        |  FROM (SELECT p_brand, p_size, p_pfx, count(*) AS na
+        |        FROM v0 GROUP BY 1, 2, 3) a
+        |  JOIN (SELECT p_brand, p_size, p_pfx, count(*) AS nb
+        |        FROM v1 GROUP BY 1, 2, 3) b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_pfx = b.p_pfx
+        |  WHERE a.na * b.nb <= 4096)
         |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
         |FROM v0 a JOIN v1 b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |  AND substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6)
+        |  AND a.p_pfx = b.p_pfx
+        |JOIN ok ON ok.p_brand = a.p_brand AND ok.p_size = a.p_size
+        |  AND ok.p_pfx = a.p_pfx
         |WHERE levenshtein(a.p_name, b.p_name) <= 7
         |ORDER BY a_key, b_key""".stripMargin,
     // Both epochs re-derived from the source table — the written
@@ -7824,6 +7836,15 @@ object SparkEntry {
         |    CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 0.5
         |         ELSE p_retailprice END AS p_retailprice
         |  FROM part),
+        |ok AS (
+        |  SELECT a.p_brand, a.p_size, a.p_pfx
+        |  FROM (SELECT p_brand, p_size, substr(p_name, 1, 6) AS p_pfx,
+        |        count(*) AS na FROM v0 GROUP BY 1, 2, 3) a
+        |  JOIN (SELECT p_brand, p_size, substr(p_name, 1, 6) AS p_pfx,
+        |        count(*) AS nb FROM v1 GROUP BY 1, 2, 3) b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_pfx = b.p_pfx
+        |  WHERE a.na * b.nb <= 4096),
         |pr AS (
         |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |    CAST(len(list_intersect(
@@ -7834,7 +7855,9 @@ object SparkEntry {
         |      AS price_close
         |  FROM v0 a JOIN v1 b
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |    AND substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6))
+        |    AND substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6)
+        |  JOIN ok ON ok.p_brand = a.p_brand AND ok.p_size = a.p_size
+        |    AND ok.p_pfx = substr(a.p_name, 1, 6))
         |SELECT a_key, b_key, overlap, price_close,
         |  CAST(2 * overlap + CASE WHEN price_close THEN 3 ELSE 0 END
         |    AS BIGINT) AS score
