@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -54,23 +54,45 @@ object Search {
     round(idf * tfNorm * 1e6).cast("long")
   }
 
-  /** Shared ranking tail: per-doc long sum, bounded top-k, dense rank.
-    * The rank window runs on ≤ k rows (post-TakeOrdered) — partitioning
-    * it on a constant key keeps the plan identical (one partition holds
-    * the whole ≤k-row frame either way) while keeping the "moving all
-    * data to a single partition" warning out of every bench tail: the
-    * empty-partition-spec warning exists to flag UNBOUNDED frames, and
-    * this one is bounded by the limit above it. */
-  private def rankTail(perTerm: DataFrame, k: Int): DataFrame = {
-    val top = perTerm.groupBy("doc_id")
-      .agg(sum(col("term_micros")).as("score_micros"))
-      .orderBy(col("score_micros").desc, col("doc_id"))
-      .limit(k)
-    top.withColumn("rank",
-      row_number().over(Window.partitionBy(lit(0))
-        .orderBy(col("score_micros").desc, col("doc_id"))).cast("int"))
+  /** Global rank over a PROVEN-bounded frame (post-limit top-k),
+    * without a window: rank(r) = 1 + |rows strictly better than r|
+    * under the total order (score desc, doc_id asc), via a broadcast
+    * self-join + count — ≤ k² pair evaluations on a ≤k-row frame. A
+    * global window is NOT an option here even dressed up: an empty
+    * partition spec logs the single-partition warning on every bench
+    * tail, and `partitionBy(lit(0))` doesn't help because Catalyst
+    * strips foldable window partition expressions back to the empty
+    * spec. The join formulation needs no total-order exchange at all
+    * (the ≤k-row side broadcasts), and stays deterministic through the
+    * doc_id tiebreak. */
+  private def joinRank(df: DataFrame, scoreCol: String): DataFrame = {
+    // single pass: the upstream pipeline (corpus scan + scoring +
+    // top-k) must execute ONCE — a self-join/agg pair would run it
+    // twice (measured +1.5 s on bm25 at sf0.1). Collapse the ≤k rows
+    // into one array row, rank each element against the array, explode
+    // back. O(k²) expression work on a k-row frame, zero extra jobs.
+    val cols = df.columns
+    def better(p: Column, r: Column): Column =
+      p.getField(scoreCol) > r.getField(scoreCol) ||
+        (p.getField(scoreCol) === r.getField(scoreCol) &&
+          p.getField("doc_id") < r.getField("doc_id"))
+    df.agg(collect_list(struct(cols.map(col): _*)).as("_all"))
+      .select(explode(transform(col("_all"), r => struct(
+        cols.map(c => r.getField(c).as(c)) :+
+          (size(filter(col("_all"), p => better(p, r))) + 1)
+            .cast("int").as("rank"): _*))).as("_r"))
+      .select(col("_r.*"))
       .orderBy("rank")
   }
+
+  /** Shared ranking tail: per-doc long sum, bounded top-k, rank. */
+  private def rankTail(perTerm: DataFrame, k: Int): DataFrame =
+    joinRank(
+      perTerm.groupBy("doc_id")
+        .agg(sum(col("term_micros")).as("score_micros"))
+        .orderBy(col("score_micros").desc, col("doc_id"))
+        .limit(k),
+      "score_micros")
 
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -282,14 +304,12 @@ object Search {
       coalesce(expr(s"1000000L DIV ($k0 + ${name}_rank)"), lit(0L))
     }
     // ≤ Σ k_i rows by construction (each input list is already
-    // k_i-bounded); the constant partition key keeps the single-
-    // partition warning out of the logs on a provably bounded frame
-    val w = Window.partitionBy(lit(0))
-      .orderBy(col("rrf_micros").desc, col("doc_id"))
-    joined
-      .withColumn("rrf_micros", contribs.reduce(_ + _).cast("long"))
-      .withColumn("rank", row_number().over(w).cast("int"))
+    // k_i-bounded) — rank via the window-free bounded self-join
+    // (see joinRank: a global window would log the single-partition
+    // warning, constant partition keys get folded away)
+    joinRank(
+      joined.withColumn("rrf_micros", contribs.reduce(_ + _).cast("long")),
+      "rrf_micros")
       .filter(col("rank") <= k)
-      .orderBy("rank")
   }
 }

@@ -105,17 +105,27 @@ object Skyline {
       .filter(col("_pfx").isNull || col(maxCol).cast("long") > col("_pfx"))
     val swept =
       if (candUpperBound <= singleSweepMax) {
-        // measured-small frontier: the classic one-order sweep — the
-        // global-order window runs on a set PROVEN ≤ singleSweepMax
-        // (constant partition key = same single-partition plan, but no
-        // scary unbounded-window warning on a measured-bounded frame)
+        // measured-small frontier: one-order sweep, but the prefix-max
+        // window partitions by BUCKET and combines with the broadcast
+        // cross-bucket prefix — the same two-part coverage as the
+        // adversarial branch (strictly earlier buckets hold only
+        // strictly smaller values; equal values share a bucket), on
+        // the undeduplicated rows. A constant partition key is NOT an
+        // option: Catalyst strips foldable window partition
+        // expressions, so `partitionBy(lit(0))` still plans the
+        // empty-spec single-partition window and still logs the
+        // unbounded-window warning on every bench tail.
         val wEq = Window.partitionBy("_v")
-        val wPrev = Window.partitionBy(lit(0)).orderBy("_v")
+        val wPrev = Window.partitionBy("_bkt").orderBy("_v")
           .rangeBetween(Window.unboundedPreceding, -1)
         cand
           .withColumn("_v", col(minCol).cast("long"))
           .withColumn("_vmax", max(col(maxCol).cast("long")).over(wEq))
-          .withColumn("_spfx", max(col(maxCol).cast("long")).over(wPrev))
+          .withColumn("_lpfx", max(col(maxCol).cast("long")).over(wPrev))
+          .withColumn("_spfx",
+            when(col("_pfx").isNull, col("_lpfx"))
+              .when(col("_lpfx").isNull, col("_pfx"))
+              .otherwise(greatest(col("_pfx"), col("_lpfx"))))
       } else {
         // adversarial regime (frontier ~ table): decomposed so no
         // stage has an unpartitioned window over an unbounded set:
