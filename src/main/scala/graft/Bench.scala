@@ -92,7 +92,14 @@ object Bench {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE (dev knob): shuffle partitions default to
+      // the core count — right for the driver's sf0.1 gate — but at a
+      // fixed count the per-task sort size grows linearly with the
+      // corpus until it spills; a real cluster scales this with data
+      // (AQE coalesces the small case back down). The override lets
+      // scale rehearsals measure that effect instead of guessing.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
