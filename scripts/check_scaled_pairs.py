@@ -110,7 +110,8 @@ def check_pairs(name, threshold):
     WITH pfx AS (SELECT substr(text, 1, 50) AS p, doc_id
                  FROM documents WHERE length(text) >= 50),
     grp AS (SELECT p FROM pfx GROUP BY p
-            HAVING count(*) > 1 AND count(*) <= 50),
+            HAVING count(*) > 1 AND count(*) <= 150
+            ORDER BY hash(p) LIMIT 100),
     pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM pfx a JOIN grp USING (p)
            JOIN pfx b ON b.p = a.p AND a.doc_id < b.doc_id),
@@ -160,7 +161,8 @@ def check_decisions(name, pairs_name, threshold):
     WITH pfx AS (SELECT substr(text, 1, 50) AS p, doc_id
                  FROM documents WHERE length(text) >= 50),
     grp AS (SELECT p FROM pfx GROUP BY p
-            HAVING count(*) > 1 AND count(*) <= 50),
+            HAVING count(*) > 1 AND count(*) <= 150
+            ORDER BY hash(p) LIMIT 100),
     pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
            FROM pfx a JOIN grp USING (p)
            JOIN pfx b ON b.p = a.p AND a.doc_id < b.doc_id),
