@@ -373,7 +373,8 @@ object DocsStream {
 
   case class EmbDoc(band: Int, bkey: Long, vec_id: Long,
       embedding: Array[Float])
-  case class EmbMember(id: Long, emb: Array[Float])
+  case class EmbMember(id: Long, emb: Array[Float],
+      bestC: Double, bestId: Long)
   case class EmbBucketState(members: List[EmbMember])
   case class EmbPairOut(vec_id: Long, nn_id: Long, cosine: Double)
 
@@ -395,12 +396,21 @@ object DocsStream {
     * drift), and routed to per-(band, bucket) state. Each arriving
     * vector scores against its bucket's members with the scalar
     * replica of the codegen'd cosine
-    * ([[VectorFunctions.cosineOfFloats]]) and emits the pair in BOTH
-    * orientations — so the epoch-close per-vector max over the sink
-    * rebuilds exactly the batch operator's best-neighbor report
-    * (batch takes a per-bucket best then a cross-band max; the stream
-    * emits every in-bucket pair, and max over all in-bucket neighbors
-    * is the same value). Keep-smallest eviction under `maxBucket`
+    * ([[VectorFunctions.cosineOfFloats]]), and the stream emits
+    * IMPROVEMENTS ONLY: one row for the arriving vector's best
+    * current neighbor, plus one row per existing member whose
+    * best-so-far this arrival beats — both under the consumer's
+    * exact (cosine DESC, nn_id ASC) order, with each member's
+    * best-so-far carried in state. The epoch-close per-vector max
+    * over the sink therefore still rebuilds the batch operator's
+    * best-neighbor report EXACTLY (every member's emission sequence
+    * is increasing and ends at its true bucket best), while output
+    * volume drops from O(occupancy²) pairs to arrivals + improvement
+    * events (expected O(m log m) per bucket). The former
+    * every-pair-both-ways emission was measured fatal two decades up:
+    * at sf10 a 12.5k-member bucket implies ~10¹⁰ buffered pair rows
+    * and the per-batch output buffer OOMed the executor before the
+    * sink ever saw a row. Keep-smallest eviction under `maxBucket`
     * with the same superset caveat as [[minhashPairsStream]]; the
     * driver-gated query runs uncapped. Degenerate vectors (null /
     * zero-norm / length-mismatched) score null and emit nothing,
@@ -425,23 +435,40 @@ object DocsStream {
         (_: (Int, Long), batch: Iterator[EmbDoc],
          state: GroupState[EmbBucketState]) =>
           var members = state.getOption.map(_.members).getOrElse(Nil)
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          members.foreach(m => seen += m.id)
           val out = scala.collection.mutable.ArrayBuffer.empty[EmbPairOut]
+          // (cosine DESC, nn_id ASC) — the consumer's max-struct order
+          def beats(c: Double, id: Long, bc: Double, bid: Long): Boolean =
+            c > bc || (c == bc && id < bid)
           batch.toSeq.sortBy(_.vec_id).foreach { d =>
-            if (!members.exists(_.id == d.vec_id)) {
-              members.foreach { m =>
+            if (!seen.contains(d.vec_id)) {
+              seen += d.vec_id
+              var bestC = Double.NegativeInfinity
+              var bestId = Long.MaxValue
+              members = members.map { m =>
                 val c = VectorFunctions.cosineOfFloats(m.emb, d.embedding)
-                if (c != null) {
-                  out += EmbPairOut(d.vec_id, m.id, c)
-                  out += EmbPairOut(m.id, d.vec_id, c)
+                if (c == null) m
+                else {
+                  val cv = c.doubleValue()
+                  if (beats(cv, m.id, bestC, bestId)) {
+                    bestC = cv; bestId = m.id
+                  }
+                  if (beats(cv, d.vec_id, m.bestC, m.bestId)) {
+                    out += EmbPairOut(m.id, d.vec_id, cv)
+                    m.copy(bestC = cv, bestId = d.vec_id)
+                  } else m
                 }
               }
+              if (bestId != Long.MaxValue)
+                out += EmbPairOut(d.vec_id, bestId, bestC)
+              val dm = EmbMember(d.vec_id, d.embedding, bestC, bestId)
               if (members.size < maxBucket)
-                members = EmbMember(d.vec_id, d.embedding) :: members
+                members = dm :: members
               else {
                 val worst = members.maxBy(_.id)
                 if (d.vec_id < worst.id)
-                  members = EmbMember(d.vec_id, d.embedding) ::
-                    members.filterNot(_.id == worst.id)
+                  members = dm :: members.filterNot(_.id == worst.id)
               }
             }
           }
