@@ -45,9 +45,10 @@ GROUP_SAMPLE = 40
 QUERIES = {
     "dedup_simhash": ("documents", "doc_id", "id_a", "capped", "doc_id"),
     "dedup_phash": ("documents", "doc_id", "id_a", "capped", "doc_id"),
-    "dedup_embedding": ("embeddings", "vec_id", "vec_id", "bb", "vec_id"),
+    "dedup_embedding":
+        ("embeddings", "vec_id", "vec_id", "capped", "vec_id"),
     "stream_embedding_dedup":
-        ("embeddings", "vec_id", "vec_id", "bb", "vec_id"),
+        ("embeddings", "vec_id", "vec_id", "capped", "vec_id"),
 }
 
 

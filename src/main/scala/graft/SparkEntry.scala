@@ -2108,11 +2108,11 @@ object SparkEntry {
     // A REAL streaming run of embedding near-dup: per-(band, bucket)
     // member state scores each arriving vector against its bucket
     // (DocsStream.embeddingPairsStream, banding and cosine shared
-    // with batch), emitting every in-bucket pair both ways; the
+    // with batch), emitting best-neighbor IMPROVEMENTS only; the
     // epoch-close per-vector max over the sink rebuilds the batch
     // best-neighbor report exactly and shares its oracle VERBATIM.
     val sink = graft.streaming.DocsStream.runEmbeddingDedupStream(
-      s, dir, "stream_embdedup_sink")
+      s, dir, "stream_embdedup_sink", maxBucket = 4096)
     val sinkDf = s.table(sink)
     val base = s.createDataFrame(sinkDf.rdd, sinkDf.schema)
     base.groupBy("vec_id")
@@ -6203,8 +6203,9 @@ object SparkEntry {
          |SELECT id_a, id_b, cosine FROM p
          |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
-    // Embedding near-dup: same signature re-derivation, 4-band × 4-bit
-    // banding, nearest neighbor by (cosine DESC, nn_id) within buckets.
+    // Embedding near-dup: same plane re-derivation, 8-band × 8-bit
+    // banding with the keep-smallest bucket cap replayed, nearest
+    // neighbor by (cosine DESC, nn_id) within buckets.
     "dedup_embedding" -> embDedupOracleSql,
     // The streaming twin converges to the same best-neighbor report —
     // the oracle IS the batch SQL (see qStreamEmbeddingDedup).
@@ -8497,22 +8498,53 @@ object SparkEntry {
        |      AS INTEGER) AS rank FROM sc)""".stripMargin
   }
 
+  /** One 8-bit band key of the 8×8 embedding-LSH banding, computed
+    * directly from its own 8 plane literals: bit i of band b is plane
+    * b*8+i. Equivalent to `(sig >> b*8) & 255` over the engine's
+    * 64-bit [[graft.functions.VectorFunctions.HyperplaneSignature]],
+    * but bit 63 of a full-signature sum would need the BIGINT literal
+    * 1<<63, which overflows DuckDB's checked addition — per-band sums
+    * stay in [0, 255]. */
+  private def embBandKeySql(edCol: String, band: Int): String = {
+    val terms = (0 until 8).map { i =>
+      val p = band * 8 + i
+      val plane = (0 until 64)
+        .map(d => dlit(graft.functions.VectorFunctions.hyperplaneComponent(p, d)))
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+      s"(CASE WHEN list_dot_product($edCol, $plane) >= 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+    }
+    terms.mkString("(", "\n + ", ")")
+  }
+
   /** Shared by dedup_embedding (batch) and stream_embedding_dedup
-    * (streaming twin): the stream emits every in-bucket pair in both
-    * orientations, so its epoch-close per-vector max equals the batch
-    * per-bucket-best + cross-band max — same report, same SQL. */
+    * (streaming twin): the stream's epoch-close per-vector max equals
+    * the batch per-bucket-best + cross-band max — same report, same
+    * SQL. The `capped` CTE replays the operators' keep-smallest
+    * `maxBucket = 4096` bucket cap over the FULL banded set, so the
+    * declared semantics stay exact at ANY corpus scale — the round-9
+    * sf10 one-sided check caught the former oracle silently omitting
+    * the cap, which the 16-key-per-band geometry engaged at 100×
+    * (dropping 60 % of vectors from the engine report while the
+    * oracle kept them). With the 8×8 banding the cap is dormant two
+    * decades up (occupancy ≈ N/256 per band), but it is now DECLARED
+    * rather than latent. */
   private def embDedupOracleSql: String = {
-    val sig = hyperplaneSigSql("ed", 16, 64)
+    val keys = (0 until 8).map(b => embBandKeySql("ed", b))
+      .mkString("[", ",\n ", "]")
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed
        |              FROM embeddings),
-       |sg AS (SELECT vec_id, ed, $sig AS sig FROM base),
-       |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
-       |bb AS (SELECT vec_id, ed, band, (sig >> (band * 4)) & 15 AS bkey
+       |sg AS (SELECT vec_id, ed, $keys AS ks FROM base),
+       |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+       |bb AS (SELECT vec_id, ed, band, ks[band + 1] AS bkey
        |       FROM sg, bands),
+       |capped AS (SELECT vec_id, ed, band, bkey, row_number() OVER (
+       |        PARTITION BY band, bkey ORDER BY vec_id) AS rn
+       |      FROM bb QUALIFY rn <= 4096),
        |s AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nn_id,
        |        ${cosineSql("a.ed", "b.ed")} AS cosine
-       |      FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey
-       |        AND a.vec_id <> b.vec_id),
+       |      FROM capped a JOIN capped b ON a.band = b.band
+       |        AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
        |r AS (SELECT vec_id, nn_id, cosine,
        |        row_number() OVER (PARTITION BY vec_id
        |          ORDER BY cosine DESC, nn_id) AS rk

@@ -969,22 +969,34 @@ object Dedup {
     * ≤ 4-rows-per-vector reduce. Degenerate vectors (null/zero-norm)
     * cannot be scored and are skipped; `maxBucket` caps pathological
     * buckets (keep-smallest ids, the shared cap semantics). */
-  /** The embedding-LSH band-key structs for a 16-bit hyperplane
-    * signature column: 4 bands × 4 bits. Shared between the batch
+  /** The embedding-LSH band-key structs for a 64-bit hyperplane
+    * signature column: 8 bands × 8 bits. Shared between the batch
     * operator and the streaming twin so the two bandings cannot drift
-    * apart (same discipline as [[minhashBandKeys]]). */
+    * apart (same discipline as [[minhashBandKeys]]).
+    *
+    * Geometry is the scale axis of this operator: key space per band
+    * is 2^bits, so expected bucket occupancy is N/2^bits per band and
+    * the in-bucket pairwise work is (N/2^bits)² per bucket. The former
+    * 4×4-bit banding had 16 keys per band — occupancy grew LINEARLY
+    * with the corpus (12.5 k members per bucket at the 100× rehearsal)
+    * until the `maxBucket` cap silently evicted 60 % of all vectors
+    * from the report. 8×8 keeps the collision probability for true
+    * near-dups essentially unchanged (p^8 per band ≈ 0.43 at
+    * cosine 0.95, 1-(1-p^8)^8 ≈ 0.99 over 8 bands, vs ≈ 0.985 for
+    * 4×4) while dividing occupancy by 16 — the cap stays dormant two
+    * decades above the driver gate. */
   private[graft] def embeddingBandKeys(sig: org.apache.spark.sql.Column)
       : Seq[org.apache.spark.sql.Column] =
-    (0 until 4).map(b =>
+    (0 until 8).map(b =>
       struct(lit(b).as("band"),
-        shiftright(sig, b * 4).bitwiseAND(0xfL).as("bkey")))
+        shiftright(sig, b * 8).bitwiseAND(0xffL).as("bkey")))
 
   def embeddingNearDup(
       embeddings: DataFrame, threshold: Double = 0.95,
       maxBucket: Int = 4096): DataFrame = {
     val banded = embeddings
       .select(col("vec_id"), col("embedding"),
-        hyperplane_sig(col("embedding"), 16).as("sig"))
+        hyperplane_sig(col("embedding"), 64).as("sig"))
       .select(col("vec_id"), col("embedding"),
         explode(array(embeddingBandKeys(col("sig")): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),

@@ -391,7 +391,7 @@ object DocsStream {
   /** Incremental embedding near-dup: the streaming twin of
     * [[graft.operators.Dedup.embeddingNearDup]]. Vectors are
     * hyperplane-signed in the scan stage (same custom expression as
-    * batch), exploded onto the SAME 4×4-bit band keys
+    * batch), exploded onto the SAME 8×8-bit band keys
     * (`Dedup.embeddingBandKeys` — shared so the bandings cannot
     * drift), and routed to per-(band, bucket) state. Each arriving
     * vector scores against its bucket's members with the scalar
@@ -412,7 +412,8 @@ object DocsStream {
     * and the per-batch output buffer OOMed the executor before the
     * sink ever saw a row. Keep-smallest eviction under `maxBucket`
     * with the same superset caveat as [[minhashPairsStream]]; the
-    * driver-gated query runs uncapped. Degenerate vectors (null /
+    * declared query caps at 4096 like the batch operator (dormant at
+    * every tested scale under the 8×8 banding — occupancy ≈ N/256). Degenerate vectors (null /
     * zero-norm / length-mismatched) score null and emit nothing,
     * like the batch generator. */
   def embeddingPairsStream(spark: SparkSession, embeddings: DataFrame,
@@ -420,7 +421,7 @@ object DocsStream {
     import spark.implicits._
     val banded = embeddings
       .select(col("vec_id"), col("embedding"),
-        VectorFunctions.hyperplane_sig(col("embedding"), 16).as("sig"))
+        VectorFunctions.hyperplane_sig(col("embedding"), 64).as("sig"))
       .select(col("vec_id"), col("embedding"),
         explode(array(
           graft.operators.Dedup.embeddingBandKeys(col("sig")): _*))
@@ -478,11 +479,11 @@ object DocsStream {
   }
 
   /** Drive [[embeddingPairsStream]] synchronously to completion over
-    * the parquet embeddings dir; returns the sink name. FILE sink:
-    * this stream emits every in-bucket pair in both orientations —
-    * output quadratic in bucket occupancy, the very stream that blew
-    * spark.driver.maxResultSize (1.2 GiB of task results) through the
-    * old memory sink at the sf1 rehearsal. */
+    * the parquet embeddings dir; returns the sink name. FILE sink kept
+    * from the every-pair era (whose quadratic output blew
+    * spark.driver.maxResultSize through the old memory sink at the sf1
+    * rehearsal) — improvement events are near-linear but still
+    * corpus-sized, which a memory sink would buffer on the driver. */
   def runEmbeddingDedupStream(spark: SparkSession, sfDir: String,
       sinkName: String = "docs_embedding_pairs",
       maxBucket: Int = Int.MaxValue): String = {
