@@ -501,6 +501,20 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
     }.nextOption()
   }
 
+  /** Salt fan-out: the (band, key) space is only bands × 2^bandBits
+    * = 32 groups, so at corpus scale a key-grouped join serializes
+    * each group's quadratic candidate mass into ONE task — measured
+    * at the sf10 rehearsal, where the whole 200 k-vector join ran on
+    * ~4 of 32 cores behind a handful of stragglers. Salting the probe
+    * side by a hash of its vector and replicating the build side
+    * across all salts multiplies distinct join keys (and hence
+    * schedulable tasks) by `salts` without changing the emitted pair
+    * set — the same replicate-the-other-side pattern as
+    * join_skew_salted. 8 salts × 32 keys = 256 groups keeps every
+    * core busy while the build side's shuffle volume grows only 8×
+    * (rows are skinny: id + vector + sig). */
+  private val salts = 8
+
   private def rewrite(j: Join, aVec: Expression,
       bVec: Expression): LogicalPlan = {
     import org.apache.spark.sql.functions._
@@ -518,7 +532,11 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
         .withColumn(s"__graft_key_$side", col(s"__graft_bk_$side.key"))
     }
     val lb = banded(j.left, aVec, "l")
+      .withColumn("__graft_salt_l",
+        pmod(xxhash64(bridge.toColumn(aVec)), lit(salts.toLong)))
     val rb = banded(j.right, bVec, "r")
+      .withColumn("__graft_salt_r",
+        explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     // canonical band: emit a pair only at its smallest shared band
     val noEarlier = expr(
       s"""__graft_band_l = 0 OR NOT exists(
@@ -542,6 +560,7 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
     val joined = lb.join(rb,
         col("__graft_band_l") === col("__graft_band_r") &&
           col("__graft_key_l") === col("__graft_key_r") &&
+          col("__graft_salt_l") === col("__graft_salt_r") &&
           noEarlier &&
           bridge.toColumn(j.condition.get),
         "inner")

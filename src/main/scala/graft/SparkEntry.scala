@@ -3140,17 +3140,19 @@ object SparkEntry {
     // names grow a ' deluxe' suffix, a fifth of the prices shift
     // +0.5), and the pipeline must re-identify the same part from its
     // FIELDS alone. Blocking on (brand, size) bounds candidates to an
-    // equi-join (never all-pairs; hot blocks drop whole under the
-    // declared pair budget), then integer Fellegi–Sunter-style
+    // equi-join (never all-pairs; hot blocks truncate deterministically
+    // under the declared pair budget), then integer Fellegi–Sunter-style
     // weights: 2·|name-word overlap| + 3·price-closeness, match at
     // score >= 6 — exact arithmetic the oracle replays in full.
     // blocking includes the 6-char name prefix (same reasoning as
     // join_edit_distance: a FIXED (brand, size) block count means
     // occupancy — and pair mass — grows quadratically with the
-    // corpus, and at sf1 the per-block pair budget dropped every
+    // corpus, and at sf1 the per-block pair budget degraded every
     // block; the re-listing perturbation is suffix-only, so prefix
     // blocking keeps every true match while block cardinality scales
-    // with the corpus and the budget stays inert at any scale)
+    // with the corpus — and when a REPLICATED corpus still overflows
+    // the budget (sf10: every copy shares each prefix block), the
+    // budget truncates per side instead of zeroing the answer)
     val p0 = t(s, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"), col("p_retailprice"),
@@ -3326,9 +3328,11 @@ object SparkEntry {
     // block (documented degrade, but a diverged answer: 4k rows vs
     // the oracle's 11M). The re-listing perturbation this query hunts
     // is suffix-only, so prefix blocking loses no true pair BY
-    // CONSTRUCTION, block cardinality now scales with the corpus, and
-    // the cap stays inert at any scale — the key choice a real 100 TB
-    // linkage job makes. The oracle replays the same key.
+    // CONSTRUCTION and block cardinality now scales with the corpus —
+    // the key choice a real 100 TB linkage job makes. Where a
+    // replicated corpus STILL overflows the budget (sf10), the blocks
+    // truncate per side instead of dropping whole. The oracle replays
+    // the same key and the same truncation.
     val p0 = t(s, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"), substring(col("p_name"), 1, 6).as("p_pfx"))
@@ -7327,6 +7331,12 @@ object SparkEntry {
         |ORDER BY x.c_nationkey, x.c_mktsegment""".stripMargin,
     // Same blocks, same builtin (unit-cost Levenshtein is defined
     // identically in both engines — the hash match is the proof).
+    // Replays Linkage.candidates' declared budget degrade: blocks
+    // whose na*nb exceeds 4096 are TRUNCATED to their first
+    // 64 = floor(sqrt(4096)) rows per side in (p_partkey, p_name)
+    // order — never dropped whole (the zero-output cliff the sf10
+    // rehearsal exposed). Within-budget blocks pass untouched, so the
+    // cnt join + rn filter is a no-op at gate scales.
     "join_edit_distance" ->
       """WITH v0 AS (
         |  SELECT p_partkey, p_name, p_brand, p_size,
@@ -7337,22 +7347,35 @@ object SparkEntry {
         |         ELSE p_name END AS p_name,
         |    p_brand, p_size, substr(p_name, 1, 6) AS p_pfx
         |  FROM part),
-        |ok AS (
-        |  SELECT a.p_brand, a.p_size, a.p_pfx
+        |cnt AS (
+        |  SELECT a.p_brand, a.p_size, a.p_pfx, a.na * b.nb AS n_pairs
         |  FROM (SELECT p_brand, p_size, p_pfx, count(*) AS na
         |        FROM v0 GROUP BY 1, 2, 3) a
         |  JOIN (SELECT p_brand, p_size, p_pfx, count(*) AS nb
         |        FROM v1 GROUP BY 1, 2, 3) b
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |    AND a.p_pfx = b.p_pfx
-        |  WHERE a.na * b.nb <= 4096)
+        |    AND a.p_pfx = b.p_pfx),
+        |f0 AS (
+        |  SELECT * FROM (
+        |    SELECT v.*, c.n_pairs, row_number() OVER (
+        |        PARTITION BY v.p_brand, v.p_size, v.p_pfx
+        |        ORDER BY v.p_partkey, v.p_name) AS rn
+        |    FROM v0 v JOIN cnt c ON c.p_brand = v.p_brand
+        |      AND c.p_size = v.p_size AND c.p_pfx = v.p_pfx)
+        |  WHERE n_pairs <= 4096 OR rn <= 64),
+        |f1 AS (
+        |  SELECT * FROM (
+        |    SELECT v.*, c.n_pairs, row_number() OVER (
+        |        PARTITION BY v.p_brand, v.p_size, v.p_pfx
+        |        ORDER BY v.p_partkey, v.p_name) AS rn
+        |    FROM v1 v JOIN cnt c ON c.p_brand = v.p_brand
+        |      AND c.p_size = v.p_size AND c.p_pfx = v.p_pfx)
+        |  WHERE n_pairs <= 4096 OR rn <= 64)
         |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-        |FROM v0 a JOIN v1 b
+        |FROM f0 a JOIN f1 b
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |  AND a.p_pfx = b.p_pfx
-        |JOIN ok ON ok.p_brand = a.p_brand AND ok.p_size = a.p_size
-        |  AND ok.p_pfx = a.p_pfx
         |WHERE levenshtein(a.p_name, b.p_name) <= 7
         |ORDER BY a_key, b_key""".stripMargin,
     // Both epochs re-derived from the source table — the written
@@ -7825,9 +7848,13 @@ object SparkEntry {
     // Same re-listing rules, plain block join, every weight replayed:
     // word overlap via list_intersect on distinct name words, the
     // same integer score arithmetic and threshold.
+    // Replays Linkage.candidates' declared budget degrade (see
+    // join_edit_distance): overflowing blocks truncate to their first
+    // 64 rows per side in p_partkey order instead of dropping whole.
     "record_linkage" ->
       """WITH v0 AS (
-        |  SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |  SELECT p_partkey, p_name, p_brand, p_size, p_retailprice,
+        |    substr(p_name, 1, 6) AS p_pfx
         |  FROM part),
         |v1 AS (
         |  SELECT p_partkey + 5000000 AS p_partkey,
@@ -7835,17 +7862,33 @@ object SparkEntry {
         |         ELSE p_name END AS p_name,
         |    p_brand, p_size,
         |    CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 0.5
-        |         ELSE p_retailprice END AS p_retailprice
+        |         ELSE p_retailprice END AS p_retailprice,
+        |    substr(p_name, 1, 6) AS p_pfx
         |  FROM part),
-        |ok AS (
-        |  SELECT a.p_brand, a.p_size, a.p_pfx
-        |  FROM (SELECT p_brand, p_size, substr(p_name, 1, 6) AS p_pfx,
-        |        count(*) AS na FROM v0 GROUP BY 1, 2, 3) a
-        |  JOIN (SELECT p_brand, p_size, substr(p_name, 1, 6) AS p_pfx,
-        |        count(*) AS nb FROM v1 GROUP BY 1, 2, 3) b
+        |cnt AS (
+        |  SELECT a.p_brand, a.p_size, a.p_pfx, a.na * b.nb AS n_pairs
+        |  FROM (SELECT p_brand, p_size, p_pfx, count(*) AS na
+        |        FROM v0 GROUP BY 1, 2, 3) a
+        |  JOIN (SELECT p_brand, p_size, p_pfx, count(*) AS nb
+        |        FROM v1 GROUP BY 1, 2, 3) b
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |    AND a.p_pfx = b.p_pfx
-        |  WHERE a.na * b.nb <= 4096),
+        |    AND a.p_pfx = b.p_pfx),
+        |f0 AS (
+        |  SELECT * FROM (
+        |    SELECT v.*, c.n_pairs, row_number() OVER (
+        |        PARTITION BY v.p_brand, v.p_size, v.p_pfx
+        |        ORDER BY v.p_partkey, v.p_name, v.p_retailprice) AS rn
+        |    FROM v0 v JOIN cnt c ON c.p_brand = v.p_brand
+        |      AND c.p_size = v.p_size AND c.p_pfx = v.p_pfx)
+        |  WHERE n_pairs <= 4096 OR rn <= 64),
+        |f1 AS (
+        |  SELECT * FROM (
+        |    SELECT v.*, c.n_pairs, row_number() OVER (
+        |        PARTITION BY v.p_brand, v.p_size, v.p_pfx
+        |        ORDER BY v.p_partkey, v.p_name, v.p_retailprice) AS rn
+        |    FROM v1 v JOIN cnt c ON c.p_brand = v.p_brand
+        |      AND c.p_size = v.p_size AND c.p_pfx = v.p_pfx)
+        |  WHERE n_pairs <= 4096 OR rn <= 64),
         |pr AS (
         |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
         |    CAST(len(list_intersect(
@@ -7854,11 +7897,9 @@ object SparkEntry {
         |      AS overlap,
         |    abs(a.p_retailprice - b.p_retailprice) <= 0.75
         |      AS price_close
-        |  FROM v0 a JOIN v1 b
+        |  FROM f0 a JOIN f1 b
         |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-        |    AND substr(a.p_name, 1, 6) = substr(b.p_name, 1, 6)
-        |  JOIN ok ON ok.p_brand = a.p_brand AND ok.p_size = a.p_size
-        |    AND ok.p_pfx = substr(a.p_name, 1, 6))
+        |    AND a.p_pfx = b.p_pfx)
         |SELECT a_key, b_key, overlap, price_close,
         |  CAST(2 * overlap + CASE WHEN price_close THEN 3 ELSE 0 END
         |    AS BIGINT) AS score

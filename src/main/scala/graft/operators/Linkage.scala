@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Record linkage across two tables that share no key — the classic
@@ -15,42 +16,66 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: candidates come from an equi-join on the block key —
   * never an all-pairs product. Oversized blocks (a cross product
-  * bomb: a null-ish or degenerate block value at corpus scale) are
-  * dropped whole under a declared pair budget, the same audited-cap
-  * pattern as the dedup bucket generators. Three block-keyed shuffles
-  * (two counts + the join), each carrying only block keys or the
-  * surviving rows.
+  * bomb: a null-ish or degenerate block value at corpus scale) degrade
+  * to a DETERMINISTIC truncation — each side keeps its first
+  * floor(sqrt(maxPairs)) rows in lexicographic order — instead of
+  * dropping whole: the round-9 sf10 rehearsal showed drop-whole is a
+  * zero-output cliff (a replicated corpus pushes EVERY block past the
+  * budget and the operator silently answers nothing — the same cliff
+  * the ngram pair budget closed in round 8). Within-budget blocks are
+  * untouched, so gate-scale outputs are bit-identical to the
+  * drop-whole era. Four block-keyed shuffles (two counts, the whole-
+  * block join, the truncation window over overflowing members only),
+  * each carrying only block keys or the surviving rows.
   */
 object Linkage {
 
   /** Blocked candidate pairs: rows of `a` × rows of `b` that share a
     * block-key tuple, with non-block columns prefixed `a_`/`b_`.
-    * Blocks whose pair count `na*nb` exceeds `maxPairs` are dropped
-    * entirely (cap, don't sample: deterministic, auditable via
-    * [[droppedBlocks]]); null block values never match anything. */
+    * Blocks whose pair count `na*nb` exceeds `maxPairs` are truncated,
+    * not dropped: each side keeps its first `floor(sqrt(maxPairs))`
+    * rows under the lexicographic order of the prefixed non-block
+    * columns (deterministic at any partitioning; callers putting a
+    * unique key first get keep-smallest-keys), so the block
+    * contributes at most `maxPairs` pairs while the budget can never
+    * zero the answer. Auditable via [[droppedBlocks]]; null block
+    * values never match anything. */
   def candidates(a: DataFrame, b: DataFrame, blockCols: Seq[String],
       maxPairs: Long): DataFrame = {
     require(blockCols.nonEmpty, "blocking columns required")
-    val notNull = blockCols.map(col(_).isNotNull).reduce(_ && _)
-    // materialized once: the admitted-block list is block-count-sized
-    // (small by construction) and feeds BOTH semi-joins — without the
-    // barrier each side re-runs both count aggregates and their join
-    val ok = okBlocks(a, b, blockCols, maxPairs).localCheckpoint(true)
-    val af = prefixed(a, blockCols, "a_").join(ok, blockCols, "left_semi")
-    val bf = prefixed(b, blockCols, "b_").join(ok, blockCols, "left_semi")
-    af.join(bf, blockCols)
+    // materialized once: the block-count frame is block-count-sized
+    // (small by construction) and feeds all four semi-joins — without
+    // the barrier each side re-runs both count aggregates and their
+    // join
+    val counts = blockCounts(a, b, blockCols).localCheckpoint(true)
+    val ok = counts.filter(col("n_pairs") <= maxPairs)
+      .select(blockCols.map(col): _*)
+    val over = counts.filter(col("n_pairs") > maxPairs)
+      .select(blockCols.map(col): _*)
+    val sideCap = math.max(1L, math.sqrt(maxPairs.toDouble).toLong)
+    def side(df: DataFrame, p: String): DataFrame = {
+      val pf = prefixed(df, blockCols, p)
+      val whole = pf.join(ok, blockCols, "left_semi")
+      // truncation window runs over OVERFLOWING-block members only —
+      // at most (#over-blocks × occupancy) rows cross this exchange,
+      // and the kept set is order-independent (lexicographic rank)
+      val ord = pf.columns.filterNot(blockCols.contains).map(col)
+      val w = Window.partitionBy(blockCols.map(col): _*)
+        .orderBy(ord: _*)
+      val truncated = pf.join(over, blockCols, "left_semi")
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") <= sideCap)
+        .drop("__graft_rn")
+      whole.unionByName(truncated)
+    }
+    side(a, "a_").join(side(b, "b_"), blockCols)
   }
 
-  /** The audit side of the cap: blocks excluded by `maxPairs`, with
-    * their would-have-been pair counts. */
+  /** The audit side of the budget: blocks truncated under `maxPairs`,
+    * with their would-have-been pair counts. */
   def droppedBlocks(a: DataFrame, b: DataFrame, blockCols: Seq[String],
       maxPairs: Long): DataFrame =
     blockCounts(a, b, blockCols).filter(col("n_pairs") > maxPairs)
-
-  private def okBlocks(a: DataFrame, b: DataFrame,
-      blockCols: Seq[String], maxPairs: Long): DataFrame =
-    blockCounts(a, b, blockCols).filter(col("n_pairs") <= maxPairs)
-      .select(blockCols.map(col): _*)
 
   private def blockCounts(a: DataFrame, b: DataFrame,
       blockCols: Seq[String]): DataFrame = {

@@ -27,18 +27,42 @@ class LinkageSpec extends AnyFunSuite {
     assert(c.count() === 1L)
   }
 
-  test("hot blocks drop whole under the pair budget and appear in " +
-      "the audit") {
+  test("hot blocks truncate deterministically under the pair budget " +
+      "(never to zero) and appear in the audit") {
     val a = (1 to 30).map(i => (i.toLong, "hot"))
       .appendedAll(Seq((99L, "cold"))).toDF("id", "blk")
     val b = (1 to 30).map(i => (100 + i.toLong, "hot"))
       .appendedAll(Seq((199L, "cold"))).toDF("id", "blk")
     val c = Linkage.candidates(a, b, Seq("blk"), maxPairs = 100L)
-    assert(c.select("blk").distinct().as[String].collect().toSeq ===
-      Seq("cold")) // 30*30 = 900 > 100 -> hot dropped whole
+    // 30*30 = 900 > 100 -> each side keeps its first
+    // floor(sqrt(100)) = 10 rows by id: exactly 100 pairs survive,
+    // ids 1-10 x 101-110 — a nonzero deterministic subset, not a
+    // dropped block
+    val hot = c.filter(col("blk") === "hot")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(hot === (for {i <- 1L to 10L; j <- 101L to 110L}
+      yield (i, j)).toSet)
+    assert(c.filter(col("blk") === "cold").count() === 1L)
     val dropped = Linkage.droppedBlocks(a, b, Seq("blk"), 100L)
       .select("blk", "n_pairs").as[(String, Long)].collect()
     assert(dropped.toSeq === Seq(("hot", 900L)))
+  }
+
+  test("truncation is layout-independent: same kept set at 1 and 7 " +
+      "partitions") {
+    val a = (1 to 50).map(i => (i.toLong, s"v$i", "hot"))
+      .toDF("id", "v", "blk")
+    val b = (1 to 50).map(i => (1000 + i.toLong, s"w$i", "hot"))
+      .toDF("id", "v", "blk")
+    val one = Linkage.candidates(a.coalesce(1), b.coalesce(1),
+        Seq("blk"), maxPairs = 9L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val many = Linkage.candidates(a.repartition(7), b.repartition(7),
+        Seq("blk"), maxPairs = 9L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(one === many)
+    assert(one === (for {i <- 1L to 3L; j <- 1001L to 1003L}
+      yield (i, j)).toSet) // floor(sqrt(9)) = 3 per side
   }
 
   test("the linkage query re-identifies every re-listed part " +
