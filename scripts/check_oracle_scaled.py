@@ -46,10 +46,13 @@ def run_one(name, sql):
     """Run one oracle with watchdog + budgets; return (status, detail, secs)."""
     con = duckdb.connect()
     try:
-        con.execute("SET memory_limit='50GB'")
-        con.execute("SET threads=16")
-        con.execute("SET temp_directory='/tmp/duck_scaled_tmp'")
-        con.execute("SET max_temp_directory_size='38GiB'")
+        con.execute("SET memory_limit='%s'"
+                    % os.environ.get("DUCK_MEM", "50GB"))
+        con.execute("SET threads=%s" % os.environ.get("DUCK_THREADS", "16"))
+        con.execute("SET temp_directory='%s'"
+                    % os.environ.get("DUCK_TEMP_DIR", "/tmp/duck_scaled_tmp"))
+        con.execute("SET max_temp_directory_size='%s'"
+                    % os.environ.get("DUCK_TEMP", "38GiB"))
     except Exception:
         pass
     for vname, src in views:

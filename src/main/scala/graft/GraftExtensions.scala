@@ -203,27 +203,59 @@ case class RewriteHammingThresholdJoin(spark: SparkSession)
         .withColumn(s"__graft_key_$side", col(s"__graft_bk_$side.key"))
     val lb = banded(j.left, aSig, "l")
     val rb = banded(j.right, bSig, "r")
-    // canonical band: emit a pair only at its smallest shared band
-    val noEarlier = expr(
-      s"""__graft_band_l = 0 OR NOT exists(
-         |  sequence(0, __graft_band_l - 1),
-         |  b -> (shiftright(__graft_hsig_l, b * $bandBits) & $bandMask)
-         |     = (shiftright(__graft_hsig_r, b * $bandBits) & $bandMask))"""
-        .stripMargin)
+    // canonical band — emit a pair only at its smallest shared band —
+    // in PURE integer arithmetic. The former exists() over a generated
+    // sequence is a higher-order expression: it has no codegen, and an
+    // interpreted conjunct forces the ENTIRE join condition (residual
+    // predicate included) onto the interpreted row-at-a-time path.
+    // Measured at the sf10 rehearsal (~4e9 candidate evaluations) that
+    // was the difference between an unfinishable join and a ~minute
+    // one. Arithmetic: fold each 8-bit band of sig_l^sig_r down to a
+    // "differs" flag bit at position 8*band, then "all earlier bands
+    // differ" is one mask compare — (256^band − 1)/255 is the
+    // 0x0101…01 pattern with `band` ones.
+    val x = col("__graft_hsig_l").bitwiseXOR(col("__graft_hsig_r"))
+    val u1 = x.bitwiseOR(shiftright(x, 1))
+    val u2 = u1.bitwiseOR(shiftright(u1, 2))
+    val u3 = u2.bitwiseOR(shiftright(u2, 4))
+    val flags = u3.bitwiseAND(lit(0x0101010101010101L))
+    // shiftleft() takes a column shift amount only through the SQL
+    // form; the compare multiplies through by 255 instead of dividing
+    // (Column `/` is DOUBLE division) — v == (256^band − 1)/255 has
+    // the unique integer solution v·255 == lowMask
+    val lowMask =
+      expr(s"shiftleft(1L, __graft_band_l * $bandBits) - 1L")
+    val noEarlier =
+      flags.bitwiseAND(lowMask) * lit((1L << bandBits) - 1) === lowMask
     // NO shuffle pin here, deliberately (contrast the jaccard
-    // rewrite): the banded key space is small (bands x 2^bandBits
-    // keys), so a key-partitioned shuffle join serializes each key's
-    // candidate mass into one long task — measured at the sf1
-    // rehearsal, where the pinned plan ran 25x+ past the broadcast
-    // plan's time — while the broadcast plan keeps the probe side's
-    // natural partitioning and its build is bands x sig-width rows
-    // (small). The band explosion skews the size estimate by only the
+    // rewrite): below the broadcast threshold the probe side keeps its
+    // natural partitioning and the build is bands x sig-width rows
+    // (small); the band explosion skews the size estimate by only the
     // band factor (8x), bounded enough that the planner's own
-    // threshold decision stays safe: a side estimated broadcastable
-    // is at worst 8x the 64 MB threshold, and at corpus scale the
-    // pre-explode estimate alone exceeds the threshold so a shuffle
-    // join is chosen naturally.
-    val joined = lb.join(rb,
+    // threshold decision stays safe. ABOVE the threshold the planner
+    // picks a shuffle join on the band keys — and there AQE's
+    // coalescing must not be allowed to shrink the exchange by BYTES:
+    // the shuffled rows are skinny but each carries a share of the
+    // join's quadratic in-bucket candidate mass, which AQE cannot see
+    // (measured at the sf10 rehearsal: 32 shuffle partitions coalesced
+    // to 4, serializing ~4e9 candidate evaluations onto 4 cores). An
+    // explicit user repartition by the exact join keys is respected by
+    // AQE, satisfies the join's required distribution (no second
+    // exchange), and spreads the bands x 2^bandBits key groups across
+    // the session's full shuffle width.
+    val bigBoth = {
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      thr >= 0 && j.left.stats.sizeInBytes > thr &&
+        j.right.stats.sizeInBytes > thr
+    }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val (lbp, rbp) =
+      if (!bigBoth) (lb, rb)
+      else (lb.repartition(nParts, col("__graft_band_l"),
+              col("__graft_key_l")),
+            rb.repartition(nParts, col("__graft_band_r"),
+              col("__graft_key_r")))
+    val joined = lbp.join(rbp,
         col("__graft_band_l") === col("__graft_band_r") &&
           col("__graft_key_l") === col("__graft_key_r") &&
           noEarlier &&
@@ -537,27 +569,50 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
     val rb = banded(j.right, bVec, "r")
       .withColumn("__graft_salt_r",
         explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    // canonical band: emit a pair only at its smallest shared band
-    val noEarlier = expr(
-      s"""__graft_band_l = 0 OR NOT exists(
-         |  sequence(0, __graft_band_l - 1),
-         |  b -> (shiftright(__graft_sig_l, b * $bandBits) & $bandMask)
-         |     = (shiftright(__graft_sig_r, b * $bandBits) & $bandMask))"""
-        .stripMargin)
+    // canonical band — emit a pair only at its smallest shared band —
+    // in PURE integer arithmetic (see RewriteHammingThresholdJoin for
+    // the rationale: the former exists() higher-order conjunct forced
+    // the whole join condition, cosine included, onto the interpreted
+    // path — at the sf10 rehearsal's ~4e10 candidate evaluations that
+    // made the join unfinishable). For 2-bit bands: collapse each band
+    // of sig_l^sig_r to a "differs" flag at bit 2*band, then "all
+    // earlier bands differ" is one mask compare — (4^band − 1)/3 is
+    // the 0b0101…01 pattern with `band` ones.
+    val x = col("__graft_sig_l").bitwiseXOR(col("__graft_sig_r"))
+    val flags = x.bitwiseOR(shiftright(x, 1))
+      .bitwiseAND(lit(0x5555555555555555L))
+    // SQL-form shiftleft for the column shift amount; multiply-through
+    // compare instead of integer division (see the hamming rewrite)
+    val lowMask =
+      expr(s"shiftleft(1L, __graft_band_l * $bandBits) - 1L")
+    val noEarlier =
+      flags.bitwiseAND(lowMask) * lit((1L << bandBits) - 1) === lowMask
     // NO shuffle pin here, deliberately (contrast the jaccard
-    // rewrite): the banded key space is small (bands x 2^bandBits
-    // keys), so a key-partitioned shuffle join serializes each key's
-    // candidate mass into one long task — measured at the sf1
-    // rehearsal, where the pinned plan ran 25x+ past the broadcast
-    // plan's time — while the broadcast plan keeps the probe side's
-    // natural partitioning and its build is bands x sig-width rows
-    // (small). The band explosion skews the size estimate by only the
-    // band factor (8x), bounded enough that the planner's own
-    // threshold decision stays safe: a side estimated broadcastable
-    // is at worst 8x the 64 MB threshold, and at corpus scale the
-    // pre-explode estimate alone exceeds the threshold so a shuffle
-    // join is chosen naturally.
-    val joined = lb.join(rb,
+    // rewrite): below the broadcast threshold the probe side keeps its
+    // natural partitioning and the build is bands x sig-width rows
+    // (small) — measured at the sf1 rehearsal, where a key-pinned
+    // shuffle plan ran 25x+ past the broadcast plan's time. ABOVE the
+    // threshold the planner picks a shuffle join — and there the
+    // explicit repartition by the salted join keys stops AQE from
+    // coalescing the exchange by BYTES (the shuffled rows are skinny
+    // but carry the join's quadratic in-bucket candidate mass, which
+    // AQE cannot see; measured at sf10: 32 partitions coalesced to 4,
+    // serializing the whole join onto 4 cores). The salt keeps the
+    // schedulable group count at salts x bands x 2^bandBits = 256
+    // rather than 32.
+    val bigBoth = {
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      thr >= 0 && j.left.stats.sizeInBytes > thr &&
+        j.right.stats.sizeInBytes > thr
+    }
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val (lbp, rbp) =
+      if (!bigBoth) (lb, rb)
+      else (lb.repartition(nParts, col("__graft_band_l"),
+              col("__graft_key_l"), col("__graft_salt_l")),
+            rb.repartition(nParts, col("__graft_band_r"),
+              col("__graft_key_r"), col("__graft_salt_r")))
+    val joined = lbp.join(rbp,
         col("__graft_band_l") === col("__graft_band_r") &&
           col("__graft_key_l") === col("__graft_key_r") &&
           col("__graft_salt_l") === col("__graft_salt_r") &&
