@@ -49,6 +49,11 @@ QUERIES = {
         ("embeddings", "vec_id", "vec_id", "capped", "vec_id"),
     "stream_embedding_dedup":
         ("embeddings", "vec_id", "vec_id", "capped", "vec_id"),
+    # pair-local semantics (signatures + residual predicate, no caps or
+    # argmax), so the one-sided restriction is trivially sound; used at
+    # scales where the full banded self-join oracle is intractable
+    "join_cosine_threshold":
+        ("embeddings", "vec_id", "id_a", "bb", "vec_id"),
 }
 
 
