@@ -54,6 +54,8 @@ QUERIES = {
     # scales where the full banded self-join oracle is intractable
     "join_cosine_threshold":
         ("embeddings", "vec_id", "id_a", "bb", "vec_id"),
+    "join_hamming_threshold":
+        ("documents", "doc_id", "id_a", "sig", "doc_id"),
 }
 
 
@@ -83,7 +85,8 @@ for name, (table, idcol, probe, jt, jid) in sorted(QUERIES.items()):
         con = duckdb.connect()
         con.execute("SET memory_limit='30GB'")
         con.execute("SET threads=16")
-        con.execute("SET temp_directory='/tmp/duck_scaled_tmp'")
+        con.execute("SET temp_directory='%s'"
+                    % os.environ.get("DUCK_TEMP_DIR", "/tmp/duck_1s_tmp"))
         con.execute("SET max_temp_directory_size='30GiB'")
         for p in glob.glob(f"{sf_dir}/*.parquet"):
             t = os.path.basename(p)[: -len(".parquet")]
@@ -130,7 +133,9 @@ for name, (table, idcol, probe, jt, jid) in sorted(QUERIES.items()):
         want = con.execute(sql).fetchdf()
         ids = set(x[0] for x in
                   con.execute("SELECT id FROM sample_ids").fetchall())
-        got = pq.read_table(files[0]).to_pandas()
+        import pandas as pd
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                        ignore_index=True)
         got = got[got[probe].isin(ids)]
         sort_cols = [c for c in (probe, "id_b", "nn_id") if c in got.columns]
         got = got.sort_values(sort_cols).reset_index(drop=True)

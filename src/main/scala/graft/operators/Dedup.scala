@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.BoundedMinCollect.bounded_min_collect
@@ -63,8 +63,16 @@ object Dedup {
     * Overshooting only flips to the shuffle path early — never to an
     * oversized driver collect. */
   private def setsFitOnDriver(sources: DataFrame*): Boolean =
-    sources.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum *
-      8 < (256L << 20)
+    !forceShuffleVerify(sources.head.sparkSession) &&
+      sources.map(_.queryExecution.optimizedPlan.stats.sizeInBytes).sum *
+        8 < (256L << 20)
+
+  /** Dev/test seam: `spark.graft.forceShuffleVerify=true` makes every
+    * size guard take the shuffle-verify path regardless of stats, so
+    * specs (and small-scale rehearsals) can pin the distributed path's
+    * values against the broadcast path's on the same corpus. */
+  private def forceShuffleVerify(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.forceShuffleVerify").contains("true")
 
   /** Exact-Jaccard verification of distinct candidate pairs against a
     * per-doc sorted-distinct gram-set table, with the execution shape
@@ -78,12 +86,27 @@ object Dedup {
     *    returning, so no block-manager state outlives the call;
     *  - otherwise: two joins against the gram-set table — shuffles
     *    proportional to the candidate count, no driver/broadcast
-    *    limits. The honest 100 TB route. */
+    *    limits. The honest 100 TB route.
+    *
+    * `textVerify = Some((docs, n))` swaps the shuffle path's payload:
+    * candidates join back to the RAW ~1 KB text and the codegen'd
+    * [[graft.functions.VectorFunctions.JaccardSim]] re-grams both
+    * sides inline — by construction the same normalize + char-n-gram +
+    * merge-intersect pipeline that built `sets`, so the value is
+    * bit-identical. The win is shuffle BYTES: a gram-set array is ~8×
+    * the text it came from (one 8-byte hash per character position),
+    * and the verify join ships its payload once per CANDIDATE — at the
+    * sf10 high-entropy rehearsal the array-carrying join spilled >58 GB
+    * (unfinishable on one box) where the text-carrying join moves
+    * ~1/8th of that for a few µs/pair of re-gram CPU. Char-ngram
+    * callers only — the minhash family's sets are word shingles, which
+    * JaccardSim does not compute. */
   private def verifiedJaccardPairs(
       sets: DataFrame,
       candidates: DataFrame,
       threshold: Double,
-      setsSmall: Boolean): DataFrame = {
+      setsSmall: Boolean,
+      textVerify: Option[(DataFrame, Int)] = None): DataFrame = {
     if (setsSmall) {
       val gsets: scala.collection.Map[Long, Array[Long]] = sets
         .collect()
@@ -103,6 +126,18 @@ object Dedup {
       // recovery path.
       bc.unpersist(blocking = false)
       pairs
+    } else if (textVerify.isDefined) {
+      val (docs, n) = textVerify.get
+      val txt = docs.select(col("doc_id"), col("text"))
+      finalizePairs(candidates
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("t_a")),
+          Seq("id_a"))
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("t_b")),
+          Seq("id_b"))
+        .withColumn("jaccard", text_jaccard(col("t_a"), col("t_b"), n))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+        "id_a", "id_b")
     } else {
       val nsets = sets.withColumn("n", size(col("gs")).cast("long"))
       finalizePairs(candidates
@@ -945,9 +980,10 @@ object Dedup {
         bucket_pairs(col("ps"), effCap, threshold)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-    val setsSmall =
+    val setsSmall = !forceShuffleVerify(docs.sparkSession) &&
       base.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
-    val pairs = verifiedJaccardPairs(base, candidates, threshold, setsSmall)
+    val pairs = verifiedJaccardPairs(base, candidates, threshold, setsSmall,
+      textVerify = Some((docs, n)))
     base.unpersist(false)
     pairs
   }

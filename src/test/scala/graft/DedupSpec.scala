@@ -134,6 +134,27 @@ class DedupSpec extends AnyFunSuite {
     assert(r2 === r)
   }
 
+  test("forced shuffle-verify path emits the exact broadcast-path " +
+      "output (pairs AND jaccard values) for ngram and minhash") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .toSeq.sorted
+    val ngramBc = rows(Dedup.ngramJaccard(docs, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    val mhBc = rows(Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    spark.conf.set("spark.graft.forceShuffleVerify", "true")
+    try {
+      // text-carrying verify join (ngram) and gram-array verify join
+      // (minhash) — both must be value-identical to the broadcast path
+      assert(rows(Dedup.ngramJaccard(docs, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard")) === ngramBc)
+      assert(rows(Dedup.minhashLsh(docs, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard")) === mhBc)
+    } finally spark.conf.set("spark.graft.forceShuffleVerify", "false")
+    assert(ngramBc.nonEmpty && mhBc.nonEmpty)
+  }
+
   test("ngram jaccard df-ceiling: when cap-halving cannot fit the " +
       "budget, hot gram bands drop but rare-gram pairs survive") {
     // 300 degenerate docs (every gram ~300 deep — cap-halving alone
