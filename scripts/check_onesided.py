@@ -56,6 +56,11 @@ QUERIES = {
         ("embeddings", "vec_id", "id_a", "bb", "vec_id"),
     "join_hamming_threshold":
         ("documents", "doc_id", "id_a", "sig", "doc_id"),
+    # exact jaccard >= t over ALL pairs (id_a < id_b): pair-local, no
+    # caps; restricting the gram self-join's a-side to S yields exactly
+    # the oracle rows with id_a in S — the engine restriction matches
+    "join_jaccard_threshold":
+        ("documents", "doc_id", "id_a", "gr", "doc_id"),
 }
 
 

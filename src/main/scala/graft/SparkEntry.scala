@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.operators.Iterate.MaterializeOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2284,7 +2285,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         cosine_sim(col("emb_a"), col("emb_b")).as("cosine"))
       .orderBy("id_a", "id_b")
-    df.localCheckpoint(true)
+    df.materialized()
   }
 
   private def qJoinJaccardThreshold(s: SparkSession, dir: String)
@@ -2309,7 +2310,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         text_jaccard(col("text_a"), col("text_b"), 8).as("jaccard"))
       .orderBy("id_a", "id_b")
-    df.localCheckpoint(true)
+    df.materialized()
   }
 
   private def qDedupSortedNbr(s: SparkSession, dir: String): DataFrame =
@@ -2345,7 +2346,7 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .orderBy("id_a", "id_b")
-    df.localCheckpoint(true)
+    df.materialized()
   }
 
   private def qStreamMinhashPairs(s: SparkSession, dir: String)
@@ -3795,7 +3796,7 @@ object SparkEntry {
         expr("bitmap_bucket_number(o_custkey)").as("_bucket"))
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
         .as("_bm"))
-      .localCheckpoint(true) // feeds per-cohort counts AND the union
+      .materialized() // feeds per-cohort counts AND the union
     val perYear = cells.groupBy("yr")
       .agg(sum(expr("bitmap_count(_bm)")).as("n"))
     val union = cells.groupBy("_bucket")

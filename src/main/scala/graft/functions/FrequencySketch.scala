@@ -66,8 +66,15 @@ case class MisraGriesSketch(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      val cur = buf.counts.get(s)
-      if (cur != null) buf.counts.put(s, cur + 1L)
+      // presence via containsKey, NOT get-against-null: the map's
+      // value type is a primitive Long, so `get` unboxes a missing
+      // key's null to 0L and a null comparison is vacuous — that
+      // exact bug once made every miss take the "seen" branch,
+      // skipping the capacity gate and decrement step entirely, so
+      // per-partition state grew with the partition's vocabulary
+      // (exact counting: right answers on a test box, OOM at corpus
+      // scale — the O(capacity) contract above is the whole point)
+      if (buf.counts.containsKey(s)) buf.counts.put(s, buf.counts.get(s) + 1L)
       else if (buf.counts.size < capacity) buf.counts.put(s, 1L)
       else {
         // decrement step: one "vote" of every counter is spent against
@@ -85,8 +92,9 @@ case class MisraGriesSketch(
   override def merge(buf: MisraGriesSketch.Buf,
       other: MisraGriesSketch.Buf): MisraGriesSketch.Buf = {
     other.counts.forEach { (k, v) =>
-      val cur = buf.counts.get(k)
-      buf.counts.put(k, if (cur == null) v else cur + v)
+      // same containsKey discipline as update() (primitive-Long map)
+      buf.counts.put(k,
+        if (buf.counts.containsKey(k)) buf.counts.get(k) + v else v)
     }
     if (buf.counts.size > capacity) {
       // shrink: subtract the (capacity+1)-th largest counter from all,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Iterate.MaterializeOps
 
 /** Market-basket association mining: frequent item pairs + rules.
   *
@@ -59,7 +60,7 @@ object Association {
       itemCol: String): DataFrame =
     baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized()
 
   /** [[frequentPairs]] over an already-materialized
     * [[basketRelation]]. The filtered relation `f` is checkpointed
@@ -70,7 +71,7 @@ object Association {
     val freqItems = b.groupBy("item")
       .agg(count(lit(1)).as("item_n"))
       .filter(col("item_n") >= itemMinSupport)
-    val f = b.join(freqItems, "item").localCheckpoint(true)
+    val f = b.join(freqItems, "item").materialized()
     val lhs = f.select(col("bk"), col("item").as("a_item"),
       col("item_n").as("a_n"))
     val rhs = f.select(col("bk"), col("item").as("b_item"),
@@ -93,7 +94,7 @@ object Association {
       itemCol: String): DataFrame =
     baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
       .groupBy("bk").agg(collect_set(col("item")).as("items"))
-      .localCheckpoint(true)
+      .materialized()
 
   /** [[frequentPairsFrom]] in its FUSED regime: identical output,
     * half the shuffles. Input is [[basketSets]]' folded frame; item
@@ -117,7 +118,7 @@ object Association {
     val itemN = sets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("item_n"))
       .filter(col("item_n") >= itemMinSupport)
-      .localCheckpoint(true) // feeds the broadcast set + both attaches
+      .materialized() // feeds the broadcast set + both attaches
     val freq = VectorFunctions.broadcastLongSet(spark,
       itemN.select("item").collect().map(_.getLong(0)).toSeq)
     // CappedPairs sorts ids and emits i<j — exactly the a_item<b_item
@@ -154,7 +155,7 @@ object Association {
     // once or the whole mining pipeline (self-join + pair aggregate)
     // re-runs per branch; the frame is frequent-pairs-sized (post
     // min-support), far smaller than anything upstream
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.materialized()
     val fwd = p.select(col("a_item").as("antecedent"),
       col("b_item").as("consequent"), col("pair_n"),
       col("a_n").as("ant_n"), col("b_n").as("cons_n"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
+import Iterate.MaterializeOps
 
 /** Distributed BPE merge training (Sennrich et al. 2016) — learn the
   * top-`rounds` byte-pair merges from the corpus, the vocabulary-
@@ -63,7 +64,7 @@ object Bpe {
       // round r re-applies all r-1 prior folds to the raw vocab (an
       // O(rounds²) recompute); a materialized vocab-sized snapshot
       // every 8 rounds bounds it at O(rounds·8) fold applications
-      if (r % 8 == 0 && r < rounds) syms = syms.localCheckpoint()
+      if (r % 8 == 0 && r < rounds) syms = syms.materialized(r)
       best
     }
     perRound.reduce(_.unionByName(_))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.BoundedMinCollect.bounded_min_collect
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import Iterate.MaterializeOps
 
 /** Deduplication operators for the LLM-data-pipeline surface
   * (BASELINE.json north star — the reference engine has no dedup at all;
@@ -608,9 +609,9 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // re-read every round
+      .materialized() // re-read every round
     var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
+      .materialized()
     // decimal sum: overflow-proof fixpoint metric at any corpus size
     // (empty input sums to null → normalize to 0 so an empty docs
     // table converges on the first round instead of NPEing)

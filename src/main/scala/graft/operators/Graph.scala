@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Iterate.MaterializeOps
 
 /** Distributed graph analytics on edge tables.
   *
@@ -130,17 +131,17 @@ object Graph {
     val nodeIds = nodes.select(col("id").cast("long"))
     val raw = edges
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
+      .materialized()
     val deg = raw.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val e = raw
       .join(broadcast(nodeIds.select(col("id").as("dst"))),
         Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-      .localCheckpoint(true)
+      .materialized()
     val ranks0 = nodeIds
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .withColumn("rank", lit(initRank))
-      .localCheckpoint(true)
+      .materialized()
     (e, ranks0)
   }
 
@@ -203,11 +204,11 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(parts, col("src"))
       .sortWithinPartitions("src")
-      .localCheckpoint(true)
+      .materialized()
     val ranks0 = nodeIds
       .withColumn("rank", lit(initRank))
       .repartition(parts, col("id"))
-      .localCheckpoint(true)
+      .materialized()
     (eDeg, ranks0)
     }
 
@@ -302,10 +303,10 @@ object Graph {
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
+      .materialized()
     var labels = nodes.select(col("id").cast("long"))
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .materialized()
     var it = 0
     while (it < iters) {
       val counts = e
@@ -365,7 +366,7 @@ object Graph {
       val e = (if (pinned)
           e0.repartition(parts, col("src")).sortWithinPartitions("src")
         else e0)
-        .localCheckpoint(true)
+        .materialized()
       // per-round state is the VISITED set (id, hops) — frontier-sized
       // work stays frontier-sized: each round anti-joins new arrivals
       // against visited instead of left-joining the whole node universe
@@ -375,7 +376,7 @@ object Graph {
       var visited = seeds.select(col("id").cast("long")).distinct()
         .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
         .withColumn("hops", lit(0L))
-        .localCheckpoint(true)
+        .materialized()
       var frontier = visited
       var round = 1
       while (round <= maxHops) {

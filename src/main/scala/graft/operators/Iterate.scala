@@ -44,6 +44,18 @@ object Iterate {
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
   }
 
+  /** Chained-style [[materialize]]: `df.materialized()` reads like the
+    * raw `.localCheckpoint(true)` it replaces at the one-shot
+    * materialization sites (round-invariant loop preps, verified-pair
+    * outputs, shared sub-frames feeding multiple consumers), so every
+    * such site honors the opt-in reliable-checkpoint policy instead of
+    * hard-coding the non-recomputable local variant — on preemptible
+    * executors a lost local block fails the job; the reliable mode
+    * survives it at the documented I/O tax. */
+  implicit class MaterializeOps(private val df: DataFrame) {
+    def materialized(round: Int = 0): DataFrame = materialize(df, round)
+  }
+
   /** Run `body` with AQE disabled, restoring the session conf after.
     *
     * The iterative operators pin their physical layouts deliberately:

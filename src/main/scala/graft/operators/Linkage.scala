@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Iterate.MaterializeOps
 
 /** Record linkage across two tables that share no key — the classic
   * ER pipeline: blocking to bound the candidate space, then per-field
@@ -47,7 +48,7 @@ object Linkage {
     // (small by construction) and feeds all four semi-joins — without
     // the barrier each side re-runs both count aggregates and their
     // join
-    val counts = blockCounts(a, b, blockCols).localCheckpoint(true)
+    val counts = blockCounts(a, b, blockCols).materialized()
     val ok = counts.filter(col("n_pairs") <= maxPairs)
       .select(blockCols.map(col): _*)
     val over = counts.filter(col("n_pairs") > maxPairs)

@@ -94,6 +94,36 @@ class AssociationSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable-checkpoint mode: both association regimes emit " +
+      "identical results (the one-shot materializations honor the seam)") {
+    // the basketRelation / basketSets / frequentPairsFrom`f` / itemN
+    // materializations route through Iterate.materialize — under the
+    // cluster opt-in they become reliable checkpoints; values must not
+    // move
+    val baskets: Seq[(Long, Long)] =
+      Seq[(Long, Long)]((1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1),
+        (3, 3), (5, 1), (5, 2), (5, 3)) ++
+        (10L to 30L).map(bk => (bk, bk % 4))
+    val df = baskets.toDF("bk", "item")
+    def both(): (Set[Any], Set[Any]) = (
+      Association.frequentPairs(df, "bk", "item", 2, 2)
+        .collect().map(r => r.toSeq: Any).toSet,
+      Association.frequentPairsFused(
+        Association.basketSets(df, "bk", "item"), 2, 2)
+        .collect().map(r => r.toSeq: Any).toSet)
+    val local = both()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-assoc").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.operators.Iterate.ReliableKey, "true")
+    try {
+      assert(both() === local)
+    } finally {
+      spark.conf.set(graft.operators.Iterate.ReliableKey, "false")
+    }
+    assert(local._1.nonEmpty && local._1 === local._2)
+  }
+
   test("lift is symmetric, confidence is not") {
     val baskets = Seq[(Long, Long)](
       (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (4, 1), (5, 3))

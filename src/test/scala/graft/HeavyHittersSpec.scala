@@ -30,6 +30,28 @@ class HeavyHittersSpec extends AnyFunSuite {
       s"missing: ${mustSurvive -- surviving}")
   }
 
+  test("update path alone keeps at most `capacity` counters — the " +
+      "partial buffer that ships in the shuffle is the bounded state") {
+    // regression: a get-vs-null check on a primitive-Long map made
+    // every miss look "seen", so the capacity gate + decrement never
+    // ran and partial state grew with the partition's vocabulary; the
+    // merge-time shrink masked it from end-to-end observation
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+      GenericInternalRow}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.MisraGriesSketch(
+      BoundReference(0, StringType, nullable = true), capacity = 16)
+    val buf = expr.createAggregationBuffer()
+    val row = new GenericInternalRow(1)
+    (0 until 5000).foreach { i =>
+      row.update(0, UTF8String.fromString(f"tok${i % 500}%04d"))
+      expr.update(buf, row)
+    }
+    assert(buf.counts.size <= 16)
+    assert(buf.counts.size > 0)
+  }
+
   test("two-pass heavy hitters equals the naive exact top-k") {
     val docs = stream.grouped(97).zipWithIndex
       .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
