@@ -62,6 +62,7 @@ SOURCES = [
     "/tmp/onesided_ham_sf10.json",
     "/tmp/giter_sf10.json",
     "/tmp/skyline_sf10.json",
+    "/tmp/onesided_jjt_sf10he.json",
 ]
 
 # Declared, by-design degrades recorded alongside a green: the
@@ -79,6 +80,18 @@ NOTES = {
         "effCap=78, 0 precision errors (pairs_sf10fu)",
     "dedup_ngram_decisions":
         "high-entropy sf10 corpus exact (0 wrongly-kept, 0 bad dup_of)",
+    "join_jaccard_threshold":
+        "verified on the realistic-entropy sf10 corpus (sparse "
+        "candidate regime: skinny postings + original-predicate "
+        "verify). The fixed-gram-universe corpus forces the dense "
+        "inline-verified regime, whose exact shipped mass (~105 GB "
+        "postings x gram arrays) exceeds this box's free disk — an "
+        "inherent cost of EXACT jaccard on a deliberately degenerate "
+        "corpus (a cluster's aggregate disk absorbs it; the budgeted "
+        "Dedup.ngramJaccard is the declared degrade path); "
+        "dense-regime correctness pinned at sf1-fixed (71 s, "
+        "sampled-precision 328/328, planted-recall 326/326) and by "
+        "the regime-equality spec",
 }
 
 

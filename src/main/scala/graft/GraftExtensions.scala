@@ -386,11 +386,14 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     //      of distinct texts; the operator API is the knob past that).
     //   2. distinct (text) docs from BOTH sides → sorted distinct
     //      gram sets → df-ordered prefix postings (PrefixGrams with
-    //      the trained model) → ONE groupBy(gram) shuffle →
-    //      VerifiedBucketPairs: the m²/2 loop with fused length +
-    //      positional prunes, survivors verified INLINE by the shared
-    //      sorted-merge intersect (no pair materialization carries a
-    //      gram array anywhere).
+    //      the trained model) → ONE groupBy(gram) shuffle → the m²/2
+    //      bucket loop with fused length + positional prunes, in one
+    //      of two measured regimes (chosen by an exact candidate-mass
+    //      histogram — see below): SPARSE buckets collect skinny
+    //      (id, rn, sz) postings and defer verification to the
+    //      original-predicate filter in step 3; DENSE buckets carry
+    //      the gram arrays so VerifiedBucketPairs rejects inline and
+    //      only true pairs reach step 3.
     //   3. verified id pairs (+ both orientations + the identity
     //      pairs id→id, which cover equal-text row pairs the
     //      id_a < id_b generator never emits) back-join to the
@@ -423,20 +426,84 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
           bridge.toExpression(col("__graft_text"))), n,
         distinctSorted = true)).as("__graft_gs"))
       .filter(col("__graft_gs").isNotNull)
-    val postings = base.select(col("__graft_id"), col("__graft_gs"),
+    // SKINNY prefix postings — (id, rn, sz), no gram-array payload.
+    // Both candidate regimes below start here; only the dense one
+    // rebuilds the gs-carrying variant.
+    val skinny = base.select(col("__graft_id"),
+        size(col("__graft_gs")).cast("int").as("__graft_sz"),
         posexplode(VectorFunctions.prefix_grams(
           col("__graft_gs"), hotDf, t)))
       .select(col("__graft_id"),
         (col("pos") + 1).cast("int").as("__graft_rn"),
-        col("__graft_gs"), col("col").as("__graft_g"))
-    val verified = postings.groupBy("__graft_g")
-      .agg(collect_list(struct(col("__graft_id").as("id"),
-        col("__graft_rn").as("rn"),
-        col("__graft_gs").as("gs"))).as("__graft_ps"))
-      .select(explode(VectorFunctions.verified_bucket_pairs(
-        col("__graft_ps"), 1 << 30, t)).as("__graft_p"))
-      .select(col("__graft_p.id_a").as("__graft_id_a"),
-        col("__graft_p.id_b").as("__graft_id_b"))
+        col("__graft_sz"), col("col").as("__graft_g"))
+    // Candidate-mass stats: ONE skinny map-side-combined aggregate
+    // (the same exact-histogram discipline as Dedup.ngramJaccard's
+    // guard), collected to a single driver row. Decides which of two
+    // exact-recall candidate shapes ships less data:
+    //
+    //  - SPARSE (realistic gram entropy): postings shuffle skinny,
+    //    buckets emit length+position-PRUNED candidate pairs with no
+    //    verification payload, and the back-join below — which
+    //    re-evaluates the ORIGINAL predicate on every row pair
+    //    anyway — is the verifier. Shipped mass ≈ estPairs · 2 row
+    //    widths.
+    //  - DENSE (degenerate corpora: bounded gram universe, candidate
+    //    mass ≫ corpus): every posting carries its doc's full gram
+    //    array so VerifiedBucketPairs rejects in-bucket and only
+    //    TRUE pairs ever reach the back-join. Shipped mass ≈
+    //    postings · gram-array width (8·|d| bytes).
+    //
+    // The former always-dense shape was measured unshippable at the
+    // 100× rehearsal on REALISTIC entropy: 500 k docs × ~0.3·|d|
+    // prefix postings × ~2.4 KB arrays ≈ 105 GB into one groupBy
+    // shuffle — quadratic in doc length, dead at 100 TB — while the
+    // same corpus's pruned-candidate mass is a few GB. The degenerate
+    // regime is the mirror image (152 M survivors at sf1 would make
+    // the back-join the ~400 GB stage), so neither shape dominates:
+    // measure, then choose. estPairs over-counts the post-distinct
+    // realized candidates ~10–30× (measured, BASELINE round 8) and
+    // the sparse back-join pays ~2 text widths per candidate vs the
+    // dense shuffle's 8 bytes/gram per posting — risk-balanced at
+    // estPairs ≤ 16·postings, overridable for rehearsals/specs via
+    // spark.graft.jaccardRewrite.estFactor (0 forces dense).
+    val (nPostings, estPairs, maxOcc) = {
+      val r = skinny.groupBy("__graft_g").agg(count(lit(1)).as("m"))
+        .agg(sum(col("m")).as("p"),
+          sum(col("m").cast("double") * (col("m") - 1) / 2).as("est"),
+          max(col("m")).as("mx"))
+        .collect()(0)
+      if (r.isNullAt(0)) (0L, 0.0, 2)
+      else (r.getLong(0), r.getDouble(1),
+        math.max(2L, math.min(r.getLong(2), Int.MaxValue.toLong)).toInt)
+    }
+    val estFactor = spark.conf
+      .get("spark.graft.jaccardRewrite.estFactor", "16").toDouble
+    val verified =
+      if (estPairs <= estFactor * nPostings)
+        skinny.groupBy("__graft_g")
+          .agg(graft.functions.BoundedMinCollect.bounded_min_collect(
+            struct(col("__graft_id").as("id"),
+              col("__graft_rn").as("rn"),
+              col("__graft_sz").as("sz")), maxOcc).as("__graft_ps"))
+          .select(explode(VectorFunctions.bucket_pairs(
+            col("__graft_ps"), maxOcc, t)).as("__graft_p"))
+          .select(col("__graft_p.id_a").as("__graft_id_a"),
+            col("__graft_p.id_b").as("__graft_id_b"))
+      else
+        base.select(col("__graft_id"), col("__graft_gs"),
+            posexplode(VectorFunctions.prefix_grams(
+              col("__graft_gs"), hotDf, t)))
+          .select(col("__graft_id"),
+            (col("pos") + 1).cast("int").as("__graft_rn"),
+            col("__graft_gs"), col("col").as("__graft_g"))
+          .groupBy("__graft_g")
+          .agg(collect_list(struct(col("__graft_id").as("id"),
+            col("__graft_rn").as("rn"),
+            col("__graft_gs").as("gs"))).as("__graft_ps"))
+          .select(explode(VectorFunctions.verified_bucket_pairs(
+            col("__graft_ps"), 1 << 30, t)).as("__graft_p"))
+          .select(col("__graft_p.id_a").as("__graft_id_a"),
+            col("__graft_p.id_b").as("__graft_id_b"))
     val verifiedD = distinctAll(verified)
     val pairs = verifiedD
       .union(verifiedD.select(col("__graft_id_b").as("__graft_id_a"),

@@ -258,6 +258,57 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard rewrite: sparse and dense candidate regimes emit " +
+      "identical pairs (both exact; only shipped mass differs)") {
+    withExtSession { s =>
+      import s.implicits._
+      // mixed corpus: one near-dup class, one exact-dup class (post
+      // normalization), singletons, plus short docs — enough that the
+      // pruned-candidate set and the true pair set differ, so the
+      // sparse regime's deferred verification actually has rows to
+      // reject (a corpus where candidates == true pairs would pass
+      // vacuously)
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "the cat watches from the fence with great interest today"
+      val docs = (Seq(
+        (1L, base),
+        (2L, base.replace("lazy", "sleepy")),
+        (3L, base.toUpperCase),
+        (4L, base.replace("today", "tonight")),
+        (5L, "completely different text about catalyst optimizer " +
+          "rules and distributed shuffle execution with partitions"),
+        (6L, "another unrelated document mentioning brown fox once " +
+          "inside a much longer passage of filler words and phrases")) ++
+        (7L to 24L).map(i => (i, s"filler document number $i with " +
+          s"some shared vocabulary about foxes and dogs and fences")))
+        .toDF("id", "text")
+      val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
+      import graft.functions.VectorFunctions.text_jaccard
+      def q = a.join(b,
+          text_jaccard(col("text_a"), col("text_b"), 8) >= 0.6 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+      // estFactor=0 forces the dense (inline-verified) shape;
+      // a huge factor forces sparse (prune-only + deferred verify)
+      s.conf.set("spark.graft.jaccardRewrite.estFactor", "0")
+      val dense = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      s.conf.set("spark.graft.jaccardRewrite.estFactor", "1e18")
+      val sparse = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      s.conf.unset("spark.graft.jaccardRewrite.estFactor")
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
+      val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      s.conf.unset("spark.graft.jaccardRewrite.enabled")
+      assert(dense === exact)
+      assert(sparse === exact)
+      assert(exact.nonEmpty)
+    }
+  }
+
   test("degenerate jaccard thresholds are left unrewritten, not crashed") {
     withExtSession { s =>
       import s.implicits._
