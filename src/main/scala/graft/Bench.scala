@@ -100,7 +100,18 @@ object Bench {
       // scale rehearsals measure that effect instead of guessing.
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
+      // SPARK_GRAFT_BCAST (dev knob, bytes): like SPARK_GRAFT_SHUFFLE
+      // this models a knob a real cluster turns with scale — the
+      // 64 MB default is sized for the driver's sf0.1 gate, while the
+      // regime-switching operators (pageRank/BFS pick broadcast vs
+      // pinned-layout loops by this threshold) cross it between sf10
+      // and sf30 (the rank frame is N·24 B ≈ 115 MB at sf30), and a
+      // production cluster with multi-GB executors would raise it
+      // rather than pay the pinned regime's per-round edge shuffle.
+      // Scale rehearsals measure both sides of the crossover instead
+      // of guessing.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (64 << 20).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

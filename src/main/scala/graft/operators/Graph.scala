@@ -79,22 +79,26 @@ object Graph {
       .autoBroadcastJoinThreshold
     val bcastRanks = bcastThreshold > 0 && n * 24 <= bcastThreshold
     def loop(e: DataFrame, ranks0: DataFrame,
-        step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+        step: (DataFrame, DataFrame) => DataFrame,
+        big: Boolean): DataFrame = {
       var ranks = ranks0
       var it = 0
       while (it < iters) {
-        ranks = Iterate.materialize(step(e, ranks), it)
+        ranks = Iterate.materialize(step(e, ranks), it, big)
         it += 1
       }
       ranks
     }
     if (bcastRanks) {
       val (e, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
-      loop(e, ranks0, rankStepBroadcast(_, _, base))
+      loop(e, ranks0, rankStepBroadcast(_, _, base), big = false)
         .select(col("id"), col("rank"))
     } else Iterate.pinnedLayout(nodes.sparkSession) {
+      // pinned regime ⇒ the rank frame crossed the broadcast
+      // threshold ⇒ the frames this loop materializes are big: store
+      // their blocks serialized (see Iterate.materialize's big doc)
       val (eDeg, ranks0) = prepareRank(nodes, edges, scale / n)
-      loop(eDeg, ranks0, rankStep(_, _, base))
+      loop(eDeg, ranks0, rankStep(_, _, base), big = true)
     }
   }
 
@@ -204,11 +208,11 @@ object Graph {
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(parts, col("src"))
       .sortWithinPartitions("src")
-      .materialized()
+      .materialized(big = true) // pinned regime ⇒ 2|E|-row frame
     val ranks0 = nodeIds
       .withColumn("rank", lit(initRank))
       .repartition(parts, col("id"))
-      .materialized()
+      .materialized(big = true)
     (eDeg, ranks0)
     }
 
@@ -363,10 +367,13 @@ object Graph {
       val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .join(nodes.select(col("id").cast("long").as("dst")),
           Seq("dst"), "left_semi")
+      // pinned ⇒ the node frame crossed the broadcast threshold ⇒
+      // the 2|E|-row edge frame (and the N-bound visited states
+      // below) store serialized (see Iterate.materialize's big doc)
       val e = (if (pinned)
           e0.repartition(parts, col("src")).sortWithinPartitions("src")
         else e0)
-        .materialized()
+        .materialized(big = pinned)
       // per-round state is the VISITED set (id, hops) — frontier-sized
       // work stays frontier-sized: each round anti-joins new arrivals
       // against visited instead of left-joining the whole node universe
@@ -376,7 +383,7 @@ object Graph {
       var visited = seeds.select(col("id").cast("long")).distinct()
         .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
         .withColumn("hops", lit(0L))
-        .materialized()
+        .materialized(big = pinned)
       var frontier = visited
       var round = 1
       while (round <= maxHops) {
@@ -387,8 +394,9 @@ object Graph {
           e.join(if (fSmall) broadcast(f) else f, e("src") === col("_fid"))
           .select(e("dst").as("id")).distinct()
           .join(visited, Seq("id"), "left_anti")
-          .withColumn("hops", lit(round.toLong)), round)
-        visited = Iterate.materialize(visited.unionByName(reached), round)
+          .withColumn("hops", lit(round.toLong)), round, big = pinned)
+        visited = Iterate.materialize(visited.unionByName(reached),
+          round, big = pinned)
         frontier = reached
         round += 1
       }

@@ -34,14 +34,39 @@ object Iterate {
   /** Eagerly materialize round `round`'s state frame under the
     * session's checkpoint policy. `round` counts from 0; pass 0 for
     * one-shot (non-loop) materializations, which makes them reliable
-    * whenever the mode is on. */
-  def materialize(df: DataFrame, round: Int = 0): DataFrame = {
+    * whenever the mode is on.
+    *
+    * `big` picks the local block storage level, and the hint comes
+    * from the SAME driver-known bound that picks an operator's
+    * regime (e.g. pageRank/BFS choose their pinned layout when the
+    * state frame crossed the broadcast threshold — that bound says
+    * "big" here too):
+    *
+    *  - `big = false` (default): localCheckpoint's own
+    *    MEMORY_AND_DISK — DESERIALIZED row objects, zero-copy
+    *    re-reads, the fastest level while the frame fits storage
+    *    (measured: serialized storage cost sf0.1 graph_pagerank
+    *    4.0 → 6.5 s, re-paying deserialization on every loop round).
+    *  - `big = true`: MEMORY_AND_DISK_SER — compact binary rows.
+    *    Deserialized storage re-wraps each UnsafeRow as a JVM object
+    *    (~3–4× the raw bytes); at the sf30 rehearsal the 352 M-row
+    *    pinned edge frame (~8.4 GB of row bytes) OOM'd the
+    *    MemoryStore unroll (DeserializedValuesHolder.storeValue)
+    *    at a 64 GB heap, while serialized blocks store ~1× and
+    *    spill compactly (pinned pageRank 283 → 241 s, BFS
+    *    264 → 183 s at sf30). The deserialize-per-read tax is the
+    *    right trade exactly when fitting is the risk. */
+  def materialize(df: DataFrame, round: Int = 0,
+      big: Boolean = false): DataFrame = {
     val s = df.sparkSession
     val reliable =
       s.conf.get(ReliableKey, "false").toBoolean &&
         s.sparkContext.getCheckpointDir.isDefined &&
         round % math.max(1, s.conf.get(IntervalKey, "5").toInt) == 0
-    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    if (reliable) df.checkpoint(true)
+    else if (big) df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint(true)
   }
 
   /** Chained-style [[materialize]]: `df.materialized()` reads like the
@@ -53,7 +78,8 @@ object Iterate {
     * executors a lost local block fails the job; the reliable mode
     * survives it at the documented I/O tax. */
   implicit class MaterializeOps(private val df: DataFrame) {
-    def materialized(round: Int = 0): DataFrame = materialize(df, round)
+    def materialized(round: Int = 0, big: Boolean = false): DataFrame =
+      materialize(df, round, big)
   }
 
   /** Run `body` with AQE disabled, restoring the session conf after.
