@@ -504,10 +504,47 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
             col("__graft_ps"), 1 << 30, t)).as("__graft_p"))
           .select(col("__graft_p.id_a").as("__graft_id_a"),
             col("__graft_p.id_b").as("__graft_id_b"))
-    val verifiedD = distinctAll(verified)
-    val pairs = verifiedD
-      .union(verifiedD.select(col("__graft_id_b").as("__graft_id_a"),
-        col("__graft_id_a").as("__graft_id_b")))
+    val candD = distinctAll(verified)
+    // CONTENT-level verification, ONE orientation. The profiled
+    // sf10-he run spent ~90 % of its wall time (two ~130 s stages in
+    // the event log) shipping 440 M candidate-pair rows WITH text
+    // payload through the row-level back-join and evaluating the
+    // jaccard residual once per orientation — everything else
+    // (postings, bucket loops, dedup aggregate) totalled ~30 s.
+    // Jaccard is symmetric and the candidate ids ARE content hashes,
+    // so the threshold conjunct is decidable here, per DISTINCT text
+    // pair, in a single orientation: half the shipped pair-text mass,
+    // half the predicate evaluations, and the row-level back-join
+    // below then joins only the VERIFIED (output-sized) pair set —
+    // its formerly-dominant exchanges become no-ops. `>= t` admits a
+    // superset of a strict `>` original (never drops a qualifying
+    // pair); the untouched original condition still re-evaluates on
+    // every output row pair, so admission stays authoritative at the
+    // row level exactly as before. Dense-mode candidates arrive
+    // already verified and just pass through (output-sized cost).
+    val txtCols = docs.select(col("__graft_id"), col("__graft_text"))
+    val vPairs = candD
+      .join(txtCols.select(col("__graft_id").as("__graft_id_a"),
+        col("__graft_text").as("__graft_ta")), Seq("__graft_id_a"))
+      .join(txtCols.select(col("__graft_id").as("__graft_id_b"),
+        col("__graft_text").as("__graft_tb")), Seq("__graft_id_b"))
+      .filter(bridge.toColumn(GreaterThanOrEqual(
+        VectorFunctions.JaccardSim(
+          bridge.toExpression(col("__graft_ta")),
+          bridge.toExpression(col("__graft_tb")), n),
+        Literal(t))))
+      .select(col("__graft_id_a"), col("__graft_id_b"))
+    // Both orientations explode out of one pass over the verified
+    // set (a union of the set with its own swap would plan the
+    // subtree once per branch — ReuseExchange dedups only the
+    // exchange below an aggregate, not the aggregate itself).
+    val pairs = vPairs
+      .select(explode(array(
+        struct(col("__graft_id_a").as("a"), col("__graft_id_b").as("b")),
+        struct(col("__graft_id_b").as("a"), col("__graft_id_a").as("b"))))
+        .as("__graft_p2"))
+      .select(col("__graft_p2.a").as("__graft_id_a"),
+        col("__graft_p2.b").as("__graft_id_b"))
       .union(base.select(col("__graft_id").as("__graft_id_a"),
         col("__graft_id").as("__graft_id_b")))
     // The back-join is built from RAW Catalyst nodes on j.left/j.right
