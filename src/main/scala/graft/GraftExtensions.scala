@@ -66,8 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * comparison — `=`, `<=>`, `<`, `<=`, `>`, `>=`, `IN` — over
   * binary-collation operands is rewritten to compare under Spark's
   * own `UTF8_LCASE` collation (proper Unicode case folding, not an
-  * ASCII `lower()` wrap), which is exactly MySQL's ci contract for
-  * the reference's data.
+  * ASCII `lower()` wrap) — MySQL's ci contract for the reference's
+  * ASCII data. CAVEAT (documented, README §SQL dialect): MySQL's
+  * utf8mb4 default `_ci` collations are accent-INsensitive too
+  * (`'café' = 'cafe'` under `utf8mb4_0900_ai_ci`) and order by
+  * collation weights; `UTF8_LCASE` folds case only, so accented data
+  * still returns different membership under the flag than a
+  * default-collated MySQL — accent-dependent workloads need explicit
+  * normalization.
   *
   * Spark-first mechanics: the rewrite wraps operands in the native
   * [[Collate]] expression, so comparisons stay whole-stage-codegen'd,
@@ -289,6 +295,23 @@ case class RewriteHammingThresholdJoin(spark: SparkSession)
 case class RewriteJaccardThresholdJoin(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper with ShuffleJoinPin {
 
+  // Session-scoped memos for the rule's two bounded driver jobs (the
+  // stop-gram df model and the candidate-mass histogram): the
+  // optimizer re-runs this rule on EVERY re-optimization of a plan
+  // containing the predicate — each derived Dataset, explain() call,
+  // stats access — and without the memo each re-plan would re-pay
+  // both corpus-scale jobs. Keyed by the CANONICALIZED inputs
+  // (structural plan equality normalizes exprIds, so the same
+  // Dataset re-derived re-uses its entry); the rule instance is built
+  // once per session (injectOptimizerRule), so the cache lives and
+  // dies with the session. Crude overflow guard: clear past 32
+  // entries — a session juggling 32+ distinct jaccard-join inputs
+  // re-trains, it never grows unboundedly.
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[Any, Map[Long, Long]]
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[Any, (Long, Double, Int)]
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf
         .get("spark.graft.jaccardRewrite.enabled", "false").toBoolean) plan
@@ -351,18 +374,22 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // 64k-row cap bound the job and the collected model at any corpus
     // size (same shape as Dedup.ngramJaccard's trainer).
     val hotDf: Map[Long, Long] = {
-      val gramsL = VectorFunctions.CharNgramHashes(
-        VectorFunctions.NormalizeText(aText), n, distinctSorted = true)
-      bridge.ofRows(spark, j.left)
-        .filter(pmod(xxhash64(bridge.toColumn(aText)), lit(4)) === 0)
-        .select(bridge.toColumn(gramsL).as("__graft_gs"))
-        .filter(col("__graft_gs").isNotNull)
-        .select(explode(col("__graft_gs")).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-        .orderBy(col("df").desc, col("g"))
-        .limit(1 << 16)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (modelCache.size > 32) modelCache.clear()
+      modelCache.getOrElseUpdate(
+        (j.left.canonicalized, aText.canonicalized, n), {
+        val gramsL = VectorFunctions.CharNgramHashes(
+          VectorFunctions.NormalizeText(aText), n, distinctSorted = true)
+        bridge.ofRows(spark, j.left)
+          .filter(pmod(xxhash64(bridge.toColumn(aText)), lit(4)) === 0)
+          .select(bridge.toColumn(gramsL).as("__graft_gs"))
+          .filter(col("__graft_gs").isNotNull)
+          .select(explode(col("__graft_gs")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .orderBy(col("df").desc, col("g"))
+          .limit(1 << 16)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      })
     }
     // The rewritten shape is the operator family's fused-bucket
     // pipeline, generalized to arbitrary join inputs through CONTENT
@@ -467,14 +494,19 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // estPairs ≤ 16·postings, overridable for rehearsals/specs via
     // spark.graft.jaccardRewrite.estFactor (0 forces dense).
     val (nPostings, estPairs, maxOcc) = {
-      val r = skinny.groupBy("__graft_g").agg(count(lit(1)).as("m"))
-        .agg(sum(col("m")).as("p"),
-          sum(col("m").cast("double") * (col("m") - 1) / 2).as("est"),
-          max(col("m")).as("mx"))
-        .collect()(0)
-      if (r.isNullAt(0)) (0L, 0.0, 2)
-      else (r.getLong(0), r.getDouble(1),
-        math.max(2L, math.min(r.getLong(2), Int.MaxValue.toLong)).toInt)
+      if (statsCache.size > 32) statsCache.clear()
+      statsCache.getOrElseUpdate(
+        (j.left.canonicalized, j.right.canonicalized,
+          aText.canonicalized, bText.canonicalized, n, t), {
+        val r = skinny.groupBy("__graft_g").agg(count(lit(1)).as("m"))
+          .agg(sum(col("m")).as("p"),
+            sum(col("m").cast("double") * (col("m") - 1) / 2).as("est"),
+            max(col("m")).as("mx"))
+          .collect()(0)
+        if (r.isNullAt(0)) (0L, 0.0, 2)
+        else (r.getLong(0), r.getDouble(1),
+          math.max(2L, math.min(r.getLong(2), Int.MaxValue.toLong)).toInt)
+      })
     }
     val estFactor = spark.conf
       .get("spark.graft.jaccardRewrite.estFactor", "16").toDouble
@@ -648,7 +680,13 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
     * set — the same replicate-the-other-side pattern as
     * join_skew_salted. 8 salts × 32 keys = 256 groups keeps every
     * core busy while the build side's shuffle volume grows only 8×
-    * (rows are skinny: id + vector + sig). */
+    * (rows are skinny: id + vector + sig). Salting engages ONLY in
+    * the bigBoth (shuffle) branch below: in the broadcast branch the
+    * build side already carries the 8× band explode that Catalyst's
+    * stats cannot see (Generate inflation), and compounding a salt
+    * explode would make a side estimated under
+    * autoBroadcastJoinThreshold ~64× larger at build time — the
+    * exact stats-blind overflow the shuffle pin exists to avoid. */
   private val salts = 8
 
   private def rewrite(j: Join, aVec: Expression,
@@ -668,11 +706,7 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
         .withColumn(s"__graft_key_$side", col(s"__graft_bk_$side.key"))
     }
     val lb = banded(j.left, aVec, "l")
-      .withColumn("__graft_salt_l",
-        pmod(xxhash64(bridge.toColumn(aVec)), lit(salts.toLong)))
     val rb = banded(j.right, bVec, "r")
-      .withColumn("__graft_salt_r",
-        explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     // canonical band — emit a pair only at its smallest shared band —
     // in PURE integer arithmetic (see RewriteHammingThresholdJoin for
     // the rationale: the former exists() higher-order conjunct forced
@@ -710,16 +744,25 @@ case class RewriteCosineThresholdJoin(spark: SparkSession)
         j.right.stats.sizeInBytes > thr
     }
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val (lbp, rbp) =
-      if (!bigBoth) (lb, rb)
-      else (lb.repartition(nParts, col("__graft_band_l"),
-              col("__graft_key_l"), col("__graft_salt_l")),
-            rb.repartition(nParts, col("__graft_band_r"),
-              col("__graft_key_r"), col("__graft_salt_r")))
+    val (lbp, rbp, saltConjunct) =
+      if (!bigBoth) (lb, rb, lit(true))
+      else {
+        // salt columns exist only on this branch (see `salts` doc):
+        // probe side hashed, build side replicated across all salts
+        val lbs = lb.withColumn("__graft_salt_l",
+          pmod(xxhash64(bridge.toColumn(aVec)), lit(salts.toLong)))
+        val rbs = rb.withColumn("__graft_salt_r",
+          explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+        (lbs.repartition(nParts, col("__graft_band_l"),
+            col("__graft_key_l"), col("__graft_salt_l")),
+          rbs.repartition(nParts, col("__graft_band_r"),
+            col("__graft_key_r"), col("__graft_salt_r")),
+          col("__graft_salt_l") === col("__graft_salt_r"))
+      }
     val joined = lbp.join(rbp,
         col("__graft_band_l") === col("__graft_band_r") &&
           col("__graft_key_l") === col("__graft_key_r") &&
-          col("__graft_salt_l") === col("__graft_salt_r") &&
+          saltConjunct &&
           noEarlier &&
           bridge.toColumn(j.condition.get),
         "inner")

@@ -28,6 +28,22 @@ package graft
   *    lacks (`%U/%u/%V/%v/%X/%x` mode-dependent week numbering, `%D`
   *    ordinal suffix, `%w` 0-based weekday) fail loudly, as does a
   *    non-literal pattern argument.
+  *  - **`DATE_ADD` / `DATE_SUB` with `INTERVAL n UNIT`** (the form
+  *    Spark's parser rejects — Spark's date_add takes plain day
+  *    counts) rewrite to interval arithmetic:
+  *    `DATE_ADD(e, INTERVAL 3 DAY)` → `(e + INTERVAL 3 DAY)`,
+  *    `DATE_SUB` → `-`. `QUARTER` (absent from Spark's interval
+  *    literal units) folds to months; MySQL's compound units
+  *    (`DAY_HOUR` etc.) and non-literal quantities fail loudly with
+  *    the make_interval rewrite in the message. The two-argument
+  *    numeric form (`DATE_ADD(d, 3)`) passes through — Spark's
+  *    date_add has identical semantics.
+  *  - **`NOW()`** rewrites to
+  *    `date_trunc('SECOND', current_timestamp())`: MySQL's NOW() is
+  *    second-precision, Spark's now() carries microseconds — an
+  *    equality or grouping on the raw value would silently diverge.
+  *    `NOW(6)` (full precision) maps to `current_timestamp()`;
+  *    intermediate precisions fail loudly.
   *  - **Backtick identifier quoting** needs no translation: Spark's
   *    identifier quote IS the backtick, same as MySQL.
   *  - **`<>` / `!=`**, integer `DIV`, `%`/`MOD`: identical in both.
@@ -35,7 +51,7 @@ package graft
   *    also reads `"..."` as a string literal unless
   *    `spark.sql.ansi.doubleQuotedIdentifiers` is enabled — the
   *    engine's sessions leave it off, preserving MySQL behavior.
-  *  - **`IFNULL`, `NOW()`, `CONCAT`, `SUBSTRING_INDEX`, `COALESCE`**:
+  *  - **`IFNULL`, `CONCAT`, `SUBSTRING_INDEX`, `COALESCE`**:
   *    Spark ships the same functions with the same semantics.
   *
   * Remaining divergences, documented rather than silently
@@ -64,9 +80,17 @@ object MySqlDialect {
   private def fail(msg: String): Nothing =
     throw new UntranslatableSqlException(msg)
 
-  /** Translate a MySQL-dialect statement into Spark SQL. Idempotent on
-    * statements that are already Spark SQL (every rewrite triggers on
-    * a construct Spark cannot parse). */
+  /** Translate a MySQL-dialect statement into Spark SQL. Apply EXACTLY
+    * ONCE, to MySQL input: the structural rewrites (two-argument
+    * LIMIT, interval DATE_ADD/DATE_SUB) trigger only on constructs
+    * Spark cannot parse, but DATE_FORMAT and NOW() are intercepted BY
+    * NAME with MySQL semantics — a statement that is already Spark SQL
+    * and happens to spell `date_format(d, 'yyyy-MM')` is valid Spark
+    * yet gets its pattern re-read as MySQL (letter runs become quoted
+    * literals), so re-running translate on its own output corrupts
+    * those calls. The engine's entry points ([[SparkEntry]],
+    * SqlDialectSpec) each translate a statement exactly once and hand
+    * the result to [[Engine.getData]]; follow that discipline. */
   def translate(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
@@ -157,8 +181,11 @@ object MySqlDialect {
               i = j4
             } else out.append(word)
           } else out.append(word)
-        } else if ((word.equalsIgnoreCase("GROUP_CONCAT") ||
-            word.equalsIgnoreCase("DATE_FORMAT"))) {
+        } else if (word.equalsIgnoreCase("GROUP_CONCAT") ||
+            word.equalsIgnoreCase("DATE_FORMAT") ||
+            word.equalsIgnoreCase("DATE_ADD") ||
+            word.equalsIgnoreCase("DATE_SUB") ||
+            word.equalsIgnoreCase("NOW")) {
           var j = i
           while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
           val close = if (j < n && sql.charAt(j) == '(') matchParen(j)
@@ -166,10 +193,20 @@ object MySqlDialect {
           if (close < 0) out.append(word) // no args — Spark reports it
           else {
             val inner = sql.substring(j + 1, close - 1)
-            if (word.equalsIgnoreCase("GROUP_CONCAT"))
-              out.append(rewriteGroupConcat(inner))
-            else out.append(rewriteDateFormat(inner))
-            i = close
+            val rewritten: Option[String] =
+              if (word.equalsIgnoreCase("GROUP_CONCAT"))
+                Some(rewriteGroupConcat(inner))
+              else if (word.equalsIgnoreCase("DATE_FORMAT"))
+                Some(rewriteDateFormat(inner))
+              else if (word.equalsIgnoreCase("NOW"))
+                Some(rewriteNow(inner))
+              else rewriteDateAddSub(inner,
+                plus = word.equalsIgnoreCase("DATE_ADD"))
+            rewritten match {
+              case Some(r) => out.append(r); i = close
+              case None => out.append(word) // Spark-identical form:
+              // leave verbatim, the main loop keeps scanning the args
+            }
           }
         } else out.append(word)
       } else {
@@ -343,6 +380,65 @@ object MySqlDialect {
     flushLit()
     val sparkPat = java.toString.replace("'", "\\'")
     s"date_format($expr, '$sparkPat')"
+  }
+
+  // -------------------------------------------------------------------
+  // DATE_ADD/DATE_SUB(expr, INTERVAL n UNIT) → (expr ± INTERVAL n UNIT)
+  // -------------------------------------------------------------------
+
+  /** Units Spark's interval literal accepts directly. MySQL's QUARTER
+    * folds to months below; compound units (DAY_HOUR…) fail loudly. */
+  private val intervalUnits = Set("MICROSECOND", "SECOND", "MINUTE",
+    "HOUR", "DAY", "WEEK", "MONTH", "YEAR")
+
+  /** None ⇒ the call is Spark-identical as written (two-argument
+    * numeric form) — caller passes it through verbatim. */
+  private def rewriteDateAddSub(argsRaw: String,
+      plus: Boolean): Option[String] = {
+    val help = "rewrite with (expr + make_interval(...)) or " +
+      "make_dt_interval(...) manually"
+    val parts = splitTopLevel(argsRaw, ',')
+    if (parts.length != 2) return None // let Spark report arity
+    val second = parts(1).trim
+    if (!hasPrefixWord(second, "INTERVAL")) return None // day-count
+    // form: Spark's date_add/date_sub have identical semantics
+    val spec = second.substring("INTERVAL".length).trim
+    val li = spec.lastIndexWhere(Character.isWhitespace)
+    if (li < 0)
+      fail(s"DATE_ADD/DATE_SUB: malformed INTERVAL clause '$second' — " +
+        help)
+    val qtyRaw = spec.substring(0, li).trim
+    val unit = spec.substring(li + 1).trim.toUpperCase
+    // MySQL allows INTERVAL '3' DAY as well as INTERVAL 3 DAY; both
+    // must be a literal integer for Spark's interval literal
+    val qtyTxt =
+      if (qtyRaw.length >= 2 &&
+          (qtyRaw.charAt(0) == '\'' || qtyRaw.charAt(0) == '"'))
+        unquoteLiteral(qtyRaw).trim
+      else qtyRaw
+    if (!qtyTxt.matches("[+-]?\\d+"))
+      fail(s"DATE_ADD/DATE_SUB: non-literal INTERVAL quantity " +
+        s"'$qtyRaw' cannot become a Spark interval literal — $help")
+    val (qty, sparkUnit) =
+      if (unit == "QUARTER") (BigInt(qtyTxt) * 3, "MONTH")
+      else if (intervalUnits(unit)) (BigInt(qtyTxt), unit)
+      else fail(s"DATE_ADD/DATE_SUB: INTERVAL unit $unit has no Spark " +
+        s"interval literal equivalent (compound units like DAY_HOUR " +
+        s"are not translated) — $help")
+    val op = if (plus) "+" else "-"
+    Some(s"(${translate(parts(0).trim)} $op INTERVAL $qty $sparkUnit)")
+  }
+
+  /** MySQL NOW() is second-precision; Spark's now() carries
+    * microseconds — truncate so equality/grouping on the value matches
+    * a MySQL replay. NOW(6) is full precision (Spark-identical);
+    * intermediate fsp has no direct Spark spelling. */
+  private def rewriteNow(argsRaw: String): String = argsRaw.trim match {
+    case "" | "0" => "date_trunc('SECOND', current_timestamp())"
+    case "6" => "current_timestamp()"
+    case other => fail(s"NOW($other): fractional-second precision " +
+      "1..5 has no Spark truncation equivalent; use NOW() or NOW(6), " +
+      "or rewrite with date_format manually")
   }
 
   // -------------------------------------------------------------------

@@ -195,13 +195,22 @@ object SparkEntry {
     // pattern mapping) instead of failing loudly. ORDER BY inside
     // GROUP_CONCAT sorts by the key's NATIVE type (numeric, not
     // lexicographic) — the oracle's string_agg(... ORDER BY o_orderkey)
-    // replays exactly that.
+    // replays exactly that. The long tail rides along: IFNULL
+    // (Spark-identical, no rewrite), interval DATE_ADD/DATE_SUB
+    // (→ ± INTERVAL arithmetic — the form Spark's parser rejects),
+    // both nested inside DATE_FORMAT to exercise the recursive scan.
     Tables.register(s, dir)
     new Engine(s, dir).getData(MySqlDialect.translate(
       """SELECT DATE_FORMAT(`o_orderdate`, '%Y-%m') AS ym,
         |  GROUP_CONCAT(`o_orderkey` ORDER BY `o_orderkey` SEPARATOR "|")
         |    AS ks,
-        |  COUNT(*) AS n
+        |  COUNT(*) AS n,
+        |  IFNULL(MIN(CASE WHEN `o_orderpriority` = '1-URGENT'
+        |                  THEN `o_orderkey` END), -1) AS urg_key,
+        |  DATE_FORMAT(DATE_ADD(MIN(`o_orderdate`), INTERVAL 1 MONTH),
+        |              '%Y-%m-%d') AS next_m,
+        |  DATE_FORMAT(DATE_SUB(MIN(`o_orderdate`), INTERVAL 7 DAY),
+        |              '%Y-%m-%d') AS prev_w
         |FROM `orders`
         |WHERE `o_totalprice` < 5000
         |GROUP BY DATE_FORMAT(`o_orderdate`, '%Y-%m')
@@ -5213,7 +5222,13 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
         |  string_agg(CAST(o_orderkey AS VARCHAR), '|'
         |             ORDER BY o_orderkey) AS ks,
-        |  COUNT(*) AS n
+        |  COUNT(*) AS n,
+        |  COALESCE(MIN(CASE WHEN o_orderpriority = '1-URGENT'
+        |                    THEN o_orderkey END), -1) AS urg_key,
+        |  strftime(MIN(o_orderdate) + INTERVAL 1 MONTH,
+        |           '%Y-%m-%d') AS next_m,
+        |  strftime(MIN(o_orderdate) - INTERVAL 7 DAY,
+        |           '%Y-%m-%d') AS prev_w
         |FROM orders WHERE o_totalprice < 5000
         |GROUP BY ym ORDER BY ym""".stripMargin,
     // MySQL-ci semantics replayed with lower() wraps (DuckDB compares

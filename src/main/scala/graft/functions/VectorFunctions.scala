@@ -979,6 +979,100 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  /** Set-bit positions of a Spark SQL bitmap (the 4 KB binary built by
+    * `bitmap_construct_agg(bitmap_bit_position(x))`), as array<int> —
+    * the decode half Spark doesn't ship. Layout matches
+    * BitmapConstructAgg exactly: bit p lives at byte p/8, bit p%8
+    * (verified against the builtin in VectorFunctionsSpec by a
+    * construct→decode round trip), so
+    * `(bucket−1)·32768 + position + 1` recovers the original value.
+    * Lets an aggregate ship BOUNDED bitmaps through an exchange and
+    * explode them back to ids AFTER the reduction — the dense-frontier
+    * BFS exchange compression ([[graft.operators.Graph.bfsHops]]). */
+  case class BitmapPositions(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      var n = 0
+      var i = 0
+      while (i < bytes.length) {
+        n += java.lang.Integer.bitCount(bytes(i) & 0xff)
+        i += 1
+      }
+      val out = new Array[Int](n)
+      var k = 0
+      i = 0
+      while (i < bytes.length) {
+        var b = bytes(i) & 0xff
+        while (b != 0) {
+          val low = java.lang.Integer.numberOfTrailingZeros(b)
+          out(k) = i * 8 + low
+          k += 1
+          b &= b - 1
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("bitmapPositions", this,
+        classOf[BitmapPositions].getName)
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+           |  $expr.nullSafeEval($v);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `a AND NOT b` over two Spark SQL bitmaps — the set difference the
+    * BFS visited-mask needs (bits reached this round minus bits ever
+    * reached before), as one bounded byte-loop instead of a decode →
+    * anti-join → re-encode round trip. Shorter input is treated as
+    * zero-extended: bytes of `a` beyond `b`'s length pass through, and
+    * bits of `b` beyond `a`'s length have nothing to clear. */
+  case class BitmapAndNot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ab = a.asInstanceOf[Array[Byte]]
+      val bb = b.asInstanceOf[Array[Byte]]
+      val out = ab.clone()
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        out(i) = (out(i) & ~bb(i)).toByte
+        i += 1
+      }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+        : ExprCode = {
+      val expr = ctx.addReferenceObj("bitmapAndNot", this,
+        classOf[BitmapAndNot].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |${ev.value} = (byte[]) $expr.nullSafeEval($a, $b);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** SimHash bucket pairs with the Hamming verification fused in:
     * input is the bucket's array<struct<doc_id:long, sig:long>>; output
     * every (id_a < id_b, hamming = popcount(sig_a ^ sig_b) ≤ maxHamming)
@@ -1932,6 +2026,10 @@ object VectorFunctions {
     toColumn(WinnowedFingerprints(toExpression(hashes), w))
   def capped_pairs(ids: Column, maxBucket: Int): Column =
     toColumn(CappedPairs(toExpression(ids), maxBucket))
+  def bitmap_positions(bm: Column): Column =
+    toColumn(BitmapPositions(toExpression(bm)))
+  def bitmap_andnot(a: Column, b: Column): Column =
+    toColumn(BitmapAndNot(toExpression(a), toExpression(b)))
   def flagged_capped_pairs(postings: Column, maxBucket: Int): Column =
     toColumn(FlaggedCappedPairs(toExpression(postings), maxBucket))
   def hamming_pairs(postings: Column, maxBucket: Int,
@@ -2013,6 +2111,10 @@ object VectorFunctions {
       // dedup pipelines the Scala operators do
       "capped_pairs" ->
         (es => CappedPairs(es(0), litInt(es(1), "maxBucket"))),
+      // decode/difference halves of the builtin bitmap_* aggregate
+      // family (construct/count/or exist; positions/andnot don't)
+      "bitmap_positions" -> (es => BitmapPositions(es(0))),
+      "bitmap_andnot" -> (es => BitmapAndNot(es(0), es(1))),
       "hamming_pairs" ->
         (es => HammingPairs(es(0), litInt(es(1), "maxBucket"),
           litInt(es(2), "maxHamming"))),

@@ -121,12 +121,43 @@ object Association {
       .materialized() // feeds the broadcast set + both attaches
     val freq = VectorFunctions.broadcastLongSet(spark,
       itemN.select("item").collect().map(_.getLong(0)).toSeq)
+    val pruned = VectorFunctions.long_set_filter(col("items"), freq)
+    // MEASURED pair mass Σ k·(k−1)/2 over the pruned arrays — one
+    // bounded (1-row) aggregate over the already-materialized basket
+    // frame. This is the keyspace bound that keeps the pair aggregate
+    // sublinear at fixed hardware: the distinct-pair keyspace grows
+    // with the corpus, so an unpartitioned partial aggregate sees
+    // nearly ALL distinct pairs per task, stops fitting, and degrades
+    // to sort+spill only to ship near-unreduced data anyway (measured
+    // 23.5×/decade at the sf100 rehearsal). When the measured mass
+    // says a per-task hash table cannot hold its share, we shuffle the
+    // RAW pair rows FIRST (16-byte rows, a linear exchange) into
+    // enough hash(a_item, b_item) partitions that each task's keyspace
+    // is ≤ pairAggTargetRows — the partial+final aggregates then run
+    // co-partitioned ABOVE that exchange, each holding only its D/P
+    // slice, pure hash, no spill. Below the engage point the plan is
+    // byte-identical to the classic map-side-combined groupBy (the
+    // driver gate's shape).
+    val mass = sets.select(size(pruned).cast("long").as("k"))
+      .agg(coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L)).as("m"))
+      .head.getLong(0)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val perPart = spark.conf
+      .get("spark.graft.assoc.pairAggTargetRows", "4000000").toLong
     // CappedPairs sorts ids and emits i<j — exactly the a_item<b_item
     // orientation; the cap is inert (baskets are domain-bounded)
-    val pairs = sets.select(explode(VectorFunctions.capped_pairs(
-        VectorFunctions.long_set_filter(col("items"), freq),
-        Int.MaxValue)).as("p"))
+    val exploded = sets
+      .select(explode(VectorFunctions.capped_pairs(
+        pruned, Int.MaxValue)).as("p"))
       .select(col("p.id_a").as("a_item"), col("p.id_b").as("b_item"))
+    val pairSrc =
+      if (mass / perPart > parts) {
+        // partitions scale with the measured mass (what AQE/a real
+        // cluster does), capped so task count stays schedulable
+        val p = math.min(mass / perPart + 1, 4096L).toInt
+        exploded.repartition(p, col("a_item"), col("b_item"))
+      } else exploded
+    val pairs = pairSrc
       .groupBy("a_item", "b_item")
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= pairMinSupport)

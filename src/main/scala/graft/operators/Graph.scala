@@ -188,27 +188,32 @@ object Graph {
     Iterate.pinnedLayout(nodes.sparkSession) {
     val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
     // Edge ⋈ out-degree is ROUND-INVARIANT: built once, outside the
-    // loop. One window (`count over partition by src`) replaces the
-    // former checkpoint → groupBy → join: the edge construction has a
-    // single consumer (no pre-checkpoint needed) and the frame
-    // materializes ONCE, in the loop's exact layout. The window must
-    // run BEFORE the dst confinement — outdeg counts ALL out-edges,
-    // including targets outside `nodes` (the oracle's semantics).
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // loop, in ONE edge pass — the edge frame crosses exactly one
+    // exchange (the layout repartition by `src`), and the out-degree
+    // decoration rides it for free: after `repartition(parts, src)`
+    // every src's rows share a partition, so the count-over-window's
+    // required distribution is already satisfied (EnsureRequirements
+    // adds NO exchange) and the window's partition-key sort IS the
+    // pinned layout's sort. The former shape here ran the window on
+    // the unpartitioned frame (own exchange + sort), then a dst
+    // semi-join (second full-width exchange), then the layout
+    // repartition (third) — 3 edge exchanges + 2 sorts, measured as a
+    // >54 GB transient fill-then-abort at the sf100 rehearsal
+    // (1.17 B edge rows). This shape is 1 exchange + 1 sort + the
+    // serialized materialization: ≤ ~2× raw edge bytes transient.
+    // outdeg counts ALL out-edges, including targets outside `nodes`
+    // (the oracle's semantics) — nothing is dropped before the count.
+    // dst confinement moved to the per-round fold-back join in
+    // [[rankStep]] (an N-row co-partitioned join the round needs
+    // anyway): a phantom-dst edge costs one combined row in the
+    // per-round inflow exchange instead of a full-width prep shuffle.
+    val eDeg = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(parts, col("src"))
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
-    val nodeIds = nodes.select(col("id").cast("long"))
-    // dst constrained to the node universe HERE, once — the zero-row
-    // union below makes the inflow aggregate's key set the node set,
-    // and this round-invariant semi-join keeps edge targets outside
-    // `nodes` from leaking phantom rows into it (the per-round left
-    // join this replaced confined output by construction)
-    val eDeg = e
-      .join(nodeIds.select(col("id").as("dst")), Seq("dst"), "left_semi")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(parts, col("src"))
-      .sortWithinPartitions("src")
       .materialized(big = true) // pinned regime ⇒ 2|E|-row frame
+    val nodeIds = nodes.select(col("id").cast("long"))
     val ranks0 = nodeIds
       .withColumn("rank", lit(initRank))
       .repartition(parts, col("id"))
@@ -217,9 +222,18 @@ object Graph {
     }
 
   /** One pinned-regime pageRank round — the loop body, exposed for the
-    * plan pin. With [[prepareRank]]'s layout the join is exchange-free;
-    * the round's single exchange is the (id, contrib) inflow
-    * aggregate. */
+    * plan pin. With [[prepareRank]]'s layout the probe join is
+    * exchange-free; the round's single exchange is the (id, contrib)
+    * inflow aggregate, and the fold-back left join onto the rank frame
+    * is co-partitioned (aggregate output and ranks0 are both
+    * hash(id, parts)) so it adds NO exchange. The fold-back is also
+    * where dst confinement and dangling backfill happen: an inflow key
+    * outside the node universe (a phantom-dst edge target — prep no
+    * longer ships a full-width semi-join to drop it) finds no rank row
+    * to land on, and a node nobody links to backfills zero — the same
+    * one-join discipline as [[rankStepBroadcast]]. Output keeps
+    * ranks0's hash(id) partitioning, so the next round stays
+    * exchange-free too. */
   private[graft] def rankStep(eDeg: DataFrame, ranks0: DataFrame,
       base: Long): DataFrame = {
     val ranks = ranks0
@@ -227,17 +241,17 @@ object Graph {
     // promotes to double, and a quotient one ulp below an integer
     // would round up and truncate differently from the oracle's
     // exact floor division
-    // every node contributes a zero row to its own inflow, so the
-    // aggregate's key set IS the node set — the dangling-node left
-    // join (one more two-sided shuffle per round) disappears
-    eDeg
+    val inflow = eDeg
       .join(ranks, eDeg("src") === ranks0("id"))
       .select(col("dst").as("id"),
         expr("rank div outdeg").as("contrib"))
-      .unionByName(ranks0.select(col("id"), lit(0L).as("contrib")))
       .groupBy("id").agg(sum(col("contrib")).as("inflow"))
+    ranks0.select(col("id"))
+      .join(inflow, Seq("id"), "left")
       .select(col("id"),
-        (lit(base) + expr("(85 * inflow) div 100")).as("rank"))
+        (lit(base) +
+          expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+          .as("rank"))
   }
 
   /** Per-node triangle counts + degree over an UNDIRECTED edge set
@@ -347,6 +361,7 @@ object Graph {
   def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50, "maxHops must be in [1, 50]")
+    import graft.functions.VectorFunctions
     // two measured regimes, like [[pageRank]]: a node universe whose
     // (id, hops) frame fits the broadcast threshold means every
     // frontier does too (frontier ⊆ nodes) — rounds are map-side
@@ -357,8 +372,15 @@ object Graph {
     // frontier) still broadcasts the early, small frontiers.
     val bcastThreshold =
       nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val nodesSmall = bcastThreshold > 0 &&
-      nodes.count() * 16 <= bcastThreshold
+    // one bounded (1-row) driver job: N picks the regime; min(id)
+    // gates the dense-frontier bitmap path (Spark's bitmap_* bucket
+    // math is defined for positive values only)
+    val nStats = nodes
+      .agg(count(lit(1)).as("n"), min(col("id").cast("long")).as("m"))
+      .head
+    val n = nStats.getLong(0)
+    val minId = if (nStats.isNullAt(1)) 1L else nStats.getLong(1)
+    val nodesSmall = bcastThreshold > 0 && n * 16 <= bcastThreshold
     def run(pinned: Boolean): DataFrame = {
       val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
       // dst confined to the node universe once, round-invariantly —
@@ -374,6 +396,37 @@ object Graph {
           e0.repartition(parts, col("src")).sortWithinPartitions("src")
         else e0)
         .materialized(big = pinned)
+      // Dense-frontier regime (pinned only): once the frontier's
+      // expected expansion (|frontier|·avgdeg) dwarfs the whole
+      // bitmap universe, the per-round reached-set `distinct` is the
+      // measured scale-killer — each map task sees most of the dst
+      // universe, so partial aggregation barely reduces and the
+      // exchange ships ~(tasks × |V|) rows (sf30: 5.5× for 3× data,
+      // heap-insensitive). Instead, reached-dst state is folded
+      // map-side into Spark's bounded 4 KB bucket bitmaps
+      // (bitmap_construct_agg) so the exchange ships at most
+      // tasks × ⌈|V|/32768⌉ bitmap rows — O(|V|/8) bytes per task,
+      // not O(|V|) rows — and the visited-set anti-join collapses to
+      // an AND-NOT against a ⌈|V|/32768⌉-row visited mask. Ids decode
+      // back out of the reduced bitmaps ([[VectorFunctions
+      // .BitmapPositions]]). Sparse rounds (early small frontiers)
+      // keep the row path: a mostly-empty 4 KB bitmap per touched
+      // bucket per task would ship ~170× MORE than the rows it
+      // replaces — the crossover below is exactly that byte ratio.
+      val eCount = if (pinned) e.count() else 0L
+      val avgDeg = if (pinned) math.max(1L, eCount / math.max(1L, n)) else 1L
+      val useBitmaps = pinned && minId >= 1L
+      val bitmapRows = n / 32768L + 1L
+      // the crossover is the byte ratio of a 4 KB bucket bitmap to a
+      // ~24 B id row; overridable so rehearsals (and the spec) can
+      // measure both sides of the boundary
+      val denseFactor = edges.sparkSession.conf
+        .get("spark.graft.bfs.denseFactor", "171").toLong
+      def toMask(ids: DataFrame): DataFrame = ids
+        .select(expr("bitmap_bucket_number(id)").as("bk"),
+          expr("bitmap_bit_position(id)").as("pos"))
+        .groupBy("bk")
+        .agg(expr("bitmap_construct_agg(pos)").as("vbm"))
       // per-round state is the VISITED set (id, hops) — frontier-sized
       // work stays frontier-sized: each round anti-joins new arrivals
       // against visited instead of left-joining the whole node universe
@@ -384,19 +437,58 @@ object Graph {
         .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
         .withColumn("hops", lit(0L))
         .materialized(big = pinned)
+      // the visited-set bitmap mask — ⌈|V|/32768⌉ rows of 4 KB, kept
+      // in sync every round (cheap at any frontier size) so a dense
+      // round can engage regardless of what earlier rounds did
+      var visitedBm =
+        if (useBitmaps) toMask(visited).materialized() else null
       var frontier = visited
       var round = 1
       while (round <= maxHops) {
         val f = frontier.select(col("id").as("_fid"))
+        val fCount =
+          if (nodesSmall) 0L else frontier.count()
         val fSmall = nodesSmall || (bcastThreshold > 0 &&
-          frontier.count() * 16 <= bcastThreshold)
+          fCount * 16 <= bcastThreshold)
+        val dense = useBitmaps &&
+          fCount * avgDeg > parts.toLong * bitmapRows * denseFactor
         val reached = Iterate.materialize(
-          e.join(if (fSmall) broadcast(f) else f, e("src") === col("_fid"))
-          .select(e("dst").as("id")).distinct()
-          .join(visited, Seq("id"), "left_anti")
-          .withColumn("hops", lit(round.toLong)), round, big = pinned)
+          if (dense) {
+            e.join(f, e("src") === col("_fid"))
+              .select(expr("bitmap_bucket_number(dst)").as("bk"),
+                expr("bitmap_bit_position(dst)").as("pos"))
+              .groupBy("bk")
+              .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+              .join(visitedBm, Seq("bk"), "left")
+              .select(col("bk"),
+                when(col("vbm").isNull, col("bm"))
+                  .otherwise(VectorFunctions.bitmap_andnot(
+                    col("bm"), col("vbm"))).as("bm"))
+              .filter(expr("bitmap_count(bm) > 0"))
+              .select(col("bk"), explode(
+                VectorFunctions.bitmap_positions(col("bm"))).as("pos"))
+              .select(((col("bk") - 1) * 32768 + col("pos") + 1)
+                .cast("long").as("id"))
+              .withColumn("hops", lit(round.toLong))
+          } else {
+            e.join(if (fSmall) broadcast(f) else f,
+                e("src") === col("_fid"))
+              .select(e("dst").as("id")).distinct()
+              .join(visited, Seq("id"), "left_anti")
+              .withColumn("hops", lit(round.toLong))
+          }, round, big = pinned)
         visited = Iterate.materialize(visited.unionByName(reached),
           round, big = pinned)
+        if (useBitmaps)
+          visitedBm = Iterate.materialize(
+            visitedBm.unionByName(
+              reached.select(
+                expr("bitmap_bucket_number(id)").as("bk"),
+                expr("bitmap_bit_position(id)").as("pos"))
+                .groupBy("bk")
+                .agg(expr("bitmap_construct_agg(pos)").as("vbm")))
+              .groupBy("bk")
+              .agg(expr("bitmap_or_agg(vbm)").as("vbm")), round)
         frontier = reached
         round += 1
       }

@@ -401,12 +401,19 @@ object DocsStream {
     * current neighbor, plus one row per existing member whose
     * best-so-far this arrival beats — both under the consumer's
     * exact (cosine DESC, nn_id ASC) order, with each member's
-    * best-so-far carried in state. The epoch-close per-vector max
-    * over the sink therefore still rebuilds the batch operator's
-    * best-neighbor report EXACTLY (every member's emission sequence
-    * is increasing and ends at its true bucket best), while output
-    * volume drops from O(occupancy²) pairs to arrivals + improvement
-    * events (expected O(m log m) per bucket). The former
+    * best-so-far carried in state. While the `maxBucket` cap is
+    * dormant (every bucket below the cap — the case at every tested
+    * scale here), the epoch-close per-vector max over the sink
+    * rebuilds the batch operator's best-neighbor report EXACTLY
+    * (every member's emission sequence is increasing and ends at its
+    * true bucket best), while output volume drops from O(occupancy²)
+    * pairs to arrivals + improvement events (expected O(m log m) per
+    * bucket). Once the cap ENGAGES, the append sink still retains
+    * improvement rows naming members the keep-smallest set later
+    * evicted (or never admitted), so the epoch-close max can exceed
+    * the capped batch replay for those vectors — the same
+    * emission-superset caveat as [[minhashPairsStream]], here applying
+    * to the scores as well as the pair set. The former
     * every-pair-both-ways emission was measured fatal two decades up:
     * at sf10 a 12.5k-member bucket implies ~10¹⁰ buffered pair rows
     * and the per-batch output buffer OOMed the executor before the

@@ -280,6 +280,25 @@ class GraphSpec extends AnyFunSuite {
         .toSet
     }
     assert(bfsFast === bfsPinned)
+    // the dense-frontier bitmap regime (reached-dst state shipped as
+    // bounded bucket bitmaps, visited anti-join as an AND-NOT mask)
+    // must be value-identical too: denseFactor=0 forces every pinned
+    // round down the bitmap path
+    val (bfsFast2, bfsBitmap) = both {
+      val wasDense = spark.conf.getOption("spark.graft.bfs.denseFactor")
+      spark.conf.set("spark.graft.bfs.denseFactor", "0")
+      try Graph.bfsHops(nodes.toDF("id"), edges.toDF("src", "dst"),
+          Seq(1L, 7L).toDF("id"), 4)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      finally wasDense match {
+        case Some(v) => spark.conf.set("spark.graft.bfs.denseFactor", v)
+        case None => spark.conf.unset("spark.graft.bfs.denseFactor")
+      }
+    }
+    assert(bfsFast2 === bfsBitmap,
+      "dense bitmap-frontier rounds must reproduce the row-path hops")
   }
 
   test("reliable-checkpoint mode: identical results to localCheckpoint " +

@@ -238,4 +238,72 @@ class SqlDialectSpec extends AnyFunSuite {
         |ORDER BY `s_suppkey` LIMIT 1, 3""".stripMargin))
     assert(df.collect().length === 3)
   }
+
+  // -------------------------------------------------------------------
+  // DATE_ADD / DATE_SUB (interval forms) and NOW()
+  // -------------------------------------------------------------------
+
+  test("DATE_ADD/DATE_SUB interval forms rewrite to interval " +
+      "arithmetic; day-count form passes through; compound units and " +
+      "computed quantities fail loudly") {
+    assert(translate("SELECT DATE_ADD(d, INTERVAL 3 DAY) FROM t") ===
+      "SELECT (d + INTERVAL 3 DAY) FROM t")
+    assert(translate("SELECT DATE_SUB(d, INTERVAL 7 HOUR) FROM t") ===
+      "SELECT (d - INTERVAL 7 HOUR) FROM t")
+    // quoted quantity and case-insensitive unit, MySQL-style
+    assert(translate("SELECT DATE_ADD(d, interval '2' week) FROM t") ===
+      "SELECT (d + INTERVAL 2 WEEK) FROM t")
+    // QUARTER folds to months (absent from Spark's interval literals)
+    assert(translate("SELECT DATE_ADD(d, INTERVAL 2 QUARTER) FROM t") ===
+      "SELECT (d + INTERVAL 6 MONTH) FROM t")
+    // two-argument day-count form is Spark-identical: untouched, but
+    // its arguments still scan (nested MySQL-isms translate)
+    assert(translate("SELECT DATE_ADD(d, 3) FROM t") ===
+      "SELECT DATE_ADD(d, 3) FROM t")
+    assert(translate(
+      "SELECT DATE_ADD(DATE_SUB(d, INTERVAL 1 DAY), 3) FROM t") ===
+      "SELECT DATE_ADD((d - INTERVAL 1 DAY), 3) FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT DATE_ADD(d, INTERVAL '1 2' DAY_HOUR) FROM t")
+    }
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT DATE_ADD(d, INTERVAL n DAY) FROM t")
+    }
+  }
+
+  test("NOW() truncates to MySQL's second precision; NOW(6) is full " +
+      "precision; intermediate fsp fails loudly") {
+    assert(translate("SELECT NOW() FROM t") ===
+      "SELECT date_trunc('SECOND', current_timestamp()) FROM t")
+    assert(translate("SELECT NOW(6) FROM t") ===
+      "SELECT current_timestamp() FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT NOW(3) FROM t")
+    }
+  }
+
+  test("DATE_ADD interval end-to-end: next-month bucketing matches the " +
+      "native add_months spelling") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.register(spark, sfDir)
+    val engine = new Engine(spark, sfDir)
+    val got = engine.getData(MySqlDialect.translate(
+      """SELECT `o_orderkey`,
+        |  DATE_FORMAT(DATE_ADD(`o_orderdate`, INTERVAL 1 MONTH),
+        |              '%Y-%m-%d') AS nm,
+        |  DATE_FORMAT(DATE_SUB(`o_orderdate`, INTERVAL 7 DAY),
+        |              '%Y-%m-%d') AS pw
+        |FROM `orders` ORDER BY `o_orderkey` LIMIT 0, 20""".stripMargin))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd")
+          .as("nm"),
+        date_format(date_sub(col("o_orderdate"), 7), "yyyy-MM-dd")
+          .as("pw"))
+      .orderBy("o_orderkey").limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got === want)
+    assert(got.length === 20)
+  }
 }

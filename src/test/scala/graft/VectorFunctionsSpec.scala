@@ -124,4 +124,33 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(r === Seq(2L, 0L, 0L))
   }
+
+  test("bitmap_positions round-trips the builtin bitmap_construct_agg " +
+      "layout: (bucket-1)*32768 + position + 1 recovers every value") {
+    // values spanning three buckets, including the edges of each
+    val vals = Seq(1L, 2L, 7L, 8L, 9L, 255L, 256L, 32767L, 32768L,
+      32769L, 65536L, 65537L, 99999L)
+    val decoded = vals.toDF("v")
+      .select(expr("bitmap_bucket_number(v)").as("bk"),
+        expr("bitmap_bit_position(v)").as("pos"))
+      .groupBy("bk")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .select(col("bk"), explode(bitmap_positions(col("bm"))).as("p"))
+      .select(((col("bk") - 1) * 32768 + col("p") + 1).as("v"))
+      .collect().map(_.getLong(0)).toSet
+    assert(decoded === vals.toSet)
+  }
+
+  test("bitmap_andnot is exact set difference on bitmap buckets") {
+    def bm(vals: Seq[Long]) = vals.toDF("v")
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(v))").as("bm"))
+    val a = bm(Seq(1L, 5L, 100L, 32768L)) // all in bucket 1
+    val b = bm(Seq(5L, 7L, 100L))
+    val diff = a.crossJoin(b.withColumnRenamed("bm", "vb"))
+      .select(explode(bitmap_positions(
+        bitmap_andnot(col("bm"), col("vb")))).as("p"))
+      .select((col("p") + 1).cast("long").as("v")) // bucket 1 ⇒ v = pos+1
+      .collect().map(_.getLong(0)).toSet
+    assert(diff === Set(1L, 32768L))
+  }
 }
