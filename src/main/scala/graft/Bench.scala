@@ -112,6 +112,15 @@ object Bench {
       // of guessing.
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST", (64 << 20).toString))
+      // serialized storage blocks (the pinned-regime graph frames)
+      // compress with lz4: at the sf100 rehearsal the UNcompressed
+      // 1.17 B-row SER edge frame tipped total transient disk past
+      // the box (fill-then-abort); compressed, pagerank completes
+      // with ~20 GB headroom. Deserialized levels (the default
+      // localCheckpoint storage everywhere else) are unaffected, so
+      // the sf0.1 gate pays nothing.
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -124,26 +124,37 @@ object Association {
     val pruned = VectorFunctions.long_set_filter(col("items"), freq)
     // MEASURED pair mass Σ k·(k−1)/2 over the pruned arrays — one
     // bounded (1-row) aggregate over the already-materialized basket
-    // frame. This is the keyspace bound that keeps the pair aggregate
-    // sublinear at fixed hardware: the distinct-pair keyspace grows
-    // with the corpus, so an unpartitioned partial aggregate sees
-    // nearly ALL distinct pairs per task, stops fitting, and degrades
-    // to sort+spill only to ship near-unreduced data anyway (measured
-    // 23.5×/decade at the sf100 rehearsal). When the measured mass
-    // says a per-task hash table cannot hold its share, we shuffle the
-    // RAW pair rows FIRST (16-byte rows, a linear exchange) into
-    // enough hash(a_item, b_item) partitions that each task's keyspace
-    // is ≤ pairAggTargetRows — the partial+final aggregates then run
-    // co-partitioned ABOVE that exchange, each holding only its D/P
-    // slice, pure hash, no spill. Below the engage point the plan is
-    // byte-identical to the classic map-side-combined groupBy (the
-    // driver gate's shape).
+    // frame — plus the frequent-item count already on the driver.
+    // Together they bound the pair aggregate's PER-TASK PARTIAL
+    // KEYSPACE on fixed hardware. Measured shape of this corpus
+    // (sf10): 120 M pair instances, 99.7 % singleton pairs, max
+    // repeat 3 — map-side combine can barely reduce, but it is also
+    // HARMLESS while each task's hash table fits memory (same-day
+    // sf100 A/B: classic groupBy 357.5 s vs unconditional
+    // repartition-first 401.6 s — shuffling raw pairs first just
+    // re-pays the hash build post-exchange, so the classic plan
+    // stays the default). What DOES degrade is the partial hash
+    // table outgrowing its task's memory share — per-task keyspace
+    // is ~mass/partitions, which grows without bound on a fixed-
+    // width box. ONLY then (sparse pair space AND measured per-task
+    // keyspace past `pairAggTargetRows`) the raw pair rows shuffle
+    // FIRST into enough hash(a_item, b_item) partitions that each
+    // task's keyspace is ≤ the budget: one linear 16-byte-row
+    // exchange buys a bounded, spill-free aggregate. In the DENSE
+    // regime (small catalog, every pair repeating — classic retail)
+    // map-side combine reduces mass → ~C(catalog, 2) and the classic
+    // plan is the win at ANY size, so the bypass never engages.
     val mass = sets.select(size(pruned).cast("long").as("k"))
       .agg(coalesce(sum(expr("(k * (k - 1)) div 2")), lit(0L)).as("m"))
       .head.getLong(0)
+    val freqCount = freq.value.size.toLong
     val parts = spark.sessionState.conf.numShufflePartitions
     val perPart = spark.conf
       .get("spark.graft.assoc.pairAggTargetRows", "4000000").toLong
+    // sparse ⇔ the mean pair can repeat < 2×: BigInt — C(2M, 2)
+    // overflows nothing but caution is free
+    val sparse =
+      BigInt(freqCount) * (freqCount - 1) / 2 > BigInt(mass) / 2
     // CappedPairs sorts ids and emits i<j — exactly the a_item<b_item
     // orientation; the cap is inert (baskets are domain-bounded)
     val exploded = sets
@@ -151,10 +162,11 @@ object Association {
         pruned, Int.MaxValue)).as("p"))
       .select(col("p.id_a").as("a_item"), col("p.id_b").as("b_item"))
     val pairSrc =
-      if (mass / perPart > parts) {
+      if (sparse && mass / math.max(1, parts) > perPart) {
         // partitions scale with the measured mass (what AQE/a real
         // cluster does), capped so task count stays schedulable
-        val p = math.min(mass / perPart + 1, 4096L).toInt
+        val p = math.max(parts.toLong,
+          math.min(mass / perPart + 1, 4096L)).toInt
         exploded.repartition(p, col("a_item"), col("b_item"))
       } else exploded
     val pairs = pairSrc

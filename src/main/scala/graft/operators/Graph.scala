@@ -373,13 +373,15 @@ object Graph {
     val bcastThreshold =
       nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     // one bounded (1-row) driver job: N picks the regime; min(id)
-    // gates the dense-frontier bitmap path (Spark's bitmap_* bucket
-    // math is defined for positive values only)
+    // gates the dense-frontier bitmap path (bucket math needs positive
+    // ids) and max(id) sizes its bucket count
     val nStats = nodes
-      .agg(count(lit(1)).as("n"), min(col("id").cast("long")).as("m"))
+      .agg(count(lit(1)).as("n"), min(col("id").cast("long")).as("m"),
+        max(col("id").cast("long")).as("mx"))
       .head
     val n = nStats.getLong(0)
     val minId = if (nStats.isNullAt(1)) 1L else nStats.getLong(1)
+    val maxId = if (nStats.isNullAt(2)) 1L else nStats.getLong(2)
     val nodesSmall = bcastThreshold > 0 && n * 16 <= bcastThreshold
     def run(pinned: Boolean): DataFrame = {
       val parts = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -403,30 +405,45 @@ object Graph {
       // universe, so partial aggregation barely reduces and the
       // exchange ships ~(tasks × |V|) rows (sf30: 5.5× for 3× data,
       // heap-insensitive). Instead, reached-dst state is folded
-      // map-side into Spark's bounded 4 KB bucket bitmaps
-      // (bitmap_construct_agg) so the exchange ships at most
-      // tasks × ⌈|V|/32768⌉ bitmap rows — O(|V|/8) bytes per task,
-      // not O(|V|) rows — and the visited-set anti-join collapses to
-      // an AND-NOT against a ⌈|V|/32768⌉-row visited mask. Ids decode
-      // back out of the reduced bitmaps ([[VectorFunctions
-      // .BitmapPositions]]). Sparse rounds (early small frontiers)
-      // keep the row path: a mostly-empty 4 KB bitmap per touched
-      // bucket per task would ship ~170× MORE than the rows it
-      // replaces — the crossover below is exactly that byte ratio.
-      val eCount = if (pinned) e.count() else 0L
-      val avgDeg = if (pinned) math.max(1L, eCount / math.max(1L, n)) else 1L
-      val useBitmaps = pinned && minId >= 1L
-      val bitmapRows = n / 32768L + 1L
-      // the crossover is the byte ratio of a 4 KB bucket bitmap to a
-      // ~24 B id row; overridable so rehearsals (and the spec) can
-      // measure both sides of the boundary
+      // map-side into bounded 2^18-bit bucket bitmaps via the
+      // hash-aggregable [[graft.functions.BitmapAgg]] (NOT the builtin
+      // bitmap_construct_agg, whose binary-buffer ImperativeAggregate
+      // can only plan as SortAggregateExec — sorting the whole
+      // expansion per round cost almost everything the bitmap shape
+      // saves; see BitmapAgg's scaladoc for the measured delta), so
+      // the exchange ships at most tasks × ⌈maxId/2^18⌉ bitmap rows —
+      // O(maxId/8) bytes per task, not O(|V|) rows — and the
+      // visited-set anti-join collapses to an AND-NOT against a
+      // ⌈maxId/2^18⌉-row visited mask. Ids decode back out of the
+      // reduced bitmaps ([[VectorFunctions.BitmapPositions]]). Sparse
+      // rounds (early small frontiers) keep the row path: a
+      // mostly-empty 32 KB bucket bitmap per touched bucket per task
+      // would ship ~1365× MORE bytes than the rows it replaces — the
+      // crossover below is exactly that byte ratio (32768-byte bucket
+      // over a ~24 B id row), overridable so rehearsals (and the
+      // spec) can measure both sides of the boundary; negative
+      // disables the bitmap machinery entirely (no edge count, no
+      // visited mask).
       val denseFactor = edges.sparkSession.conf
-        .get("spark.graft.bfs.denseFactor", "171").toLong
+        .get("spark.graft.bfs.denseFactor", "1365").toLong
+      val useBitmaps = pinned && minId >= 1L && denseFactor >= 0L
+      val eCount = if (useBitmaps) e.count() else 0L
+      val avgDeg =
+        if (useBitmaps) math.max(1L, eCount / math.max(1L, n)) else 1L
+      val bShift = 18
+      val bBits = 1 << bShift
+      val bitmapRows = (maxId - 1) / bBits + 1
+      // bk = (id-1) >> 18, pos = (id-1) & (2^18 - 1), both codegen'd;
+      // decode is id = bk·2^18 + pos + 1
+      def bkOf(c: org.apache.spark.sql.Column) =
+        shiftright(c - 1, bShift).as("bk")
+      def posOf(c: org.apache.spark.sql.Column) =
+        (c - 1).bitwiseAND(lit((bBits - 1).toLong)).as("pos")
       def toMask(ids: DataFrame): DataFrame = ids
-        .select(expr("bitmap_bucket_number(id)").as("bk"),
-          expr("bitmap_bit_position(id)").as("pos"))
+        .select(bkOf(col("id")), posOf(col("id")))
         .groupBy("bk")
-        .agg(expr("bitmap_construct_agg(pos)").as("vbm"))
+        .agg(graft.functions.BitmapAgg.bitmap_agg(col("pos"), bBits)
+          .as("vbm"))
       // per-round state is the VISITED set (id, hops) — frontier-sized
       // work stays frontier-sized: each round anti-joins new arrivals
       // against visited instead of left-joining the whole node universe
@@ -437,11 +454,24 @@ object Graph {
         .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
         .withColumn("hops", lit(0L))
         .materialized(big = pinned)
-      // the visited-set bitmap mask — ⌈|V|/32768⌉ rows of 4 KB, kept
-      // in sync every round (cheap at any frontier size) so a dense
-      // round can engage regardless of what earlier rounds did
+      // the visited-set bitmap mask — ⌈maxId/2^18⌉ rows of ≤32 KB,
+      // kept in sync every round (cheap at any frontier size) so a
+      // dense round can engage regardless of what earlier rounds did
       var visitedBm =
         if (useBitmaps) toMask(visited).materialized() else null
+      // ObjectHashAggregateExec falls back to sort-based aggregation
+      // past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // DISTINCT KEYS per task (default 128) — a partial bitmap
+      // aggregate sees every bucket, so a graph with maxId past
+      // 128·2^18 ≈ 33 M would silently re-pay the input sort the
+      // typed aggregate exists to avoid. Scope the threshold to the
+      // loop (the buffers are bounded: bitmapRows × 32 KB per task).
+      val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      val conf = edges.sparkSession.conf
+      val savedFb = if (useBitmaps) Some(conf.get(fbKey, "128")) else None
+      if (useBitmaps && bitmapRows * 2 > savedFb.get.toLong)
+        conf.set(fbKey, (bitmapRows * 2).toString)
+      try {
       var frontier = visited
       var round = 1
       while (round <= maxHops) {
@@ -455,10 +485,10 @@ object Graph {
         val reached = Iterate.materialize(
           if (dense) {
             e.join(f, e("src") === col("_fid"))
-              .select(expr("bitmap_bucket_number(dst)").as("bk"),
-                expr("bitmap_bit_position(dst)").as("pos"))
+              .select(bkOf(col("dst")), posOf(col("dst")))
               .groupBy("bk")
-              .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+              .agg(graft.functions.BitmapAgg
+                .bitmap_agg(col("pos"), bBits).as("bm"))
               .join(visitedBm, Seq("bk"), "left")
               .select(col("bk"),
                 when(col("vbm").isNull, col("bm"))
@@ -467,7 +497,7 @@ object Graph {
               .filter(expr("bitmap_count(bm) > 0"))
               .select(col("bk"), explode(
                 VectorFunctions.bitmap_positions(col("bm"))).as("pos"))
-              .select(((col("bk") - 1) * 32768 + col("pos") + 1)
+              .select((col("bk") * bBits + col("pos") + 1)
                 .cast("long").as("id"))
               .withColumn("hops", lit(round.toLong))
           } else {
@@ -482,16 +512,17 @@ object Graph {
         if (useBitmaps)
           visitedBm = Iterate.materialize(
             visitedBm.unionByName(
-              reached.select(
-                expr("bitmap_bucket_number(id)").as("bk"),
-                expr("bitmap_bit_position(id)").as("pos"))
+              reached.select(bkOf(col("id")), posOf(col("id")))
                 .groupBy("bk")
-                .agg(expr("bitmap_construct_agg(pos)").as("vbm")))
+                .agg(graft.functions.BitmapAgg
+                  .bitmap_agg(col("pos"), bBits).as("vbm")))
               .groupBy("bk")
-              .agg(expr("bitmap_or_agg(vbm)").as("vbm")), round)
+              .agg(graft.functions.BitmapAgg
+                .bitmap_agg(col("vbm"), bBits).as("vbm")), round)
         frontier = reached
         round += 1
       }
+      } finally savedFb.foreach(conf.set(fbKey, _))
       nodes.select(col("id").cast("long"))
         .join(visited, Seq("id"), "left")
         .select(col("id"), col("hops"))

@@ -94,6 +94,35 @@ class AssociationSpec extends AnyFunSuite {
     }
   }
 
+  test("keyspace-bounded pair aggregate (sparse pair space + mass " +
+      "past the budget → repartition by pair key first) is " +
+      "value-identical and actually re-plans") {
+    // wide catalog, each item supported >= 2, pairs mostly unique —
+    // the SPARSE regime where map-side combine is waste
+    val baskets: Seq[(Long, Long)] =
+      (1L to 100L).flatMap(bk =>
+        Seq((bk, bk % 100), (bk, (bk + 1) % 100), (bk, (2 * bk) % 100)))
+    val df = baskets.toDF("bk", "item")
+    val sets = Association.basketSets(df, "bk", "item")
+    val default = Association.frequentPairsFused(sets, 2L, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val key = "spark.graft.assoc.pairAggTargetRows"
+    spark.conf.set(key, "1") // any real mass exceeds 1 row/task
+    try {
+      val bounded = Association.frequentPairsFused(sets, 2L, 1L)
+      val plan = bounded.queryExecution.executedPlan.toString
+      // the engaged path shuffles RAW pair rows into hash(a_item,
+      // b_item) partitions BEFORE any aggregate runs on them
+      assert(plan.contains("hashpartitioning(a_item"),
+        s"expected an explicit pair-key repartition:\n$plan")
+      val got = bounded.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === default,
+        "bounded-keyspace plan must not change the pair counts")
+    } finally spark.conf.unset(key)
+  }
+
   test("reliable-checkpoint mode: both association regimes emit " +
       "identical results (the one-shot materializations honor the seam)") {
     // the basketRelation / basketSets / frequentPairsFrom`f` / itemN

@@ -141,6 +141,37 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(decoded === vals.toSet)
   }
 
+  test("bitmap_agg (typed, hash-aggregable) matches the builtin's " +
+      "layout, ORs binary inputs, trims trailing zeros, and plans " +
+      "WITHOUT a sort") {
+    import graft.functions.BitmapAgg.bitmap_agg
+    val vals = Seq(0L, 3L, 8L, 255L, 300L, 32767L)
+    // position mode: same bytes as the builtin construct (up to the
+    // trailing-zero trim), decoded by the same bitmap_positions
+    val mine = vals.toDF("p")
+      .agg(bitmap_agg(col("p"), 32768).as("bm"))
+      .select(explode(bitmap_positions(col("bm"))).as("p"))
+      .collect().map(_.getInt(0).toLong).toSet
+    assert(mine === vals.toSet)
+    // binary mode ORs partial bitmaps (differing trimmed lengths OK)
+    val orWay = vals.toDF("p")
+      .withColumn("g", pmod(col("p"), lit(3)))
+      .groupBy("g").agg(bitmap_agg(col("p"), 32768).as("bm"))
+      .agg(bitmap_agg(col("bm"), 32768).as("bm"))
+      .select(explode(bitmap_positions(col("bm"))).as("p"))
+      .collect().map(_.getInt(0).toLong).toSet
+    assert(orWay === vals.toSet)
+    // the whole point: the aggregate hash-aggregates (ObjectHashAgg),
+    // never sort-aggregates like the builtin bitmap_construct_agg
+    val plan = vals.toDF("p")
+      .groupBy(expr("p % 5")).agg(bitmap_agg(col("p"), 32768))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"bitmap_agg should plan as ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"bitmap_agg must not fall to SortAggregate:\n$plan")
+  }
+
   test("bitmap_andnot is exact set difference on bitmap buckets") {
     def bm(vals: Seq[Long]) = vals.toDF("v")
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(v))").as("bm"))
