@@ -156,17 +156,25 @@ object Service {
 
   /** Self-contained plan-view page: textarea → POST /query → the two
     * plan trees rendered as NODE-EDGE DIAGRAMS (inline SVG, tidy-tree
-    * layout — the reference renders the same trees with JointJS,
-    * `DistributedQueryService/index.js:86-120`; this closes that last
-    * cosmetic gap without any runtime dependency) plus the first rows.
-    * Inline JS/CSS only — the environment has no egress, and the
-    * machine contract stays the JSON routes. */
+    * layout) in DRAG-TO-PAN / WHEEL-TO-ZOOM viewports — the reference
+    * renders the same trees on a drag/zoomable JointJS canvas
+    * (`DistributedQueryService/index.js:86-120`); this closes that
+    * last cosmetic gap without any runtime dependency (zoom is a CSS
+    * transform anchored at the cursor, pan a translate — ~25 lines of
+    * plain JS) plus the first rows. Inline JS/CSS only — the
+    * environment has no egress, and the machine contract stays the
+    * JSON routes. */
   private[graft] val indexHtml: String =
     """<!doctype html>
       |<html><head><meta charset="utf-8"><title>graft</title><style>
       |  body { font: 14px/1.4 system-ui, sans-serif; margin: 1.5rem; }
       |  textarea { width: 100%; height: 6rem; font: 13px monospace; }
       |  .cols { display: flex; gap: 2rem; align-items: flex-start; }
+      |  .tree { width: 46vw; height: 420px; overflow: hidden;
+      |          border: 1px solid #ddd; border-radius: 4px;
+      |          cursor: grab; touch-action: none; }
+      |  .tree.dragging { cursor: grabbing; }
+      |  .tree svg { transform-origin: 0 0; }
       |  .tree ul { list-style: none; margin: 0; padding-left: 1.2rem;
       |             border-left: 1px solid #bbb; }
       |  .node { display: inline-block; border: 1px solid #888;
@@ -253,6 +261,43 @@ object Service {
       |  svg.push('</svg>');
       |  return svg.join('');
       |}
+      |// drag-to-pan / wheel-to-zoom viewport over the plan SVG — the
+      |// reference's JointJS canvas affordances, in plain JS: pan is a
+      |// translate, zoom a scale anchored at the cursor so the point
+      |// under the pointer stays put (the standard zoom-at-point math).
+      |function panZoom(el) {
+      |  const v = { x: 0, y: 0, s: 1 };
+      |  const apply = () => {
+      |    const svg = el.querySelector('svg');
+      |    if (svg) svg.style.transform = 'translate(' + v.x + 'px,' +
+      |      v.y + 'px) scale(' + v.s + ')';
+      |  };
+      |  el.addEventListener('wheel', e => {
+      |    e.preventDefault();
+      |    const r = el.getBoundingClientRect();
+      |    const mx = e.clientX - r.left, my = e.clientY - r.top;
+      |    const f = Math.exp(-e.deltaY * 0.0015);
+      |    const s2 = Math.min(8, Math.max(0.1, v.s * f));
+      |    v.x = mx - (mx - v.x) * (s2 / v.s);
+      |    v.y = my - (my - v.y) * (s2 / v.s);
+      |    v.s = s2; apply();
+      |  }, { passive: false });
+      |  let drag = null;
+      |  el.addEventListener('pointerdown', e => {
+      |    drag = { x: e.clientX - v.x, y: e.clientY - v.y };
+      |    el.classList.add('dragging'); el.setPointerCapture(e.pointerId);
+      |  });
+      |  el.addEventListener('pointermove', e => {
+      |    if (!drag) return;
+      |    v.x = e.clientX - drag.x; v.y = e.clientY - drag.y; apply();
+      |  });
+      |  el.addEventListener('pointerup', () => {
+      |    drag = null; el.classList.remove('dragging');
+      |  });
+      |  el.__reset = () => { v.x = 0; v.y = 0; v.s = 1; apply(); };
+      |}
+      |for (const id of ['orig', 'opt'])
+      |  panZoom(document.getElementById(id));
       |async function run() {
       |  document.getElementById('err').textContent = '';
       |  const r = await fetch('/query', { method: 'POST',
@@ -264,6 +309,8 @@ object Service {
       |  }
       |  document.getElementById('orig').innerHTML = graph(j.originalPlan);
       |  document.getElementById('opt').innerHTML = graph(j.optimizedPlan);
+      |  for (const id of ['orig', 'opt'])
+      |    document.getElementById(id).__reset();
       |  const rows = j.rows; // toJSON objects arrive pre-parsed
       |  document.getElementById('rows').innerHTML =
       |    '<h3>rows (' + esc(j.rowCount) + ')</h3><table><tr>' +
