@@ -35,9 +35,13 @@ object CrossRegimeCheck {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.register(spark, sfDir)
 
-    def rows(name: String): Set[Seq[Any]] =
+    // MULTISET of rows (row -> count), not a set: the two regimes must
+    // agree on duplicate multiplicity too — set equality would pass a
+    // regime that doubles or drops duplicate rows undetected
+    def rows(name: String): Map[Seq[Any], Int] =
       SparkEntry.queries(name)(spark, sfDir)
-        .collect().map(_.toSeq.map(v => if (v == null) "∅" else v)).toSet
+        .collect().map(_.toSeq.map(v => if (v == null) "∅" else v))
+        .groupBy(identity).map { case (r, g) => (r, g.length) }
 
     var failed = false
     for (name <- Seq("graph_pagerank", "graph_bfs")) {
@@ -53,8 +57,9 @@ object CrossRegimeCheck {
           .foreach(_.unpersist(blocking = true))
         val pinnedRows = rows(name)
         val ok = broadcastRows == pinnedRows
-        println(s"[cross-regime] $name broadcast=${broadcastRows.size} " +
-          s"pinned=${pinnedRows.size} identical=$ok")
+        println(s"[cross-regime] $name " +
+          s"broadcast=${broadcastRows.valuesIterator.sum} " +
+          s"pinned=${pinnedRows.valuesIterator.sum} identical=$ok")
         if (!ok) failed = true
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",

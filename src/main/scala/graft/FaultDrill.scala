@@ -49,13 +49,20 @@ object FaultDrill {
     graft.sources.Tables.register(spark, sfDir)
 
     @volatile var killed: String = "none"
+    // Scope the kill to THIS application's executors: every
+    // CoarseGrainedExecutorBackend is launched with `--app-id <appId>`
+    // on its command line, so matching both tokens can never hit an
+    // executor belonging to an unrelated Spark app sharing the box
+    // (nor the driver JVM, whose cmdline carries neither). The `[d]`
+    // character class keeps the pattern from matching the bash
+    // wrapper process whose own cmdline carries this regex.
+    val appId = spark.sparkContext.applicationId
     val killer = new Thread(() => {
       Thread.sleep(killAfterSec * 1000L)
-      // executors are separate JVMs (CoarseGrainedExecutorBackend);
-      // the driver JVM runs this main and never matches the pattern
       val out = new java.io.ByteArrayOutputStream()
       val p = new ProcessBuilder("bash", "-c",
-        "pgrep -f CoarseGrainedExecutorBackend | head -1").start()
+        s"pgrep -f 'CoarseGrainedExecutorBackend.*--app-i[d] $appId' " +
+          "| head -1").start()
       p.getInputStream.transferTo(out)
       p.waitFor()
       val pid = out.toString.trim

@@ -295,22 +295,57 @@ case class RewriteHammingThresholdJoin(spark: SparkSession)
 case class RewriteJaccardThresholdJoin(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper with ShuffleJoinPin {
 
-  // Session-scoped memos for the rule's two bounded driver jobs (the
-  // stop-gram df model and the candidate-mass histogram): the
-  // optimizer re-runs this rule on EVERY re-optimization of a plan
-  // containing the predicate — each derived Dataset, explain() call,
-  // stats access — and without the memo each re-plan would re-pay
-  // both corpus-scale jobs. Keyed by the CANONICALIZED inputs
-  // (structural plan equality normalizes exprIds, so the same
-  // Dataset re-derived re-uses its entry); the rule instance is built
-  // once per session (injectOptimizerRule), so the cache lives and
-  // dies with the session. Crude overflow guard: clear past 32
-  // entries — a session juggling 32+ distinct jaccard-join inputs
-  // re-trains, it never grows unboundedly.
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[Any, Map[Long, Long]]
-  private val statsCache =
-    scala.collection.concurrent.TrieMap.empty[Any, (Long, Double, Int)]
+  // Memos for the rule's two bounded driver jobs (the stop-gram df
+  // model and the candidate-mass histogram): the optimizer re-runs
+  // this rule on EVERY re-optimization of a plan containing the
+  // predicate — each derived Dataset, explain() call, stats access,
+  // and twice per single optimize (the operator-optimization rule set
+  // runs both before and after filter inference) — and without the
+  // memo each firing would re-pay both corpus-scale jobs. The maps
+  // live on the COMPANION OBJECT, not the instance: injected rule
+  // builders are re-invoked on every optimizer execution (Optimizer
+  // .batches is a def), so an instance field would silently scope the
+  // memo to one optimize pass. JVM-global is sound because the values
+  // are pure functions of (resolved plan, data): keyed by the
+  // CANONICALIZED inputs (structural plan equality normalizes
+  // exprIds, so the same Dataset re-derived re-uses its entry) PLUS a
+  // data fingerprint over the leaf relations (file listing signature
+  // for file scans, instance identity for in-memory/other leaves —
+  // see [[dataFingerprint]]): maxOcc is a CORRECTNESS bound
+  // (bounded_min_collect / bucket_pairs truncate buckets past it), so
+  // a canonically-equal plan whose underlying data changed mid-session
+  // (overwrite + catalog refresh) must MISS rather than silently drop
+  // candidates from a stale too-small maxOcc. Crude overflow guard:
+  // clear past 32 entries — a JVM juggling 32+ distinct jaccard-join
+  // inputs re-trains, it never grows unboundedly.
+  private def modelCache = RewriteJaccardThresholdJoin.modelCache
+  private def statsCache = RewriteJaccardThresholdJoin.statsCache
+
+  /** Cheap driver-side data signature for the memo keys above. File
+    * scans fingerprint the FileIndex's OWN listing (path/len/modtime
+    * per file — the exact file set the scan will read, so the memo is
+    * consistent with the query even when the index listing itself is
+    * cached); `spark.catalog.refreshTable`/`refreshByPath` swap in a
+    * re-listed index and thus a new fingerprint. Non-file leaves
+    * (InMemoryRelation's immutable cache, JDBC, LocalRelation) fall
+    * back to relation-instance identity: a re-read builds a new
+    * instance, while the one genuinely unfingerprintable case — an
+    * external writer mutating bytes in place under an UNREFRESHED
+    * index — is stale for the scan itself, not just the memo. */
+  private def dataFingerprint(plans: LogicalPlan*): Seq[Any] =
+    plans.flatMap(_.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+            (files.length, files.foldLeft(0L)((acc, f) =>
+              acc ^ (f.getPath.toString.hashCode.toLong * 1000003L +
+                f.getLen * 31L + f.getModificationTime)))
+          case rel => System.identityHashCode(rel)
+        }
+      case leaf => System.identityHashCode(leaf)
+    })
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf
@@ -376,7 +411,8 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     val hotDf: Map[Long, Long] = {
       if (modelCache.size > 32) modelCache.clear()
       modelCache.getOrElseUpdate(
-        (j.left.canonicalized, aText.canonicalized, n), {
+        (j.left.canonicalized, aText.canonicalized, n,
+          dataFingerprint(j.left)), {
         val gramsL = VectorFunctions.CharNgramHashes(
           VectorFunctions.NormalizeText(aText), n, distinctSorted = true)
         bridge.ofRows(spark, j.left)
@@ -497,7 +533,8 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
       if (statsCache.size > 32) statsCache.clear()
       statsCache.getOrElseUpdate(
         (j.left.canonicalized, j.right.canonicalized,
-          aText.canonicalized, bText.canonicalized, n, t), {
+          aText.canonicalized, bText.canonicalized, n, t,
+          dataFingerprint(j.left, j.right)), {
         val r = skinny.groupBy("__graft_g").agg(count(lit(1)).as("m"))
           .agg(sum(col("m")).as("p"),
             sum(col("m").cast("double") * (col("m") - 1) / 2).as("est"),
@@ -601,6 +638,16 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     pinShuffleJoin(
       LProject((j.left.output ++ j.right.output).map(a => a), filtered))
   }
+}
+
+object RewriteJaccardThresholdJoin {
+  // see the scaladoc at the instance accessors: JVM-lived memos for
+  // the rule's two bounded driver jobs, keyed by canonicalized plans
+  // + data fingerprint (values are session-independent)
+  private[graft] val modelCache =
+    scala.collection.concurrent.TrieMap.empty[Any, Map[Long, Long]]
+  private[graft] val statsCache =
+    scala.collection.concurrent.TrieMap.empty[Any, (Long, Double, Int)]
 }
 
 /** OPT-IN rewrite of a declarative similarity join into its banded-LSH

@@ -468,9 +468,18 @@ object Graph {
       // loop (the buffers are bounded: bitmapRows × 32 KB per task).
       val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
       val conf = edges.sparkSession.conf
-      val savedFb = if (useBitmaps) Some(conf.get(fbKey, "128")) else None
-      if (useBitmaps && bitmapRows * 2 > savedFb.get.toLong)
-        conf.set(fbKey, (bitmapRows * 2).toString)
+      // The raise is SESSION-scoped for the loop's duration (Spark has
+      // no per-plan seam for this conf): a concurrent query on the same
+      // session sees the inflated threshold until the finally below —
+      // worst case it keeps hash-aggregating where it would have
+      // sort-spilled, bounded by its own buffer sizes. Restore exactly:
+      // set back if the user had set it, UNSET if they hadn't (so we
+      // never convert an unset default into an explicit setting).
+      val fbWasSet = useBitmaps && conf.getAll.contains(fbKey)
+      val savedFb = if (fbWasSet) Some(conf.get(fbKey)) else None
+      val fbRaised = useBitmaps &&
+        bitmapRows * 2 > conf.get(fbKey, "128").toLong
+      if (fbRaised) conf.set(fbKey, (bitmapRows * 2).toString)
       try {
       var frontier = visited
       var round = 1
@@ -522,7 +531,10 @@ object Graph {
         frontier = reached
         round += 1
       }
-      } finally savedFb.foreach(conf.set(fbKey, _))
+      } finally if (fbRaised) savedFb match {
+        case Some(v) => conf.set(fbKey, v)
+        case None => conf.unset(fbKey)
+      }
       nodes.select(col("id").cast("long"))
         .join(visited, Seq("id"), "left")
         .select(col("id"), col("hops"))

@@ -309,6 +309,55 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard rewrite memo misses when the underlying data changes " +
+      "(stale maxOcc must not truncate buckets)") {
+    withExtSession { s =>
+      import s.implicits._
+      // The rule memoizes (nPostings, estPairs, maxOcc) keyed by the
+      // canonicalized plan — and maxOcc is a CORRECTNESS bound
+      // (bounded_min_collect keeps maxOcc postings per bucket). A
+      // reused Dataset whose files are overwritten + refreshed keeps a
+      // canonically-identical plan over NEW data: without the data
+      // fingerprint in the key, corpus A's maxOcc=2 would truncate
+      // corpus B's depth-6 buckets and silently drop pairs.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fp_memo").toString + "/docs"
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "the cat watches from the fence with great interest"
+      // corpus A: two unrelated docs — every gram df=1, memoized
+      // maxOcc lands on its floor of 2
+      Seq(
+        (1L, base),
+        (2L, "completely different text about catalyst optimizer " +
+          "rules and distributed shuffle execution with partitions"))
+        .toDF("id", "text").write.parquet(dir)
+      val docs = s.read.parquet(dir) // ONE reused Dataset
+      val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
+      import graft.functions.VectorFunctions.text_jaccard
+      def q = a.join(b,
+          text_jaccard(col("text_a"), col("text_b"), 8) >= 0.6 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+      assert(q.collect().isEmpty) // populates the memo for corpus A
+      // corpus B at the SAME path: six near-dup variants — every
+      // shared gram's posting list is 6 deep, far past corpus A's
+      // memoized bound
+      (1L to 6L).map(i => (i, base + s" variant number $i"))
+        .toDF("id", "text").write.mode("overwrite").parquet(dir)
+      docs.queryExecution.analyzed.refresh() // re-list the FileIndex
+      val rewritten = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
+      val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      s.conf.unset("spark.graft.jaccardRewrite.enabled")
+      assert(exact.size === 15, s"corpus B should be all-pairs: $exact")
+      assert(rewritten === exact)
+    }
+  }
+
   test("degenerate jaccard thresholds are left unrewritten, not crashed") {
     withExtSession { s =>
       import s.implicits._
