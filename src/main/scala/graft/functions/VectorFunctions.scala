@@ -622,29 +622,53 @@ object VectorFunctions {
       if (n0 < 2)
         return new org.apache.spark.sql.catalyst.util.GenericArrayData(
           Array.empty[Any])
-      val ps = new Array[(Long, Int, Int)](n0)
+      val ids = new Array[Long](n0)
+      val rns = new Array[Int](n0)
+      val szs = new Array[Int](n0)
+      val idx = new Array[Integer](n0)
       var i = 0
       while (i < n0) {
         if (arr.isNullAt(i)) return null // malformed input yields null
         val r = arr.getStruct(i, 3)
-        ps(i) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        ids(i) = r.getLong(0); rns(i) = r.getInt(1); szs(i) = r.getInt(2)
+        idx(i) = i
         i += 1
       }
-      java.util.Arrays.sort(ps, Ordering.by[(Long, Int, Int), Long](_._1))
+      java.util.Arrays.sort(idx,
+        (a: Integer, b: Integer) =>
+          java.lang.Long.compare(ids(a), ids(b)))
       val m = math.min(n0, maxBucket)
+      // Flatten the sorted prefix into primitive arrays BEFORE the
+      // m²/2 loop: this loop is the measured CPU bound of the whole
+      // exact-jaccard family (the sf30-he event-log profile put 94 %
+      // of a 335 s stage here), and iterating boxed tuples paid an
+      // object dereference + 3 unboxings per candidate check where
+      // three sequential primitive loads suffice.
+      val sIds = new Array[Long](m)
+      val sRns = new Array[Int](m)
+      val sSzs = new Array[Int](m)
+      i = 0
+      while (i < m) {
+        val p = idx(i)
+        sIds(i) = ids(p); sRns(i) = rns(p); sSzs(i) = szs(p)
+        i += 1
+      }
       val tc = threshold / (1.0 + threshold)
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       i = 0
       while (i < m) {
-        val pi = ps(i)
-        val ia = pi._1; val ra = pi._2; val sa = pi._3
+        val ia = sIds(i); val ra = sRns(i); val sa = sSzs(i)
+        val minSb = threshold * sa - EPS // length filter, a-side fixed
+        val slackA = sa - ra
         var j = i + 1
         while (j < m) {
-          val pj = ps(j)
-          val rb = pj._2; val sb = pj._3
-          if (sb >= threshold * sa - EPS && sa >= threshold * sb - EPS &&
-              math.min(sa - ra, sb - rb) + 1 >= tc * (sa + sb) - EPS)
-            out += org.apache.spark.sql.catalyst.InternalRow(ia, pj._1)
+          val sb = sSzs(j)
+          if (sb >= minSb && sa >= threshold * sb - EPS) {
+            val rb = sRns(j)
+            val ov = if (slackA < sb - rb) slackA else sb - rb
+            if (ov + 1 >= tc * (sa + sb) - EPS)
+              out += org.apache.spark.sql.catalyst.InternalRow(ia, sIds(j))
+          }
           j += 1
         }
         i += 1
@@ -727,24 +751,39 @@ object VectorFunctions {
         (a: Integer, b: Integer) =>
           java.lang.Long.compare(ids(a), ids(b)))
       val m = math.min(n0, maxBucket)
+      // flatten the sorted prefix into primitive arrays — same
+      // rationale as [[BucketPairs]]: the m²/2 prune loop reads these
+      // per candidate check, and Integer index indirection boxes
+      val sIds = new Array[Long](m)
+      val sRns = new Array[Int](m)
+      val sGss = new Array[Array[Long]](m)
+      i = 0
+      while (i < m) {
+        val p = idx(i)
+        sIds(i) = ids(p); sRns(i) = rns(p); sGss(i) = gss(p)
+        i += 1
+      }
       val tc = threshold / (1.0 + threshold)
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       i = 0
       while (i < m) {
-        val pi = idx(i)
-        val ia = ids(pi); val ra = rns(pi); val ga = gss(pi)
+        val ia = sIds(i); val ra = sRns(i); val ga = sGss(i)
         val sa = ga.length
+        val minSb = threshold * sa - EPS
+        val slackA = sa - ra
         var j = i + 1
         while (j < m) {
-          val pj = idx(j)
-          val rb = rns(pj); val gb = gss(pj); val sb = gb.length
-          if (ids(pj) != ia &&
-              sb >= threshold * sa - EPS && sa >= threshold * sb - EPS &&
-              math.min(sa - ra, sb - rb) + 1 >= tc * (sa + sb) - EPS) {
-            val c = mergeIntersectCount(ga, gb)
-            if (c.toDouble / (sa + sb - c).toDouble >= threshold - EPS)
-              out += org.apache.spark.sql.catalyst.InternalRow(
-                ia, ids(pj))
+          val gb = sGss(j); val sb = gb.length
+          if (sb >= minSb && sa >= threshold * sb - EPS &&
+              sIds(j) != ia) {
+            val rb = sRns(j)
+            val ov = if (slackA < sb - rb) slackA else sb - rb
+            if (ov + 1 >= tc * (sa + sb) - EPS) {
+              val c = mergeIntersectCount(ga, gb)
+              if (c.toDouble / (sa + sb - c).toDouble >= threshold - EPS)
+                out += org.apache.spark.sql.catalyst.InternalRow(
+                  ia, sIds(j))
+            }
           }
           j += 1
         }
