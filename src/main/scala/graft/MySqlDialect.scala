@@ -44,6 +44,18 @@ package graft
   *    equality or grouping on the raw value would silently diverge.
   *    `NOW(6)` (full precision) maps to `current_timestamp()`;
   *    intermediate precisions fail loudly.
+  *  - **`FROM_UNIXTIME(e, '%pattern')`** — the nastiest trap in the
+  *    tail: the two-argument form is VALID Spark with silently
+  *    different output (MySQL reads `%` tokens, Spark reads
+  *    DateTimeFormatter letters). Intercepted by name; the pattern
+  *    goes through the same token table. The one-argument form is
+  *    Spark-identical and passes through.
+  *  - **`STR_TO_DATE(s, '%pattern')`** rewrites to `to_date` (format
+  *    carries only date fields — MySQL's DATE result) or
+  *    `to_timestamp` (any time field — MySQL's DATETIME). A time-only
+  *    format (MySQL TIME, a type Spark lacks) fails loudly.
+  *  - **`CURTIME()`** renders MySQL's TIME text form (`HH:mm:ss`,
+  *    second-precision like NOW()); `CURTIME(6)` keeps microseconds.
   *  - **Backtick identifier quoting** needs no translation: Spark's
   *    identifier quote IS the backtick, same as MySQL.
   *  - **`<>` / `!=`**, integer `DIV`, `%`/`MOD`: identical in both.
@@ -51,8 +63,11 @@ package graft
   *    also reads `"..."` as a string literal unless
   *    `spark.sql.ansi.doubleQuotedIdentifiers` is enabled — the
   *    engine's sessions leave it off, preserving MySQL behavior.
-  *  - **`IFNULL`, `CONCAT`, `SUBSTRING_INDEX`, `COALESCE`**:
-  *    Spark ships the same functions with the same semantics.
+  *  - **`IFNULL`, `CONCAT`, `SUBSTRING_INDEX`, `COALESCE`, `IF`,
+  *    `CURDATE`, `WEEKDAY`, `DATEDIFF`, `UNIX_TIMESTAMP`,
+  *    `TIMESTAMPDIFF`**: Spark ships the same functions with the same
+  *    semantics (weekday 0=Monday, datediff/timestampdiff argument
+  *    order included — verified in SqlDialectSpec).
   *
   * Remaining divergences, documented rather than silently
   * mistranslated (README §SQL dialect): implicit string↔number
@@ -185,7 +200,10 @@ object MySqlDialect {
             word.equalsIgnoreCase("DATE_FORMAT") ||
             word.equalsIgnoreCase("DATE_ADD") ||
             word.equalsIgnoreCase("DATE_SUB") ||
-            word.equalsIgnoreCase("NOW")) {
+            word.equalsIgnoreCase("NOW") ||
+            word.equalsIgnoreCase("FROM_UNIXTIME") ||
+            word.equalsIgnoreCase("STR_TO_DATE") ||
+            word.equalsIgnoreCase("CURTIME")) {
           var j = i
           while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
           val close = if (j < n && sql.charAt(j) == '(') matchParen(j)
@@ -200,6 +218,12 @@ object MySqlDialect {
                 Some(rewriteDateFormat(inner))
               else if (word.equalsIgnoreCase("NOW"))
                 Some(rewriteNow(inner))
+              else if (word.equalsIgnoreCase("FROM_UNIXTIME"))
+                rewriteFromUnixtime(inner)
+              else if (word.equalsIgnoreCase("STR_TO_DATE"))
+                Some(rewriteStrToDate(inner))
+              else if (word.equalsIgnoreCase("CURTIME"))
+                Some(rewriteCurtime(inner))
               else rewriteDateAddSub(inner,
                 plus = word.equalsIgnoreCase("DATE_ADD"))
             rewritten match {
@@ -339,18 +363,29 @@ object MySqlDialect {
     'y' -> "yy" // 2-digit year
   )
 
-  private def rewriteDateFormat(argsRaw: String): String = {
-    val parts = splitTopLevel(argsRaw, ',')
-    if (parts.length != 2)
-      fail(s"DATE_FORMAT needs exactly (expr, 'pattern'): $argsRaw")
-    val expr = translate(parts(0).trim)
-    val patLit = parts(1).trim
-    if (patLit.isEmpty || (patLit.charAt(0) != '\'' && patLit.charAt(0) != '"'))
-      fail("DATE_FORMAT pattern must be a string literal (a computed " +
-        s"pattern cannot be translated): $argsRaw")
-    val mysqlPat = unquoteLiteral(patLit)
+  /** `%` tokens whose mapped Java letters carry TIME-of-day fields —
+    * drives STR_TO_DATE's date-vs-timestamp result-type choice (MySQL
+    * returns DATETIME when the format parses any time part, DATE
+    * otherwise). */
+  private val timeTokens: Set[Char] =
+    Set('f', 'H', 'h', 'I', 'i', 'k', 'l', 'p', 'r', 'S', 's', 'T')
+
+  /** `%` tokens carrying calendar-DATE fields (weekday names parse as
+    * date context too). */
+  private val dateFieldTokens: Set[Char] =
+    Set('a', 'b', 'c', 'd', 'e', 'j', 'M', 'm', 'W', 'Y', 'y')
+
+  /** Convert a MySQL `%`-token pattern to a Spark (DateTimeFormatter)
+    * pattern, single-quote-protecting literal runs so pattern-letter
+    * collisions cannot corrupt the output. Returns the converted
+    * pattern plus whether any date / time field token appeared.
+    * `who` names the calling function in the loud-failure text. */
+  private def mysqlPatternToJava(
+      mysqlPat: String, who: String): (String, Boolean, Boolean) = {
     val java = new StringBuilder
     val lit = new StringBuilder
+    var hasDate = false
+    var hasTime = false
     def flushLit(): Unit = {
       if (lit.nonEmpty) {
         val s = lit.toString
@@ -369,8 +404,12 @@ object MySqlDialect {
         val t = mysqlPat.charAt(k + 1)
         if (t == '%') { lit.append('%'); k += 2 }
         else dateTokens.get(t) match {
-          case Some(jp) => flushLit(); java.append(jp); k += 2
-          case None => fail(s"DATE_FORMAT token %$t has no Spark " +
+          case Some(jp) =>
+            flushLit(); java.append(jp)
+            if (timeTokens(t)) hasTime = true
+            if (dateFieldTokens(t)) hasDate = true
+            k += 2
+          case None => fail(s"$who token %$t has no Spark " +
             "formatter equivalent (mode-dependent week numbering / " +
             "ordinal-suffix tokens are not translated); rewrite with " +
             "weekofyear()/dayofweek() manually")
@@ -378,8 +417,78 @@ object MySqlDialect {
       } else { lit.append(ch); k += 1 }
     }
     flushLit()
-    val sparkPat = java.toString.replace("'", "\\'")
+    (java.toString.replace("'", "\\'"), hasDate, hasTime)
+  }
+
+  /** The (translated expr, converted pattern) of a two-argument
+    * `(expr, '%pattern')` call — shared argument discipline for
+    * DATE_FORMAT / FROM_UNIXTIME / STR_TO_DATE. The pattern must be a
+    * string literal: a computed pattern cannot be token-translated. */
+  private def exprAndPattern(
+      argsRaw: String, who: String): (String, String, Boolean, Boolean) = {
+    val parts = splitTopLevel(argsRaw, ',')
+    if (parts.length != 2)
+      fail(s"$who needs exactly (expr, 'pattern'): $argsRaw")
+    val patLit = parts(1).trim
+    if (patLit.isEmpty || (patLit.charAt(0) != '\'' && patLit.charAt(0) != '"'))
+      fail(s"$who pattern must be a string literal (a computed " +
+        s"pattern cannot be translated): $argsRaw")
+    val (pat, hasDate, hasTime) =
+      mysqlPatternToJava(unquoteLiteral(patLit), who)
+    (translate(parts(0).trim), pat, hasDate, hasTime)
+  }
+
+  private def rewriteDateFormat(argsRaw: String): String = {
+    val (expr, sparkPat, _, _) = exprAndPattern(argsRaw, "DATE_FORMAT")
     s"date_format($expr, '$sparkPat')"
+  }
+
+  // -------------------------------------------------------------------
+  // FROM_UNIXTIME(e[, '%pat']) → from_unixtime(e[, 'java-pat'])
+  // STR_TO_DATE(s, '%pat')     → to_date / to_timestamp(s, 'java-pat')
+  // -------------------------------------------------------------------
+
+  /** None ⇒ single-argument form, Spark-identical as written (both
+    * render `yyyy-MM-dd HH:mm:ss` in the session zone) — pass through.
+    * The two-argument form is the dialect trap this rewriter exists
+    * for: it is VALID SPARK with silently different output (MySQL
+    * reads the pattern as `%` tokens, Spark as DateTimeFormatter
+    * letters — `'%Y-%m'` formats literally, `'yyyy-MM'` would be read
+    * as MySQL literals), so it is intercepted by name and the pattern
+    * token-translated like DATE_FORMAT's. */
+  private def rewriteFromUnixtime(argsRaw: String): Option[String] = {
+    if (splitTopLevel(argsRaw, ',').length < 2) None
+    else {
+      val (expr, pat, _, _) = exprAndPattern(argsRaw, "FROM_UNIXTIME")
+      Some(s"from_unixtime($expr, '$pat')")
+    }
+  }
+
+  /** MySQL STR_TO_DATE returns DATE when the format carries only date
+    * fields and DATETIME when it parses any time part — mapped to
+    * `to_date` / `to_timestamp` respectively. A time-only format (the
+    * MySQL TIME result) has no Spark type and fails loudly. */
+  private def rewriteStrToDate(argsRaw: String): String = {
+    val (expr, pat, hasDate, hasTime) =
+      exprAndPattern(argsRaw, "STR_TO_DATE")
+    if (!hasDate)
+      fail("STR_TO_DATE with a time-only format returns MySQL TIME, " +
+        "a type Spark does not have; parse into a timestamp with an " +
+        "explicit date part, or extract fields manually")
+    if (hasTime) s"to_timestamp($expr, '$pat')"
+    else s"to_date($expr, '$pat')"
+  }
+
+  /** MySQL CURTIME() returns a TIME value whose text form is
+    * `HH:MM:SS`; Spark has no TIME type, so the faithful observable is
+    * that text — rendered second-precision like NOW(). CURTIME(6)
+    * keeps microseconds; intermediate fsp fails loudly like NOW's. */
+  private def rewriteCurtime(argsRaw: String): String = argsRaw.trim match {
+    case "" | "0" => "date_format(current_timestamp(), 'HH:mm:ss')"
+    case "6" => "date_format(current_timestamp(), 'HH:mm:ss.SSSSSS')"
+    case other => fail(s"CURTIME($other): fractional-second precision " +
+      "1..5 has no Spark truncation equivalent; use CURTIME() or " +
+      "CURTIME(6), or rewrite with date_format manually")
   }
 
   // -------------------------------------------------------------------

@@ -198,7 +198,12 @@ object SparkEntry {
     // replays exactly that. The long tail rides along: IFNULL
     // (Spark-identical, no rewrite), interval DATE_ADD/DATE_SUB
     // (→ ± INTERVAL arithmetic — the form Spark's parser rejects),
-    // both nested inside DATE_FORMAT to exercise the recursive scan.
+    // both nested inside DATE_FORMAT to exercise the recursive scan;
+    // FROM_UNIXTIME's two-argument form (VALID Spark with silently
+    // different pattern semantics — the worst kind of dialect gap)
+    // and STR_TO_DATE (MySQL-only parse, → to_date/to_timestamp),
+    // both as epoch/text round-trips so the oracle replays them
+    // timezone-free.
     Tables.register(s, dir)
     new Engine(s, dir).getData(MySqlDialect.translate(
       """SELECT DATE_FORMAT(`o_orderdate`, '%Y-%m') AS ym,
@@ -210,7 +215,12 @@ object SparkEntry {
         |  DATE_FORMAT(DATE_ADD(MIN(`o_orderdate`), INTERVAL 1 MONTH),
         |              '%Y-%m-%d') AS next_m,
         |  DATE_FORMAT(DATE_SUB(MIN(`o_orderdate`), INTERVAL 7 DAY),
-        |              '%Y-%m-%d') AS prev_w
+        |              '%Y-%m-%d') AS prev_w,
+        |  FROM_UNIXTIME(UNIX_TIMESTAMP(MIN(`o_orderdate`)),
+        |                '%Y-%m-%d %H:%i:%s') AS epoch_rt,
+        |  DATE_FORMAT(STR_TO_DATE(DATE_FORMAT(MAX(`o_orderdate`),
+        |                                       '%d/%m/%Y'),
+        |                          '%d/%m/%Y'), '%Y-%m-%d') AS reparsed
         |FROM `orders`
         |WHERE `o_totalprice` < 5000
         |GROUP BY DATE_FORMAT(`o_orderdate`, '%Y-%m')
@@ -5228,7 +5238,11 @@ object SparkEntry {
         |  strftime(MIN(o_orderdate) + INTERVAL 1 MONTH,
         |           '%Y-%m-%d') AS next_m,
         |  strftime(MIN(o_orderdate) - INTERVAL 7 DAY,
-        |           '%Y-%m-%d') AS prev_w
+        |           '%Y-%m-%d') AS prev_w,
+        |  strftime(CAST(MIN(o_orderdate) AS TIMESTAMP),
+        |           '%Y-%m-%d %H:%M:%S') AS epoch_rt,
+        |  strftime(strptime(strftime(MAX(o_orderdate), '%d/%m/%Y'),
+        |                    '%d/%m/%Y'), '%Y-%m-%d') AS reparsed
         |FROM orders WHERE o_totalprice < 5000
         |GROUP BY ym ORDER BY ym""".stripMargin,
     // MySQL-ci semantics replayed with lower() wraps (DuckDB compares

@@ -98,8 +98,14 @@ object Iterate {
     * queries, not a loop whose layout is already chosen). */
   def pinnedLayout[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
-    val saved = s.conf.get(key, "true")
+    // restore exactly: set back if the caller had set it, UNSET if it
+    // was riding the default (never convert an unset default into an
+    // explicit setting — same discipline as Graph.bfsHops)
+    val saved = if (s.conf.getAll.contains(key)) Some(s.conf.get(key)) else None
     s.conf.set(key, "false")
-    try body finally s.conf.set(key, saved)
+    try body finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 }

@@ -306,4 +306,87 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.length === 20)
   }
+
+  // -------------------------------------------------------------------
+  // FROM_UNIXTIME / STR_TO_DATE / CURTIME
+  // -------------------------------------------------------------------
+
+  test("FROM_UNIXTIME: two-argument pattern is token-translated (the " +
+      "silent-divergence trap); one-argument form passes through") {
+    assert(translate("SELECT FROM_UNIXTIME(e, '%Y-%m-%d %H:%i') FROM t")
+      === "SELECT from_unixtime(e, 'yyyy-MM-dd HH:mm') FROM t")
+    // one-arg form: both dialects render yyyy-MM-dd HH:mm:ss
+    assert(translate("SELECT FROM_UNIXTIME(e) FROM t") ===
+      "SELECT FROM_UNIXTIME(e) FROM t")
+    // nested MySQL-ism in the expr argument still translates
+    assert(translate(
+      "SELECT FROM_UNIXTIME(UNIX_TIMESTAMP(NOW()), '%Y') FROM t") ===
+      "SELECT from_unixtime(UNIX_TIMESTAMP(" +
+        "date_trunc('SECOND', current_timestamp())), 'yyyy') FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT FROM_UNIXTIME(e, fmtcol) FROM t") // computed
+    }
+  }
+
+  test("STR_TO_DATE: date-only format → to_date, any time field → " +
+      "to_timestamp, time-only fails loudly (MySQL TIME has no Spark " +
+      "type)") {
+    assert(translate("SELECT STR_TO_DATE(s, '%d/%m/%Y') FROM t") ===
+      "SELECT to_date(s, 'dd/MM/yyyy') FROM t")
+    assert(translate(
+      "SELECT STR_TO_DATE(s, '%Y-%m-%d %H:%i:%s') FROM t") ===
+      "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT STR_TO_DATE(s, '%H:%i') FROM t") // time-only
+    }
+  }
+
+  test("CURTIME renders MySQL's TIME text form; intermediate fsp " +
+      "fails loudly") {
+    assert(translate("SELECT CURTIME() FROM t") ===
+      "SELECT date_format(current_timestamp(), 'HH:mm:ss') FROM t")
+    assert(translate("SELECT CURTIME(6) FROM t") ===
+      "SELECT date_format(current_timestamp(), 'HH:mm:ss.SSSSSS') FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT CURTIME(3) FROM t")
+    }
+  }
+
+  test("FROM_UNIXTIME/STR_TO_DATE end-to-end: epoch round-trip and " +
+      "date re-parse reproduce the source dates") {
+    graft.sources.Tables.register(spark, sfDir)
+    val engine = new Engine(spark, sfDir)
+    // UNIX_TIMESTAMP(date) → FROM_UNIXTIME(…, '%Y-%m-%d') must
+    // round-trip in the UTC session; STR_TO_DATE re-parses the
+    // DATE_FORMAT rendering back to the original DATE value
+    // o_orderdate is a midnight TIMESTAMP in the corpus, so the epoch
+    // round-trip renders the full second-precision text and the
+    // re-parse compares at DATE granularity
+    val bad = engine.getData(translate(
+      """SELECT `o_orderkey`
+        |FROM `orders`
+        |WHERE FROM_UNIXTIME(UNIX_TIMESTAMP(`o_orderdate`),
+        |                    '%Y-%m-%d %H:%i:%s')
+        |        <> CAST(`o_orderdate` AS STRING)
+        |   OR STR_TO_DATE(DATE_FORMAT(`o_orderdate`, '%d/%m/%Y'),
+        |                  '%d/%m/%Y') <> CAST(`o_orderdate` AS DATE)"""
+        .stripMargin))
+    assert(bad.count() === 0L)
+  }
+
+  test("claimed Spark-identical functions really are: WEEKDAY " +
+      "(0=Monday), CURDATE, DATEDIFF argument order, TIMESTAMPDIFF") {
+    // 2024-01-01 is a Monday; MySQL WEEKDAY('2024-01-01') = 0,
+    // DATEDIFF('2024-01-03','2024-01-01') = 2 (first minus second),
+    // TIMESTAMPDIFF(DAY, a, b) = b - a
+    val r = spark.sql(
+      """SELECT weekday(DATE'2024-01-01') AS wd,
+        |  datediff(DATE'2024-01-03', DATE'2024-01-01') AS dd,
+        |  timestampdiff(DAY, DATE'2024-01-01', DATE'2024-01-04') AS td,
+        |  curdate() = current_date() AS cd""".stripMargin).head()
+    assert(r.getInt(0) === 0)
+    assert(r.getInt(1) === 2)
+    assert(r.getLong(2) === 3L)
+    assert(r.getBoolean(3))
+  }
 }
