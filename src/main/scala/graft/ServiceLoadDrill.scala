@@ -1,0 +1,173 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** Sustained-concurrency load drill for the HTTP delivery surface —
+  * the axis the reference actually shipped (an ASP.NET query service,
+  * `DistributedQueryService/QueryService.asmx.cs:24-29`) but never
+  * measured (BASELINE: no published numbers). Dev tooling, not part of
+  * the library: starts [[Service]] on a corpus, fires a deterministic
+  * mixed workload from N client threads, VALIDATES every response
+  * against precomputed per-key oracles, and reports throughput +
+  * latency percentiles per route.
+  *
+  * Workload mix (round-robin per request index):
+  *   - `/getData` point SPJ: customer row by key — parquet-pushed
+  *     point predicate, the OLTP-ish floor.
+  *   - `/getData` per-key aggregate: order count for a customer key,
+  *     validated against a precomputed count map (so a wrong answer
+  *     under concurrency is a FAILURE, not a latency blip).
+  *   - `/query` MySQL-dialect envelope: translated `LIMIT o,c` page
+  *     over a key's orders — exercises translate + plan JSON + rows,
+  *     row count validated against the same count map.
+  *   - `/explain` three-table join: plan-only, zero scans — the
+  *     reference UI's actual request shape (`index.js:102-121`).
+  *
+  * Usage: ServiceLoadDrill <sfDir> [clients] [perClient] [poolSize]
+  * Emits one JSON line (route percentiles, QPS, validation counts);
+  * exits 1 on any validation failure or HTTP/transport error. */
+object ServiceLoadDrill {
+
+  private final case class Stat(route: String, nanos: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val clients = if (args.length > 1) args(1).toInt else 16
+    val perClient = if (args.length > 2) args(2).toInt else 50
+    val poolSize = if (args.length > 3) args(3).toInt else 16
+
+    val spark = Engine.session()
+    graft.sources.Tables.register(spark, sfDir)
+    val engine = new Engine(spark, sfDir)
+    val svc = new Service(engine, 0, 1000, poolSize)
+    val port = svc.start()
+    val base = s"http://127.0.0.1:$port"
+
+    // key universe + oracle: order counts for 256 customer keys, one
+    // bounded pre-drill job (max 256 rows to the driver)
+    val nKeys = 256
+    import org.apache.spark.sql.functions._
+    val counts: Map[Long, Long] = graft.sources.Tables
+      .load(spark, sfDir, "orders")
+      .filter(col("o_custkey").between(1L, nKeys.toLong))
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+
+    def key(c: Int, i: Int): Long =
+      1L + ((c.toLong * 7919L + i.toLong * 104729L) % nKeys)
+
+    val explainSql =
+      """SELECT n.n_name, count(*) AS n_orders
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 1000 GROUP BY n.n_name""".stripMargin
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[Stat]()
+
+    def post(cl: HttpClient, route: String, sql: String): String = {
+      val req = HttpRequest.newBuilder(URI.create(s"$base$route"))
+        .header("Content-Type", "text/plain; charset=utf-8")
+        .POST(HttpRequest.BodyPublishers.ofString(sql, StandardCharsets.UTF_8))
+        .build()
+      val resp = cl.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new RuntimeException(s"$route HTTP ${resp.statusCode()}: " +
+          resp.body().take(200))
+      resp.body()
+    }
+
+    // the four request shapes; each returns an error string or null
+    def fire(cl: HttpClient, c: Int, i: Int, timed: Boolean): Unit = {
+      val k = key(c, i)
+      val (route, label, sql, check): (String, String, String, String => String) =
+        (i % 4) match {
+          case 0 => ("/getData", "point_spj",
+            s"SELECT c_custkey, c_name FROM customer WHERE c_custkey = $k",
+            body =>
+              if (body.contains(s""""rowCount":1""") &&
+                  body.contains(s""""c_custkey":$k""")) null
+              else s"point_spj k=$k bad body: ${body.take(160)}")
+          case 1 => ("/getData", "key_agg",
+            s"SELECT count(*) AS n FROM orders WHERE o_custkey = $k",
+            body =>
+              if (body.contains(s""""n":${counts(k)}""")) null
+              else s"key_agg k=$k want n=${counts(k)} got: ${body.take(160)}")
+          case 2 => ("/query", "dialect_page",
+            MySqlDialect.translate(
+              s"SELECT `o_orderkey` FROM `orders` WHERE `o_custkey` = $k " +
+                "ORDER BY `o_orderkey` LIMIT 2, 3"),
+            body => {
+              val want = math.min(3L, math.max(0L, counts(k) - 2L))
+              if (body.contains(s""""rowCount":$want""") &&
+                  body.contains("\"optimizedPlan\"")) null
+              else s"dialect_page k=$k want rowCount=$want: ${body.take(160)}"
+            })
+          case _ => ("/explain", "explain_join", explainSql,
+            body =>
+              if (body.contains("\"optimizedPlan\"") &&
+                  !body.contains("\"error\"")) null
+              else s"explain_join bad body: ${body.take(160)}")
+        }
+      val t0 = System.nanoTime()
+      try {
+        val body = post(cl, route, sql)
+        val t1 = System.nanoTime()
+        val err = check(body)
+        if (err != null) failures.add(err)
+        else if (timed) stats.add(Stat(label, t1 - t0))
+      } catch {
+        case e: Exception => failures.add(s"$label transport: ${e.getMessage}")
+      }
+    }
+
+    // warm-up: one of each shape per client thread count (JIT + first
+    // planning of each shape), untimed
+    val warmClient = HttpClient.newHttpClient()
+    (0 until 8).foreach(i => fire(warmClient, 0, i, timed = false))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+    val t0 = System.nanoTime()
+    val tasks = (0 until clients).map { c =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val cl = HttpClient.newHttpClient()
+          var i = 0
+          while (i < perClient) { fire(cl, c, i, timed = true); i += 1 }
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    svc.stop()
+
+    import scala.jdk.CollectionConverters._
+    val byRoute = stats.asScala.toSeq.groupBy(_.route)
+    def pct(sorted: Array[Long], p: Double): Double =
+      sorted(math.min(sorted.length - 1,
+        math.ceil(p * sorted.length).toInt - 1).max(0)) / 1e6
+    val routesJson = byRoute.toSeq.sortBy(_._1).map { case (r, ss) =>
+      val a = ss.map(_.nanos).toArray.sorted
+      f""""$r":{"n":${a.length},"p50_ms":${pct(a, 0.50)}%.1f,""" +
+        f""""p95_ms":${pct(a, 0.95)}%.1f,"p99_ms":${pct(a, 0.99)}%.1f,""" +
+        f""""max_ms":${a.last / 1e6}%.1f}"""
+    }.mkString(",")
+    val total = clients * perClient
+    println(
+      f"""{"drill":"service_load","sf_dir":"$sfDir","clients":$clients,""" +
+        f""""per_client":$perClient,"pool_size":$poolSize,""" +
+        f""""requests":$total,"wall_sec":$wallSec%.1f,""" +
+        f""""qps":${total / wallSec}%.1f,"validated":${stats.size()},""" +
+        f""""failures":${failures.size()},"routes":{$routesJson}}""")
+    failures.asScala.take(5).foreach(f => System.err.println(s"[drill] $f"))
+    spark.stop()
+    // java.net.http client selector threads may be non-daemon on this
+    // JDK; exit explicitly once the report line is out
+    sys.exit(if (failures.isEmpty) 0 else 1)
+  }
+}
