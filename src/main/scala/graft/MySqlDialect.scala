@@ -97,13 +97,13 @@ object MySqlDialect {
 
   /** Translate a MySQL-dialect statement into Spark SQL. Apply EXACTLY
     * ONCE, to MySQL input: the structural rewrites (two-argument
-    * LIMIT, interval DATE_ADD/DATE_SUB) trigger only on constructs
-    * Spark cannot parse, but DATE_FORMAT and NOW() are intercepted BY
-    * NAME with MySQL semantics — a statement that is already Spark SQL
-    * and happens to spell `date_format(d, 'yyyy-MM')` is valid Spark
-    * yet gets its pattern re-read as MySQL (letter runs become quoted
-    * literals), so re-running translate on its own output corrupts
-    * those calls. The engine's entry points ([[SparkEntry]],
+    * LIMIT, interval DATE_ADD/DATE_SUB, STR_TO_DATE) trigger only on
+    * constructs Spark cannot parse, but DATE_FORMAT, FROM_UNIXTIME and
+    * NOW() are intercepted BY NAME with MySQL semantics — a statement
+    * that is already Spark SQL and happens to spell
+    * `date_format(d, 'yyyy-MM')` is valid Spark yet gets its pattern
+    * re-read as MySQL (letter runs become quoted literals), so
+    * re-running translate on its own output corrupts those calls. The engine's entry points ([[SparkEntry]],
     * SqlDialectSpec) each translate a statement exactly once and hand
     * the result to [[Engine.getData]]; follow that discipline. */
   def translate(sql: String): String = {
