@@ -3786,11 +3786,18 @@ object SparkEntry {
     // bounded bitmaps, never raw id values, and re-aggregation
     // (epochs, retries, AQE re-splits) is idempotent where a raw
     // distinct list would not be. Buckets partition the id space, so
-    // the popcount sum is exactly count(DISTINCT).
+    // the popcount sum is exactly count(DISTINCT). Construction uses
+    // graft's typed BitmapAgg, not the builtin bitmap_construct_agg:
+    // the builtin is hash-aggregation-INELIGIBLE and plans as
+    // SortAggregate — it sorts the entire fact stream by group key,
+    // re-paying exactly the cost the bitmap shape exists to avoid
+    // (same finding as the BFS dense frontier; BitmapAgg scaladoc).
+    // Output layout matches the builtin, so bitmap_count reads it.
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"),
         expr("bitmap_bucket_number(o_custkey)").as("_bucket"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+      .agg(graft.functions.BitmapAgg
+        .bitmap_agg(expr("bitmap_bit_position(o_custkey)"), 32768)
         .as("_bm"))
       .groupBy("o_orderpriority")
       .agg(sum(expr("bitmap_count(_bm)")).as("n_cust"))
@@ -3810,16 +3817,21 @@ object SparkEntry {
     val base = t(s, dir, "orders")
       .filter(year(col("o_orderdate")).isin(1995, 1996))
       .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+    // typed BitmapAgg for both construct (LONG positions) and union
+    // (BINARY bitmaps): the builtins plan as SortAggregate (see
+    // qAggBitmapDistinct / BitmapAgg scaladoc)
     val cells = base
       .groupBy(col("yr"),
         expr("bitmap_bucket_number(o_custkey)").as("_bucket"))
-      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+      .agg(graft.functions.BitmapAgg
+        .bitmap_agg(expr("bitmap_bit_position(o_custkey)"), 32768)
         .as("_bm"))
       .materialized() // feeds per-cohort counts AND the union
     val perYear = cells.groupBy("yr")
       .agg(sum(expr("bitmap_count(_bm)")).as("n"))
     val union = cells.groupBy("_bucket")
-      .agg(expr("bitmap_or_agg(_bm)").as("_u"))
+      .agg(graft.functions.BitmapAgg.bitmap_agg(col("_bm"), 32768)
+        .as("_u"))
       .agg(sum(expr("bitmap_count(_u)")).as("n_union"))
     // conditional sums, not filters: an EMPTY cohort must yield a
     // zeros row (the oracle's scalar COUNT(DISTINCT)s always produce
