@@ -30,7 +30,8 @@ import java.nio.charset.StandardCharsets
   * exits 1 on any validation failure or HTTP/transport error. */
 object ServiceLoadDrill {
 
-  private final case class Stat(route: String, nanos: Long)
+  private final case class Stat(route: String, nanos: Long,
+      secondHalf: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -82,7 +83,8 @@ object ServiceLoadDrill {
     }
 
     // the four request shapes; each returns an error string or null
-    def fire(cl: HttpClient, c: Int, i: Int, timed: Boolean): Unit = {
+    def fire(cl: HttpClient, c: Int, i: Int, timed: Boolean,
+        secondHalf: Boolean = false): Unit = {
       val k = key(c, i)
       val (route, label, sql, check): (String, String, String, String => String) =
         (i % 4) match {
@@ -119,7 +121,7 @@ object ServiceLoadDrill {
         val t1 = System.nanoTime()
         val err = check(body)
         if (err != null) failures.add(err)
-        else if (timed) stats.add(Stat(label, t1 - t0))
+        else if (timed) stats.add(Stat(label, t1 - t0, secondHalf))
       } catch {
         case e: Exception => failures.add(s"$label transport: ${e.getMessage}")
       }
@@ -137,7 +139,11 @@ object ServiceLoadDrill {
         override def run(): Unit = {
           val cl = HttpClient.newHttpClient()
           var i = 0
-          while (i < perClient) { fire(cl, c, i, timed = true); i += 1 }
+          while (i < perClient) {
+            fire(cl, c, i, timed = true,
+              secondHalf = i >= perClient / 2)
+            i += 1
+          }
         }
       })
     }
@@ -153,9 +159,20 @@ object ServiceLoadDrill {
         math.ceil(p * sorted.length).toInt - 1).max(0)) / 1e6
     val routesJson = byRoute.toSeq.sortBy(_._1).map { case (r, ss) =>
       val a = ss.map(_.nanos).toArray.sorted
+      // soak-drift signal: a second-half p50 materially above the
+      // first half's means latency degrades under sustained load
+      // (leak, unbounded cache, catalog growth) — the steady-state
+      // claim, not just the aggregate percentile
+      val h1 = ss.filter(!_.secondHalf).map(_.nanos).toArray.sorted
+      val h2 = ss.filter(_.secondHalf).map(_.nanos).toArray.sorted
+      val drift =
+        if (h1.nonEmpty && h2.nonEmpty)
+          f""","p50_h1_ms":${pct(h1, 0.50)}%.1f,""" +
+            f""""p50_h2_ms":${pct(h2, 0.50)}%.1f"""
+        else ""
       f""""$r":{"n":${a.length},"p50_ms":${pct(a, 0.50)}%.1f,""" +
         f""""p95_ms":${pct(a, 0.95)}%.1f,"p99_ms":${pct(a, 0.99)}%.1f,""" +
-        f""""max_ms":${a.last / 1e6}%.1f}"""
+        f""""max_ms":${a.last / 1e6}%.1f$drift}"""
     }.mkString(",")
     val total = clients * perClient
     println(
