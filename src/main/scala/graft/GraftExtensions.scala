@@ -305,8 +305,10 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
   // live on the COMPANION OBJECT, not the instance: injected rule
   // builders are re-invoked on every optimizer execution (Optimizer
   // .batches is a def), so an instance field would silently scope the
-  // memo to one optimize pass. JVM-global is sound because the values
-  // are pure functions of (resolved plan, data): keyed by the
+  // memo to one optimize pass. Companion storage is weak-keyed BY
+  // SESSION (see the object) so a stopped session's plans/FileIndex
+  // don't outlive it; within a session the values are pure functions
+  // of (resolved plan, data): keyed by the
   // CANONICALIZED inputs (structural plan equality normalizes
   // exprIds, so the same Dataset re-derived re-uses its entry) PLUS a
   // data fingerprint over the leaf relations (file listing signature
@@ -318,15 +320,17 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
   // candidates from a stale too-small maxOcc. Crude overflow guard:
   // clear past 32 entries — a JVM juggling 32+ distinct jaccard-join
   // inputs re-trains, it never grows unboundedly.
-  private def modelCache = RewriteJaccardThresholdJoin.modelCache
-  private def statsCache = RewriteJaccardThresholdJoin.statsCache
+  private def modelCache = RewriteJaccardThresholdJoin.forSession(spark)._1
+  private def statsCache = RewriteJaccardThresholdJoin.forSession(spark)._2
 
-  /** Cheap driver-side data signature for the memo keys above. File
-    * scans fingerprint the FileIndex's OWN listing (path/len/modtime
-    * per file — the exact file set the scan will read, so the memo is
-    * consistent with the query even when the index listing itself is
-    * cached); `spark.catalog.refreshTable`/`refreshByPath` swap in a
-    * re-listed index and thus a new fingerprint. Non-file leaves
+  /** Cheap driver-side data signature for the memo keys above.
+    * InMemoryFileIndex-backed scans fingerprint the index's CACHED
+    * listing (path/len/modtime per file — the exact file set the scan
+    * will read, at zero listing cost); other FileIndex types use
+    * index-instance identity (see inline note — their listFiles
+    * re-lists, and refresh/re-plan rebuilds the instance anyway);
+    * `spark.catalog.refreshTable`/`refreshByPath` swap in a
+    * re-listed index and thus a new fingerprint either way. Non-file leaves
     * (InMemoryRelation's immutable cache, JDBC, LocalRelation) fall
     * back to relation-instance identity: a re-read builds a new
     * instance, while the one genuinely unfingerprintable case — an
@@ -338,10 +342,25 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources
               .HadoopFsRelation =>
-            val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
-            (files.length, files.foldLeft(0L)((acc, f) =>
-              acc ^ (f.getPath.toString.hashCode.toLong * 1000003L +
-                f.getLen * 31L + f.getModificationTime)))
+            fs.location match {
+              // listing-signature ONLY where listFiles returns the
+              // already-cached listing (the gate's spark.read path).
+              // Other FileIndex types — CatalogFileIndex above all —
+              // build a FRESH full listing (metastore + filesystem)
+              // on EVERY listFiles call, and the fingerprint runs per
+              // rule firing including cache hits: that would re-add a
+              // per-explain driver stall the memo exists to remove.
+              // Their index INSTANCE is rebuilt by refresh/re-plan,
+              // so identity is a safe (miss-more, never stale)
+              // fingerprint there.
+              case im: org.apache.spark.sql.execution.datasources
+                  .InMemoryFileIndex =>
+                val files = im.listFiles(Nil, Nil).flatMap(_.files)
+                (files.length, files.foldLeft(0L)((acc, f) =>
+                  acc ^ (f.getPath.toString.hashCode.toLong * 1000003L +
+                    f.getLen * 31L + f.getModificationTime)))
+              case other => System.identityHashCode(other)
+            }
           case rel => System.identityHashCode(rel)
         }
       case leaf => System.identityHashCode(leaf)
@@ -641,13 +660,32 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
 }
 
 object RewriteJaccardThresholdJoin {
-  // see the scaladoc at the instance accessors: JVM-lived memos for
-  // the rule's two bounded driver jobs, keyed by canonicalized plans
-  // + data fingerprint (values are session-independent)
-  private[graft] val modelCache =
-    scala.collection.concurrent.TrieMap.empty[Any, Map[Long, Long]]
-  private[graft] val statsCache =
-    scala.collection.concurrent.TrieMap.empty[Any, (Long, Double, Int)]
+  // see the scaladoc at the instance accessors: memos for the rule's
+  // two bounded driver jobs, keyed by canonicalized plans + data
+  // fingerprint. The OUTER map is weak-keyed by SparkSession: the
+  // canonicalized plan keys retain LogicalRelations, which retain
+  // their FileIndex (a listing of potentially millions of FileStatus)
+  // and owning session — a JVM-global map would keep every STOPPED
+  // session's state reachable until 33 distinct joins forced a
+  // clear(). Weak keying gives exactly the intended lifetime: the
+  // memo survives rule-instance churn (builders re-run per optimize)
+  // for as long as the session itself is alive, and becomes
+  // collectable with it.
+  private val memosBySession = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    (scala.collection.concurrent.TrieMap[Any, Map[Long, Long]],
+      scala.collection.concurrent.TrieMap[Any, (Long, Double, Int)])]()
+
+  private[graft] def forSession(s: org.apache.spark.sql.SparkSession) =
+    memosBySession.synchronized {
+      var v = memosBySession.get(s)
+      if (v == null) {
+        v = (scala.collection.concurrent.TrieMap.empty,
+          scala.collection.concurrent.TrieMap.empty)
+        memosBySession.put(s, v)
+      }
+      v
+    }
 }
 
 /** OPT-IN rewrite of a declarative similarity join into its banded-LSH

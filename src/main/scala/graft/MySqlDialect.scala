@@ -379,9 +379,17 @@ object MySqlDialect {
     * pattern, single-quote-protecting literal runs so pattern-letter
     * collisions cannot corrupt the output. Returns the converted
     * pattern plus whether any date / time field token appeared.
-    * `who` names the calling function in the loud-failure text. */
+    * `who` names the calling function in the loud-failure text.
+    *
+    * `forParsing` guards the tokens whose FORMAT mapping is exact but
+    * whose PARSE semantics silently diverge: MySQL `%y` pivots
+    * two-digit years 70–99 into 19xx, while Spark's `yy` parses every
+    * reduced year into 2000–2099 — '01/01/85' would come back as
+    * 2085-01-01 with no error, the exact silent-divergence class this
+    * module exists to fail loudly on. */
   private def mysqlPatternToJava(
-      mysqlPat: String, who: String): (String, Boolean, Boolean) = {
+      mysqlPat: String, who: String,
+      forParsing: Boolean = false): (String, Boolean, Boolean) = {
     val java = new StringBuilder
     val lit = new StringBuilder
     var hasDate = false
@@ -403,6 +411,12 @@ object MySqlDialect {
       if (ch == '%' && k + 1 < mysqlPat.length) {
         val t = mysqlPat.charAt(k + 1)
         if (t == '%') { lit.append('%'); k += 2 }
+        else if (forParsing && t == 'y')
+          fail(s"$who: %y parses with MySQL's 70-99 => 19xx two-digit" +
+            "-year pivot, but Spark's 'yy' reads every reduced year " +
+            "as 20xx — a silent value shift; use a 4-digit %Y source " +
+            "format, or parse with 'yy' and correct the century " +
+            "manually")
         else dateTokens.get(t) match {
           case Some(jp) =>
             flushLit(); java.append(jp)
@@ -425,7 +439,8 @@ object MySqlDialect {
     * DATE_FORMAT / FROM_UNIXTIME / STR_TO_DATE. The pattern must be a
     * string literal: a computed pattern cannot be token-translated. */
   private def exprAndPattern(
-      argsRaw: String, who: String): (String, String, Boolean, Boolean) = {
+      argsRaw: String, who: String,
+      forParsing: Boolean = false): (String, String, Boolean, Boolean) = {
     val parts = splitTopLevel(argsRaw, ',')
     if (parts.length != 2)
       fail(s"$who needs exactly (expr, 'pattern'): $argsRaw")
@@ -434,7 +449,7 @@ object MySqlDialect {
       fail(s"$who pattern must be a string literal (a computed " +
         s"pattern cannot be translated): $argsRaw")
     val (pat, hasDate, hasTime) =
-      mysqlPatternToJava(unquoteLiteral(patLit), who)
+      mysqlPatternToJava(unquoteLiteral(patLit), who, forParsing)
     (translate(parts(0).trim), pat, hasDate, hasTime)
   }
 
@@ -470,7 +485,7 @@ object MySqlDialect {
     * MySQL TIME result) has no Spark type and fails loudly. */
   private def rewriteStrToDate(argsRaw: String): String = {
     val (expr, pat, hasDate, hasTime) =
-      exprAndPattern(argsRaw, "STR_TO_DATE")
+      exprAndPattern(argsRaw, "STR_TO_DATE", forParsing = true)
     if (!hasDate)
       fail("STR_TO_DATE with a time-only format returns MySQL TIME, " +
         "a type Spark does not have; parse into a timestamp with an " +

@@ -88,16 +88,22 @@ object ServiceLoadDrill {
       val k = key(c, i)
       val (route, label, sql, check): (String, String, String, String => String) =
         (i % 4) match {
+          // every numeric match includes the value's CLOSING delimiter
+          // (the "," after c_custkey, the "}" ending a one-field row
+          // object or the response's final rowCount) — a bare
+          // substring `"n":1` would also match a WRONG answer whose
+          // digits merely start with it ("n":15), silently validating
+          // the exact failure class the drill exists to catch
           case 0 => ("/getData", "point_spj",
             s"SELECT c_custkey, c_name FROM customer WHERE c_custkey = $k",
             body =>
-              if (body.contains(s""""rowCount":1""") &&
-                  body.contains(s""""c_custkey":$k""")) null
+              if (body.contains(s""""rowCount":1}""") &&
+                  body.contains(s""""c_custkey":$k,""")) null
               else s"point_spj k=$k bad body: ${body.take(160)}")
           case 1 => ("/getData", "key_agg",
             s"SELECT count(*) AS n FROM orders WHERE o_custkey = $k",
             body =>
-              if (body.contains(s""""n":${counts(k)}""")) null
+              if (body.contains(s""""n":${counts(k)}}""")) null
               else s"key_agg k=$k want n=${counts(k)} got: ${body.take(160)}")
           case 2 => ("/query", "dialect_page",
             MySqlDialect.translate(
@@ -105,7 +111,7 @@ object ServiceLoadDrill {
                 "ORDER BY `o_orderkey` LIMIT 2, 3"),
             body => {
               val want = math.min(3L, math.max(0L, counts(k) - 2L))
-              if (body.contains(s""""rowCount":$want""") &&
+              if (body.contains(s""""rowCount":$want}""") &&
                   body.contains("\"optimizedPlan\"")) null
               else s"dialect_page k=$k want rowCount=$want: ${body.take(160)}"
             })

@@ -77,6 +77,11 @@ object StreamLoadDrill {
     val rowsPerBatch = if (args.length > 6) args(6).toLong else 0L
 
     val spark = Engine.session()
+    // recentProgress retains only the last N updates (default 100) —
+    // at sub-second batches a 30 s window would silently average only
+    // the TAIL (an early degradation evicted = a run that looks
+    // healthy); retain enough for the longest measurement window
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     if (provider == "rocksdb") {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +

@@ -2,8 +2,12 @@ package graft
 
 /** Minimal same-day A/B timer: run one declared query N times against
   * a corpus and print per-rep wall seconds (first rep includes scan
-  * warm-up; compare min-of-reps across code variants, same session
-  * shape as Bench). Dev tooling only.
+  * warm-up; compare min-of-reps across code variants). Execution is
+  * forced through the noop sink exactly like Bench — count() would
+  * let Catalyst prune columns/operators (drop a sort, skip a
+  * projection) and time a DIFFERENT plan than the one Bench
+  * certifies, making an A/B of a change to the pruned path a false
+  * wash. Dev tooling only.
   *
   * Usage: TimeQuery <sfDir> <queryName> [reps] */
 object TimeQuery {
@@ -15,9 +19,10 @@ object TimeQuery {
     graft.plans.AsOfJoin.register(spark)
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[time-query] $name rep=$r rows=$n sec=$sec%.2f")
+      println(f"[time-query] $name rep=$r sec=$sec%.2f")
     }
     spark.stop()
     sys.exit(0)

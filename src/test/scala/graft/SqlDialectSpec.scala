@@ -339,6 +339,14 @@ class SqlDialectSpec extends AnyFunSuite {
     intercept[MySqlDialect.UntranslatableSqlException] {
       translate("SELECT STR_TO_DATE(s, '%H:%i') FROM t") // time-only
     }
+    // %y PARSES with different century pivots (MySQL 70-99 => 19xx,
+    // Spark 'yy' => always 20xx) — must fail loudly, not shift values
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT STR_TO_DATE(s, '%d/%m/%y') FROM t")
+    }
+    // ...but %y stays fine in the FORMAT direction (identical output)
+    assert(translate("SELECT DATE_FORMAT(d, '%y') FROM t") ===
+      "SELECT date_format(d, 'yy') FROM t")
   }
 
   test("CURTIME renders MySQL's TIME text form; intermediate fsp " +
