@@ -355,10 +355,23 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
               // fingerprint there.
               case im: org.apache.spark.sql.execution.datasources
                   .InMemoryFileIndex =>
+                // order-mixing FNV-style fold over the PATH-SORTED
+                // listing (listFiles order is not guaranteed stable).
+                // An XOR fold here was cancellable — two offsetting
+                // file changes (swapped equal-length contents with
+                // touched mtimes, A.len+=k / B.len-=k) could collide,
+                // and this key guards maxOcc, a CORRECTNESS bound
+                // whose stale hit silently drops join candidates.
                 val files = im.listFiles(Nil, Nil).flatMap(_.files)
-                (files.length, files.foldLeft(0L)((acc, f) =>
-                  acc ^ (f.getPath.toString.hashCode.toLong * 1000003L +
-                    f.getLen * 31L + f.getModificationTime)))
+                  .sortBy(_.getPath.toString)
+                (files.length, files.foldLeft(-3750763034362895579L) {
+                  (acc, f) =>
+                    var h = acc
+                    h = (h ^ f.getPath.toString.hashCode) * 1099511628211L
+                    h = (h ^ f.getLen) * 1099511628211L
+                    h = (h ^ f.getModificationTime) * 1099511628211L
+                    h
+                })
               case other => System.identityHashCode(other)
             }
           case rel => System.identityHashCode(rel)
@@ -678,6 +691,20 @@ object RewriteJaccardThresholdJoin {
 
   private[graft] def forSession(s: org.apache.spark.sql.SparkSession) =
     memosBySession.synchronized {
+      // Weak keying alone is DEFEATED here: the values' TrieMap keys
+      // hold canonicalized plans that retain LogicalRelation →
+      // HadoopFsRelation, whose sparkSession field strongly references
+      // the map's key — a value→key path that pins every entry
+      // (including FileIndex listings of potentially millions of
+      // FileStatus) forever. So evict explicitly: purge entries whose
+      // context has stopped on every access from a live session. A
+      // JVM churning sessions (test suites, notebook servers) then
+      // retains at most the stopped sessions since the last lookup.
+      val it = memosBySession.entrySet().iterator()
+      while (it.hasNext) {
+        val k = it.next().getKey
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
       var v = memosBySession.get(s)
       if (v == null) {
         v = (scala.collection.concurrent.TrieMap.empty,

@@ -370,10 +370,21 @@ object MySqlDialect {
   private val timeTokens: Set[Char] =
     Set('f', 'H', 'h', 'I', 'i', 'k', 'l', 'p', 'r', 'S', 's', 'T')
 
-  /** `%` tokens carrying calendar-DATE fields (weekday names parse as
-    * date context too). */
+  /** `%` tokens carrying calendar-DATE fields. Weekday names (`%a`,
+    * `%W`) are deliberately NOT here: a weekday alone determines no
+    * date (MySQL returns NULL-ish zero dates; Spark's `to_date(s,
+    * 'EEEE')` silently yields NULL with ANSI off), and even alongside
+    * a complete date the two engines diverge — MySQL ignores a
+    * weekday name that contradicts the y/m/d fields while Spark's
+    * strict resolver rejects it. Parse formats containing them fail
+    * loudly (see [[mysqlPatternToJava]]); FORMAT direction maps them
+    * fine. */
   private val dateFieldTokens: Set[Char] =
-    Set('a', 'b', 'c', 'd', 'e', 'j', 'M', 'm', 'W', 'Y', 'y')
+    Set('b', 'c', 'd', 'e', 'j', 'M', 'm', 'Y', 'y')
+
+  /** Weekday-name tokens — date-flavored for formatting, but
+    * untranslatable for parsing (see [[dateFieldTokens]]). */
+  private val weekdayTokens: Set[Char] = Set('a', 'W')
 
   /** Convert a MySQL `%`-token pattern to a Spark (DateTimeFormatter)
     * pattern, single-quote-protecting literal runs so pattern-letter
@@ -411,6 +422,13 @@ object MySqlDialect {
       if (ch == '%' && k + 1 < mysqlPat.length) {
         val t = mysqlPat.charAt(k + 1)
         if (t == '%') { lit.append('%'); k += 2 }
+        else if (forParsing && weekdayTokens(t))
+          fail(s"$who: %$t parses a weekday NAME, which determines no " +
+            "calendar date — alone it cannot resolve to a date (Spark " +
+            "to_date would silently return NULL), and combined with a " +
+            "full date MySQL ignores a contradicting weekday while " +
+            "Spark's strict resolver rejects it; drop the weekday " +
+            "token from the parse format")
         else if (forParsing && t == 'y')
           fail(s"$who: %y parses with MySQL's 70-99 => 19xx two-digit" +
             "-year pivot, but Spark's 'yy' reads every reduced year " +

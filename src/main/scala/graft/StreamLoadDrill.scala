@@ -127,9 +127,13 @@ object StreamLoadDrill {
         val inRps = progs.map(_.inputRowsPerSecond).sum / progs.length
         val procRps =
           progs.map(_.processedRowsPerSecond).sum / progs.length
-        val trig = progs.map(_.durationMs.get("triggerExecution").toLong)
+        // durationMs is a java.util.Map — get() on a progress sample
+        // missing the key returns null and auto-unboxing NPEs, killing
+        // the drill AFTER the measurement window; drop such samples.
+        val trig = progs.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong))
           .sorted
-        val p95 = trig(math.min(trig.length - 1,
+        val p95 = if (trig.isEmpty) -1L else trig(math.min(trig.length - 1,
           math.ceil(0.95 * trig.length).toInt - 1).max(0))
         val stateRows = progs.last.stateOperators.headOption
           .map(_.numRowsTotal).getOrElse(-1L)

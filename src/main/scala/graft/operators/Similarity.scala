@@ -490,7 +490,14 @@ object Similarity {
     * Scale shape: candidate GENERATION is the distributed heavy part
     * (brute force or ANN over the full corpus); this re-rank operates
     * on the BOUNDED candidate set those produce (≤ a few hundred rows
-    * — the bounded-model discipline kmeans/BPE training use). The
+    * — the bounded-model discipline kmeans/BPE training use). That
+    * bound is ENFORCED, not trusted: the frame is pre-truncated to the
+    * top `spark.graft.mmr.maxCandidates` (default 512) by relevance —
+    * rel desc, vec_id asc, a total order, so the truncation is
+    * deterministic — before any pairwise work, so a caller passing
+    * 100k candidates degrades to MMR-over-top-512 instead of
+    * collecting |C|² doubles into the driver. The truncation plans as
+    * a TakeOrderedAndProject (distributed top-k, no global sort). The
     * pairwise sim matrix is computed distributed with the same
     * codegen'd cosine as candidate scoring, then the |C|² doubles are
     * collected and the inherently-sequential greedy runs driver-side
@@ -509,9 +516,13 @@ object Similarity {
     // cosines (zero-norm/malformed embeddings) floor to -2.0, below
     // any real cosine, so they never dominate the diversity penalty
     // (the withCluster convention)
+    val cap = spark.conf
+      .get("spark.graft.mmr.maxCandidates", "512").toInt
+    require(cap > 0, s"spark.graft.mmr.maxCandidates must be > 0: $cap")
     val c = candidates.select(col("vec_id").cast("long"),
       col("rel").cast("double"), col("embedding"))
       .filter(col("rel").isNotNull)
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(cap)
     val rels = c.select("vec_id", "rel").collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
     val a = c.select(col("vec_id").as("ai"), col("embedding").as("ae"))

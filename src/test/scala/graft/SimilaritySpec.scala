@@ -244,4 +244,27 @@ class SimilaritySpec extends AnyFunSuite {
     val all = Similarity.mmrRerank(cands, k = 10).collect()
     assert(all.length == 3)
   }
+
+  test("MMR re-rank enforces its candidate bound: an oversized frame " +
+      "degrades deterministically to MMR over the top-cap by relevance " +
+      "instead of collecting |C|² pairwise doubles") {
+    import spark.implicits._
+    // 1200 candidates, rel strictly decreasing with id — the top-16
+    // by (rel desc, vec_id asc) are exactly ids 0..15
+    val big = spark.range(1200).select(col("id").as("vec_id"),
+      (lit(1.0) - col("id") * 0.0001).as("rel"),
+      array(cos(col("id")).cast("float"), sin(col("id")).cast("float"),
+        lit(0.5f)).as("embedding"))
+    val top16 = big.orderBy(col("rel").desc, col("vec_id").asc).limit(16)
+    spark.conf.set("spark.graft.mmr.maxCandidates", "16")
+    try {
+      val capped = Similarity.mmrRerank(big, k = 5).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+      val exact = Similarity.mmrRerank(top16, k = 5).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+      assert(capped.toSeq === exact.toSeq && capped.length == 5)
+      // every selection came from the enforced top-16 window
+      assert(capped.forall(_._2 < 16))
+    } finally spark.conf.unset("spark.graft.mmr.maxCandidates")
+  }
 }

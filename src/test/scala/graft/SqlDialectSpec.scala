@@ -347,6 +347,19 @@ class SqlDialectSpec extends AnyFunSuite {
     // ...but %y stays fine in the FORMAT direction (identical output)
     assert(translate("SELECT DATE_FORMAT(d, '%y') FROM t") ===
       "SELECT date_format(d, 'yy') FROM t")
+    // weekday NAMES determine no date: %W alone would translate to
+    // to_date(s, 'EEEE') — valid Spark that silently returns NULL —
+    // and alongside a full date MySQL ignores a contradicting weekday
+    // while Spark's strict resolver rejects it. Loud in BOTH shapes.
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT STR_TO_DATE(s, '%W') FROM t") // weekday-only
+    }
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT STR_TO_DATE(s, '%a %d/%m/%Y') FROM t")
+    }
+    // ...while the FORMAT direction keeps both weekday tokens
+    assert(translate("SELECT DATE_FORMAT(d, '%W') FROM t") ===
+      "SELECT date_format(d, 'EEEE') FROM t")
   }
 
   test("CURTIME renders MySQL's TIME text form; intermediate fsp " +
