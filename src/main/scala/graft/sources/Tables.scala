@@ -104,11 +104,29 @@ object Tables {
     // --- Horizontal fragmentation: orders split across 4 "sites" by a
     // deterministic hash of the primary key (reference `:338-367`).
     // UNION ALL view reassembles; disjointness makes ALL == DISTINCT.
-    (0 until 4).foreach { site =>
-      spark.sql(
-        s"""SELECT * FROM orders
-           |WHERE pmod(hash(o_orderkey), 4) = $site""".stripMargin)
-        .createOrReplaceTempView(s"orders_site$site")
+    // Fragments are REAL separate parquet directories (materialized
+    // once per data generation — see [[materializedFragments]]): a
+    // view stack of pmod-filters over one shared file would re-read
+    // the whole `orders` scan once PER FRAGMENT on every
+    // fragment-routed query — 4× I/O that only looks harmless at test
+    // scale. With one directory per site, each fragment is one pruned
+    // scan, exactly how a real deployment lays fragments out. The
+    // JDBC-overlay path keeps the filter-view definition: its tables
+    // live in the remote database, and snapshotting them to parquet
+    // would silently freeze a mutable source.
+    materializedFragments(spark, sfDir) match {
+      case Some(root) =>
+        (0 until 4).foreach { site =>
+          spark.read.parquet(s"$root/__graft_site=$site")
+            .createOrReplaceTempView(s"orders_site$site")
+        }
+      case None =>
+        (0 until 4).foreach { site =>
+          spark.sql(
+            s"""SELECT * FROM orders
+               |WHERE pmod(hash(o_orderkey), 4) = $site""".stripMargin)
+            .createOrReplaceTempView(s"orders_site$site")
+        }
     }
     spark.sql(
       (0 until 4).map(i => s"SELECT * FROM orders_site$i")
@@ -130,5 +148,45 @@ object Tables {
       .createOrReplaceTempView("customer_f")
 
     registered.put(spark, sfDir)
+  }
+
+  /** One-time materialization of the `orders` horizontal fragments as
+    * four separate parquet directories (one `partitionBy` job writes
+    * `<root>/__graft_site={0..3}/`; reading a site subdirectory
+    * directly yields the original `orders` schema — the partition
+    * column lives in the path, not the files). The root is keyed by a
+    * signature of the source parquet (path/len/mtime fold), so a
+    * regenerated testdata directory gets fresh fragments instead of a
+    * stale split, and repeat registrations across JVMs reuse the
+    * `_SUCCESS`-marked write. Returns None under the JDBC overlay
+    * (fragments stay views over the live source) or if the source is
+    * not a local directory we can sign. */
+  private def materializedFragments(
+      spark: SparkSession, sfDir: String): Option[String] = {
+    if (jdbcUrl(spark).isDefined && jdbcHolds(spark, "orders")) return None
+    val src = new java.io.File(s"$sfDir/orders.parquet")
+    if (!src.exists()) return None
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(src).foldLeft(-3750763034362895579L) { (acc, f) =>
+      var h = acc
+      h = (h ^ f.getPath.hashCode) * 1099511628211L
+      h = (h ^ f.length()) * 1099511628211L
+      h = (h ^ f.lastModified()) * 1099511628211L
+      h
+    }
+    val root = s"${sys.props("java.io.tmpdir")}/graft_frags/" +
+      s"orders_${java.lang.Long.toHexString(sig)}"
+    this.synchronized {
+      if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        spark.read.parquet(src.getPath)
+          .withColumn("__graft_site", pmod(hash(col("o_orderkey")), lit(4)))
+          .write.mode("overwrite").partitionBy("__graft_site").parquet(root)
+      }
+    }
+    Some(root)
   }
 }

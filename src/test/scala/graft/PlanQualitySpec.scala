@@ -290,6 +290,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"headline prefix frame should broadcast:\n$ph")
   }
 
+  test("frag_transparency_agg: fragments are separate directories — " +
+      "one pruned scan per site, never 4 re-reads of one orders file") {
+    val p = plan("frag_transparency_agg")
+    // every horizontal-fragment scan reads its own site directory...
+    val siteScans = "__graft_site=(\\d)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(siteScans == Set("0", "1", "2", "3"),
+      s"expected 4 distinct fragment-directory scans, got $siteScans:\n$p")
+    // ...and the shared base file is NOT scanned once per fragment —
+    // the old filter-view layout paid 4x the orders I/O per query
+    assert(!p.contains("orders.parquet"),
+      s"fragment view still re-reads the base orders file:\n$p")
+  }
+
   test("layout_partitioned: the year predicate is a PLANNING-TIME " +
       "partition filter — non-matching directories are never listed") {
     val p = plan("layout_partitioned")
