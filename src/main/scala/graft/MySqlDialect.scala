@@ -84,6 +84,17 @@ package graft
   * `LIMIT 1, 2` or `GROUP_CONCAT(` is never touched. Function
   * arguments are re-scanned recursively, so nested MySQL-isms
   * (`GROUP_CONCAT(DATE_FORMAT(...))`) translate at any depth.
+  *
+  * **Strict-function audit (default ON)**: before rewriting, the
+  * statement is scanned for calls to MySQL builtins that are neither
+  * intercepted above nor on the verified-identical allowlist — those
+  * fail loudly instead of running with possibly-different Spark
+  * semantics (LENGTH bytes-vs-chars, VARIANCE population-vs-sample,
+  * ICU-vs-Java regex dialects, ...). `translate(sql,
+  * strictFunctions = false)` opts out. Bare keyword expressions
+  * without parens (`CURRENT_TIMESTAMP` as a keyword, microsecond
+  * precision vs MySQL's seconds) are outside a function audit's reach
+  * — spell `NOW()` for translated precision.
   */
 object MySqlDialect {
 
@@ -95,6 +106,236 @@ object MySqlDialect {
   private def fail(msg: String): Nothing =
     throw new UntranslatableSqlException(msg)
 
+  // -------------------------------------------------------------------
+  // Unknown-MySQL-function audit (strict mode, on by default)
+  // -------------------------------------------------------------------
+  // The scanner's worst failure class is a function that is VALID IN
+  // BOTH dialects with silently different output (the FROM_UNIXTIME /
+  // two-digit-year / LENGTH-bytes-vs-chars family). Hunting those
+  // instance-by-instance leaves the unknown-unknowns open; the audit
+  // closes the class wholesale: any called function that is a known
+  // MySQL builtin but neither INTERCEPTED by this module nor on the
+  // VERIFIED-IDENTICAL allowlist fails loudly at translate time.
+  // Names MySQL doesn't own (Spark-only functions, UDFs) pass — the
+  // audit guards MySQL-statement semantics, not Spark's registry.
+
+  /** Function names this module rewrites (see the scanner). */
+  private val interceptedFns: Set[String] = Set(
+    "GROUP_CONCAT", "DATE_FORMAT", "DATE_ADD", "DATE_SUB", "NOW",
+    "FROM_UNIXTIME", "STR_TO_DATE", "CURTIME")
+
+  /** MySQL builtins whose Spark namesake has VERIFIED-identical
+    * semantics (SqlDialectSpec pins the non-obvious ones; the rest are
+    * same-name same-contract math/string/window functions in both
+    * public docs). ROUND stays here with the documented caveat that
+    * fractional-scale rounding of doubles is a float-representation
+    * corner in every engine (README §SQL dialect). */
+  private val verifiedIdentical: Set[String] = Set(
+    // spec-verified in SqlDialectSpec
+    "IFNULL", "CONCAT", "SUBSTRING_INDEX", "COALESCE", "IF", "CURDATE",
+    "WEEKDAY", "DATEDIFF", "UNIX_TIMESTAMP", "TIMESTAMPDIFF",
+    // aggregates (explicit population/sample forms only — bare
+    // STDDEV/VARIANCE are population in MySQL, SAMPLE in Spark)
+    "COUNT", "SUM", "MIN", "MAX", "AVG",
+    "STDDEV_POP", "STDDEV_SAMP", "VAR_POP", "VAR_SAMP",
+    "BIT_AND", "BIT_OR", "BIT_XOR", "GROUPING",
+    // window functions — identical signatures and frames
+    "ROW_NUMBER", "RANK", "DENSE_RANK", "PERCENT_RANK", "CUME_DIST",
+    "NTILE", "LAG", "LEAD", "FIRST_VALUE", "LAST_VALUE", "NTH_VALUE",
+    // math — same name, same contract
+    "ABS", "ACOS", "ASIN", "ATAN", "ATAN2", "CEIL", "CEILING", "CONV",
+    "COS", "COT", "CRC32", "DEGREES", "EXP", "FLOOR", "GREATEST",
+    "LEAST", "LN", "LOG", "LOG10", "LOG2", "MOD", "PI", "POW", "POWER",
+    "RADIANS", "RAND", "ROUND", "SIGN", "SIN", "SQRT", "TAN",
+    // string — character semantics match (LENGTH deliberately absent)
+    "ASCII", "BIN", "BIT_LENGTH", "CHAR_LENGTH", "CHARACTER_LENGTH",
+    "CONCAT_WS", "ELT", "FIND_IN_SET", "HEX", "INSTR", "LCASE", "LEFT",
+    "LOCATE", "LOWER", "LPAD", "LTRIM", "OCT", "OCTET_LENGTH",
+    "POSITION", "REPEAT", "REPLACE", "REVERSE", "RIGHT", "RPAD",
+    "RTRIM", "SOUNDEX", "SPACE", "SUBSTR", "SUBSTRING", "TRIM",
+    "UCASE", "UPPER", "UNHEX",
+    // date/time with matching field semantics
+    "DAY", "DAYOFMONTH", "DAYOFWEEK", "DAYOFYEAR", "EXTRACT", "HOUR",
+    "LAST_DAY", "MINUTE", "MONTH", "QUARTER", "SECOND", "WEEKOFYEAR",
+    "YEAR", "TIMESTAMPADD", "DATE",
+    // misc — same contract
+    "CAST", "NULLIF", "MD5", "SHA1", "SHA2", "UUID")
+
+  /** Tailored messages for the names most likely to bite. Everything
+    * else in [[mysqlBuiltins]] gets the generic loud failure. */
+  private val divergentHints: Map[String, String] = Map(
+    "LENGTH" -> ("MySQL LENGTH counts BYTES, Spark length counts " +
+      "CHARACTERS; spell OCTET_LENGTH (bytes) or CHAR_LENGTH (chars)"),
+    "STD" -> "MySQL STD is POPULATION stddev; spell STDDEV_POP",
+    "STDDEV" -> ("MySQL STDDEV is POPULATION stddev but Spark's is " +
+      "SAMPLE; spell STDDEV_POP or STDDEV_SAMP explicitly"),
+    "VARIANCE" -> ("MySQL VARIANCE is POPULATION variance but Spark's " +
+      "is SAMPLE; spell VAR_POP or VAR_SAMP explicitly"),
+    "DAYNAME" -> ("MySQL returns the full weekday name but Spark 4's " +
+      "dayname returns the 3-letter abbreviation; use " +
+      "date_format(d, 'EEEE')"),
+    "MONTHNAME" -> ("MySQL returns the full month name but Spark 4's " +
+      "monthname returns the 3-letter abbreviation; use " +
+      "date_format(d, 'MMMM')"),
+    "WEEK" -> ("MySQL WEEK is mode-dependent; use weekofyear() (ISO " +
+      "semantics, = MySQL WEEK(d, 3)) and verify the intended mode"),
+    "YEARWEEK" -> ("mode-dependent week numbering; derive from " +
+      "year()/weekofyear() and verify the intended mode"),
+    "SYSDATE" -> ("MySQL SYSDATE is per-invocation wall-clock (not " +
+      "statement-stable); use NOW() for statement-time semantics"),
+    "CURRENT_TIME" -> "use CURTIME() — translated with MySQL precision",
+    "FORMAT" -> "use format_number(n, d) (no locale argument)",
+    "CHAR" -> ("MySQL CHAR(n, ...) synthesizes a byte string; use " +
+      "chr()/concat() — Spark char(n) takes exactly one code point"),
+    "ISNULL" -> ("MySQL ISNULL returns 1/0 but Spark isnull returns a " +
+      "BOOLEAN; use `expr IS NULL` or IF(expr IS NULL, 1, 0)"),
+    "CONVERT" -> "use CAST(expr AS type); Spark has no CONVERT",
+    "MID" -> "use SUBSTRING (identical semantics)",
+    "TRUNCATE" -> ("no Spark numeric TRUNCATE; use " +
+      "floor/ceil scaling or round toward zero manually"),
+    "REGEXP_LIKE" -> ("MySQL regexes are ICU dialect, Spark's are " +
+      "Java; verify the pattern translates, then call Spark's " +
+      "regexp_like directly (strictFunctions = false)"),
+    "REGEXP_REPLACE" -> ("ICU-vs-Java regex dialect + argument " +
+      "defaults differ; verify the pattern, then call Spark's " +
+      "regexp_replace directly (strictFunctions = false)"),
+    "REGEXP_SUBSTR" -> ("ICU-vs-Java regex dialect differs; verify " +
+      "the pattern, then call Spark's regexp_substr directly " +
+      "(strictFunctions = false)"),
+    "REGEXP_INSTR" -> ("ICU-vs-Java regex dialect differs; verify " +
+      "the pattern, then call Spark's regexp_instr directly " +
+      "(strictFunctions = false)"))
+
+  /** MySQL 8.0 builtin function-name catalog (public reference-manual
+    * inventory: string, numeric, date/time, cast, aggregate, window,
+    * JSON, encryption, information, locking, full-text, inet; spatial
+    * functions are matched by their ST_ prefix instead of being
+    * enumerated). Used ONLY to decide whether a called name belongs to
+    * MySQL — membership plus absence from the intercepted/verified
+    * sets is what fails the audit. */
+  private val mysqlBuiltins: Set[String] = Set(
+    // string
+    "ASCII", "BIN", "BIT_LENGTH", "CHAR", "CHAR_LENGTH",
+    "CHARACTER_LENGTH", "CONCAT", "CONCAT_WS", "ELT", "EXPORT_SET",
+    "FIELD", "FIND_IN_SET", "FORMAT", "FROM_BASE64", "HEX", "INSERT",
+    "INSTR", "LCASE", "LEFT", "LENGTH", "LOAD_FILE", "LOCATE", "LOWER",
+    "LPAD", "LTRIM", "MAKE_SET", "MID", "OCT", "OCTET_LENGTH", "ORD",
+    "POSITION", "QUOTE", "REGEXP_INSTR", "REGEXP_LIKE",
+    "REGEXP_REPLACE", "REGEXP_SUBSTR", "REPEAT", "REPLACE", "REVERSE",
+    "RIGHT", "RPAD", "RTRIM", "SOUNDEX", "SPACE", "STRCMP", "SUBSTR",
+    "SUBSTRING", "SUBSTRING_INDEX", "TO_BASE64", "TRIM", "UCASE",
+    "UNHEX", "UPPER", "WEIGHT_STRING",
+    // numeric
+    "ABS", "ACOS", "ASIN", "ATAN", "ATAN2", "CEIL", "CEILING", "CONV",
+    "COS", "COT", "CRC32", "DEGREES", "EXP", "FLOOR", "GREATEST",
+    "LEAST", "LN", "LOG", "LOG10", "LOG2", "MOD", "PI", "POW", "POWER",
+    "RADIANS", "RAND", "ROUND", "SIGN", "SIN", "SQRT", "TAN",
+    "TRUNCATE",
+    // date/time
+    "ADDDATE", "ADDTIME", "CONVERT_TZ", "CURDATE", "CURRENT_DATE",
+    "CURRENT_TIME", "CURRENT_TIMESTAMP", "CURTIME", "DATE", "DATE_ADD",
+    "DATE_FORMAT", "DATE_SUB", "DATEDIFF", "DAY", "DAYNAME",
+    "DAYOFMONTH", "DAYOFWEEK", "DAYOFYEAR", "EXTRACT", "FROM_DAYS",
+    "FROM_UNIXTIME", "GET_FORMAT", "HOUR", "LAST_DAY", "LOCALTIME",
+    "LOCALTIMESTAMP", "MAKEDATE", "MAKETIME", "MICROSECOND", "MINUTE",
+    "MONTH", "MONTHNAME", "NOW", "PERIOD_ADD", "PERIOD_DIFF",
+    "QUARTER", "SEC_TO_TIME", "SECOND", "STR_TO_DATE", "SUBDATE",
+    "SUBTIME", "SYSDATE", "TIME", "TIME_FORMAT", "TIME_TO_SEC",
+    "TIMEDIFF", "TIMESTAMP", "TIMESTAMPADD", "TIMESTAMPDIFF",
+    "TO_DAYS", "TO_SECONDS", "UNIX_TIMESTAMP", "UTC_DATE", "UTC_TIME",
+    "UTC_TIMESTAMP", "WEEK", "WEEKDAY", "WEEKOFYEAR", "YEAR",
+    "YEARWEEK",
+    // cast / flow control / misc
+    "CAST", "COALESCE", "CONVERT", "IF", "IFNULL", "ISNULL", "NULLIF",
+    "DATABASE", "SCHEMA", "SESSION_USER", "SYSTEM_USER", "USER",
+    "UUID", "UUID_SHORT", "UUID_TO_BIN", "BIN_TO_UUID", "VERSION",
+    "BENCHMARK", "CONNECTION_ID", "FOUND_ROWS", "LAST_INSERT_ID",
+    "ROW_COUNT", "SLEEP", "NAME_CONST", "DEFAULT", "GROUPING",
+    "INET_ATON", "INET_NTOA", "INET6_ATON", "INET6_NTOA", "IS_IPV4",
+    "IS_IPV4_COMPAT", "IS_IPV4_MAPPED", "IS_IPV6", "IS_UUID",
+    // encryption / digest
+    "AES_DECRYPT", "AES_ENCRYPT", "COMPRESS", "MD5", "RANDOM_BYTES",
+    "SHA", "SHA1", "SHA2", "STATEMENT_DIGEST", "STATEMENT_DIGEST_TEXT",
+    "UNCOMPRESS", "UNCOMPRESSED_LENGTH", "VALIDATE_PASSWORD_STRENGTH",
+    // aggregates
+    "AVG", "BIT_AND", "BIT_OR", "BIT_XOR", "COUNT", "GROUP_CONCAT",
+    "JSON_ARRAYAGG", "JSON_OBJECTAGG", "MAX", "MIN", "STD", "STDDEV",
+    "STDDEV_POP", "STDDEV_SAMP", "SUM", "VAR_POP", "VAR_SAMP",
+    "VARIANCE",
+    // window
+    "CUME_DIST", "DENSE_RANK", "FIRST_VALUE", "LAG", "LAST_VALUE",
+    "LEAD", "NTH_VALUE", "NTILE", "PERCENT_RANK", "RANK", "ROW_NUMBER",
+    // JSON
+    "JSON_ARRAY", "JSON_ARRAY_APPEND", "JSON_ARRAY_INSERT",
+    "JSON_CONTAINS", "JSON_CONTAINS_PATH", "JSON_DEPTH",
+    "JSON_EXTRACT", "JSON_INSERT", "JSON_KEYS", "JSON_LENGTH",
+    "JSON_MERGE", "JSON_MERGE_PATCH", "JSON_MERGE_PRESERVE",
+    "JSON_OBJECT", "JSON_OVERLAPS", "JSON_PRETTY", "JSON_QUOTE",
+    "JSON_REMOVE", "JSON_REPLACE", "JSON_SCHEMA_VALID",
+    "JSON_SCHEMA_VALIDATION_REPORT", "JSON_SEARCH", "JSON_SET",
+    "JSON_STORAGE_FREE", "JSON_STORAGE_SIZE", "JSON_TABLE",
+    "JSON_TYPE", "JSON_UNQUOTE", "JSON_VALID", "JSON_VALUE",
+    // full-text / XML / locks / replication
+    "MATCH", "EXTRACTVALUE", "UPDATEXML", "GET_LOCK", "RELEASE_LOCK",
+    "RELEASE_ALL_LOCKS", "IS_FREE_LOCK", "IS_USED_LOCK",
+    "MASTER_POS_WAIT", "SOURCE_POS_WAIT", "GTID_SUBSET",
+    "GTID_SUBTRACT", "WAIT_FOR_EXECUTED_GTID_SET")
+
+  /** Quote-aware scan for called function names (word followed by an
+    * open paren, MySQL's default no-IGNORE_SPACE call shape plus
+    * whitespace tolerance); every hit that is a MySQL builtin outside
+    * the intercepted/verified-identical sets is collected and reported
+    * in ONE loud failure. Bare keyword expressions without parens
+    * (CURRENT_TIMESTAMP as a keyword) are out of a function audit's
+    * reach — the NOW() interception note in the scaladoc covers the
+    * precision trap for the parenthesized spellings. */
+  private def auditFunctions(sql: String): Unit = {
+    val n = sql.length
+    var i = 0
+    val bad = scala.collection.mutable.LinkedHashSet.empty[String]
+    def skipQuoted(at: Int, quote: Char): Int = {
+      var k = at + 1
+      while (k < n) {
+        val c = sql.charAt(k)
+        if (c == '\\' && k + 1 < n && quote != '`') k += 2
+        else if (c == quote && k + 1 < n && sql.charAt(k + 1) == quote)
+          k += 2
+        else if (c == quote) return k + 1
+        else k += 1
+      }
+      k
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(i, c)
+      else if (Character.isLetterOrDigit(c) || c == '_') {
+        val start = i
+        while (i < n && (Character.isLetterOrDigit(sql.charAt(i)) ||
+          sql.charAt(i) == '_')) i += 1
+        val word = sql.substring(start, i).toUpperCase
+        var j = i
+        while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
+        val isCall = j < n && sql.charAt(j) == '('
+        if (isCall && !interceptedFns(word) && !verifiedIdentical(word)
+            && (mysqlBuiltins(word) || word.startsWith("ST_")))
+          bad += word
+      } else i += 1
+    }
+    if (bad.nonEmpty) {
+      val lines = bad.map { f =>
+        s"  $f: " + divergentHints.getOrElse(f,
+          "a MySQL builtin outside the intercepted/verified-identical " +
+            "surface — its Spark behavior (if the name resolves at " +
+            "all) has NOT been verified to match MySQL")
+      }.mkString("\n")
+      fail("statement calls MySQL function(s) the dialect layer has " +
+        "not verified as Spark-identical:\n" + lines +
+        "\nRewrite the call(s), or opt out of the audit with " +
+        "translate(sql, strictFunctions = false) to run on Spark's " +
+        "own semantics.")
+    }
+  }
+
   /** Translate a MySQL-dialect statement into Spark SQL. Apply EXACTLY
     * ONCE, to MySQL input: the structural rewrites (two-argument
     * LIMIT, interval DATE_ADD/DATE_SUB, STR_TO_DATE) trigger only on
@@ -105,8 +346,21 @@ object MySqlDialect {
     * re-read as MySQL (letter runs become quoted literals), so
     * re-running translate on its own output corrupts those calls. The engine's entry points ([[SparkEntry]],
     * SqlDialectSpec) each translate a statement exactly once and hand
-    * the result to [[Engine.getData]]; follow that discipline. */
-  def translate(sql: String): String = {
+    * the result to [[Engine.getData]]; follow that discipline.
+    *
+    * `strictFunctions` (default ON) runs the unknown-MySQL-function
+    * audit first — see [[auditFunctions]]: any called function that is
+    * a known MySQL builtin but neither intercepted by this module nor
+    * on the verified-identical allowlist fails loudly, closing the
+    * valid-in-both-but-silently-different class WHOLESALE instead of
+    * function-by-function. Pass `strictFunctions = false` to opt out
+    * (the statement then sinks or swims on Spark's own semantics). */
+  def translate(sql: String, strictFunctions: Boolean = true): String = {
+    if (strictFunctions) auditFunctions(sql)
+    rewrite(sql)
+  }
+
+  private def rewrite(sql: String): String = {
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0
@@ -283,14 +537,14 @@ object MySqlDialect {
           orderAsc = false; key = key.substring(0, key.length - 4).trim
         } else if (endsWithWord(key, "ASC"))
           key = key.substring(0, key.length - 3).trim
-        orderKey = Some(translate(key)) // nested MySQL-isms in the key
+        orderKey = Some(rewrite(key)) // nested MySQL-isms in the key
         args = args.substring(0, at).trim
       case None =>
     }
 
     // remaining: one or more concatenated expressions (recursively
     // translated so nested DATE_FORMAT etc. rewrite too)
-    val exprs = splitTopLevel(args, ',').map(e => translate(e.trim))
+    val exprs = splitTopLevel(args, ',').map(e => rewrite(e.trim))
     if (exprs.isEmpty || exprs.exists(_.isEmpty))
       fail(s"GROUP_CONCAT needs at least one expression: $argsRaw")
     // MySQL concatenates the expression list per row, then aggregates;
@@ -468,7 +722,7 @@ object MySqlDialect {
         s"pattern cannot be translated): $argsRaw")
     val (pat, hasDate, hasTime) =
       mysqlPatternToJava(unquoteLiteral(patLit), who, forParsing)
-    (translate(parts(0).trim), pat, hasDate, hasTime)
+    (rewrite(parts(0).trim), pat, hasDate, hasTime)
   }
 
   private def rewriteDateFormat(argsRaw: String): String = {
@@ -568,7 +822,7 @@ object MySqlDialect {
         s"interval literal equivalent (compound units like DAY_HOUR " +
         s"are not translated) — $help")
     val op = if (plus) "+" else "-"
-    Some(s"(${translate(parts(0).trim)} $op INTERVAL $qty $sparkUnit)")
+    Some(s"(${rewrite(parts(0).trim)} $op INTERVAL $qty $sparkUnit)")
   }
 
   /** MySQL NOW() is second-precision; Spark's now() carries

@@ -362,6 +362,45 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT date_format(d, 'EEEE') FROM t")
   }
 
+  test("unknown-MySQL-function audit: unverified MySQL builtins fail " +
+      "loudly at translate time (the silently-different class closed " +
+      "wholesale); opt-out knob runs on Spark's own semantics") {
+    // LENGTH is valid in BOTH dialects with different semantics
+    // (bytes vs characters) — exactly the class the audit closes
+    val e = intercept[MySqlDialect.UntranslatableSqlException] {
+      translate(
+        "SELECT LENGTH(c_name), VARIANCE(c_acctbal) FROM customer")
+    }
+    assert(e.getMessage.contains("LENGTH") &&
+      e.getMessage.contains("BYTES"), e.getMessage)
+    assert(e.getMessage.contains("VARIANCE") &&
+      e.getMessage.contains("POPULATION"), e.getMessage)
+    // a deliberately unmapped MySQL-only name also fails loudly with
+    // the generic message (Spark would reject it anyway, but the
+    // audit says WHY at translate time)
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT EXPORT_SET(b, 'Y', 'N') FROM t")
+    }
+    // the opt-out knob: same statement passes through untouched
+    assert(MySqlDialect.translate(
+      "SELECT LENGTH(c_name) FROM customer", strictFunctions = false)
+      === "SELECT LENGTH(c_name) FROM customer")
+    // names MySQL does not own (engine UDFs, Spark-only functions)
+    // pass — the audit guards MySQL semantics, not Spark's registry
+    assert(translate("SELECT text_jaccard(a, b, 3) FROM t") ===
+      "SELECT text_jaccard(a, b, 3) FROM t")
+    // verified-identical names pass, at any nesting depth
+    assert(translate(
+      "SELECT CONCAT(UPPER(a), SUBSTR(b, 1, 2)), COUNT(*) FROM t") ===
+      "SELECT CONCAT(UPPER(a), SUBSTR(b, 1, 2)), COUNT(*) FROM t")
+    // quoted literals never trip the audit
+    assert(translate("SELECT 'LENGTH(x)' AS s FROM t") ===
+      "SELECT 'LENGTH(x)' AS s FROM t")
+    // intercepted functions still translate under the audit
+    assert(translate("SELECT DATE_FORMAT(d, '%Y') FROM t") ===
+      "SELECT date_format(d, 'yyyy') FROM t")
+  }
+
   test("CURTIME renders MySQL's TIME text form; intermediate fsp " +
       "fails loudly") {
     assert(translate("SELECT CURTIME() FROM t") ===
