@@ -31,10 +31,14 @@ object JdbcScaffold {
     * the oracle reads the fresh parquet. A reaped db directory with a
     * surviving marker also rebuilds. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    // "v2": layout version salt — bump to invalidate dbs seeded by an
+    // older scaffold (v1 let Spark's Derby dialect map StringType to
+    // CLOB, which Derby cannot compare against pushed string
+    // predicates — see writeVarcharStrings)
     val sig = Seq("orders", "customer", "nation", "region")
       .map { t =>
         val f = new java.io.File(s"$sfDir/$t.parquet")
-        s"$sfDir/$t:${f.length}:${f.lastModified}"
+        s"v2:$sfDir/$t:${f.length}:${f.lastModified}"
       }
       .mkString("|")
     val key = Integer.toHexString(
@@ -50,25 +54,46 @@ object JdbcScaffold {
     // horizontal fragments: same deterministic hash split as the
     // parquet fragment views (Tables.register)
     (0 until 4).foreach { site =>
-      orders.filter(pmod(hash(col("o_orderkey")), lit(4)) === site)
-        .coalesce(1)
-        .write.mode("overwrite").jdbc(createUrl, s"orders_site$site", props)
+      writeVarcharStrings(
+        orders.filter(pmod(hash(col("o_orderkey")), lit(4)) === site),
+        createUrl, s"orders_site$site", props)
     }
     // vertical fragments: name side + account side sharing the key
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.select("c_custkey", "c_name", "c_mktsegment").coalesce(1)
-      .write.mode("overwrite").jdbc(createUrl, "customer_v1", props)
-    cust.select("c_custkey", "c_acctbal", "c_nationkey").coalesce(1)
-      .write.mode("overwrite").jdbc(createUrl, "customer_v2", props)
+    writeVarcharStrings(cust.select("c_custkey", "c_name", "c_mktsegment"),
+      createUrl, "customer_v1", props)
+    writeVarcharStrings(
+      cust.select("c_custkey", "c_acctbal", "c_nationkey"),
+      createUrl, "customer_v2", props)
     // whole logical dimension tables, for the `spark.graft.jdbc.url`
     // overlay path (Tables.load routes these via JDBC when the
     // allowlist names them)
     Seq("nation", "region").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").coalesce(1)
-        .write.mode("overwrite").jdbc(createUrl, t, props)
+      writeVarcharStrings(spark.read.parquet(s"$sfDir/$t.parquet"),
+        createUrl, t, props)
     }
     marker.createNewFile()
     url
+  }
+
+  /** Seed a table with every StringType column created as VARCHAR.
+    * Spark's Derby dialect defaults StringType to CLOB, and Derby
+    * refuses to COMPARE a CLOB against a character literal — so a
+    * pushed-down string predicate (`WHERE o_orderpriority =
+    * '1-URGENT'`, exactly what filter pushdown ships to the database)
+    * fails AT THE SITE DB despite being a perfectly valid plan. A
+    * real MySQL site maps strings to comparable TEXT/VARCHAR, so
+    * VARCHAR seeding keeps the Derby scaffold faithful to what the
+    * seam is standing in for. */
+  private def writeVarcharStrings(
+      df: org.apache.spark.sql.DataFrame, url: String, table: String,
+      props: java.util.Properties): Unit = {
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(512)").mkString(", ")
+    val w = df.coalesce(1).write.mode("overwrite")
+    (if (strCols.nonEmpty) w.option("createTableColumnTypes", strCols)
+     else w).jdbc(url, table, props)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
