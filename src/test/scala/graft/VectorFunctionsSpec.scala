@@ -172,6 +172,33 @@ class VectorFunctionsSpec extends AnyFunSuite {
       s"bitmap_agg must not fall to SortAggregate:\n$plan")
   }
 
+  test("mergeIntersectAtLeast: exact count whenever the threshold is " +
+      "reachable, -1 only when the true count provably falls short — " +
+      "the early-abandon bound never drops a passing pair") {
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 500) {
+      val universe = 1 + rnd.nextInt(200)
+      def arr() = (0 until (1 + rnd.nextInt(80)))
+        .map(_ => rnd.nextInt(universe).toLong)
+        .distinct.sorted.toArray
+      val (x, y) = (arr(), arr())
+      val c0 = graft.functions.VectorFunctions.mergeIntersectCount(x, y)
+      for (minOv <- Seq(0, 1, c0 - 1, c0, c0 + 1,
+          math.min(x.length, y.length)) if minOv >= 0) {
+        val r = graft.functions.VectorFunctions
+          .mergeIntersectAtLeast(x, y, minOv)
+        if (c0 >= minOv) assert(r === c0,
+          s"reachable threshold must return the exact count " +
+            s"(c0=$c0, minOv=$minOv)")
+        else assert(r === -1 || r === c0,
+          s"below-threshold may abandon (-1) or finish exactly " +
+            s"(c0=$c0, minOv=$minOv, got $r)")
+        if (r == -1) assert(c0 < minOv,
+          "-1 must imply the true count falls short")
+      }
+    }
+  }
+
   test("bitmap_andnot is exact set difference on bitmap buckets") {
     def bm(vals: Seq[Long]) = vals.toDF("v")
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(v))").as("bm"))
