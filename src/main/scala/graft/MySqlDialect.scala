@@ -154,10 +154,11 @@ object MySqlDialect {
     "POSITION", "REPEAT", "REPLACE", "REVERSE", "RIGHT", "RPAD",
     "RTRIM", "SOUNDEX", "SPACE", "SUBSTR", "SUBSTRING", "TRIM",
     "UCASE", "UPPER", "UNHEX",
-    // date/time with matching field semantics
+    // date/time with matching field semantics (CURRENT_DATE() is the
+    // CURDATE() synonym — dates carry no precision trap)
     "DAY", "DAYOFMONTH", "DAYOFWEEK", "DAYOFYEAR", "EXTRACT", "HOUR",
     "LAST_DAY", "MINUTE", "MONTH", "QUARTER", "SECOND", "WEEKOFYEAR",
-    "YEAR", "TIMESTAMPADD", "DATE",
+    "YEAR", "TIMESTAMPADD", "DATE", "CURRENT_DATE",
     // misc — same contract
     "CAST", "NULLIF", "MD5", "SHA1", "SHA2", "UUID")
 
@@ -183,6 +184,12 @@ object MySqlDialect {
       "year()/weekofyear() and verify the intended mode"),
     "SYSDATE" -> ("MySQL SYSDATE is per-invocation wall-clock (not " +
       "statement-stable); use NOW() for statement-time semantics"),
+    "CURRENT_TIMESTAMP" -> ("MySQL's is second-precision, Spark's " +
+      "carries microseconds; spell NOW() — translated to " +
+      "date_trunc('SECOND', current_timestamp())"),
+    "LOCALTIME" -> "NOW() synonym with the precision trap; spell NOW()",
+    "LOCALTIMESTAMP" ->
+      "NOW() synonym with the precision trap; spell NOW()",
     "CURRENT_TIME" -> "use CURTIME() — translated with MySQL precision",
     "FORMAT" -> "use format_number(n, d) (no locale argument)",
     "CHAR" -> ("MySQL CHAR(n, ...) synthesizes a byte string; use " +
