@@ -63,6 +63,11 @@ SOURCES = [
     "/tmp/giter_sf10.json",
     "/tmp/skyline_sf10.json",
     "/tmp/onesided_jjt_sf10he.json",
+    # round-12: captured-model literal export extended to sf10 — the
+    # 9 former rows_only queries (kmeans/semantic/lr/pq/ivf families +
+    # stream_quality_filter) re-run with the trained model embedded in
+    # the dumped oracle SQL, full DuckDB value compare
+    "/tmp/oracle_sf10_captured.json",
 ]
 
 # Declared, by-design degrades recorded alongside a green: the

@@ -138,6 +138,22 @@ object StreamLoadDrill {
         val stateRows = progs.last.stateOperators.headOption
           .map(_.numRowsTotal).getOrElse(-1L)
         val rows = progs.map(_.numInputRows).sum
+        // big-state fills degrade GRADUALLY (state grows every batch);
+        // a windowed mean hides the trend, so emit a trail — every
+        // ~20th batch's (batchId, trigger ms, state rows) — that shows
+        // WHERE commit time starts growing
+        val stride = math.max(1, progs.length / 30)
+        val trail = progs.zipWithIndex
+          .filter { case (_, k) => k % stride == 0 }
+          .map { case (p, _) =>
+            val t = Option(p.durationMs.get("triggerExecution"))
+              .map(_.toLong).getOrElse(-1L)
+            val sr = p.stateOperators.headOption
+              .map(_.numRowsTotal).getOrElse(-1L)
+            s"""[${p.batchId},$t,$sr]"""
+          }.mkString("[", ",", "]")
+        println(s"""{"drill":"stream_load_trail","shape":"$shape",""" +
+          s""""rate":$rate,"trail_batch_ms_state":$trail}""")
         println(
           f"""{"drill":"stream_load","shape":"$shape",""" +
             f""""provider":"$provider","users":$users,"rate":$rate,""" +
