@@ -1,24 +1,32 @@
 #!/bin/bash
-# Round-12 same-day alternated A/B for the early-abandon pair
-# verification (mergeIntersectAtLeast in VerifiedBucketPairs): NEW =
-# working tree, OLD = the pre-early-abandon VectorFunctions.scala
-# (commit 9fcabc9^) swapped in and recompiled, N,O,N,O order so
-# within-day drift can't masquerade as a win (BASELINE.md
-# measurement-day discipline). Target: join_jaccard_threshold at
-# sf30-he — the dense regime whose bucket-loop aggregate the r10
-# profile measured 94% CPU-bound — with a quick sf10-he (sparse
-# regime) pair alongside.
+# Round-12 same-day alternated A/B/C for the exact-jaccard bucket
+# loop (VerifiedBucketPairs / BucketPairs in VectorFunctions.scala):
+#   new = working tree (early-abandon + size-band break),
+#   mid = HEAD          (early-abandon only, commits 9fcabc9..bff59d8),
+#   old = 9fcabc9^      (pre-early-abandon round-11 loop).
+# N,M,O alternated order so within-day drift can't masquerade as a
+# win (BASELINE.md measurement-day discipline).
+#
+# Target: join_jaccard_threshold at sf10-he ONLY. This round's
+# driver-regenerated testdata is far denser in near-dup structure
+# than round 11's (same code, same box: r11 sf10-he 16-18 s, today
+# 367 s new / >520 s mid) — today's sf10-he IS the dense regime the
+# sf30-he runs used to probe, and an sf30-he pass would cost hours
+# per variant. The cross-round swing also explains r11's unexplained
+# "cross-day artifact": /root/testdata is rebuilt by the driver each
+# round and its duplicate structure drifts.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 OUT=/tmp/ab_earlyabandon_r12.jsonl
-: > "$OUT"
+[ "${APPEND:-0}" = 1 ] || : > "$OUT"
 VF=src/main/scala/graft/functions/VectorFunctions.scala
 
 cp "$VF" /tmp/vf_new.scala
+git show HEAD:"$VF" > /tmp/vf_mid.scala
 git show 9fcabc9^:"$VF" > /tmp/vf_old.scala
 
 swap() {
-  if [ "$1" = old ]; then cp /tmp/vf_old.scala "$VF"; else cp /tmp/vf_new.scala "$VF"; fi
+  cp "/tmp/vf_$1.scala" "$VF"
   sbt -batch compile >/dev/null 2>&1 || { echo "COMPILE FAILED for $1" >&2; exit 1; }
 }
 
@@ -30,17 +38,11 @@ bench() { # bench <label> <sfdir> <shuffle> <query>
   echo "=== $1: $line" >&2
 }
 
-for round in 1 2; do
-  for variant in new old; do
+for round in $(seq "${ROUND0:-1}" "${ROUNDS:-2}"); do
+  for variant in new mid old; do
     swap "$variant"
     bench "join_sf10he_${variant}_$round" /tmp/graft_sf10_he 32 join_jaccard_threshold
   done
-done
-# sf30-he: one alternated pair (a pass is ~10 min; two passes per
-# variant would burn an hour for a record the sf10-he pairs bracket)
-for variant in new old; do
-  swap "$variant"
-  bench "join_sf30he_${variant}_1" /tmp/graft_sf30_he 96 join_jaccard_threshold
 done
 
 cp /tmp/vf_new.scala "$VF"

@@ -705,6 +705,20 @@ object RewriteJaccardThresholdJoin {
         val k = it.next().getKey
         if (k != null && k.sparkContext.isStopped) it.remove()
       }
+      // The stopped-context purge cannot see CHILD sessions of a live
+      // context — and the query surface mints one per similarity-join
+      // call (`newSession()` to scope the rewrite flag), so a
+      // long-lived service would still accumulate an entry (plan keys
+      // + trained models) per call. The memo is a cache, eviction
+      // costs only a recompute: bound the map and drop arbitrary
+      // other-session entries once full.
+      if (memosBySession.size() > 64) {
+        val it2 = memosBySession.entrySet().iterator()
+        while (it2.hasNext && memosBySession.size() > 64) {
+          val k = it2.next().getKey
+          if (k ne s) it2.remove()
+        }
+      }
       var v = memosBySession.get(s)
       if (v == null) {
         v = (scala.collection.concurrent.TrieMap.empty,

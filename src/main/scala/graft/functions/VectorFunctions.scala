@@ -644,6 +644,26 @@ object VectorFunctions {
       // of a 335 s stage here), and iterating boxed tuples paid an
       // object dereference + 3 unboxings per candidate check where
       // three sequential primitive loads suffice.
+      // The cap is taken in doc_id order (layout-independent
+      // truncation, unchanged); the CAPPED prefix is then re-sorted by
+      // SIZE so the upper length bound becomes a BREAK: with sizes
+      // ascending and j > i, sb ≥ sa makes the lower bound
+      // (sb ≥ t·sa − EPS) vacuous, and the first j rejected by the
+      // upper bound (sa < t·sb − EPS) rejects every later j too — the
+      // length filter drops from m²/2 evaluated checks to the pairs
+      // inside each size band [t·sa, sa/t]. Pair identity is preserved
+      // by emitting (min id, max id); ordering inside the output array
+      // was never part of the contract (both call sites
+      // explode → distinct). Skipped for tiny buckets — most buckets
+      // in a healthy corpus are a handful of postings, where a boxed
+      // comparator sort costs more than the handful of length checks
+      // it saves; the band pays off where the m²/2 loop does damage.
+      if (m > 16) java.util.Arrays.sort(idx, 0, m,
+        (a: Integer, b: Integer) => {
+          val c = java.lang.Integer.compare(szs(a), szs(b))
+          if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+        })
+      val banded = m > 16
       val sIds = new Array[Long](m)
       val sRns = new Array[Int](m)
       val sSzs = new Array[Int](m)
@@ -658,18 +678,26 @@ object VectorFunctions {
       i = 0
       while (i < m) {
         val ia = sIds(i); val ra = sRns(i); val sa = sSzs(i)
-        val minSb = threshold * sa - EPS // length filter, a-side fixed
         val slackA = sa - ra
         var j = i + 1
-        while (j < m) {
+        var inBand = true
+        while (j < m && inBand) {
           val sb = sSzs(j)
-          if (sb >= minSb && sa >= threshold * sb - EPS) {
-            val rb = sRns(j)
-            val ov = if (slackA < sb - rb) slackA else sb - rb
-            if (ov + 1 >= tc * (sa + sb) - EPS)
-              out += org.apache.spark.sql.catalyst.InternalRow(ia, sIds(j))
+          if (banded && sa < threshold * sb - EPS) inBand = false
+          else {
+            if (banded || (sb >= threshold * sa - EPS &&
+                sa >= threshold * sb - EPS)) {
+              val rb = sRns(j)
+              val ov = if (slackA < sb - rb) slackA else sb - rb
+              if (ov + 1 >= tc * (sa + sb) - EPS) {
+                val ib = sIds(j)
+                out += (if (ia <= ib)
+                  org.apache.spark.sql.catalyst.InternalRow(ia, ib)
+                else org.apache.spark.sql.catalyst.InternalRow(ib, ia))
+              }
+            }
+            j += 1
           }
-          j += 1
         }
         i += 1
       }
@@ -751,9 +779,23 @@ object VectorFunctions {
         (a: Integer, b: Integer) =>
           java.lang.Long.compare(ids(a), ids(b)))
       val m = math.min(n0, maxBucket)
-      // flatten the sorted prefix into primitive arrays — same
-      // rationale as [[BucketPairs]]: the m²/2 prune loop reads these
-      // per candidate check, and Integer index indirection boxes
+      // Cap in doc_id order (layout-independent truncation), then
+      // re-sort the CAPPED prefix by size — same size-band break as
+      // [[BucketPairs]]: sizes ascending make the lower length bound
+      // vacuous and the upper bound monotone in j, so the first
+      // too-large sb ends the inner scan instead of paying a check
+      // per remaining posting. Flattened to primitive arrays — the
+      // m²/2 prune loop reads these per candidate check, and Integer
+      // index indirection boxes.
+      // tiny buckets skip the re-sort — same rationale as
+      // [[BucketPairs]]: the boxed comparator sort outweighs the few
+      // length checks it saves when m is a handful
+      if (m > 16) java.util.Arrays.sort(idx, 0, m,
+        (a: Integer, b: Integer) => {
+          val c = java.lang.Integer.compare(gss(a).length, gss(b).length)
+          if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+        })
+      val banded = m > 16
       val sIds = new Array[Long](m)
       val sRns = new Array[Int](m)
       val sGss = new Array[Array[Long]](m)
@@ -769,32 +811,40 @@ object VectorFunctions {
       while (i < m) {
         val ia = sIds(i); val ra = sRns(i); val ga = sGss(i)
         val sa = ga.length
-        val minSb = threshold * sa - EPS
         val slackA = sa - ra
         var j = i + 1
-        while (j < m) {
+        var inBand = true
+        while (j < m && inBand) {
           val gb = sGss(j); val sb = gb.length
-          if (sb >= minSb && sa >= threshold * sb - EPS &&
-              sIds(j) != ia) {
-            val rb = sRns(j)
-            val ov = if (slackA < sb - rb) slackA else sb - rb
-            if (ov + 1 >= tc * (sa + sb) - EPS) {
-              // early-abandon verification: minOv is the smallest
-              // integer count the final check can accept — c/(sa+sb−c)
-              // ≥ t−EPS ⇔ c ≥ (t−EPS)(sa+sb)/(1+t−EPS) — floored by a
-              // nano-epsilon so rounding can only ADMIT an extra merge,
-              // never reject a passing pair (see mergeIntersectAtLeast)
-              val tReq = threshold - EPS
-              val minOv = math.ceil(
-                tReq * (sa + sb) / (1.0 + tReq) - 1e-9).toInt
-              val c = mergeIntersectAtLeast(ga, gb, minOv)
-              if (c >= 0 &&
-                  c.toDouble / (sa + sb - c).toDouble >= threshold - EPS)
-                out += org.apache.spark.sql.catalyst.InternalRow(
-                  ia, sIds(j))
+          if (banded && sa < threshold * sb - EPS) inBand = false
+          else {
+            if (sIds(j) != ia && (banded ||
+                (sb >= threshold * sa - EPS &&
+                  sa >= threshold * sb - EPS))) {
+              val rb = sRns(j)
+              val ov = if (slackA < sb - rb) slackA else sb - rb
+              if (ov + 1 >= tc * (sa + sb) - EPS) {
+                // early-abandon verification: minOv is the smallest
+                // integer count the final check can accept — c/(sa+sb−c)
+                // ≥ t−EPS ⇔ c ≥ (t−EPS)(sa+sb)/(1+t−EPS) — floored by a
+                // nano-epsilon so rounding can only ADMIT an extra
+                // merge, never reject a passing pair (see
+                // mergeIntersectAtLeast)
+                val tReq = threshold - EPS
+                val minOv = math.ceil(
+                  tReq * (sa + sb) / (1.0 + tReq) - 1e-9).toInt
+                val c = mergeIntersectAtLeast(ga, gb, minOv)
+                if (c >= 0 &&
+                    c.toDouble / (sa + sb - c).toDouble >= threshold - EPS) {
+                  val ib = sIds(j)
+                  out += (if (ia <= ib)
+                    org.apache.spark.sql.catalyst.InternalRow(ia, ib)
+                  else org.apache.spark.sql.catalyst.InternalRow(ib, ia))
+                }
+              }
             }
+            j += 1
           }
-          j += 1
         }
         i += 1
       }

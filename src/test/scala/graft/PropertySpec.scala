@@ -74,11 +74,14 @@ class PropertySpec extends AnyFunSuite {
       rn <- Gen.choose(1, sz)
     } yield (id, rn, sz)
     (0 until 40).foreach { i =>
-      val raw = (0 until 14).flatMap(k => genPosting(
+      // even cases exercise the small-bucket id-order loop, odd cases
+      // cross the m>16 banding threshold (size-sorted break loop)
+      val nDraw = if (i % 2 == 0) 14 else 45
+      val raw = (0 until nDraw).flatMap(k => genPosting(
         Gen.Parameters.default, Seed(100L * i + k)))
       val ps = raw.groupBy(_._1).map(_._2.head).toSeq // unique doc ids
       val t = 0.7
-      val cap = 6
+      val cap = if (i % 2 == 0) 6 else 24
       val expr = BucketPairs(structArray(
         ps.map { case (id, rn, sz) => InternalRow(id, rn, sz) },
         Seq(StructField("doc_id", LongType), StructField("rn", IntegerType),
@@ -98,6 +101,61 @@ class PropertySpec extends AnyFunSuite {
             t / (1 + t) * (sa + sb) - EPS
       } yield (ia, ib)).sorted
       assert(got === want, s"case $i postings=$ps")
+    }
+  }
+
+  test("VerifiedBucketPairs equals the naive filters + exact jaccard") {
+    // Direct model check for the EXACT-rewrite loop (the size-band
+    // re-sort and break must not change which index pairs are
+    // considered): naive reference = doc_id-capped postings, every
+    // unordered pair, the same length/positional prefilters, then a
+    // full set-intersection jaccard — emitted as (min id, max id).
+    // rn is drawn RANDOMLY in [1, |gs|], so the positional filter
+    // fires on pairs whose true jaccard passes — the reference
+    // replicates the filter, not the recall claim (which needs real
+    // df-order rn and is proven end-to-end in GraftExtensionsSpec).
+    import graft.functions.VectorFunctions.VerifiedBucketPairs
+    val EPS = 1e-9
+    val genPosting = for {
+      id <- Gen.choose(0L, 25L)
+      sz <- Gen.choose(1, 40)
+      gs <- Gen.listOfN(sz, Gen.choose(0L, 120L))
+      rn <- Gen.choose(1, math.max(1, gs.distinct.size))
+    } yield (id, rn, gs.distinct.sorted.toArray)
+    (0 until 40).foreach { i =>
+      // even cases stay under the m>16 banding threshold (id-order
+      // loop), odd cases exceed it (size-sorted band loop) — both
+      // paths must match the same naive model
+      val nPost = if (i % 2 == 0) 12 else 30
+      val ps = (0 until nPost).flatMap(k => genPosting(
+        Gen.Parameters.default, Seed(7777L * i + k)))
+      val t = if (i % 2 == 0) 0.5 else 0.75
+      val cap = if (i % 2 == 0) 8 else 24
+      val expr = VerifiedBucketPairs(structArray(
+        ps.map { case (id, rn, gs) => InternalRow(id, rn,
+          new GenericArrayData(gs.asInstanceOf[Array[Long]])) },
+        Seq(StructField("id", LongType), StructField("rn", IntegerType),
+          StructField("gs", ArrayType(LongType)))), cap, t)
+      val got = {
+        val r = expr.eval(InternalRow.empty).asInstanceOf[ArrayData]
+        (0 until r.numElements())
+          .map(k => (r.getStruct(k, 2).getLong(0), r.getStruct(k, 2).getLong(1)))
+          .sorted
+      }
+      val sorted = ps.sortBy(_._1).take(cap)
+      val tc = t / (1 + t)
+      val want = (for {
+        a <- sorted.indices; b <- a + 1 until sorted.size
+        (ia, ra, ga) = sorted(a); (ib, rb, gb) = sorted(b)
+        if ia != ib
+        sa = ga.length; sb = gb.length
+        if sb >= t * sa - EPS && sa >= t * sb - EPS
+        if math.min(sa - ra, sb - rb) + 1 >= tc * (sa + sb) - EPS
+        c = ga.toSet.intersect(gb.toSet).size
+        if c.toDouble / (sa + sb - c) >= t - EPS
+      } yield (math.min(ia, ib), math.max(ia, ib))).sorted
+      assert(got === want, s"case $i t=$t postings=${ps.map(p =>
+        (p._1, p._2, p._3.toSeq)).mkString(";")}")
     }
   }
 
