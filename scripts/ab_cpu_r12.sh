@@ -10,9 +10,13 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 VF=src/main/scala/graft/functions/VectorFunctions.scala
 
-[ -f /tmp/vf_new.scala ] || cp "$VF" /tmp/vf_new.scala
-[ -f /tmp/vf_mid.scala ] || git show HEAD:"$VF" > /tmp/vf_mid.scala
-[ -f /tmp/vf_old.scala ] || git show 9fcabc9^:"$VF" > /tmp/vf_old.scala
+# Unconditionally refresh the snapshots: a stale /tmp/vf_*.scala from
+# an earlier A/B would benchmark the wrong "new" variant AND be copied
+# back over the working tree at the end, silently reverting source
+# edits made since that run.
+cp "$VF" /tmp/vf_new.scala
+git show HEAD:"$VF" > /tmp/vf_mid.scala
+git show 9fcabc9^:"$VF" > /tmp/vf_old.scala
 
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

@@ -687,7 +687,12 @@ object RewriteJaccardThresholdJoin {
   private val memosBySession = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     (scala.collection.concurrent.TrieMap[Any, Map[Long, Long]],
-      scala.collection.concurrent.TrieMap[Any, (Long, Double, Int)])]()
+      scala.collection.concurrent.TrieMap[Any, (Long, Double, Int)],
+      java.util.concurrent.atomic.AtomicLong)]()
+
+  // Monotonic access clock for the LRU bound below (WeakHashMap has no
+  // access order of its own).
+  private val accessTick = new java.util.concurrent.atomic.AtomicLong()
 
   private[graft] def forSession(s: org.apache.spark.sql.SparkSession) =
     memosBySession.synchronized {
@@ -710,21 +715,35 @@ object RewriteJaccardThresholdJoin {
       // call (`newSession()` to scope the rewrite flag), so a
       // long-lived service would still accumulate an entry (plan keys
       // + trained models) per call. The memo is a cache, eviction
-      // costs only a recompute: bound the map and drop arbitrary
-      // other-session entries once full.
+      // costs only a recompute: bound the map at 64 sessions and evict
+      // LEAST-RECENTLY-USED first (each entry carries an access tick).
+      // Under the child-session-per-call pattern the short-lived
+      // children are exactly the cold tail, so the hot parent's memo
+      // survives the bound instead of being dropped at hash-order whim.
       if (memosBySession.size() > 64) {
+        val victims = new java.util.ArrayList[
+          (Long, org.apache.spark.sql.SparkSession)]()
         val it2 = memosBySession.entrySet().iterator()
-        while (it2.hasNext && memosBySession.size() > 64) {
-          val k = it2.next().getKey
-          if (k ne s) it2.remove()
+        while (it2.hasNext) {
+          val e = it2.next()
+          if ((e.getKey ne s) && e.getKey != null)
+            victims.add((e.getValue._3.get(), e.getKey))
+        }
+        victims.sort((a, b) => java.lang.Long.compare(a._1, b._1))
+        var vi = 0
+        while (memosBySession.size() > 64 && vi < victims.size()) {
+          memosBySession.remove(victims.get(vi)._2)
+          vi += 1
         }
       }
       var v = memosBySession.get(s)
       if (v == null) {
         v = (scala.collection.concurrent.TrieMap.empty,
-          scala.collection.concurrent.TrieMap.empty)
+          scala.collection.concurrent.TrieMap.empty,
+          new java.util.concurrent.atomic.AtomicLong())
         memosBySession.put(s, v)
       }
+      v._3.set(accessTick.incrementAndGet())
       v
     }
 }

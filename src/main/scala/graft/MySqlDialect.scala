@@ -92,9 +92,15 @@ package graft
   * semantics (LENGTH bytes-vs-chars, VARIANCE population-vs-sample,
   * ICU-vs-Java regex dialects, ...). `translate(sql,
   * strictFunctions = false)` opts out. Bare keyword expressions
-  * without parens (`CURRENT_TIMESTAMP` as a keyword, microsecond
-  * precision vs MySQL's seconds) are outside a function audit's reach
-  * — spell `NOW()` for translated precision.
+  * without parens are covered too: `CURRENT_TIMESTAMP` / `LOCALTIME` /
+  * `LOCALTIMESTAMP` (NOW() synonyms, MySQL second-precision) and
+  * `CURRENT_TIME` (CURTIME() synonym) TRANSLATE like their
+  * parenthesized spellings; the keyword-callable names with no
+  * faithful Spark spelling (`UTC_TIMESTAMP`/`UTC_TIME`/`UTC_DATE`,
+  * `CURRENT_USER`) fail the strict audit with tailored hints instead
+  * of silently resolving to a different Spark meaning or an unbound
+  * column. Dot-qualified uses (`t.current_timestamp`) stay column
+  * references.
   */
 object MySqlDialect {
 
@@ -122,7 +128,10 @@ object MySqlDialect {
   /** Function names this module rewrites (see the scanner). */
   private val interceptedFns: Set[String] = Set(
     "GROUP_CONCAT", "DATE_FORMAT", "DATE_ADD", "DATE_SUB", "NOW",
-    "FROM_UNIXTIME", "STR_TO_DATE", "CURTIME")
+    "FROM_UNIXTIME", "STR_TO_DATE", "CURTIME",
+    // NOW()/CURTIME() keyword synonyms — rewritten with MySQL
+    // precision in both the parenthesized and the bare spelling
+    "CURRENT_TIMESTAMP", "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME")
 
   /** MySQL builtins whose Spark namesake has VERIFIED-identical
     * semantics (SqlDialectSpec pins the non-obvious ones; the rest are
@@ -184,13 +193,6 @@ object MySqlDialect {
       "year()/weekofyear() and verify the intended mode"),
     "SYSDATE" -> ("MySQL SYSDATE is per-invocation wall-clock (not " +
       "statement-stable); use NOW() for statement-time semantics"),
-    "CURRENT_TIMESTAMP" -> ("MySQL's is second-precision, Spark's " +
-      "carries microseconds; spell NOW() — translated to " +
-      "date_trunc('SECOND', current_timestamp())"),
-    "LOCALTIME" -> "NOW() synonym with the precision trap; spell NOW()",
-    "LOCALTIMESTAMP" ->
-      "NOW() synonym with the precision trap; spell NOW()",
-    "CURRENT_TIME" -> "use CURTIME() — translated with MySQL precision",
     "FORMAT" -> "use format_number(n, d) (no locale argument)",
     "CHAR" -> ("MySQL CHAR(n, ...) synthesizes a byte string; use " +
       "chr()/concat() — Spark char(n) takes exactly one code point"),
@@ -211,7 +213,32 @@ object MySqlDialect {
       "(strictFunctions = false)"),
     "REGEXP_INSTR" -> ("ICU-vs-Java regex dialect differs; verify " +
       "the pattern, then call Spark's regexp_instr directly " +
-      "(strictFunctions = false)"))
+      "(strictFunctions = false)"),
+    "UTC_TIMESTAMP" -> ("no Spark namesake (bare UTC_TIMESTAMP would " +
+      "resolve as a column); use to_utc_timestamp(NOW(), " +
+      "current_timezone())"),
+    "UTC_TIME" -> ("no Spark namesake; derive from " +
+      "to_utc_timestamp(NOW(), current_timezone()) with date_format"),
+    "UTC_DATE" -> ("no Spark namesake; use " +
+      "to_date(to_utc_timestamp(NOW(), current_timezone()))"),
+    "CURRENT_USER" -> ("MySQL returns 'user@host' but Spark's " +
+      "current_user is the bare connected username; compare/format " +
+      "explicitly (strictFunctions = false)"))
+
+  /** MySQL names callable as BARE KEYWORDS (no parens) that the
+    * rewriter does NOT translate and whose Spark meaning (a different
+    * builtin, or an unbound column reference) silently diverges —
+    * the strict audit flags bare uses of these with the tailored
+    * hints above. The translated bare keywords (CURRENT_TIMESTAMP /
+    * LOCALTIME / LOCALTIMESTAMP / CURRENT_TIME) are deliberately NOT
+    * here: [[rewrite]] intercepts them like their parenthesized
+    * spellings. */
+  private val bareKeywordAudit: Set[String] = Set(
+    "UTC_TIMESTAMP", "UTC_TIME", "UTC_DATE", "CURRENT_USER")
+
+  /** Bare keywords [[rewrite]] translates with MySQL semantics. */
+  private val bareKeywordTranslated: Set[String] = Set(
+    "CURRENT_TIMESTAMP", "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME")
 
   /** MySQL 8.0 builtin function-name catalog (public reference-manual
     * inventory: string, numeric, date/time, cast, aggregate, window,
@@ -255,6 +282,7 @@ object MySqlDialect {
     // cast / flow control / misc
     "CAST", "COALESCE", "CONVERT", "IF", "IFNULL", "ISNULL", "NULLIF",
     "DATABASE", "SCHEMA", "SESSION_USER", "SYSTEM_USER", "USER",
+    "CURRENT_USER",
     "UUID", "UUID_SHORT", "UUID_TO_BIN", "BIN_TO_UUID", "VERSION",
     "BENCHMARK", "CONNECTION_ID", "FOUND_ROWS", "LAST_INSERT_ID",
     "ROW_COUNT", "SLEEP", "NAME_CONST", "DEFAULT", "GROUPING",
@@ -292,10 +320,12 @@ object MySqlDialect {
     * open paren, MySQL's default no-IGNORE_SPACE call shape plus
     * whitespace tolerance); every hit that is a MySQL builtin outside
     * the intercepted/verified-identical sets is collected and reported
-    * in ONE loud failure. Bare keyword expressions without parens
-    * (CURRENT_TIMESTAMP as a keyword) are out of a function audit's
-    * reach — the NOW() interception note in the scaladoc covers the
-    * precision trap for the parenthesized spellings. */
+    * in ONE loud failure. Bare keyword expressions without parens are
+    * audited too: un-translated keyword-callable names
+    * ([[bareKeywordAudit]]) are flagged unless dot-qualified (a
+    * qualified name is a column reference, never the MySQL keyword);
+    * the [[bareKeywordTranslated]] set passes because [[rewrite]]
+    * intercepts those spellings with MySQL precision. */
   private def auditFunctions(sql: String): Unit = {
     val n = sql.length
     var i = 0
@@ -323,8 +353,11 @@ object MySqlDialect {
         var j = i
         while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
         val isCall = j < n && sql.charAt(j) == '('
+        val dotQualified = start > 0 && sql.charAt(start - 1) == '.'
         if (isCall && !interceptedFns(word) && !verifiedIdentical(word)
             && (mysqlBuiltins(word) || word.startsWith("ST_")))
+          bad += word
+        else if (!isCall && !dotQualified && bareKeywordAudit(word))
           bad += word
       } else i += 1
     }
@@ -464,26 +497,45 @@ object MySqlDialect {
             word.equalsIgnoreCase("NOW") ||
             word.equalsIgnoreCase("FROM_UNIXTIME") ||
             word.equalsIgnoreCase("STR_TO_DATE") ||
-            word.equalsIgnoreCase("CURTIME")) {
+            word.equalsIgnoreCase("CURTIME") ||
+            bareKeywordTranslated(word.toUpperCase)) {
+          val dotQualified = start > 0 && sql.charAt(start - 1) == '.'
           var j = i
           while (j < n && Character.isWhitespace(sql.charAt(j))) j += 1
           val close = if (j < n && sql.charAt(j) == '(') matchParen(j)
             else -1
-          if (close < 0) out.append(word) // no args — Spark reports it
-          else {
+          if (close < 0) {
+            // No parens. The NOW()-synonym keywords are legal MySQL
+            // expressions bare — translate them with MySQL precision
+            // (unless dot-qualified: `t.current_timestamp` is a column
+            // reference). Everything else bare is left verbatim for
+            // Spark to report.
+            if (!dotQualified &&
+                (word.equalsIgnoreCase("CURRENT_TIMESTAMP") ||
+                  word.equalsIgnoreCase("LOCALTIME") ||
+                  word.equalsIgnoreCase("LOCALTIMESTAMP")))
+              out.append(rewriteNow(""))
+            else if (!dotQualified && word.equalsIgnoreCase("CURRENT_TIME"))
+              out.append(rewriteCurtime(""))
+            else out.append(word)
+          } else {
             val inner = sql.substring(j + 1, close - 1)
             val rewritten: Option[String] =
               if (word.equalsIgnoreCase("GROUP_CONCAT"))
                 Some(rewriteGroupConcat(inner))
               else if (word.equalsIgnoreCase("DATE_FORMAT"))
                 Some(rewriteDateFormat(inner))
-              else if (word.equalsIgnoreCase("NOW"))
+              else if (word.equalsIgnoreCase("NOW") ||
+                word.equalsIgnoreCase("CURRENT_TIMESTAMP") ||
+                word.equalsIgnoreCase("LOCALTIME") ||
+                word.equalsIgnoreCase("LOCALTIMESTAMP"))
                 Some(rewriteNow(inner))
               else if (word.equalsIgnoreCase("FROM_UNIXTIME"))
                 rewriteFromUnixtime(inner)
               else if (word.equalsIgnoreCase("STR_TO_DATE"))
                 Some(rewriteStrToDate(inner))
-              else if (word.equalsIgnoreCase("CURTIME"))
+              else if (word.equalsIgnoreCase("CURTIME") ||
+                word.equalsIgnoreCase("CURRENT_TIME"))
                 Some(rewriteCurtime(inner))
               else rewriteDateAddSub(inner,
                 plus = word.equalsIgnoreCase("DATE_ADD"))

@@ -177,14 +177,40 @@ object Tables {
       h = (h ^ f.lastModified()) * 1099511628211L
       h
     }
+    // Root name = source-path family + content signature: the family
+    // prefix scopes the stale-sibling cleanup below to regenerations
+    // of the SAME source directory — a second corpus registered in the
+    // same JVM (a different sfDir) lives in its own family and is
+    // never deleted out from under its live views.
+    val fam = java.lang.Integer.toHexString(src.getCanonicalPath.hashCode)
     val root = s"${sys.props("java.io.tmpdir")}/graft_frags/" +
-      s"orders_${java.lang.Long.toHexString(sig)}"
+      s"orders_${fam}_${java.lang.Long.toHexString(sig)}"
     this.synchronized {
       if (!new java.io.File(s"$root/_SUCCESS").exists()) {
         import org.apache.spark.sql.functions.{col, hash, lit, pmod}
         spark.read.parquet(src.getPath)
           .withColumn("__graft_site", pmod(hash(col("o_orderkey")), lit(4)))
           .write.mode("overwrite").partitionBy("__graft_site").parquet(root)
+      }
+      // The signature key means every source regeneration mints a NEW
+      // root and orphans the previous one — one full `orders` copy per
+      // data refresh in a long-lived deployment. Once THIS root's
+      // `_SUCCESS` marker exists, the family's other signatures are
+      // stale by definition (the signature is a pure function of the
+      // current source files), so delete them here, inside the lock
+      // that also guards the write.
+      val rootFile = new java.io.File(root)
+      Option(rootFile.getParentFile.listFiles()).toSeq.flatten.foreach {
+        sib =>
+          if (sib.getName.startsWith(s"orders_${fam}_") &&
+              sib.getName != rootFile.getName) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory)
+                Option(f.listFiles()).toSeq.flatten.foreach(rm)
+              f.delete()
+            }
+            rm(sib)
+          }
       }
     }
     Some(root)

@@ -358,6 +358,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("memo-map bound evicts least-recently-used sessions: the hot " +
+      "parent survives >64 child-session mints, the cold tail does not") {
+    withExtSession { s =>
+      val parent = s.newSession()
+      val parentMemo = RewriteJaccardThresholdJoin.forSession(parent)._1
+      parentMemo.put("hot-parent-marker", Map(1L -> 1L))
+      // The documented service pattern: a short-lived child session
+      // per similarity call, the parent touched on every call. Keep
+      // strong references so WeakHashMap GC can't explain evictions.
+      val children = scala.collection.mutable.ArrayBuffer
+        .empty[SparkSession]
+      val firstChild = s.newSession()
+      children += firstChild
+      val firstChildMemo =
+        RewriteJaccardThresholdJoin.forSession(firstChild)._1
+      (1 to 100).foreach { _ =>
+        val child = s.newSession()
+        children += child
+        RewriteJaccardThresholdJoin.forSession(child)
+        RewriteJaccardThresholdJoin.forSession(parent) // stays hot
+      }
+      // The bound fired (the single-access first child was evicted:
+      // its memo was re-minted empty on re-lookup) ...
+      assert(!(RewriteJaccardThresholdJoin
+        .forSession(firstChild)._1 eq firstChildMemo),
+        "cold first child should have been evicted by the 64 bound")
+      // ... but the hot parent kept its memo — blind hash-order
+      // eviction would have dropped it with near certainty over 100
+      // overflow rounds.
+      assert(RewriteJaccardThresholdJoin.forSession(parent)._1
+        .get("hot-parent-marker").contains(Map(1L -> 1L)),
+        "LRU must keep the most-recently-used parent session's memo")
+    }
+  }
+
   test("degenerate jaccard thresholds are left unrewritten, not crashed") {
     withExtSession { s =>
       import s.implicits._

@@ -90,6 +90,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.toSeq === want.toSeq && r.length === 25)
   }
 
+  test("regenerating a source dir leaves exactly ONE materialized " +
+      "orders-fragment root (stale sibling signatures are cleaned)") {
+    import java.io.File
+    import java.nio.file.{Files, StandardCopyOption}
+    // A private copy of the smallest testdata dir so mtime bumps
+    // (simulating the driver's per-round corpus regeneration) don't
+    // touch the shared read-only corpus.
+    val dir = Files.createTempDirectory("graft_frag_regen").toString
+    def copyTree(from: File, to: File): Unit =
+      if (from.isDirectory) {
+        to.mkdirs()
+        Option(from.listFiles()).toSeq.flatten
+          .foreach(f => copyTree(f, new File(to, f.getName)))
+      } else Files.copy(from.toPath, to.toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    Option(new File(TestSpark.sfDir).listFiles()).toSeq.flatten
+      .foreach(f => copyTree(f, new File(dir, f.getName)))
+
+    val fam = java.lang.Integer.toHexString(
+      new File(s"$dir/orders.parquet").getCanonicalPath.hashCode)
+    def roots(): Seq[String] =
+      Option(new File(sys.props("java.io.tmpdir"), "graft_frags")
+        .listFiles()).toSeq.flatten.map(_.getName)
+        .filter(_.startsWith(s"orders_${fam}_")).sorted
+
+    Tables.register(spark.newSession(), dir)
+    val first = roots()
+    assert(first.size === 1, s"one root after first registration: $first")
+
+    // "Regenerate" the corpus: bump every orders file's mtime so the
+    // content signature changes while the data stays valid.
+    def bump(f: File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.foreach(bump)
+      else assert(f.setLastModified(f.lastModified() + 60000L))
+    bump(new File(s"$dir/orders.parquet"))
+
+    val s2 = spark.newSession()
+    Tables.register(s2, dir)
+    val second = roots()
+    assert(second.size === 1,
+      s"stale sibling not cleaned: $second (was $first)")
+    assert(second !== first, "regeneration must mint a fresh signature")
+    // The fresh registration's views read the new root end-to-end.
+    assert(s2.table("orders_f").count() ===
+      spark.read.parquet(s"$dir/orders.parquet").count())
+  }
+
   test("ORC round-trip preserves the relation exactly") {
     import org.apache.spark.sql.functions.col
     val r = SparkEntry.queries("source_orc")(spark, TestSpark.sfDir)

@@ -412,6 +412,56 @@ class SqlDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("bare keyword expressions: NOW()/CURTIME() synonyms translate " +
+      "with MySQL precision; untranslated keyword-callable names fail " +
+      "the strict audit; qualified/quoted spellings stay identifiers") {
+    // MySQL's CURRENT_TIMESTAMP/LOCALTIME/LOCALTIMESTAMP are legal
+    // WITHOUT parens and second-precision; bare in Spark they resolve
+    // to the MICROSECOND current_timestamp — the exact
+    // silently-different class the audit exists for, now translated.
+    assert(translate("SELECT CURRENT_TIMESTAMP FROM t") ===
+      "SELECT date_trunc('SECOND', current_timestamp()) FROM t")
+    assert(translate("SELECT current_timestamp, a FROM t") ===
+      "SELECT date_trunc('SECOND', current_timestamp()), a FROM t")
+    assert(translate("SELECT LOCALTIMESTAMP FROM t") ===
+      "SELECT date_trunc('SECOND', current_timestamp()) FROM t")
+    assert(translate("SELECT LOCALTIME FROM t") ===
+      "SELECT date_trunc('SECOND', current_timestamp()) FROM t")
+    assert(translate("SELECT CURRENT_TIME FROM t") ===
+      "SELECT date_format(current_timestamp(), 'HH:mm:ss') FROM t")
+    // parenthesized spellings translate through the same interception
+    // (CURRENT_TIMESTAMP(fsp) is the NOW(fsp) synonym)
+    assert(translate("SELECT CURRENT_TIMESTAMP() FROM t") ===
+      "SELECT date_trunc('SECOND', current_timestamp()) FROM t")
+    assert(translate("SELECT CURRENT_TIMESTAMP(6) FROM t") ===
+      "SELECT current_timestamp() FROM t")
+    assert(translate("SELECT CURRENT_TIME(6) FROM t") ===
+      "SELECT date_format(current_timestamp(), 'HH:mm:ss.SSSSSS') FROM t")
+    // dot-qualified and backquoted spellings are column references
+    assert(translate("SELECT t.current_timestamp FROM t") ===
+      "SELECT t.current_timestamp FROM t")
+    assert(translate("SELECT `current_timestamp` FROM t") ===
+      "SELECT `current_timestamp` FROM t")
+    assert(translate("SELECT 'CURRENT_TIMESTAMP' AS s FROM t") ===
+      "SELECT 'CURRENT_TIMESTAMP' AS s FROM t")
+    // keyword-callable names with no faithful Spark spelling fail the
+    // audit loudly instead of resolving as an unbound column
+    val e = intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT UTC_TIMESTAMP FROM t")
+    }
+    assert(e.getMessage.contains("UTC_TIMESTAMP"), e.getMessage)
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT CURRENT_USER FROM t")
+    }
+    // ...but a dot-qualified use is a column, not the keyword
+    assert(translate("SELECT t.utc_timestamp FROM t") ===
+      "SELECT t.utc_timestamp FROM t")
+    // opt-out skips the bare-keyword audit like the function audit
+    assert(MySqlDialect.translate(
+      "SELECT UTC_TIMESTAMP FROM t", strictFunctions = false) ===
+      "SELECT UTC_TIMESTAMP FROM t")
+  }
+
   test("FROM_UNIXTIME/STR_TO_DATE end-to-end: epoch round-trip and " +
       "date re-parse reproduce the source dates") {
     graft.sources.Tables.register(spark, sfDir)
