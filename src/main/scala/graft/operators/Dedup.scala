@@ -831,7 +831,7 @@ object Dedup {
     // prefix postings straight out of the scan stage: per-row sort by
     // (df, g) + truncate inside PrefixGrams — no corpus-wide df join,
     // no per-doc window shuffle
-    val prefix = base
+    val prefixModel = base
       .select(col("doc_id"), size(col("gs")).as("sz"),
         posexplode(prefix_grams(col("gs"), hotDf, threshold)))
       .select(col("doc_id"), col("col").as("g"),
@@ -855,7 +855,7 @@ object Dedup {
     // a recall/volume trade — instead of failing the job. The histogram
     // is exact and deterministic, so the chosen cap (and the output)
     // is layout-independent.
-    val hist: Array[(Int, Long, Double, Double)] = prefix
+    def histOf(p: DataFrame): Array[(Int, Long, Double, Double)] = p
       .groupBy("g").agg(count(lit(1)).as("m"))
       .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
       // m casts to double BEFORE the square: a long m·m overflows past
@@ -867,6 +867,7 @@ object Dedup {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1)
+    val histModel = histOf(prefixModel)
     // per-bucket pair mass under cap c: grams with m postings generate
     // min(m, c)·(min(m, c) − 1)/2 pairs — the m(m−1)/2 form (not m²/2)
     // so the single-posting grams that dominate a healthy corpus's
@@ -880,7 +881,56 @@ object Dedup {
       if ((2L << b) - 1 <= c) (sm2 - sm1) / 2.0
       else math.min(sm2 - sm1, ng.toDouble * c * (c - 1)) / 2.0
     }
-    def estPairs(c: Long): Double = hist.map(bucketMass(c)).sum
+    def estPairsOf(h: Array[(Int, Long, Double, Double)], c: Long): Double =
+      h.map(bucketMass(c)).sum
+
+    // Exact-df prefix order when the bounded model leaks: the hot-gram
+    // model covers only its top `stopGramModelSize` grams — every gram
+    // below its admission df ranks as df=1, ties by gram VALUE, i.e.
+    // hash order. On high-entropy corpora (gram vocabulary ∝ corpus,
+    // the realistic 100 TB regime) that is almost every gram: measured
+    // at the sf10-he rehearsal the model ranks 0.3 % of the 20.8 M
+    // df≥2 grams (admission df 121) and the prefix-posting candidate
+    // mass lands at 2.15e8, where the TRUE df-ascending order yields
+    // 3.69e7 — 5.8× less, with the same posting count (prefix LENGTH
+    // is order-independent; only bucket shape changes). So when the
+    // model-order estimate would engage the degrade machinery, pay the
+    // two skinny corpus-wide shuffles the model exists to avoid (df
+    // groupBy + join + per-doc window rank) and re-derive the prefix
+    // under the exact global (df asc, gram asc) order — recall is
+    // unaffected (the prefix lemma holds for ANY consistent total
+    // order; df is a pure function of the gram so the order is one
+    // total order shared by all docs), and the smaller true mass
+    // often needs NO degrade at all where the model order would have
+    // dropped bands. Healthy corpora never enter this branch (their
+    // model-order estimate is far under budget, and both orders were
+    // measured mass-identical at sf0.1 where the model covers the
+    // whole vocabulary). `spark.graft.ngram.exactDfOrder=off` pins
+    // the old path for A/Bs.
+    val exactDfMode = docs.sparkSession.conf
+      .get("spark.graft.ngram.exactDfOrder", "auto")
+    val (prefix, hist) =
+      if (exactDfMode != "off" &&
+          estPairsOf(histModel, maxPrefixBucket) > pairBudget) {
+        val dfExact = base.select(explode(col("gs")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+        val pEx = base
+          .select(col("doc_id"), size(col("gs")).as("sz"),
+            explode(col("gs")).as("g"))
+          .join(dfExact, "g")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("df").asc, col("g").asc)))
+          // same prefix-length bound as PrefixGrams, EPS-relaxed in the
+          // admit direction (see EPS above)
+          .filter(col("rn") <=
+            greatest(least(col("sz") -
+              ceil(lit(threshold) * col("sz") - EPS) + 1,
+              col("sz")), lit(1)))
+          .select(col("doc_id"), col("g"), col("rn"), col("sz"))
+        (pEx, histOf(pEx))
+      } else (prefixModel, histModel)
+    def estPairs(c: Long): Double = estPairsOf(hist, c)
     // Measured decision curve on the rehearsal corpora — the binding
     // cost is the VERIFY join, whose rows carry both docs' full gram
     // arrays (~KB each), so the budget must bound candidates tightly
