@@ -579,68 +579,128 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     }
     val estFactor = spark.conf
       .get("spark.graft.jaccardRewrite.estFactor", "16").toDouble
+
+    // Exact-df global order when the bounded hot-gram model LEAKS
+    // candidate mass: grams below the model's admission df rank as
+    // df=1 in hash order, so mid-frequency grams land in prefixes
+    // their true rank would exclude. Measured at sf10-he: model order
+    // 2.15e8 est pairs vs 3.69e7 under the TRUE global (df asc, gram
+    // asc) order — 5.8× less bucket-loop work for the SAME posting
+    // count (prefix length per doc is order-independent; only bucket
+    // shape changes). The exact order costs two skinny corpus-wide
+    // shuffles (df groupBy + join + per-doc window rank), so it is
+    // gated on the two conditions under which it can pay off: the
+    // model is SATURATED (vocabulary beyond its 64k reach — below
+    // that it ranks every df≥2 gram and exact ≈ model order, measured
+    // mass-identical at sf0.1), and the model-order mass estimate is
+    // super-linear in the postings. Recall unchanged under any
+    // consistent total order (df is a pure function of the gram).
+    // `spark.graft.jaccardRewrite.exactDfOrder`: auto (default,
+    // gated) | off (never — A/B pin) | on (force — spec coverage).
+    val exactDfMode = spark.conf
+      .get("spark.graft.jaccardRewrite.exactDfOrder", "auto")
+    val modelSaturated = hotDf.size >= (1 << 16)
+    def wantExactDf(quadratic: Boolean): Boolean = exactDfMode match {
+      case "off" => false
+      case "on" => true
+      case _ => modelSaturated && quadratic
+    }
+    // (id, rn, sz, g) skinny postings ranked under the exact order.
+    // The df join is SHUFFLE-pinned via pinShuffleJoin (a JoinHint set
+    // directly on the Join node — a DataFrame `.hint()` would plant a
+    // ResolvedHint, which is an internal error in a plan built after
+    // the EliminateResolvedHint batch): the df table is a 30M+-row
+    // aggregate at the rehearsal scales, and a plan-time size guess
+    // once chose broadcast and shipped 1.6 GB of build side through
+    // the driver (maxResultSize abort). The pin also covers the
+    // bounded maxOcc driver job below, which runs this plan OUTSIDE
+    // the rule's final pinShuffleJoin pass.
+    def rankedExact(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val dfExact = base
+        .select(explode(col("__graft_gs")).as("__graft_g"))
+        .groupBy("__graft_g")
+        .agg(count(lit(1)).as("__graft_df"))
+      val ranked = base.select(col("__graft_id"),
+          size(col("__graft_gs")).cast("int").as("__graft_sz"),
+          explode(col("__graft_gs")).as("__graft_g"))
+        .join(dfExact, Seq("__graft_g"))
+        .withColumn("__graft_rn", row_number().over(
+          W.partitionBy("__graft_id")
+            .orderBy(col("__graft_df").asc, col("__graft_g").asc))
+          .cast("int"))
+        // same EPS-relaxed prefix-length bound as PrefixGrams
+        .filter(col("__graft_rn") <=
+          greatest(least(col("__graft_sz") -
+            ceil(lit(t) * col("__graft_sz") - 1e-9) + 1,
+            col("__graft_sz")), lit(1)))
+        .select(col("__graft_id"), col("__graft_rn"),
+          col("__graft_sz"), col("__graft_g"))
+      bridge.ofRows(spark, pinShuffleJoin(bridge.planOf(ranked)))
+    }
+    // The sparse branch's bucket cap is a CORRECTNESS bound (it must
+    // be ≥ the true max bucket occupancy or the collect truncates and
+    // drops candidates) — the memoized maxOcc was measured on the
+    // MODEL-order postings, so the exact-order postings need their own
+    // (memoized under a marked key; same bounded driver job shape).
+    lazy val maxOccExact: Int =
+      statsCache.getOrElseUpdate(
+        ("__graft_exactDf", j.left.canonicalized, j.right.canonicalized,
+          aText.canonicalized, bText.canonicalized, n, t,
+          dataFingerprint(j.left, j.right)), {
+        val r = rankedExact().groupBy("__graft_g")
+          .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
+        val mx = if (r.isNullAt(0)) 2L
+          else math.max(2L, math.min(r.getLong(0), Int.MaxValue.toLong))
+        (mx, 0.0, mx.toInt)
+      })._3
+
     val verified =
-      if (estPairs <= estFactor * nPostings)
-        skinny.groupBy("__graft_g")
+      if (estPairs <= estFactor * nPostings) {
+        // SPARSE regime: skinny postings, deferred verification. The
+        // exact order was MEASURED NOT TO PAY here (sf10-he, same-day
+        // alternated A/B, event-log CPU): the bucket-loop stage drops
+        // 2080→~870 CPU-s with the 5.8× smaller candidate mass, but
+        // the two ranking shuffles (df join + per-doc window over ALL
+        // ~1.1e8 gram occurrences) cost ~1.9k CPU-s — a wash-to-loss
+        // (total CPU 3107/4101 exact vs 3050/2926 model). The skinny
+        // loop's fused prunes (early abandon + size bands) already
+        // reject leaked candidates at near-zero cost per pair, so only
+        // the ESTIMATE shrinks, not the work. Model order stays the
+        // auto choice; `on` forces the exact order for specs/A-Bs.
+        val (posts, cap) =
+          if (exactDfMode == "on") (rankedExact(), maxOccExact)
+          else (skinny, maxOcc)
+        posts.groupBy("__graft_g")
           .agg(graft.functions.BoundedMinCollect.bounded_min_collect(
             struct(col("__graft_id").as("id"),
               col("__graft_rn").as("rn"),
-              col("__graft_sz").as("sz")), maxOcc).as("__graft_ps"))
+              col("__graft_sz").as("sz")), cap).as("__graft_ps"))
           .select(explode(VectorFunctions.bucket_pairs(
-            col("__graft_ps"), maxOcc, t)).as("__graft_p"))
+            col("__graft_ps"), cap, t)).as("__graft_p"))
           .select(col("__graft_p.id_a").as("__graft_id_a"),
             col("__graft_p.id_b").as("__graft_id_b"))
-      else {
-        // DENSE regime: the in-bucket loop's candidate mass is the
-        // binding cost, and it is exactly where the bounded hot-gram
-        // model's order leaks — grams below the model's admission df
-        // rank as df=1 in hash order, so mid-df grams land in prefixes
-        // their true rank would exclude. Measured at sf10-he: model
-        // order 2.15e8 est pairs vs 3.69e7 under the TRUE global
-        // (df asc, gram asc) order — 5.8× less bucket-loop work for
-        // the same posting count. Since this branch already ships the
-        // full gram arrays through the bucket shuffle, pay two extra
-        // SKINNY shuffles first (df groupBy + join + per-doc window
-        // rank; the wide gs array still ships exactly once, attached
-        // afterwards by content id) and build the buckets under the
-        // exact order. Recall unchanged: the prefix lemma holds for
-        // any consistent total order shared by both sides, and df is a
-        // pure function of the gram. `spark.graft.jaccardRewrite.
-        // exactDfOrder=off` pins the model order for A/Bs.
-        import org.apache.spark.sql.expressions.{Window => W}
-        val exactDfMode = spark.conf
-          .get("spark.graft.jaccardRewrite.exactDfOrder", "auto")
+      } else {
+        // DENSE regime (mass ≫ postings by construction — wantExactDf
+        // needs no extra mass condition): every posting carries its
+        // doc's gram array for inline verification. Under the exact
+        // order the skinny ranks are computed first and the wide gs
+        // array still ships exactly once, attached AFTER ranking by
+        // content id — the round-9 quadratic-mass cliff stays closed.
         val densePosts =
-          if (exactDfMode == "off")
+          if (wantExactDf(quadratic = true))
+            rankedExact()
+              .select(col("__graft_id"), col("__graft_rn"),
+                col("__graft_g"))
+              .join(base.select(col("__graft_id"), col("__graft_gs")),
+                Seq("__graft_id"))
+          else
             base.select(col("__graft_id"), col("__graft_gs"),
                 posexplode(VectorFunctions.prefix_grams(
                   col("__graft_gs"), hotDf, t)))
               .select(col("__graft_id"),
                 (col("pos") + 1).cast("int").as("__graft_rn"),
                 col("__graft_gs"), col("col").as("__graft_g"))
-          else {
-            val dfExact = base
-              .select(explode(col("__graft_gs")).as("__graft_g"))
-              .groupBy("__graft_g")
-              .agg(count(lit(1)).as("__graft_df"))
-            base.select(col("__graft_id"),
-                size(col("__graft_gs")).cast("int").as("__graft_sz"),
-                explode(col("__graft_gs")).as("__graft_g"))
-              .join(dfExact, Seq("__graft_g"))
-              .withColumn("__graft_rn", row_number().over(
-                W.partitionBy("__graft_id")
-                  .orderBy(col("__graft_df").asc, col("__graft_g").asc)))
-              // same EPS-relaxed prefix-length bound as PrefixGrams
-              .filter(col("__graft_rn") <=
-                greatest(least(col("__graft_sz") -
-                  ceil(lit(t) * col("__graft_sz") - 1e-9) + 1,
-                  col("__graft_sz")), lit(1)))
-              .select(col("__graft_id"),
-                col("__graft_rn").cast("int").as("__graft_rn"),
-                col("__graft_g"))
-              .join(base.select(col("__graft_id"), col("__graft_gs")),
-                Seq("__graft_id"))
-          }
         densePosts
           .groupBy("__graft_g")
           .agg(collect_list(struct(col("__graft_id").as("id"),

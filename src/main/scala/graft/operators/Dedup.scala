@@ -907,17 +907,28 @@ object Dedup {
     // measured mass-identical at sf0.1 where the model covers the
     // whole vocabulary). `spark.graft.ngram.exactDfOrder=off` pins
     // the old path for A/Bs.
+    // Gated like the join rewrite: only when the model is SATURATED
+    // (hit its size limit — below that it ranks every df≥2 gram and
+    // exact ≈ model order, so the two extra shuffles buy nothing; the
+    // fixed-vocabulary sf1 corpus lands here: its mass is real, the
+    // degrade is the correct answer, and re-ranking cannot shrink it)
+    // AND the model-order estimate would engage the degrade machinery.
+    // `spark.graft.ngram.exactDfOrder`: auto | off | on (force).
     val exactDfMode = docs.sparkSession.conf
       .get("spark.graft.ngram.exactDfOrder", "auto")
     val (prefix, hist) =
-      if (exactDfMode != "off" &&
-          estPairsOf(histModel, maxPrefixBucket) > pairBudget) {
+      if (exactDfMode == "on" ||
+          (exactDfMode != "off" && hotDf.size >= stopGramModelSize &&
+            estPairsOf(histModel, maxPrefixBucket) > pairBudget)) {
         val dfExact = base.select(explode(col("gs")).as("g"))
           .groupBy("g").agg(count(lit(1)).as("df"))
+        // shuffle-pinned: dfExact is a multi-million-row aggregate on
+        // the corpora that reach this branch; a plan-time broadcast
+        // guess would ship the whole build side through the driver
         val pEx = base
           .select(col("doc_id"), size(col("gs")).as("sz"),
             explode(col("gs")).as("g"))
-          .join(dfExact, "g")
+          .join(dfExact.hint("shuffle_merge"), "g")
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id")
               .orderBy(col("df").asc, col("g").asc)))

@@ -295,16 +295,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s.conf.set("spark.graft.jaccardRewrite.estFactor", "0")
       val dense = q.collect().map(r => (r.getLong(0), r.getLong(1)))
         .sorted.toSeq
+      // dense with the exact-df order pinned OFF (model order) and
+      // forced ON (df join + window rank): the global gram order is a
+      // candidate-volume heuristic, so the verified output must be
+      // invariant to it in BOTH physical shapes
+      s.conf.set("spark.graft.jaccardRewrite.exactDfOrder", "off")
+      val denseModelOrder = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      s.conf.set("spark.graft.jaccardRewrite.exactDfOrder", "on")
+      val denseExactOrder = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      s.conf.unset("spark.graft.jaccardRewrite.exactDfOrder")
       s.conf.set("spark.graft.jaccardRewrite.estFactor", "1e18")
       val sparse = q.collect().map(r => (r.getLong(0), r.getLong(1)))
         .sorted.toSeq
+      // sparse + forced exact order (ranked skinny postings + the
+      // exact-order bucket cap)
+      s.conf.set("spark.graft.jaccardRewrite.exactDfOrder", "on")
+      val sparseExactOrder = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      s.conf.unset("spark.graft.jaccardRewrite.exactDfOrder")
       s.conf.unset("spark.graft.jaccardRewrite.estFactor")
       s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
       val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
         .sorted.toSeq
       s.conf.unset("spark.graft.jaccardRewrite.enabled")
       assert(dense === exact)
+      assert(denseModelOrder === exact)
+      assert(denseExactOrder === exact)
       assert(sparse === exact)
+      assert(sparseExactOrder === exact)
       assert(exact.nonEmpty)
     }
   }
