@@ -20,7 +20,11 @@ def _zstd_lines(part):
     try:
         import zstandard
         with open(part, "rb") as f:
-            data = zstandard.ZstdDecompressor().stream_reader(f).read()
+            # read_across_frames: a rolling part can hold multiple zstd
+            # frames; the default stops at the first frame's end and
+            # silently truncates the log (dropping later TaskEnds).
+            data = zstandard.ZstdDecompressor().stream_reader(
+                f, read_across_frames=True).read()
         return data.decode().splitlines()
     except ImportError:
         pass

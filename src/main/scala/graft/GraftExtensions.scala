@@ -643,17 +643,36 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // drops candidates) — the memoized maxOcc was measured on the
     // MODEL-order postings, so the exact-order postings need their own
     // (memoized under a marked key; same bounded driver job shape).
-    lazy val maxOccExact: Int =
-      statsCache.getOrElseUpdate(
-        ("__graft_exactDf", j.left.canonicalized, j.right.canonicalized,
-          aText.canonicalized, bText.canonicalized, n, t,
-          dataFingerprint(j.left, j.right)), {
-        val r = rankedExact().groupBy("__graft_g")
-          .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
-        val mx = if (r.isNullAt(0)) 2L
-          else math.max(2L, math.min(r.getLong(0), Int.MaxValue.toLong))
-        (mx, 0.0, mx.toInt)
-      })._3
+    // When the memo is COLD the ranked postings would otherwise run
+    // TWICE — once for this plan-time cap job and again by the query
+    // itself — paying the corpus-wide df groupBy + join + per-doc
+    // window shuffles both times. So the cold path persists the frame
+    // across both consumers and releases it after the session's next
+    // completed query execution (the rule itself has no
+    // post-execution hook; a one-shot listener is the release point —
+    // worst case an unrelated query fires it first and ours
+    // recomputes, which is exactly the pre-persist behavior).
+    def exactPostsAndCap(): (org.apache.spark.sql.DataFrame, Int) = {
+      val key = ("__graft_exactDf", j.left.canonicalized,
+        j.right.canonicalized, aText.canonicalized, bText.canonicalized,
+        n, t, dataFingerprint(j.left, j.right))
+      statsCache.get(key) match {
+        case Some(hit) => (rankedExact(), hit._3)
+        case None =>
+          val rx = rankedExact().persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val r = rx.groupBy("__graft_g")
+            .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
+          val mx = if (r.isNullAt(0)) 2L
+            else math.max(2L, math.min(r.getLong(0), Int.MaxValue.toLong))
+          statsCache.putIfAbsent(key, (mx, 0.0, mx.toInt))
+          // registered AFTER the cap collect so that job's own
+          // completion event cannot fire the release early
+          RewriteJaccardThresholdJoin.unpersistAfterNextExecution(
+            spark, rx)
+          (rx, mx.toInt)
+      }
+    }
 
     val verified =
       if (estPairs <= estFactor * nPostings) {
@@ -669,7 +688,7 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
         // the ESTIMATE shrinks, not the work. Model order stays the
         // auto choice; `on` forces the exact order for specs/A-Bs.
         val (posts, cap) =
-          if (exactDfMode == "on") (rankedExact(), maxOccExact)
+          if (exactDfMode == "on") exactPostsAndCap()
           else (skinny, maxOcc)
         posts.groupBy("__graft_g")
           .agg(graft.functions.BoundedMinCollect.bounded_min_collect(
@@ -795,6 +814,31 @@ object RewriteJaccardThresholdJoin {
     (scala.collection.concurrent.TrieMap[Any, Map[Long, Long]],
       scala.collection.concurrent.TrieMap[Any, (Long, Double, Int)],
       java.util.concurrent.atomic.AtomicLong)]()
+
+  /** Release a plan-time persist after the session's NEXT completed
+    * query execution: the rewrite rule has no post-execution hook of
+    * its own, so a one-shot listener is the release point. Firing on
+    * an unrelated query merely restores the pre-persist behavior (the
+    * rewritten query recomputes); unpersist is idempotent. */
+  private[graft] def unpersistAfterNextExecution(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val lm = spark.listenerManager
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean()
+      private def fire(): Unit = if (done.compareAndSet(false, true)) {
+        try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => }
+        lm.unregister(this)
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = fire()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = fire()
+    }
+    lm.register(l)
+  }
 
   // Monotonic access clock for the LRU bound below (WeakHashMap has no
   // access order of its own).

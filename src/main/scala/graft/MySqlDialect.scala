@@ -93,13 +93,15 @@ package graft
   * ICU-vs-Java regex dialects, ...). `translate(sql,
   * strictFunctions = false)` opts out. Bare keyword expressions
   * without parens are covered too: `CURRENT_TIMESTAMP` / `LOCALTIME` /
-  * `LOCALTIMESTAMP` (NOW() synonyms, MySQL second-precision) and
-  * `CURRENT_TIME` (CURTIME() synonym) TRANSLATE like their
-  * parenthesized spellings; the keyword-callable names with no
-  * faithful Spark spelling (`UTC_TIMESTAMP`/`UTC_TIME`/`UTC_DATE`,
-  * `CURRENT_USER`) fail the strict audit with tailored hints instead
-  * of silently resolving to a different Spark meaning or an unbound
-  * column. Dot-qualified uses (`t.current_timestamp`) stay column
+  * `LOCALTIMESTAMP` (NOW() synonyms, MySQL second-precision),
+  * `CURRENT_TIME` (CURTIME() synonym), and the UTC wall-clock family
+  * (`UTC_TIMESTAMP`/`UTC_DATE`/`UTC_TIME`, exact Spark forms via
+  * `to_utc_timestamp(current_timestamp(), current_timezone())`)
+  * TRANSLATE like their parenthesized spellings; the one
+  * keyword-callable name with no faithful Spark spelling
+  * (`CURRENT_USER`) fails the strict audit with a tailored hint
+  * instead of silently resolving to a different Spark meaning.
+  * Dot-qualified uses (`t.current_timestamp`) stay column
   * references.
   */
 object MySqlDialect {
@@ -131,7 +133,9 @@ object MySqlDialect {
     "FROM_UNIXTIME", "STR_TO_DATE", "CURTIME",
     // NOW()/CURTIME() keyword synonyms — rewritten with MySQL
     // precision in both the parenthesized and the bare spelling
-    "CURRENT_TIMESTAMP", "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME")
+    "CURRENT_TIMESTAMP", "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME",
+    // UTC wall-clock family — exact Spark forms via to_utc_timestamp
+    "UTC_TIMESTAMP", "UTC_DATE", "UTC_TIME")
 
   /** MySQL builtins whose Spark namesake has VERIFIED-identical
     * semantics (SqlDialectSpec pins the non-obvious ones; the rest are
@@ -214,13 +218,6 @@ object MySqlDialect {
     "REGEXP_INSTR" -> ("ICU-vs-Java regex dialect differs; verify " +
       "the pattern, then call Spark's regexp_instr directly " +
       "(strictFunctions = false)"),
-    "UTC_TIMESTAMP" -> ("no Spark namesake (bare UTC_TIMESTAMP would " +
-      "resolve as a column); use to_utc_timestamp(NOW(), " +
-      "current_timezone())"),
-    "UTC_TIME" -> ("no Spark namesake; derive from " +
-      "to_utc_timestamp(NOW(), current_timezone()) with date_format"),
-    "UTC_DATE" -> ("no Spark namesake; use " +
-      "to_date(to_utc_timestamp(NOW(), current_timezone()))"),
     "CURRENT_USER" -> ("MySQL returns 'user@host' but Spark's " +
       "current_user is the bare connected username; compare/format " +
       "explicitly (strictFunctions = false)"))
@@ -230,15 +227,15 @@ object MySqlDialect {
     * builtin, or an unbound column reference) silently diverges —
     * the strict audit flags bare uses of these with the tailored
     * hints above. The translated bare keywords (CURRENT_TIMESTAMP /
-    * LOCALTIME / LOCALTIMESTAMP / CURRENT_TIME) are deliberately NOT
-    * here: [[rewrite]] intercepts them like their parenthesized
-    * spellings. */
-  private val bareKeywordAudit: Set[String] = Set(
-    "UTC_TIMESTAMP", "UTC_TIME", "UTC_DATE", "CURRENT_USER")
+    * LOCALTIME / LOCALTIMESTAMP / CURRENT_TIME and the UTC_* family)
+    * are deliberately NOT here: [[rewrite]] intercepts them like their
+    * parenthesized spellings. */
+  private val bareKeywordAudit: Set[String] = Set("CURRENT_USER")
 
   /** Bare keywords [[rewrite]] translates with MySQL semantics. */
   private val bareKeywordTranslated: Set[String] = Set(
-    "CURRENT_TIMESTAMP", "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME")
+    "CURRENT_TIMESTAMP", "LOCALTIME", "LOCALTIMESTAMP", "CURRENT_TIME",
+    "UTC_TIMESTAMP", "UTC_DATE", "UTC_TIME")
 
   /** MySQL 8.0 builtin function-name catalog (public reference-manual
     * inventory: string, numeric, date/time, cast, aggregate, window,
@@ -517,6 +514,12 @@ object MySqlDialect {
               out.append(rewriteNow(""))
             else if (!dotQualified && word.equalsIgnoreCase("CURRENT_TIME"))
               out.append(rewriteCurtime(""))
+            else if (!dotQualified && word.equalsIgnoreCase("UTC_TIMESTAMP"))
+              out.append(rewriteUtcTimestamp(""))
+            else if (!dotQualified && word.equalsIgnoreCase("UTC_DATE"))
+              out.append(rewriteUtcDate(""))
+            else if (!dotQualified && word.equalsIgnoreCase("UTC_TIME"))
+              out.append(rewriteUtcTime(""))
             else out.append(word)
           } else {
             val inner = sql.substring(j + 1, close - 1)
@@ -537,6 +540,12 @@ object MySqlDialect {
               else if (word.equalsIgnoreCase("CURTIME") ||
                 word.equalsIgnoreCase("CURRENT_TIME"))
                 Some(rewriteCurtime(inner))
+              else if (word.equalsIgnoreCase("UTC_TIMESTAMP"))
+                Some(rewriteUtcTimestamp(inner))
+              else if (word.equalsIgnoreCase("UTC_DATE"))
+                Some(rewriteUtcDate(inner))
+              else if (word.equalsIgnoreCase("UTC_TIME"))
+                Some(rewriteUtcTime(inner))
               else rewriteDateAddSub(inner,
                 plus = word.equalsIgnoreCase("DATE_ADD"))
             rewritten match {
@@ -895,6 +904,43 @@ object MySqlDialect {
       "1..5 has no Spark truncation equivalent; use NOW() or NOW(6), " +
       "or rewrite with date_format manually")
   }
+
+  // -------------------------------------------------------------------
+  // UTC_TIMESTAMP/UTC_DATE/UTC_TIME — MySQL's UTC wall-clock family.
+  // MySQL returns the UTC wall-clock regardless of the session time
+  // zone; Spark's current_timestamp() renders in the SESSION zone, so
+  // the faithful spelling shifts it with to_utc_timestamp(...,
+  // current_timezone()) (identity when the session already runs UTC).
+  // Precision follows the NOW()/CURTIME() discipline: second-truncated
+  // by default, microseconds at fsp 6, loud failure for 1..5.
+  // -------------------------------------------------------------------
+
+  private val utcNowExpr =
+    "to_utc_timestamp(current_timestamp(), current_timezone())"
+
+  private def rewriteUtcTimestamp(argsRaw: String): String =
+    argsRaw.trim match {
+      case "" | "0" => s"date_trunc('SECOND', $utcNowExpr)"
+      case "6" => utcNowExpr
+      case other => fail(s"UTC_TIMESTAMP($other): fractional-second " +
+        "precision 1..5 has no Spark truncation equivalent; use " +
+        "UTC_TIMESTAMP() or UTC_TIMESTAMP(6)")
+    }
+
+  private def rewriteUtcDate(argsRaw: String): String =
+    argsRaw.trim match {
+      case "" => s"to_date($utcNowExpr)"
+      case other => fail(s"UTC_DATE($other): UTC_DATE takes no argument")
+    }
+
+  private def rewriteUtcTime(argsRaw: String): String =
+    argsRaw.trim match {
+      case "" | "0" => s"date_format($utcNowExpr, 'HH:mm:ss')"
+      case "6" => s"date_format($utcNowExpr, 'HH:mm:ss.SSSSSS')"
+      case other => fail(s"UTC_TIME($other): fractional-second " +
+        "precision 1..5 has no Spark truncation equivalent; use " +
+        "UTC_TIME() or UTC_TIME(6)")
+    }
 
   // -------------------------------------------------------------------
   // small text utilities (all literal/paren aware)

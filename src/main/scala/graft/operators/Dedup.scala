@@ -916,7 +916,7 @@ object Dedup {
     // `spark.graft.ngram.exactDfOrder`: auto | off | on (force).
     val exactDfMode = docs.sparkSession.conf
       .get("spark.graft.ngram.exactDfOrder", "auto")
-    val (prefix, hist) =
+    val (prefix, hist, exactPersisted) =
       if (exactDfMode == "on" ||
           (exactDfMode != "off" && hotDf.size >= stopGramModelSize &&
             estPairsOf(histModel, maxPrefixBucket) > pairBudget)) {
@@ -939,8 +939,14 @@ object Dedup {
               ceil(lit(threshold) * col("sz") - EPS) + 1,
               col("sz")), lit(1)))
           .select(col("doc_id"), col("g"), col("rn"), col("sz"))
-        (pEx, histOf(pEx))
-      } else (prefixModel, histModel)
+          // persisted: the ranked postings cost a corpus-wide df
+          // groupBy + join + per-doc window — exactly the shuffles
+          // this branch pays once, not once for the histogram job and
+          // again for the candidates job. Safe to release at the end
+          // with `base` (the verifier materializes pairs eagerly).
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (pEx, histOf(pEx), Some(pEx))
+      } else (prefixModel, histModel, None)
     def estPairs(c: Long): Double = estPairsOf(hist, c)
     // Measured decision curve on the rehearsal corpora — the binding
     // cost is the VERIFY join, whose rows carry both docs' full gram
@@ -1046,6 +1052,7 @@ object Dedup {
       base.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
     val pairs = verifiedJaccardPairs(base, candidates, threshold, setsSmall,
       textVerify = Some((docs, n)))
+    exactPersisted.foreach(_.unpersist(false))
     base.unpersist(false)
     pairs
   }

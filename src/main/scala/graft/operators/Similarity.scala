@@ -18,6 +18,17 @@ import graft.functions.VectorFunctions._
   *    scan cost drops from |corpus| to the probed fraction. The path
   *    that survives 100 TB (bucketing is a data-layout decision — at
   *    scale the banded table would be written bucketed-by bkey).
+  *
+  * CONTRACT — `vec_id` is unique per corpus row (it is the embeddings
+  * table's key; the driver testdata generates it as one). Every top-k
+  * operator here ranks CORPUS ROWS: a duplicated vec_id would occupy
+  * one rank slot per copy, consistently across the exact and all
+  * approximate paths (brute force has always scored per row; lshTopK's
+  * canonical smallest-shared-band emission is once per (query, corpus
+  * ROW) — its former `.distinct()` on (ids, cosine) collapsed such
+  * copies, a behavior no other path had). Callers with a multiset
+  * corpus must key it first — deduping inside each operator would
+  * re-add the candidate-sized exchange the canonical band removed.
   */
 object Similarity {
 

@@ -32,6 +32,24 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  // Fragment roots handed to live sessions in THIS JVM: the
+  // stale-sibling cleanup must never delete a root some session's
+  // views still scan (an earlier registration of a since-regenerated
+  // source). Weak keys: a collected session unpins its roots, so a
+  // long-lived JVM that refreshes its corpus many times does not
+  // accumulate one orders copy per refresh forever.
+  private val sessionFragmentRoots =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  private def liveFragmentRoots: Set[String] = {
+    val out = Set.newBuilder[String]
+    sessionFragmentRoots.synchronized {
+      sessionFragmentRoots.values.forEach(s => s.forEach(out += _))
+    }
+    out.result()
+  }
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     if (jdbcUrl(spark).isDefined && jdbcHolds(spark, table))
       loadJdbc(spark, table)
@@ -198,12 +216,24 @@ object Tables {
       // `_SUCCESS` marker exists, the family's other signatures are
       // stale by definition (the signature is a pure function of the
       // current source files), so delete them here, inside the lock
-      // that also guards the write.
+      // that also guards the write — EXCEPT roots still referenced by
+      // a live session in this JVM (their views would start throwing
+      // FileNotFoundException mid-query) and roots younger than a
+      // grace window (a concurrent JVM sharing java.io.tmpdir may
+      // have just reused that _SUCCESS write; the lock is JVM-local
+      // and cannot see its readers).
+      val graceMs =
+        sys.props.get("graft.frags.graceMs").map(_.toLong)
+          .getOrElse(30L * 60 * 1000)
+      val now = System.currentTimeMillis()
+      val live = liveFragmentRoots
       val rootFile = new java.io.File(root)
       Option(rootFile.getParentFile.listFiles()).toSeq.flatten.foreach {
         sib =>
           if (sib.getName.startsWith(s"orders_${fam}_") &&
-              sib.getName != rootFile.getName) {
+              sib.getName != rootFile.getName &&
+              !live.contains(sib.getPath) &&
+              now - sib.lastModified() > graceMs) {
             def rm(f: java.io.File): Unit = {
               if (f.isDirectory)
                 Option(f.listFiles()).toSeq.flatten.foreach(rm)
@@ -212,6 +242,12 @@ object Tables {
             rm(sib)
           }
       }
+    }
+    sessionFragmentRoots.synchronized {
+      sessionFragmentRoots
+        .computeIfAbsent(spark,
+          _ => new java.util.HashSet[String]())
+        .add(root)
     }
     Some(root)
   }

@@ -134,6 +134,69 @@ class DedupSpec extends AnyFunSuite {
     assert(r2 === r)
   }
 
+  test("ngram jaccard exact-df order: output invariant to the order " +
+      "when the budget fits; engaged degrade stays a valid bounded " +
+      "subset and the auto gate matches forced-on") {
+    // The operator twin of GraftExtensionsSpec's rewrite-order pin:
+    // Dedup.ngramJaccard's exactDfOrder branch re-ranks prefixes under
+    // the true global df order and recomputes effCap/dMax from the
+    // re-ranked histogram — the interaction most likely to drift.
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+        .toSeq.sorted
+    def withOrder[A](mode: String)(f: => A): A = {
+      spark.conf.set("spark.graft.ngram.exactDfOrder", mode)
+      try f finally spark.conf.unset("spark.graft.ngram.exactDfOrder")
+    }
+    // 1) No degrade: forced exact order must emit the model order's
+    //    exact output, pairs AND values (the order is a candidate-
+    //    volume heuristic; the verified output may not move).
+    val modelOut = pairs(Dedup.ngramJaccard(docs, threshold = 0.5))
+    val exactOut = withOrder("on") {
+      pairs(Dedup.ngramJaccard(docs, threshold = 0.5))
+    }
+    assert(exactOut === modelOut)
+    assert(modelOut.nonEmpty)
+
+    // 2) Degrade engaged (tiny budget on a low-entropy corpus): the
+    //    exact-order branch recomputes the histogram and degrade
+    //    stages, so its subset may differ from the model order's —
+    //    but it must stay a NONEMPTY subset of the unbudgeted output
+    //    and be layout-independent (exact histogram → same degrade
+    //    decisions under any partitioning).
+    val lowEntropy = (1L to 400L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog near the " +
+        s"old barn by the river variant $i")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbudgeted = ids(Dedup.ngramJaccard(lowEntropy, threshold = 0.5))
+    val exactDegraded = withOrder("on") {
+      ids(Dedup.ngramJaccard(lowEntropy, threshold = 0.5,
+        pairBudget = 10000L))
+    }
+    assert(exactDegraded.nonEmpty)
+    assert(exactDegraded.subsetOf(unbudgeted))
+    val exactDegradedOther = withOrder("on") {
+      ids(Dedup.ngramJaccard(lowEntropy.repartition(7), threshold = 0.5,
+        pairBudget = 10000L))
+    }
+    assert(exactDegradedOther === exactDegraded)
+
+    // 3) The auto gate: a saturated hot-gram model (stopGramModelSize
+    //    far below the vocabulary) + a model-order estimate over
+    //    budget must take the SAME path as forced-on — identical
+    //    output under identical parameters.
+    val autoOut = ids(Dedup.ngramJaccard(lowEntropy, threshold = 0.5,
+      stopGramModelSize = 4, pairBudget = 10000L))
+    val forcedOut = withOrder("on") {
+      ids(Dedup.ngramJaccard(lowEntropy, threshold = 0.5,
+        stopGramModelSize = 4, pairBudget = 10000L))
+    }
+    assert(autoOut === forcedOut)
+  }
+
   test("forced shuffle-verify path emits the exact broadcast-path " +
       "output (pairs AND jaccard values) for ngram and minhash") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =

@@ -90,8 +90,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.toSeq === want.toSeq && r.length === 25)
   }
 
-  test("regenerating a source dir leaves exactly ONE materialized " +
-      "orders-fragment root (stale sibling signatures are cleaned)") {
+  test("regenerating a source dir cleans stale orders-fragment roots " +
+      "but never a root a live session still reads, nor one inside " +
+      "the cross-JVM grace window") {
     import java.io.File
     import java.nio.file.{Files, StandardCopyOption}
     // A private copy of the smallest testdata dir so mtime bumps
@@ -108,34 +109,66 @@ class SourcesSpec extends AnyFunSuite {
     Option(new File(TestSpark.sfDir).listFiles()).toSeq.flatten
       .foreach(f => copyTree(f, new File(dir, f.getName)))
 
+    val fragsDir = new File(sys.props("java.io.tmpdir"), "graft_frags")
     val fam = java.lang.Integer.toHexString(
       new File(s"$dir/orders.parquet").getCanonicalPath.hashCode)
     def roots(): Seq[String] =
-      Option(new File(sys.props("java.io.tmpdir"), "graft_frags")
-        .listFiles()).toSeq.flatten.map(_.getName)
+      Option(fragsDir.listFiles()).toSeq.flatten.map(_.getName)
         .filter(_.startsWith(s"orders_${fam}_")).sorted
-
-    Tables.register(spark.newSession(), dir)
-    val first = roots()
-    assert(first.size === 1, s"one root after first registration: $first")
-
     // "Regenerate" the corpus: bump every orders file's mtime so the
     // content signature changes while the data stays valid.
     def bump(f: File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.foreach(bump)
       else assert(f.setLastModified(f.lastModified() + 60000L))
-    bump(new File(s"$dir/orders.parquet"))
 
-    val s2 = spark.newSession()
-    Tables.register(s2, dir)
-    val second = roots()
-    assert(second.size === 1,
-      s"stale sibling not cleaned: $second (was $first)")
-    assert(second !== first, "regeneration must mint a fresh signature")
-    // The fresh registration's views read the new root end-to-end.
-    assert(s2.table("orders_f").count() ===
-      spark.read.parquet(s"$dir/orders.parquet").count())
+    val prevGrace = sys.props.get("graft.frags.graceMs")
+    sys.props("graft.frags.graceMs") = "60000"
+    try {
+      val s1 = spark.newSession() // held strongly: stays a live reader
+      Tables.register(s1, dir)
+      val first = roots()
+      assert(first.size === 1,
+        s"one root after first registration: $first")
+      val ordersRows = spark.read.parquet(s"$dir/orders.parquet").count()
+
+      // Plant fake siblings mimicking roots minted by ANOTHER JVM
+      // (never in this JVM's live set): one long-dead, one fresh.
+      def plant(name: String, ageMs: Long): File = {
+        val f = new File(fragsDir, s"orders_${fam}_$name")
+        f.mkdirs()
+        Files.write(new File(f, "part-0").toPath, Array[Byte](1))
+        assert(f.setLastModified(System.currentTimeMillis() - ageMs))
+        f
+      }
+      plant("deadbeef", 120000L) // older than the 60 s grace window
+      plant("0fresh00", 0L)      // inside the grace window
+
+      bump(new File(s"$dir/orders.parquet"))
+      val s2 = spark.newSession()
+      Tables.register(s2, dir)
+      val second = roots()
+      // s1's root survives (live reader), the fresh foreign sibling
+      // survives (grace), the dead foreign sibling is cleaned, and the
+      // regeneration minted a new signature.
+      assert(!second.contains(s"orders_${fam}_deadbeef"),
+        s"dead foreign sibling not cleaned: $second")
+      assert(second.contains(s"orders_${fam}_0fresh00"),
+        s"fresh foreign sibling deleted inside grace window: $second")
+      assert(second.intersect(first) === first,
+        s"live session's root was deleted: $second (was $first)")
+      assert(second.size === 3, s"expected old+new+fresh: $second")
+      // BOTH registrations' views still read end-to-end: the old
+      // root was NOT pulled out from under s1 (the round-13 cleanup
+      // did exactly that), and s2 reads the new root.
+      assert(s1.table("orders_f").count() === ordersRows)
+      assert(s2.table("orders_f").count() === ordersRows)
+    } finally {
+      prevGrace match {
+        case Some(v) => sys.props("graft.frags.graceMs") = v
+        case None => sys.props.remove("graft.frags.graceMs")
+      }
+    }
   }
 
   test("ORC round-trip preserves the relation exactly") {

@@ -444,22 +444,59 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT `current_timestamp` FROM t")
     assert(translate("SELECT 'CURRENT_TIMESTAMP' AS s FROM t") ===
       "SELECT 'CURRENT_TIMESTAMP' AS s FROM t")
+    // the UTC wall-clock family translates in both spellings with the
+    // same precision discipline (second-truncated default, fsp 6 full)
+    val utcNow =
+      "to_utc_timestamp(current_timestamp(), current_timezone())"
+    assert(translate("SELECT UTC_TIMESTAMP FROM t") ===
+      s"SELECT date_trunc('SECOND', $utcNow) FROM t")
+    assert(translate("SELECT UTC_TIMESTAMP() FROM t") ===
+      s"SELECT date_trunc('SECOND', $utcNow) FROM t")
+    assert(translate("SELECT UTC_TIMESTAMP(6) FROM t") ===
+      s"SELECT $utcNow FROM t")
+    assert(translate("SELECT UTC_DATE FROM t") ===
+      s"SELECT to_date($utcNow) FROM t")
+    assert(translate("SELECT UTC_DATE() FROM t") ===
+      s"SELECT to_date($utcNow) FROM t")
+    assert(translate("SELECT UTC_TIME FROM t") ===
+      s"SELECT date_format($utcNow, 'HH:mm:ss') FROM t")
+    assert(translate("SELECT UTC_TIME(6) FROM t") ===
+      s"SELECT date_format($utcNow, 'HH:mm:ss.SSSSSS') FROM t")
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT UTC_TIMESTAMP(3) FROM t") // fsp 1..5: loud
+    }
+    intercept[MySqlDialect.UntranslatableSqlException] {
+      translate("SELECT UTC_DATE(1) FROM t") // takes no argument
+    }
     // keyword-callable names with no faithful Spark spelling fail the
     // audit loudly instead of resolving as an unbound column
-    val e = intercept[MySqlDialect.UntranslatableSqlException] {
-      translate("SELECT UTC_TIMESTAMP FROM t")
-    }
-    assert(e.getMessage.contains("UTC_TIMESTAMP"), e.getMessage)
     intercept[MySqlDialect.UntranslatableSqlException] {
       translate("SELECT CURRENT_USER FROM t")
     }
     // ...but a dot-qualified use is a column, not the keyword
     assert(translate("SELECT t.utc_timestamp FROM t") ===
       "SELECT t.utc_timestamp FROM t")
+    assert(translate("SELECT t.current_user FROM t") ===
+      "SELECT t.current_user FROM t")
     // opt-out skips the bare-keyword audit like the function audit
     assert(MySqlDialect.translate(
-      "SELECT UTC_TIMESTAMP FROM t", strictFunctions = false) ===
-      "SELECT UTC_TIMESTAMP FROM t")
+      "SELECT CURRENT_USER FROM t", strictFunctions = false) ===
+      "SELECT CURRENT_USER FROM t")
+  }
+
+  test("UTC_TIMESTAMP/UTC_DATE/UTC_TIME evaluate to the UTC wall " +
+      "clock through the engine (identity with NOW in a UTC session)") {
+    graft.sources.Tables.register(spark, sfDir)
+    val engine = new Engine(spark, sfDir)
+    // The engine session runs UTC, so MySQL's UTC family must agree
+    // with the session clock: UTC_TIMESTAMP == NOW() (both
+    // second-truncated) and UTC_DATE == CURDATE(). No boundary race:
+    // current_timestamp() is query-stable, so both sides of each
+    // comparison see the same instant.
+    val rows = engine.getData(translate(
+      "SELECT (UTC_TIMESTAMP = NOW()) AS ts_eq, " +
+        "(UTC_DATE = CURDATE()) AS d_eq FROM region LIMIT 1")).collect()
+    assert(rows.head.getBoolean(0) && rows.head.getBoolean(1))
   }
 
   test("FROM_UNIXTIME/STR_TO_DATE end-to-end: epoch round-trip and " +
