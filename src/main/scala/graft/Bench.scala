@@ -78,7 +78,14 @@ object Bench {
     "text_html_extract",
     "dedup_quality_rep",
     "sample_topk_stratum",
-    "curation_quality_rebalance")
+    "curation_quality_rebalance",
+    // the heavy fixpoint-iteration family (round-13 verdict): every
+    // iterative loop the engine runs is now benched round-over-round,
+    // not just pagerank/bfs — these are the shapes where a regression
+    // multiplies by the round count
+    "graph_triangles",
+    "graph_label_prop",
+    "dedup_cc_decisions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

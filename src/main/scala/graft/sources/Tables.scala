@@ -81,10 +81,46 @@ object Tables {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .forall(_.contains(table))
 
+  /** MySQL type-mapping hardening for the read path — the MySQL types
+    * whose Connector/J DEFAULTS silently change meaning (the sandbox
+    * has no MySQL server; these are the documented driver contracts,
+    * pinned as url options so a real deployment inherits the
+    * faithful-or-loud choice; the full matrix is in README §JDBC):
+    *
+    *  - TINYINT(1): a NUMBER in MySQL (-128..127 — "BOOLEAN" is DDL
+    *    sugar for it); the driver default `tinyInt1isBit=true`
+    *    surfaces it as a boolean, silently collapsing 2..127 to
+    *    true. Pin `false` → arrives as the integer it is.
+    *  - YEAR: a number in MySQL; default `yearIsDateType=true`
+    *    surfaces Jan-1 DATE values. Pin `false` → SMALLINT.
+    *  - zero-dates ('0000-00-00'): no java.sql/Catalyst value
+    *    exists; the default EXCEPTION aborts the whole scan at the
+    *    first bad row deep into a 100 TB ingest. Pin
+    *    `zeroDateTimeBehavior=convertToNull` — absent-as-null is the
+    *    lake-side contract (and the one a NULL-aware engine can
+    *    reason about).
+    *  - BIGINT UNSIGNED needs no option: Spark's own MySQL dialect
+    *    maps it to DECIMAL(20,0), which holds the full 0..2^64-1
+    *    range — the seam must simply not down-cast it
+    *    (JdbcSourceSpec pins value fidelity at 2^64-1 through the
+    *    read path). */
+  private[graft] val mysqlReadOptions: Map[String, String] = Map(
+    "tinyInt1isBit" -> "false",
+    "yearIsDateType" -> "false",
+    "zeroDateTimeBehavior" -> "convertToNull")
+
+  /** The option map [[loadJdbc]] hands the JDBC reader for `url` —
+    * factored out so the MySQL hardening is spec-checkable without a
+    * server. MySQL-only: other drivers reject unknown url options. */
+  private[graft] def jdbcOptions(
+      url: String, table: String): Map[String, String] = {
+    val base = Map("url" -> url, "dbtable" -> table)
+    if (url.startsWith("jdbc:mysql:")) base ++ mysqlReadOptions else base
+  }
+
   private def loadJdbc(spark: SparkSession, table: String): DataFrame = {
     val reader = spark.read.format("jdbc")
-      .option("url", jdbcUrl(spark).get)
-      .option("dbtable", table)
+      .options(jdbcOptions(jdbcUrl(spark).get, table))
     val withUser = spark.conf.getOption("spark.graft.jdbc.user")
       .fold(reader)(u => reader.option("user", u))
     spark.conf.getOption("spark.graft.jdbc.password")

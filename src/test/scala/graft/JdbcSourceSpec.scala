@@ -103,4 +103,53 @@ class JdbcSourceSpec extends AnyFunSuite {
       .orderBy("r_name").collect()
     assert(joined.collect().toSeq == want.toSeq)
   }
+
+  test("MySQL type-mapping matrix: the seam pins the faithful-or-loud " +
+      "driver options for TINYINT(1)/YEAR/zero-dates, scoped to mysql " +
+      "urls; unsigned-BIGINT-range decimals survive the read path " +
+      "value-exact") {
+    // The sandbox has no MySQL server; what CAN be pinned without one:
+    // (a) the option set the seam hands Connector/J — each entry is
+    //     the documented driver contract for a type whose DEFAULT
+    //     silently changes meaning (TINYINT(1) 2..127 → true; YEAR →
+    //     Jan-1 DATE; '0000-00-00' → scan-aborting exception), and
+    val mysql = Tables.jdbcOptions("jdbc:mysql://site1/site1", "orders")
+    assert(mysql("tinyInt1isBit") === "false")   // a NUMBER, not a bit
+    assert(mysql("yearIsDateType") === "false")  // a NUMBER, not a date
+    assert(mysql("zeroDateTimeBehavior") === "convertToNull")
+    assert(mysql("url") === "jdbc:mysql://site1/site1" &&
+      mysql("dbtable") === "orders")
+    // ...scoped to MySQL urls only — other drivers (the Derby
+    // scaffold included) reject unknown options loudly
+    val derby = Tables.jdbcOptions("jdbc:derby:/tmp/x", "orders")
+    assert(!derby.contains("tinyInt1isBit") &&
+      !derby.contains("yearIsDateType") &&
+      !derby.contains("zeroDateTimeBehavior"))
+    // (b) BIGINT UNSIGNED fidelity: Spark's MySQL dialect surfaces it
+    //     as DECIMAL(20,0) — prove the seam carries the full 2^64-1
+    //     range through a REAL JDBC read without down-casting (Derby
+    //     stores DECIMAL(20,0) natively, so the wire shape matches
+    //     what Connector/J would hand us)
+    val url = JdbcScaffold.ensure(spark, sfDir)
+    val stmt = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = stmt.createStatement()
+      try st.execute("DROP TABLE unsigned_probe") catch { case _: Exception => }
+      st.execute(
+        "CREATE TABLE unsigned_probe (id INT, v DECIMAL(20,0))")
+      st.execute("INSERT INTO unsigned_probe VALUES " +
+        "(1, 18446744073709551615), (2, 9223372036854775808), (3, 0)")
+      st.close()
+    } finally stmt.close()
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "unsigned_probe").load()
+      .orderBy("ID").collect() // Derby upper-cases unquoted identifiers
+    assert(got.map(_.getDecimal(1).toPlainString).toSeq ===
+      Seq("18446744073709551615", "9223372036854775808", "0"),
+      "unsigned-BIGINT-range values must survive the JDBC read exactly")
+    // 2^64-1 and 2^63 are both beyond LongType: the schema must have
+    // stayed decimal, not been folded to a long
+    assert(got.head.schema("V").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 0))
+  }
 }

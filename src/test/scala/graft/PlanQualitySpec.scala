@@ -453,4 +453,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(rankBuilds <= 1,
       s"the N-row rank frame must ship at most once per round:\n$p")
   }
+
+  test("PlanAudit allowlist: a deliberately degenerate plan flags as " +
+      "UNADJUDICATED; adjudicated (query, tag) pairs pass; the same " +
+      "query with a tag outside its class fails") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // A real degenerate plan — a genuine cross join between two
+    // non-broadcast-disabled frames plans as BroadcastNestedLoopJoin
+    // (or CartesianProduct with broadcast off); either way flagsOf
+    // must see it.
+    val a = (1 to 50).toDF("x")
+    val b = (1 to 50).toDF("y")
+    val p = a.crossJoin(b).queryExecution.executedPlan.toString
+    val tags = PlanAudit.flagsOf(p).map(_._1)
+    assert(tags.exists(t => t == "cartesian" || t == "bnl_join"),
+      s"degenerate cross join not flagged:\n$p")
+    // ...and a hypothetical NEW query producing that plan fails the
+    // sweep (this is the wall-of-benign-flags regression the
+    // allowlist exists to prevent)
+    assert(PlanAudit.unadjudicated("some_new_query", tags).nonEmpty)
+    // a clean plan yields no flags at all
+    val clean = a.filter($"x" > lit(3)).groupBy($"x").count()
+      .queryExecution.executedPlan.toString
+    assert(PlanAudit.flagsOf(clean).isEmpty, s"clean plan flagged:\n$clean")
+    // adjudicated pairs pass...
+    assert(PlanAudit.unadjudicated("q6_forecast_revenue",
+      Seq("single_part_exchange")).isEmpty)
+    assert(PlanAudit.unadjudicated("sim_topk_bruteforce",
+      Seq("bnl_join")).isEmpty)
+    assert(PlanAudit.unadjudicated("bpe_train",
+      Seq("sort_agg", "single_part_exchange")).isEmpty)
+    // ...but a tag OUTSIDE the query's reviewed class still fails:
+    // adjudication is per-shape, not a per-query blanket waiver
+    assert(PlanAudit.unadjudicated("q6_forecast_revenue",
+      Seq("cartesian")).nonEmpty)
+    assert(PlanAudit.unadjudicated("sim_topk_bruteforce",
+      Seq("sort_agg")).nonEmpty)
+  }
 }
