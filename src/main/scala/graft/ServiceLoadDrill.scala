@@ -25,8 +25,20 @@ import java.nio.charset.StandardCharsets
   *   - `/explain` three-table join: plan-only, zero scans — the
   *     reference UI's actual request shape (`index.js:102-121`).
   *
+  * After the concurrent phase, a PER-ROUTE CPU ATTRIBUTION phase
+  * fires each request shape alone, single-client, and measures the
+  * JVM's process-CPU delta per request (local master ⇒ executor CPU
+  * IS process CPU, so this is driver planning + execution + HTTP
+  * handling — the full service cost). CPU-seconds are the box-noise
+  * protocol (BASELINE measurement-day discipline): this box swings
+  * raw q/s ±3–4× on identical binaries in hypervisor waves, so a
+  * q/s number is only reportable NEXT TO the cpu_ms_per_req anchor —
+  * wall moves with the wave, CPU per request does not.
+  *
   * Usage: ServiceLoadDrill <sfDir> [clients] [perClient] [poolSize]
-  * Emits one JSON line (route percentiles, QPS, validation counts);
+  *        [cpuPhaseReqs (default 100, 0 disables)]
+  * Emits one JSON line (route percentiles, QPS, validation counts,
+  * per-route CPU-per-request);
   * exits 1 on any validation failure or HTTP/transport error. */
 object ServiceLoadDrill {
 
@@ -38,6 +50,7 @@ object ServiceLoadDrill {
     val clients = if (args.length > 1) args(1).toInt else 16
     val perClient = if (args.length > 2) args(2).toInt else 50
     val poolSize = if (args.length > 3) args(3).toInt else 16
+    val cpuPhaseReqs = if (args.length > 4) args(4).toInt else 100
 
     val spark = Engine.session()
     graft.sources.Tables.register(spark, sfDir)
@@ -156,6 +169,37 @@ object ServiceLoadDrill {
     tasks.foreach(_.get())
     val wallSec = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
+
+    // --- per-route CPU attribution phase (single-client, one shape
+    // at a time; untimed for the percentile stats, still validated).
+    // Process CPU via the JDK OS bean: in local master the executors
+    // live in this JVM, so the delta is the complete per-request cost.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val routeLabels =
+      Seq("point_spj", "key_agg", "dialect_page", "explain_join")
+    val routeCpu: Seq[(String, Double, Double)] =
+      if (cpuPhaseReqs <= 0) Seq.empty
+      else {
+        val cl = HttpClient.newHttpClient()
+        // idle floor: background threads' CPU over a quiet second,
+        // subtracted from each phase pro-rata by wall time
+        val idleT0 = System.nanoTime(); val idleC0 = osBean.getProcessCpuTime
+        Thread.sleep(1000)
+        val idlePerSec =
+          (osBean.getProcessCpuTime - idleC0).toDouble /
+            ((System.nanoTime() - idleT0) / 1e9)
+        routeLabels.zipWithIndex.map { case (label, shape) =>
+          val w0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
+          (0 until cpuPhaseReqs).foreach(j =>
+            fire(cl, 1 + shape, shape + 4 * j, timed = false))
+          val wall = (System.nanoTime() - w0) / 1e9
+          val cpu = (osBean.getProcessCpuTime - c0) - idlePerSec * wall
+          (label, cpu / cpuPhaseReqs / 1e6, wall * 1000 / cpuPhaseReqs)
+        }
+      }
+
     svc.stop()
 
     import scala.jdk.CollectionConverters._
@@ -181,12 +225,17 @@ object ServiceLoadDrill {
         f""""max_ms":${a.last / 1e6}%.1f$drift}"""
     }.mkString(",")
     val total = clients * perClient
+    val cpuJson = routeCpu.map { case (label, cpuMs, wallMs) =>
+      f""""$label":{"n":$cpuPhaseReqs,"cpu_ms_per_req":$cpuMs%.1f,""" +
+        f""""wall_ms_per_req":$wallMs%.1f}"""
+    }.mkString(",")
     println(
       f"""{"drill":"service_load","sf_dir":"$sfDir","clients":$clients,""" +
         f""""per_client":$perClient,"pool_size":$poolSize,""" +
         f""""requests":$total,"wall_sec":$wallSec%.1f,""" +
         f""""qps":${total / wallSec}%.1f,"validated":${stats.size()},""" +
-        f""""failures":${failures.size()},"routes":{$routesJson}}""")
+        f""""failures":${failures.size()},"routes":{$routesJson},""" +
+        f""""route_cpu":{$cpuJson}}""")
     failures.asScala.take(5).foreach(f => System.err.println(s"[drill] $f"))
     spark.stop()
     // java.net.http client selector threads may be non-daemon on this

@@ -46,6 +46,14 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Corpus-scoped suffix for managed (warehouse) table names: the
+    * warehouse dir is JVM-/box-global shared state, so any query that
+    * persists a table must key its name by the corpus or two engines
+    * on different sfDirs overwrite each other's files mid-read. */
+  private def corpusScope(dir: String): String =
+    java.lang.Integer.toHexString(
+      new java.io.File(dir).getAbsolutePath.hashCode & 0x7fffffff)
+
   /** Exact integer-cents sum of a 2-decimal double column / expression,
     * emitted as a double — deterministic across engines. */
   private def centsSum(c: org.apache.spark.sql.Column) =
@@ -1008,21 +1016,27 @@ object SparkEntry {
     // placement. Results must equal the plain join (the oracle checks
     // against the raw tables).
     Tables.register(s, dir)
+    // table names scoped by corpus: the warehouse dir is shared
+    // JVM-global state, and two concurrent engines on DIFFERENT
+    // corpora with one fixed name would overwrite each other's
+    // bucketed files mid-read (observed: an sf0.01 gate run deleted
+    // the parquet under a concurrent sf10 run's scan)
+    val scope = corpusScope(dir)
     graft.sources.Layout.writeBucketed(
-      s.table("customer"), "blq_customer", "c_custkey", 8)
+      s.table("customer"), s"blq_customer_$scope", "c_custkey", 8)
     graft.sources.Layout.writeBucketed(
       s.table("orders").withColumnRenamed("o_custkey", "c_custkey"),
-      "blq_orders", "c_custkey", 8)
-    val joined = s.table("blq_customer")
-      .join(s.table("blq_orders"), Seq("c_custkey"))
+      s"blq_orders_$scope", "c_custkey", 8)
+    val joined = s.table(s"blq_customer_$scope")
+      .join(s.table(s"blq_orders_$scope"), Seq("c_custkey"))
       .groupBy("c_custkey", "c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         centsSum(col("o_totalprice")).as("spend"))
       .orderBy("c_custkey")
     // the whole point: bucket-equi join + same-key agg need no exchange
     // (the final orderBy is the only range exchange)
-    val noSort = s.table("blq_customer")
-      .join(s.table("blq_orders"), Seq("c_custkey"))
+    val noSort = s.table(s"blq_customer_$scope")
+      .join(s.table(s"blq_orders_$scope"), Seq("c_custkey"))
       .groupBy("c_custkey").agg(count(lit(1)))
     require(!graft.sources.Layout.hasShuffle(noSort),
       "bucketed join/agg unexpectedly shuffled")
@@ -1038,11 +1052,12 @@ object SparkEntry {
     // non-matching years are never listed, let alone read). At 100 TB
     // this is the first line of defense: time-partitioned facts make
     // every time-bounded query touch only its slice.
+    val scope = corpusScope(dir) // see qLayoutBucketedJoin
     graft.sources.Layout.writePartitioned(
       t(s, dir, "orders").withColumn("o_year",
         year(col("o_orderdate"))),
-      "orders_byyear", "o_year")
-    s.table("orders_byyear")
+      s"orders_byyear_$scope", "o_year")
+    s.table(s"orders_byyear_$scope")
       .filter(col("o_year") === 1995)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
