@@ -96,6 +96,41 @@ object GramDfDiag {
       }
     }
 
+    // ---- (d) df-cap decomposition: the judge's df-capped-candidate
+    // hypothesis decomposes the prefix-bucket mass by the POSTED
+    // gram's TRUE df. Bucket occupancy occ(g) = #prefixes containing
+    // g is a pure function of the global order (a cap only decides
+    // whether a bucket EMITS — it cannot shrink any occupancy), so
+    // Σ C(occ,2) is cap-invariant per order and the only question is
+    // how much of it sits above a cap D and who posts there. The
+    // residual-classification theorem (Dedup.scala, df-cap note) says:
+    // under the df-ASC order a doc posts a df>D gram iff its ≤D-df
+    // gram count is below its prefix length — so hot buckets hold
+    // only "residual" (boilerplate-dominated) docs, and |R_D| bounds
+    // the escape-hatch tier's input.
+    def capDiag(label: String,
+        postingDf: org.apache.spark.sql.DataFrame): Unit = {
+      val withOcc = postingDf
+        .groupBy("g").agg(count(lit(1)).as("m"), first("df").as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(1000L, 10000L, 100000L, 1000000L).foreach { d =>
+        val r = withOcc.agg(
+          sum(when(col("df") > d,
+            col("m").cast("double") * (col("m") - 1) / 2.0))
+            .as("hotMass"),
+          sum(when(col("df") <= d,
+            col("m").cast("double") * (col("m") - 1) / 2.0))
+            .as("coldMass")).head()
+        val hot = Option(r.get(0)).fold(0.0)(_ => r.getDouble(0))
+        val cold = Option(r.get(1)).fold(0.0)(_ => r.getDouble(1))
+        val residual = postingDf.filter(col("df") > d)
+          .select(countDistinct("doc_id")).head().getLong(0)
+        println(f"[dfdiag] $label D=$d%-8d hotMass=$hot%.3e " +
+          f"coldMass=$cold%.3e residualDocs=$residual")
+      }
+      withOcc.unpersist()
+    }
+
     // model order at the operator's default size and a 16x size
     for (k <- Seq(1 << 16, 1 << 20)) {
       val hotDf: Map[Long, Long] = base
@@ -112,6 +147,9 @@ object GramDfDiag {
           posexplode(prefix_grams(col("gs"), hotDf, t)))
         .select(col("doc_id"), col("col").as("g"))
       massOf(prefix, s"MODEL(k=$k)")
+      if (k == (1 << 16))
+        capDiag(s"MODEL(k=$k)", prefix.join(dfAll, "g")
+          .select(col("doc_id"), col("g"), col("df")))
     }
 
     // TRUE order: df join + per-doc window — exact ranks everywhere
@@ -125,8 +163,9 @@ object GramDfDiag {
       .filter(col("rn") <=
         greatest(least(col("sz") -
           ceil(lit(t) * col("sz") - 1e-9) + 1, col("sz")), lit(1)))
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("g"), col("df"))
     massOf(posting, "TRUE-DF")
+    capDiag("TRUE-DF", posting)
 
     base.unpersist(); dfAll.unpersist()
     spark.stop()

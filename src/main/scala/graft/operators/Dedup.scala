@@ -914,6 +914,40 @@ object Dedup {
     // degrade is the correct answer, and re-ranking cannot shrink it)
     // AND the model-order estimate would engage the degrade machinery.
     // `spark.graft.ngram.exactDfOrder`: auto | off | on (force).
+    //
+    // DF-CAP NOTE (round 14 — the "grams above a df cap generate no
+    // candidates, pairs route to a residual tier" hypothesis,
+    // examined and REFUTED for this generator; DedupSpec pins the
+    // classification, GramDfDiag's capDiag measures the masses):
+    //  1. OCCUPANCY IDENTITY — a bucket's occupancy occ(g) = #docs
+    //     whose prefix contains g is a pure function of the global
+    //     order and the threshold. A df cap only decides whether a
+    //     bucket EMITS; Σ_g C(occ(g),2) is cap-invariant given the
+    //     order, so capping re-routes mass, it cannot remove any.
+    //  2. RESIDUAL CLASSIFICATION — under the df-ASC order every
+    //     ≤D-df gram ranks before every >D-df gram, so doc d's
+    //     prefix (length p_d = sz_d − ceil(t·sz_d) + 1) contains a
+    //     >D gram iff its ≤D-gram count < p_d, i.e. iff its >D-gram
+    //     count ≥ ceil(t·sz_d): the doc is ≥t-fraction hot
+    //     ("residual", boilerplate-dominated). Hot buckets therefore
+    //     hold ONLY residual docs — there is no cap to protect
+    //     ordinary docs with, because ordinary docs never post hot.
+    //  3. COVERAGE — a true pair's smallest shared prefix gram lies
+    //     in both prefixes (prefix lemma); if it is hot, BOTH members
+    //     are residual by (2). So the exact split a cap could buy is
+    //     cold-buckets + a residual×residual tier — whose bucket mass
+    //     by (1)+(2) IS the hot-bucket mass. Savings would require a
+    //     structurally different algorithm for R, and the measured
+    //     corpora give it nothing to do: under the exact order at
+    //     sf10-he/sf30-he the >D mass is ~zero at every D and
+    //     residualDocs ≈ 0 — the real mass sits in MEDIUM-df buckets,
+    //     the intrinsic Σ C(df,2) that pairBudget bounds. Under the
+    //     MODEL order the hot mass is mis-RANKING (unknown grams at
+    //     df=1-by-hash), which the exact-order switch above already
+    //     removes. The constructive lever this math leaves: the
+    //     sparse-branch order crossover at high density (bucket mass
+    //     grows superlinearly, ranking cost linearly in postings) —
+    //     see the rewrite's gate and BASELINE round-14.
     val exactDfMode = docs.sparkSession.conf
       .get("spark.graft.ngram.exactDfOrder", "auto")
     val (prefix, hist, exactPersisted) =

@@ -197,6 +197,52 @@ class DedupSpec extends AnyFunSuite {
     assert(autoOut === forcedOut)
   }
 
+  test("df-cap residual classification (the round-14 df-cap " +
+      "refutation's load-bearing lemma): under the df-asc order a " +
+      "doc's prefix posts a >D gram iff the doc is >=t-fraction hot, " +
+      "and every true pair is cold-covered or residual x residual") {
+    // Pure-math property over random synthetic corpora — pins the
+    // theorem in Dedup.ngramJaccard's DF-CAP NOTE against drift.
+    val rnd = new scala.util.Random(42)
+    val t = 0.7
+    for (_ <- 1 to 50) {
+      val universe = 1 to 60
+      val df: Map[Int, Int] =
+        universe.map(g => g -> (1 + rnd.nextInt(40))).toMap
+      val order = Ordering.by[Int, (Int, Int)](g => (df(g), g))
+      val docs = (1 to 30).map { _ =>
+        rnd.shuffle(universe.toList).take(4 + rnd.nextInt(12))
+          .sorted(order).toVector
+      }
+      val d0 = 1 + rnd.nextInt(40)
+      def pfxLen(sz: Int) =
+        math.max(1, math.min(sz - math.ceil(t * sz).toInt + 1, sz))
+      def prefix(doc: Vector[Int]) = doc.take(pfxLen(doc.size)).toSet
+      def residual(doc: Vector[Int]) =
+        doc.count(g => df(g) > d0) >= math.ceil(t * doc.size).toInt
+      // (2) classification: prefix posts a hot gram IFF residual
+      for (doc <- docs) {
+        val postsHot = prefix(doc).exists(g => df(g) > d0)
+        assert(postsHot === residual(doc),
+          s"classification failed: doc=$doc d0=$d0 " +
+            s"dfs=${doc.map(df)} pfx=${prefix(doc)}")
+      }
+      // (3) coverage: every pair with J >= t shares a COLD gram in
+      // both prefixes, or both members are residual
+      for {
+        i <- docs.indices; j <- (i + 1) until docs.size
+        a = docs(i); b = docs(j)
+        inter = a.toSet.intersect(b.toSet).size
+        if inter.toDouble / (a.size + b.size - inter) >= t
+      } {
+        val sharedCold = prefix(a).intersect(prefix(b))
+          .exists(g => df(g) <= d0)
+        assert(sharedCold || (residual(a) && residual(b)),
+          s"coverage failed: a=$a b=$b d0=$d0")
+      }
+    }
+  }
+
   test("forced shuffle-verify path emits the exact broadcast-path " +
       "output (pairs AND jaccard values) for ngram and minhash") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
