@@ -88,11 +88,13 @@ for name, (table, idcol, probe, jt, jid) in sorted(QUERIES.items()):
                              "detail": "no engine output", "secs": 0.0}
             continue
         con = duckdb.connect()
-        con.execute("SET memory_limit='30GB'")
-        con.execute("SET threads=16")
+        con.execute("SET memory_limit='%s'"
+                    % os.environ.get("DUCK_MEM", "30GB"))
+        con.execute("SET threads=%s" % os.environ.get("DUCK_THREADS", "16"))
         con.execute("SET temp_directory='%s'"
                     % os.environ.get("DUCK_TEMP_DIR", "/tmp/duck_1s_tmp"))
-        con.execute("SET max_temp_directory_size='30GiB'")
+        con.execute("SET max_temp_directory_size='%s'"
+                    % os.environ.get("DUCK_TEMP", "30GiB"))
         for p in glob.glob(f"{sf_dir}/*.parquet"):
             t = os.path.basename(p)[: -len(".parquet")]
             src = f"{p}/*.parquet" if os.path.isdir(p) else p
