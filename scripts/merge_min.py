@@ -1,0 +1,24 @@
+#!/usr/bin/env python3
+"""Merge N single-pass graft.Bench JSON lines into a min-of-N record.
+
+Usage: merge_min.py out.json note pass1.json pass2.json [...]
+Each input is the one-line {"metric":...,"queries":{...}} Bench emits;
+output keeps the schema with per-query minima and their sum as value.
+"""
+import json, sys
+
+out, note, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
+passes = [json.load(open(p)) for p in paths]
+queries = {}
+for q in passes[0]["queries"]:
+    queries[q] = round(min(p["queries"][q] for p in passes), 3)
+rec = {
+    "metric": passes[0]["metric"],
+    "value": round(sum(queries.values()), 3),
+    "unit": passes[0]["unit"],
+    "queries": queries,
+    "sf": passes[0]["sf"],
+    "note": note,
+}
+json.dump(rec, open(out, "w"), indent=1)
+print(out, rec["value"], "s over", len(queries), "queries")

@@ -440,10 +440,16 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // volume. The 1-in-4 content-hash doc sample + df>=2 floor +
     // 64k-row cap bound the job and the collected model at any corpus
     // size (same shape as Dedup.ngramJaccard's trainer).
+    // Model capacity: fixed 64k in production; conf-overridable so
+    // unit-scale specs can SATURATE the model (a handful of docs
+    // never reaches 64k grams) and drive the auto crossover gate.
+    val modelSize = spark.conf
+      .get("spark.graft.jaccardRewrite.modelSize", (1 << 16).toString)
+      .toInt
     val hotDf: Map[Long, Long] = {
       if (modelCache.size > 32) modelCache.clear()
       modelCache.getOrElseUpdate(
-        (j.left.canonicalized, aText.canonicalized, n,
+        (j.left.canonicalized, aText.canonicalized, n, modelSize,
           dataFingerprint(j.left)), {
         val gramsL = VectorFunctions.CharNgramHashes(
           VectorFunctions.NormalizeText(aText), n, distinctSorted = true)
@@ -455,7 +461,7 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
           .groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2)
           .orderBy(col("df").desc, col("g"))
-          .limit(1 << 16)
+          .limit(modelSize)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       })
     }
@@ -599,7 +605,7 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // gated) | off (never — A/B pin) | on (force — spec coverage).
     val exactDfMode = spark.conf
       .get("spark.graft.jaccardRewrite.exactDfOrder", "auto")
-    val modelSaturated = hotDf.size >= (1 << 16)
+    val modelSaturated = hotDf.size >= modelSize
     def wantExactDf(quadratic: Boolean): Boolean = exactDfMode match {
       case "off" => false
       case "on" => true
@@ -677,18 +683,34 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     val verified =
       if (estPairs <= estFactor * nPostings) {
         // SPARSE regime: skinny postings, deferred verification. The
-        // exact order was MEASURED NOT TO PAY here (sf10-he, same-day
-        // alternated A/B, event-log CPU): the bucket-loop stage drops
-        // 2080→~870 CPU-s with the 5.8× smaller candidate mass, but
-        // the two ranking shuffles (df join + per-doc window over ALL
-        // ~1.1e8 gram occurrences) cost ~1.9k CPU-s — a wash-to-loss
-        // (total CPU 3107/4101 exact vs 3050/2926 model). The skinny
-        // loop's fused prunes (early abandon + size bands) already
-        // reject leaked candidates at near-zero cost per pair, so only
-        // the ESTIMATE shrinks, not the work. Model order stays the
-        // auto choice; `on` forces the exact order for specs/A-Bs.
+        // exact order pays here only past a measured DENSITY CROSSOVER
+        // (two same-day alternated event-logged A/Bs, CPU-attributed):
+        //  - sf10-he (est/postings = 2.15e8/4.35e7 ≈ 4.9): wash-to-
+        //    loss — total CPU {3107,4101} s exact vs {3050,2926} model.
+        //    The bucket loop drops 2080→~870 CPU-s with the 5.8× mass
+        //    cut, but the two ranking shuffles cost ~1.9k CPU-s, and
+        //    the loop's fused prunes (early abandon + size bands)
+        //    reject leaked candidates at near-zero per-pair cost.
+        //  - sf30-he (est/postings = 1.03e9/1.30e8 ≈ 7.9, true-order
+        //    mass 1.06e8 = 9.7× cut): exact order WINS — total CPU
+        //    {6695,7376} s vs {14588,8985}, wall {259,288} s vs
+        //    {547,367}, bucket-loop spill 23.8→8.5 GiB. Past this
+        //    density the loop's per-candidate cost is no longer
+        //    near-zero (its buffers spill), so cutting 0.9e9 of
+        //    candidate mass buys far more than the ~2.6k CPU-s of
+        //    ranking. At 100 TB this crossover is the difference
+        //    between a bounded stage and a spill storm.
+        // Auto engages the exact order when the model is saturated
+        // (below saturation both orders are mass-identical) AND the
+        // model-order estimate crosses sparseExactRatio × postings —
+        // default 6, the geometric midpoint of the measured bracket
+        // (4.9 no-pay, 7.9 pay); overridable per session for A/Bs.
+        val sparseExactRatio = spark.conf
+          .get("spark.graft.jaccardRewrite.sparseExactRatio", "6")
+          .toDouble
         val (posts, cap) =
-          if (exactDfMode == "on") exactPostsAndCap()
+          if (wantExactDf(estPairs > sparseExactRatio * nPostings))
+            exactPostsAndCap()
           else (skinny, maxOcc)
         posts.groupBy("__graft_g")
           .agg(graft.functions.BoundedMinCollect.bounded_min_collect(

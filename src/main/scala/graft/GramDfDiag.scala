@@ -21,6 +21,10 @@ import graft.functions.VectorFunctions._
   * prefix filtering on this gram distribution.
   *
   * Usage: GramDfDiag [sfDir] (default $SPARK_GRAFT_SF_DIR or sf0.1)
+  * SPARK_GRAFT_DFDIAG_LITE=1 runs only the postings/estPairs mass
+  * comparison (model k=64k vs true order) — the plan-time quantities
+  * the rewrite's sparse-branch crossover gate is calibrated on —
+  * skipping the df-band histogram, tau probes, 1M model and capDiag.
   */
 object GramDfDiag {
   def main(args: Array[String]): Unit = {
@@ -43,10 +47,11 @@ object GramDfDiag {
     val dfAll = base.select(explode(col("gs")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lite = sys.env.contains("SPARK_GRAFT_DFDIAG_LITE")
     val nGrams = dfAll.count()
     val nGe2 = dfAll.filter(col("df") >= 2).count()
     println(s"[dfdiag] grams=$nGrams df>=2=$nGe2")
-    dfAll.groupBy(floor(log2(col("df"))).cast("int").as("b"))
+    if (!lite) dfAll.groupBy(floor(log2(col("df"))).cast("int").as("b"))
       .agg(count(lit(1)).as("ng"), sum("df").as("occ"),
         sum(col("df").cast("double") * (col("df") - 1) / 2.0).as("mass"))
       .orderBy("b").collect().foreach { r =>
@@ -57,7 +62,7 @@ object GramDfDiag {
     // ---- (b) model-admission df at candidate model sizes ----
     // tau(K) = df of the K-th gram under (df desc): the model knows
     // every gram with df > tau; everything below is ordered as df=1.
-    for (k <- Seq(1 << 16, 1 << 18, 1 << 20)) {
+    for (k <- Seq(1 << 16, 1 << 18, 1 << 20) if !lite) {
       if (nGe2 > k) {
         val tau = dfAll.filter(col("df") >= 2)
           .orderBy(col("df").desc, col("g")).limit(k)
@@ -132,7 +137,7 @@ object GramDfDiag {
     }
 
     // model order at the operator's default size and a 16x size
-    for (k <- Seq(1 << 16, 1 << 20)) {
+    for (k <- if (lite) Seq(1 << 16) else Seq(1 << 16, 1 << 20)) {
       val hotDf: Map[Long, Long] = base
         .filter(pmod(xxhash64(col("doc_id")), lit(4)) === 0)
         .select(explode(col("gs")).as("g"))
@@ -147,7 +152,7 @@ object GramDfDiag {
           posexplode(prefix_grams(col("gs"), hotDf, t)))
         .select(col("doc_id"), col("col").as("g"))
       massOf(prefix, s"MODEL(k=$k)")
-      if (k == (1 << 16))
+      if (k == (1 << 16) && !lite)
         capDiag(s"MODEL(k=$k)", prefix.join(dfAll, "g")
           .select(col("doc_id"), col("g"), col("df")))
     }
@@ -165,7 +170,7 @@ object GramDfDiag {
           ceil(lit(t) * col("sz") - 1e-9) + 1, col("sz")), lit(1)))
       .select(col("doc_id"), col("g"), col("df"))
     massOf(posting, "TRUE-DF")
-    capDiag("TRUE-DF", posting)
+    if (!lite) capDiag("TRUE-DF", posting)
 
     base.unpersist(); dfAll.unpersist()
     spark.stop()

@@ -315,6 +315,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val sparseExactOrder = q.collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       s.conf.unset("spark.graft.jaccardRewrite.exactDfOrder")
+      // AUTO density-crossover gate (sparse branch): saturate the
+      // model with a tiny test-only capacity and zero the crossover
+      // ratio so auto itself (no forced mode) must pick the exact
+      // order — pinned by the Window rank in the physical plan — and
+      // the output must still be invariant. Control: a huge ratio
+      // keeps the model order (no Window) on the same session.
+      s.conf.set("spark.graft.jaccardRewrite.modelSize", "4")
+      s.conf.set("spark.graft.jaccardRewrite.sparseExactRatio", "0")
+      val autoExact = q
+      val autoExactRows = autoExact.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(autoExact.queryExecution.executedPlan.toString
+        .contains("Window"))
+      s.conf.set("spark.graft.jaccardRewrite.sparseExactRatio", "1e18")
+      val autoModel = q
+      val autoModelRows = autoModel.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(!autoModel.queryExecution.executedPlan.toString
+        .contains("Window"))
+      s.conf.unset("spark.graft.jaccardRewrite.sparseExactRatio")
+      s.conf.unset("spark.graft.jaccardRewrite.modelSize")
       s.conf.unset("spark.graft.jaccardRewrite.estFactor")
       s.conf.set("spark.graft.jaccardRewrite.enabled", "false")
       val exact = q.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -325,6 +346,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(denseExactOrder === exact)
       assert(sparse === exact)
       assert(sparseExactOrder === exact)
+      assert(autoExactRows === exact)
+      assert(autoModelRows === exact)
       assert(exact.nonEmpty)
     }
   }
