@@ -9,8 +9,18 @@ import json, sys
 
 out, note, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
 passes = [json.load(open(p)) for p in paths]
+# min over the INTERSECTION of query sets; any asymmetry (a pass
+# recorded before/after a headline change) is loud, never a silent
+# drop or a KeyError
+sets = [set(p["queries"]) for p in passes]
+common = set.intersection(*sets)
+for p, s in zip(paths, sets):
+    extra = s - common
+    if extra:
+        print(f"WARNING: {p} has queries absent from other passes, "
+              f"excluded from the min: {sorted(extra)}", file=sys.stderr)
 queries = {}
-for q in passes[0]["queries"]:
+for q in sorted(common):
     queries[q] = round(min(p["queries"][q] for p in passes), 3)
 rec = {
     "metric": passes[0]["metric"],

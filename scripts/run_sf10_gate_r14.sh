@@ -92,6 +92,11 @@ python3 scripts/check_onesided.py /tmp/graft_sf10 /tmp/verify_sf10_r14 \
   /tmp/onesided_sf10_r14.json \
   dedup_simhash,dedup_phash,dedup_embedding,stream_embedding_dedup,join_cosine_threshold,join_hamming_threshold \
   > /tmp/tier_onesided.log 2>&1
+# jjt's sf10-he caps/argmax replay needs more than the 30 GiB default
+# DuckDB temp budget (measured in-round: the default cap is the only
+# thing stopping the stronger tier here)
+DUCK_MEM=55GB DUCK_THREADS=24 DUCK_TEMP=52GiB \
+DUCK_TEMP_DIR=/tmp/duck_1s_big \
 python3 scripts/check_onesided.py /tmp/graft_sf10_he \
   /tmp/verify_sf10he_r14 /tmp/onesided_jjt_sf10he_r14.json \
   join_jaccard_threshold > /tmp/tier_onesided_jjt.log 2>&1

@@ -569,9 +569,13 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
     // spark.graft.jaccardRewrite.estFactor (0 forces dense).
     val (nPostings, estPairs, maxOcc) = {
       if (statsCache.size > 32) statsCache.clear()
+      // modelSize is part of the key: skinny postings are built from
+      // the hot-gram model, so stats measured under one model —
+      // including maxOcc, a CORRECTNESS bound on the sparse bucket
+      // cap — must not be reused after a model-capacity change.
       statsCache.getOrElseUpdate(
         (j.left.canonicalized, j.right.canonicalized,
-          aText.canonicalized, bText.canonicalized, n, t,
+          aText.canonicalized, bText.canonicalized, n, t, modelSize,
           dataFingerprint(j.left, j.right)), {
         val r = skinny.groupBy("__graft_g").agg(count(lit(1)).as("m"))
           .agg(sum(col("m")).as("p"),
@@ -667,15 +671,17 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
         case None =>
           val rx = rankedExact().persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val r = rx.groupBy("__graft_g")
-            .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
+          val capDf = rx.groupBy("__graft_g")
+            .agg(count(lit(1)).as("m")).agg(max(col("m")))
+          val r = capDf.collect()(0)
           val mx = if (r.isNullAt(0)) 2L
             else math.max(2L, math.min(r.getLong(0), Int.MaxValue.toLong))
           statsCache.putIfAbsent(key, (mx, 0.0, mx.toInt))
-          // registered AFTER the cap collect so that job's own
-          // completion event cannot fire the release early
+          // release only on an execution NEWER than the cap job: the
+          // listener bus is async, so the cap job's own end event may
+          // dispatch after registration (see the helper's scaladoc)
           RewriteJaccardThresholdJoin.unpersistAfterNextExecution(
-            spark, rx)
+            spark, rx, capDf.queryExecution.id)
           (rx, mx.toInt)
       }
     }
@@ -842,22 +848,37 @@ object RewriteJaccardThresholdJoin {
     * its own, so a one-shot listener is the release point. Firing on
     * an unrelated query merely restores the pre-persist behavior (the
     * rewritten query recomputes); unpersist is idempotent. */
+  /** Release `df`'s persisted blocks after the first query execution
+    * whose id is strictly greater than `afterId`. The id guard exists
+    * because the listener bus is ASYNCHRONOUS: the cap job's own
+    * execution-end event can still be queued when the driver thread
+    * registers this listener, and an unguarded one-shot would fire on
+    * it — unpersisting before the rewritten query runs and silently
+    * re-paying the ranking shuffles the persist exists to avoid.
+    * QueryExecution ids are monotonically assigned at construction,
+    * so `qe.id > afterId` admits exactly the executions created after
+    * the cap frame. (If the session never runs another action —
+    * explain-only — the one bounded frame stays cached until session
+    * end; accepted.) */
   private[graft] def unpersistAfterNextExecution(
       spark: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): Unit = {
+      df: org.apache.spark.sql.DataFrame,
+      afterId: Long): Unit = {
     val lm = spark.listenerManager
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean()
-      private def fire(): Unit = if (done.compareAndSet(false, true)) {
-        try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => }
-        lm.unregister(this)
-      }
+      private def fire(qe: org.apache.spark.sql.execution.QueryExecution)
+          : Unit =
+        if (qe.id > afterId && done.compareAndSet(false, true)) {
+          try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => }
+          lm.unregister(this)
+        }
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = fire()
+          durationNs: Long): Unit = fire(qe)
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = fire()
+          exception: Exception): Unit = fire(qe)
     }
     lm.register(l)
   }

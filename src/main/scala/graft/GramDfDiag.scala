@@ -114,7 +114,13 @@ object GramDfDiag {
     // only "residual" (boilerplate-dominated) docs, and |R_D| bounds
     // the escape-hatch tier's input.
     def capDiag(label: String,
-        postingDf: org.apache.spark.sql.DataFrame): Unit = {
+        postingDfIn: org.apache.spark.sql.DataFrame): Unit = {
+      // persisted: the residualDocs probe below re-reads the posting
+      // frame once per cap value — without this the TRUE-DF call
+      // would re-run the corpus-wide df join + per-doc window four
+      // extra times
+      val postingDf = postingDfIn.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val withOcc = postingDf
         .groupBy("g").agg(count(lit(1)).as("m"), first("df").as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -133,7 +139,7 @@ object GramDfDiag {
         println(f"[dfdiag] $label D=$d%-8d hotMass=$hot%.3e " +
           f"coldMass=$cold%.3e residualDocs=$residual")
       }
-      withOcc.unpersist()
+      withOcc.unpersist(); postingDf.unpersist()
     }
 
     // model order at the operator's default size and a 16x size

@@ -237,8 +237,14 @@ object Tables {
     // same JVM (a different sfDir) lives in its own family and is
     // never deleted out from under its live views.
     val fam = java.lang.Integer.toHexString(src.getCanonicalPath.hashCode)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_frags/" +
-      s"orders_${fam}_${java.lang.Long.toHexString(sig)}"
+    // File-normalized so the stored live-root entry compares equal to
+    // listFiles()'s sib.getPath — a java.io.tmpdir with a trailing
+    // separator would otherwise store "…//graft_frags/…", never match
+    // the cleanup's live check, and let a live session's root be
+    // deleted out from under it.
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_frags/" +
+        s"orders_${fam}_${java.lang.Long.toHexString(sig)}").getPath
     this.synchronized {
       if (!new java.io.File(s"$root/_SUCCESS").exists()) {
         import org.apache.spark.sql.functions.{col, hash, lit, pmod}
