@@ -334,6 +334,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(!autoModel.queryExecution.executedPlan.toString
         .contains("Window"))
+      // the stats memo must be keyed by model capacity: skinny
+      // postings are built FROM the model, and the memoized maxOcc is
+      // a correctness bound on the sparse bucket cap — reusing stats
+      // measured under the 64k model for the 4-entry model's buckets
+      // could truncate them and silently drop pairs. The two model
+      // sizes exercised above must therefore have produced two
+      // distinct stats entries for this same join shape.
+      val statsKeys = RewriteJaccardThresholdJoin.forSession(s)._2
+        .keySet.collect { case p: Product => p }
+      assert(statsKeys.exists(_.productIterator.contains(4)) &&
+        statsKeys.exists(_.productIterator.contains(1 << 16)),
+        s"stats memo not keyed by modelSize: $statsKeys")
       s.conf.unset("spark.graft.jaccardRewrite.sparseExactRatio")
       s.conf.unset("spark.graft.jaccardRewrite.modelSize")
       s.conf.unset("spark.graft.jaccardRewrite.estFactor")
