@@ -7,6 +7,10 @@ output keeps the schema with per-query minima and their sum as value.
 """
 import json, sys
 
+if len(sys.argv) < 4:
+    print("usage: merge_min.py out.json note pass1.json [pass2.json ...]",
+          file=sys.stderr)
+    sys.exit(2)
 out, note, paths = sys.argv[1], sys.argv[2], sys.argv[3:]
 passes = [json.load(open(p)) for p in paths]
 # min over the INTERSECTION of query sets; any asymmetry (a pass

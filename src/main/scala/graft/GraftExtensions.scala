@@ -677,9 +677,11 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
           val mx = if (r.isNullAt(0)) 2L
             else math.max(2L, math.min(r.getLong(0), Int.MaxValue.toLong))
           statsCache.putIfAbsent(key, (mx, 0.0, mx.toInt))
-          // release only on an execution NEWER than the cap job: the
-          // listener bus is async, so the cap job's own end event may
-          // dispatch after registration (see the helper's scaladoc)
+          // release on any completed execution EXCEPT the cap job's
+          // own (its end event may still be queued — the bus is
+          // async); the rewritten query's id predates the cap job, so
+          // a strictly-greater guard would leak the persist past it
+          // (see the helper's scaladoc)
           RewriteJaccardThresholdJoin.unpersistAfterNextExecution(
             spark, rx, capDf.queryExecution.id)
           (rx, mx.toInt)
@@ -848,18 +850,24 @@ object RewriteJaccardThresholdJoin {
     * its own, so a one-shot listener is the release point. Firing on
     * an unrelated query merely restores the pre-persist behavior (the
     * rewritten query recomputes); unpersist is idempotent. */
-  /** Release `df`'s persisted blocks after the first query execution
-    * whose id is strictly greater than `afterId`. The id guard exists
-    * because the listener bus is ASYNCHRONOUS: the cap job's own
-    * execution-end event can still be queued when the driver thread
-    * registers this listener, and an unguarded one-shot would fire on
-    * it — unpersisting before the rewritten query runs and silently
-    * re-paying the ranking shuffles the persist exists to avoid.
-    * QueryExecution ids are monotonically assigned at construction,
-    * so `qe.id > afterId` admits exactly the executions created after
-    * the cap frame. (If the session never runs another action —
-    * explain-only — the one bounded frame stays cached until session
-    * end; accepted.) */
+  /** Release `df`'s persisted blocks after the first completed query
+    * execution OTHER THAN the cap job's own (`afterId`). The id guard
+    * exists because the listener bus is ASYNCHRONOUS: the cap job's
+    * own execution-end event can still be queued when the driver
+    * thread registers this listener, and an unguarded one-shot would
+    * fire on it — unpersisting before the rewritten query runs and
+    * silently re-paying the ranking shuffles the persist exists to
+    * avoid. The guard is `!=`, NOT `>`: the rewritten query that
+    * triggered the rule constructed its QueryExecution BEFORE the cap
+    * frame (the rule runs inside its optimization), so its id is
+    * BELOW `afterId` and a `>` guard would never let its completion
+    * release the blocks — if the join were the session's last action,
+    * the persisted postings (potentially GiB at rehearsal scale)
+    * would stay cached until session end. A stale queued end-event
+    * from some earlier execution firing first merely restores the
+    * pre-persist recompute behavior. (If the session never runs
+    * another action — explain-only — the one bounded frame stays
+    * cached until session end; accepted.) */
   private[graft] def unpersistAfterNextExecution(
       spark: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame,
@@ -869,7 +877,7 @@ object RewriteJaccardThresholdJoin {
       private val done = new java.util.concurrent.atomic.AtomicBoolean()
       private def fire(qe: org.apache.spark.sql.execution.QueryExecution)
           : Unit =
-        if (qe.id > afterId && done.compareAndSet(false, true)) {
+        if (qe.id != afterId && done.compareAndSet(false, true)) {
           try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => }
           lm.unregister(this)
         }

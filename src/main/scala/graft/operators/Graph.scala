@@ -150,27 +150,36 @@ object Graph {
   }
 
   /** One broadcast-regime pageRank round: probe the cached edge frame
-    * against the broadcast (id, outdeg, rank) node frame, aggregate
-    * the skinny (dst, contrib) inflow, and fold it back onto the node
-    * frame with ONE N-row left join — which reattaches outdeg for the
-    * next round, confines the key set to the node universe (an edge
-    * target outside `nodes` finds no row to land on), and backfills
-    * zero inflow for nodes nobody links to. The 2|E|-row frame crosses
-    * no exchange; the round's shuffles involve only N-row frames. */
+    * against the broadcast (id, outdeg, rank) node frame, then fold
+    * contribs AND the N-row node skeleton through ONE aggregate —
+    * the skeleton row re-attaches outdeg for the next round (max over
+    * exactly one non-null), confines the key set to the node universe
+    * (contrib dst ⊆ universe because `e` is dst-confined at prep, and
+    * every universe id has its skeleton row), and backfills null
+    * inflow for nodes nobody links to. The former shape aggregated
+    * inflow and then LEFT-JOINED it back onto the node frame — a
+    * second N-row exchange-or-broadcast (and its build job) every
+    * round for what a union into the same aggregate does for free.
+    * The 2|E|-row frame crosses no exchange; the round's one exchange
+    * carries N-bounded partial aggregates, and its one broadcast
+    * build is the rank probe itself. */
   private[graft] def rankStepBroadcast(e: DataFrame, ranks0: DataFrame,
       base: Long): DataFrame = {
     // `e` arrives dst-confined from [[prepareRankBroadcast]] (the
     // universe never changes, so the phantom-dst drop happened ONCE at
     // prep instead of a per-round semi-join that re-shipped the same
-    // N-row id set every iteration): the inflow exchange carries only
-    // keys the fold-back join will keep, and the round's single
-    // broadcast build is the rank probe itself
-    val inflow = e.join(broadcast(ranks0), e("src") === ranks0("id"))
+    // N-row id set every iteration): the aggregate's key set is
+    // exactly the node universe, and the round's single broadcast
+    // build is the rank probe itself
+    val contribs = e.join(broadcast(ranks0), e("src") === ranks0("id"))
       .select(col("dst").as("id"),
-        expr("rank div outdeg").as("contrib"))
-      .groupBy("id").agg(sum(col("contrib")).as("inflow"))
-    ranks0.select(col("id"), col("outdeg"))
-      .join(inflow, Seq("id"), "left")
+        expr("rank div outdeg").as("contrib"),
+        lit(null).cast("long").as("deg"))
+    val skeleton = ranks0.select(col("id"),
+      lit(null).cast("long").as("contrib"), col("outdeg").as("deg"))
+    contribs.unionByName(skeleton)
+      .groupBy("id")
+      .agg(sum(col("contrib")).as("inflow"), max(col("deg")).as("outdeg"))
       .select(col("id"), col("outdeg"),
         (lit(base) + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
           .as("rank"))
@@ -267,37 +276,61 @@ object Graph {
     * credits its three corners. Three key-partitioned shuffles total
     * (wedge join, closing join, per-node count); no driver state. */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // One row per unordered pair, MATERIALIZED once: the edge set
+    // feeds the degree count AND the orientation join, and the
+    // caller's edge construction is often a multi-branch union or
+    // join — without the barrier every downstream branch re-inlines
+    // it (the former shape here re-inlined it ~74×: the 3-way corner
+    // union × the 2-way closing union × two degree attaches over the
+    // 2|E| symmetrized frame compounded to a ~700 KB physical plan
+    // with 1184 parquet scans at sf0.1).
     val und = edges.select(col("a").cast("long"), col("b").cast("long"))
-    val sym = und.unionByName(
-      und.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("degree"))
+      .materialized()
+    // degree = endpoint appearances over the |E|-row frame (und holds
+    // each undirected edge once, so a-side + b-side count every
+    // incident edge exactly once per endpoint — same result as
+    // counting over the symmetrized frame at half the aggregated
+    // rows). Materialized: it feeds both orientation attaches and the
+    // final left join.
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .materialized()
     // orient by (degree, id): strict total order, so each undirected
-    // edge appears exactly once
-    val withDeg = sym
+    // edge appears exactly once. The swap runs on the |E|-row frame
+    // directly — the former symmetrize-then-filter paid both degree
+    // joins on 2|E| rows to keep half of them. Materialized: three
+    // consumers (both wedge sides + the closing side).
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
-    val oriented = withDeg
-      .filter(col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
+      .select(when(lower, col("a")).otherwise(col("b")).as("src"),
+        when(lower, col("b")).otherwise(col("a")).as("dst"))
+      .materialized()
     // wedges u→{v,w}: two out-edges of the same src, deduplicated by
     // id order (v < w), so each candidate pair appears once. The
     // closing edge is oriented by (degree, id) — which may run v→w OR
-    // w→v in id terms — so the join admits both orientations; exactly
-    // one can exist, and the wedge's src is the triangle's unique
-    // ≺-minimum corner, so every triangle is counted exactly once.
+    // w→v in id terms — but the wedge key is id-NORMALIZED (v < w),
+    // so normalizing the closing side the same way (least/greatest)
+    // matches both orientations with ONE |E|-row frame instead of the
+    // former 2|E| two-orientation union; exactly one orientation can
+    // exist, and the wedge's src is the triangle's unique ≺-minimum
+    // corner, so every triangle is counted exactly once.
     val e1 = oriented.select(col("src"), col("dst").as("v"))
     val e2 = oriented.select(col("src"), col("dst").as("w"))
     val wedges = e1.join(e2, "src").filter(col("v") < col("w"))
-    val closing = oriented
-      .select(col("src").as("v"), col("dst").as("w"))
-      .unionByName(
-        oriented.select(col("dst").as("v"), col("src").as("w")))
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("v"),
+      greatest(col("src"), col("dst")).as("w"))
     val tri = wedges.join(closing, Seq("v", "w"))
-    val corners = tri.select(col("src").as("node"))
-      .unionByName(tri.select(col("v").as("node")))
-      .unionByName(tri.select(col("w").as("node")))
+    // credit all three corners in ONE pass: explode replaces the
+    // former 3-branch union that re-ran the wedge+closing joins once
+    // per corner (ReuseExchange dedupes the exchanges, not the join
+    // probe work above them)
+    val corners = tri
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     deg.join(corners, Seq("node"), "left")
       .select(col("node"), col("degree"),
