@@ -164,16 +164,22 @@ object Bench {
     }
 
     def run(name: String): Double = {
+      // label every job this query spawns (guide §1.5) so event logs
+      // and the UI attribute work to queries — the description is
+      // thread-local and cleared before the untimed release()
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          spark.sparkContext.setJobDescription(null)
           release()
           return -1.0
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       release()
       sec
     }

@@ -193,24 +193,25 @@ object Association {
     * caller from the same relation) crossJoined in — a 1-row-bounded
     * broadcast, never a driver action inside the operator.
     */
-  def rules(pairs: DataFrame, nBaskets: DataFrame): DataFrame = {
-    // both orientations read the SAME pair relation — materialize it
-    // once or the whole mining pipeline (self-join + pair aggregate)
-    // re-runs per branch; the frame is frequent-pairs-sized (post
-    // min-support), far smaller than anything upstream
-    val p = pairs.materialized()
-    val fwd = p.select(col("a_item").as("antecedent"),
-      col("b_item").as("consequent"), col("pair_n"),
-      col("a_n").as("ant_n"), col("b_n").as("cons_n"))
-    val bwd = p.select(col("b_item").as("antecedent"),
-      col("a_item").as("consequent"), col("pair_n"),
-      col("b_n").as("ant_n"), col("a_n").as("cons_n"))
-    fwd.unionAll(bwd)
+  def rules(pairs: DataFrame, nBaskets: DataFrame): DataFrame =
+    // both orientations come out of ONE explode per pair row — the
+    // former two-projection self-union made the pair relation a
+    // two-consumer frame that had to be materialized (or the whole
+    // mining pipeline re-ran per branch); a single consumer needs no
+    // barrier and no extra job
+    pairs
+      .select(explode(array(
+        struct(col("a_item").as("antecedent"),
+          col("b_item").as("consequent"), col("pair_n"),
+          col("a_n").as("ant_n"), col("b_n").as("cons_n")),
+        struct(col("b_item").as("antecedent"),
+          col("a_item").as("consequent"), col("pair_n"),
+          col("b_n").as("ant_n"), col("a_n").as("cons_n")))).as("r"))
+      .select(col("r.*"))
       .crossJoin(broadcast(nBaskets)) // 1 row by construction
       .withColumn("conf_micros",
         expr("(pair_n * 1000000L) DIV ant_n"))
       .withColumn("lift_micros",
         expr("(pair_n * n_baskets * 1000000L) DIV (ant_n * cons_n)"))
       .drop("n_baskets")
-  }
 }

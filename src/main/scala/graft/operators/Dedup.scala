@@ -605,10 +605,30 @@ object Dedup {
     * minimum-id-in-component contract with no signal. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // two regimes, the pageRank/BFS/LPA discipline: a label frame that
+    // provably fits the broadcast threshold lets every round hint its
+    // label join broadcast explicitly — the gate has already decided
+    // what AQE would re-derive from runtime sizes. Past the threshold
+    // the unhinted AQE shape is unchanged.
+    val bcastThreshold =
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val nDocs = docs.count()
+    val small = bcastThreshold > 0 && nDocs * 16 <= bcastThreshold
+    def run(): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (small) org.apache.spark.sql.functions.broadcast(_) else identity
+    // src confined to the doc universe ONCE (pairs from this module
+    // always satisfy it; the hoist makes the operator safe for any
+    // caller): the per-round fold below merges neighbor minima and
+    // current labels through one aggregate keyed on doc_id, so a src
+    // outside `docs` must never mint a group. dst stays implicitly
+    // confined by the per-round inner label join.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(
         pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .join(hint(docs.select(col("doc_id").as("src"))), Seq("src"),
+        "left_semi")
       .materialized() // re-read every round
     var labels = docs.select(col("doc_id"), col("doc_id").as("comp"))
       .materialized()
@@ -628,13 +648,18 @@ object Dedup {
     // budgeted round and needs round maxIter+1 to observe no change —
     // correct labels must not be rejected at the budget boundary
     while (!converged && iter < maxIter + 1) {
-      val nbr = edges.join(labels, edges("dst") === labels("doc_id"))
+      val nbr = edges.join(hint(labels), edges("dst") === labels("doc_id"))
         .groupBy("src").agg(min(col("comp")).as("nbr_comp"))
+      // fold neighbor minima and current labels through ONE aggregate:
+      // min over {comp} ∪ {nbr_comp if any} ≡ the former N-row
+      // fold-back left join + least/coalesce, minus the per-round join
+      // (src ⊆ doc universe by the prep confinement, and every doc
+      // contributes its current label, so the key set is exactly the
+      // universe)
       val next = Iterate.materialize(
-        labels.join(nbr, labels("doc_id") === nbr("src"), "left")
-          .select(labels("doc_id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-              .as("comp")), iter)
+        nbr.select(col("src").as("doc_id"), col("nbr_comp").as("comp"))
+          .unionByName(labels)
+          .groupBy("doc_id").agg(min(col("comp")).as("comp")), iter)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -650,6 +675,11 @@ object Dedup {
     labels.select(col("doc_id"),
       (col("doc_id") === col("comp")).as("keep"),
       when(col("doc_id") =!= col("comp"), col("comp")).as("dup_of"))
+    }
+    // hints only, AQE stays on: the static-planning variant was
+    // measured slower at sf0.1 (see Graph.pageRank's broadcast-regime
+    // note)
+    run()
   }
 
   /** SimHash near-dup pairs: 64-bit token-level SimHash (custom codegen'd

@@ -90,6 +90,13 @@ object Graph {
       ranks
     }
     if (bcastRanks) {
+      // NOTE (measured, r15): planning this regime's loop statically
+      // (AQE off + explicit hints) HALVES the job count but DOUBLES
+      // sf0.1 wall — without AQE's post-shuffle coalescing every
+      // N-row exchange runs all 32 reduce tasks and their 32×32
+      // block fetches (~1 s/round vs ~0.3 s coalesced). AQE stays on
+      // here; the pinned regime below still needs it off for layout
+      // capture.
       val (e, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
       loop(e, ranks0, rankStepBroadcast(_, _, base), big = false)
         .select(col("id"), col("rank"))
@@ -143,7 +150,9 @@ object Graph {
       .select(col("src"), col("dst"))
       .materialized()
     val ranks0 = nodeIds
-      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      // explicit hint: deg is ≤ N rows (this regime's gate proved the
+      // N-row frame broadcastable) and the loop may plan statically
+      .join(broadcast(deg.withColumnRenamed("src", "id")), Seq("id"), "left")
       .withColumn("rank", lit(initRank))
       .materialized()
     (e, ranks0)
@@ -353,31 +362,64 @@ object Graph {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    // two regimes, the pageRank/BFS discipline: when the (id, lbl)
+    // label frame provably fits the session's broadcast threshold,
+    // the per-round label join carries an explicit broadcast hint —
+    // the gate has already decided what AQE would re-derive from
+    // runtime sizes, and the hint removes the mis-estimate risk on
+    // RDD-backed loop state. Past the threshold the shape is
+    // unchanged: unhinted joins, AQE picks the strategy.
+    val bcastThreshold =
+      nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val n = nodes.count()
+    val small = bcastThreshold > 0 && n * 16 <= bcastThreshold
+    def run(): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (small) broadcast(_) else identity
+    val nodeIds = nodes.select(col("id").cast("long"))
+    // src confined to the node universe ONCE, round-invariantly (the
+    // same hoist as pageRank's dst confinement): the per-round argmax
+    // below folds the keep-own-label fallback into the aggregate via
+    // zero-count skeleton rows, so a src outside `nodes` must never
+    // mint a group. (dst confinement stays implicit: the label join
+    // is inner against the node-universe label frame.)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .join(hint(nodeIds.select(col("id").as("src"))), Seq("src"),
+        "left_semi")
       .materialized()
-    var labels = nodes.select(col("id").cast("long"))
+    var labels = nodeIds
       .withColumn("lbl", col("id"))
       .materialized()
     var it = 0
     while (it < iters) {
       val counts = e
-        .join(labels.select(col("id"), col("lbl")),
+        .join(hint(labels.select(col("id"), col("lbl"))),
           e("dst") === col("id"))
         .groupBy(e("src").as("nid"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-      // argmax by (count desc, label asc) via lexicographic struct min
-      val best = counts
-        .groupBy("nid")
-        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
-          .as("b"))
-        .select(col("nid").as("id"), col("b.l").as("nbl"))
+      // argmax by (count desc, label asc) via lexicographic struct
+      // min. The keep-own-label fallback rides the SAME aggregate as
+      // zero-count skeleton rows (one per node, its current label):
+      // any real neighbor entry (cnt ≥ 1 ⇒ -cnt < 0) outranks the
+      // skeleton, and an isolated node's only entry IS its skeleton —
+      // the former per-round N-row fold-back left join (and its
+      // broadcast build) did exactly this, one whole join later.
       labels = Iterate.materialize(
-        labels.join(best, Seq("id"), "left")
-          .select(col("id"), coalesce(col("nbl"), col("lbl")).as("lbl")),
+        counts.select(col("nid"), col("lbl"), col("cnt"))
+          .unionByName(labels.select(col("id").as("nid"), col("lbl"),
+            lit(0L).as("cnt")))
+          .groupBy("nid")
+          .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+            .as("b"))
+          .select(col("nid").as("id"), col("b.l").as("lbl")),
         it)
       it += 1
     }
     labels
+    }
+    // hints only, AQE stays on: the static-planning variant was
+    // measured slower at sf0.1 (see pageRank's broadcast-regime note)
+    run()
   }
 
   /** Multi-source BFS: minimum hop count from a seed set, bounded by
@@ -421,8 +463,14 @@ object Graph {
       // dst confined to the node universe once, round-invariantly —
       // an edge target outside `nodes` must not seed phantom traversal
       // (same discipline as pageRank's eDeg)
+      // nodesSmall ⇒ hint every N-bounded side explicitly — the
+      // regime gate just proved anything ≤ N rows broadcastable, so
+      // the hint removes size mis-estimates on RDD-backed loop state
+      // (AQE stays on; see pageRank's broadcast-regime note)
+      val nHint: DataFrame => DataFrame =
+        if (nodesSmall) broadcast(_) else identity
       val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .join(nodes.select(col("id").cast("long").as("dst")),
+        .join(nHint(nodes.select(col("id").cast("long").as("dst"))),
           Seq("dst"), "left_semi")
       // pinned ⇒ the node frame crossed the broadcast threshold ⇒
       // the 2|E|-row edge frame (and the N-bound visited states
@@ -546,11 +594,20 @@ object Graph {
             e.join(if (fSmall) broadcast(f) else f,
                 e("src") === col("_fid"))
               .select(e("dst").as("id")).distinct()
-              .join(visited, Seq("id"), "left_anti")
+              .join(nHint(visited), Seq("id"), "left_anti")
               .withColumn("hops", lit(round.toLong))
           }, round, big = pinned)
-        visited = Iterate.materialize(visited.unionByName(reached),
-          round, big = pinned)
+        // broadcast regime: the visited set is a union of frames that
+        // are EACH already materialized (seeds + every round's
+        // reached), so re-materializing the union copied O(N·rounds)
+        // rows across the loop for no layout gain — the anti-join and
+        // the final backfill read the cached pieces through the union
+        // for free. The pinned regime keeps the copy: its big-frame
+        // serialized storage level is the point there.
+        visited =
+          if (pinned) Iterate.materialize(visited.unionByName(reached),
+            round, big = true)
+          else visited.unionByName(reached)
         if (useBitmaps)
           visitedBm = Iterate.materialize(
             visitedBm.unionByName(
@@ -569,7 +626,7 @@ object Graph {
         case None => conf.unset(fbKey)
       }
       nodes.select(col("id").cast("long"))
-        .join(visited, Seq("id"), "left")
+        .join(nHint(visited), Seq("id"), "left")
         .select(col("id"), col("hops"))
     }
     if (nodesSmall) run(pinned = false)
