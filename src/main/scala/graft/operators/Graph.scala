@@ -591,10 +591,24 @@ object Graph {
                 .cast("long").as("id"))
               .withColumn("hops", lit(round.toLong))
           } else {
-            e.join(if (fSmall) broadcast(f) else f,
+            val expanded = e.join(if (fSmall) broadcast(f) else f,
                 e("src") === col("_fid"))
-              .select(e("dst").as("id")).distinct()
-              .join(nHint(visited), Seq("id"), "left_anti")
+              .select(e("dst").as("id"))
+            // anti(distinct(X)) ≡ distinct(anti(X)) — the anti-join
+            // filters by the distinct key. In the broadcast regime
+            // the anti side is hinted broadcast (exchange-free), so
+            // running it BELOW the distinct shuffles only unvisited
+            // dsts — late-round expansions mostly re-hit visited
+            // nodes, the rows this drops before the exchange. The
+            // pinned row path keeps distinct-first: there the anti
+            // join is a shuffle join, and feeding it the raw
+            // expansion would shuffle MORE bytes, not fewer.
+            (if (nodesSmall)
+              expanded.join(nHint(visited), Seq("id"), "left_anti")
+                .distinct()
+            else
+              expanded.distinct()
+                .join(visited, Seq("id"), "left_anti"))
               .withColumn("hops", lit(round.toLong))
           }, round, big = pinned)
         // broadcast regime: the visited set is a union of frames that
