@@ -2661,14 +2661,18 @@ object SparkEntry {
         expr("(v - mn) div (((mx - mn) div 4096) + 1)"))
     val bCum = Window.partitionBy("g").orderBy("bk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // min(bk) and min(cumb - bw) pick the SAME (first qualifying)
+    // row: cumb is a prefix sum of nonnegative bucket weights, so
+    // both cumb and cumb - bw are nondecreasing in bk — and plain
+    // mins stay hash-aggregable where a struct-min argmin would
+    // force a SortAggregate
     val target = byVal.groupBy("g", "bk").agg(sum(col("w")).as("bw"),
         max(col("total")).as("total"))
       .withColumn("cumb", sum(col("bw")).over(bCum))
       .filter(col("cumb") * 2 >= col("total"))
       .groupBy("g")
-      .agg(min(struct(col("bk"), (col("cumb") - col("bw")).as("prefix")))
-        .as("t"))
-      .select(col("g"), col("t.bk").as("bk"), col("t.prefix").as("prefix"))
+      .agg(min(col("bk")).as("bk"),
+        min(col("cumb") - col("bw")).as("prefix"))
     val vCum = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byVal.join(broadcast(target), Seq("g", "bk"))
