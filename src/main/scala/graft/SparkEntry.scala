@@ -2634,49 +2634,28 @@ object SparkEntry {
     // the total) evaluated over DISTINCT values, so intra-tie row
     // order cannot matter.
     //
-    // TWO-LEVEL prefix sum (r15): the former shape ran the cumulative
-    // window straight over all |distinct prices| rows per group —
-    // with only |groups| window partitions that is a ~200k-row sort
-    // in each of 3 tasks at sf0.1 and a serial per-group bottleneck
-    // at any scale. Instead: (1) per-group total/min/max in one
-    // map-side-combined aggregate; (2) distinct values fold into
-    // ≤4097 order-preserving value-range buckets per group, whose
-    // per-bucket weights take a TINY cumulative window (≤4097 rows
-    // per group); (3) only the one bucket that straddles half the
-    // total is rescanned value-by-value, seeded with the bucket
-    // prefix. Every heavy stage is a hash aggregate; no full-group
-    // sort anywhere. cum(v) = bucketPrefix(bk(v)) + within-bucket
-    // cum, and buckets are value ranges, so the smallest qualifying
-    // v globally IS the smallest qualifying v in the first bucket
-    // whose end-cum reaches half — identical output by construction.
+    // Shape note (r15, measured): a two-level value-range-bucket
+    // prefix sum (3 bounded exchanges, no per-group sort — the
+    // "ideal" 100 TB shape on paper) was built, oracle-verified and
+    // REJECTED on alternated A/Bs: it lost at BOTH sf0.1 and sf1
+    // (sf1 min-of-3: 5.9 s vs 4.5 s here) because extra scan passes
+    // over the 3-column projection cost more than this shape's
+    // single scan + one |distinct (g,v)| exchange — and the
+    // per-group sort is bounded by the price DOMAIN (distinct cents
+    // values), not the corpus, so it does not grow 100 TB-unbounded.
+    // Two map-side-combined aggregates + one per-group window over
+    // |distinct prices| rows; both windows share one sort.
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
         col("l_quantity").cast("long").as("wt"))
-    val stats = li.groupBy("g").agg(sum(col("wt")).as("total"),
-      min(col("v")).as("mn"), max(col("v")).as("mx"))
     val byVal = li.groupBy("g", "v").agg(sum(col("wt")).as("w"))
-      .join(broadcast(stats), "g")
-      .withColumn("bk",
-        expr("(v - mn) div (((mx - mn) div 4096) + 1)"))
-    val bCum = Window.partitionBy("g").orderBy("bk")
+    val cumW = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // min(bk) and min(cumb - bw) pick the SAME (first qualifying)
-    // row: cumb is a prefix sum of nonnegative bucket weights, so
-    // both cumb and cumb - bw are nondecreasing in bk — and plain
-    // mins stay hash-aggregable where a struct-min argmin would
-    // force a SortAggregate
-    val target = byVal.groupBy("g", "bk").agg(sum(col("w")).as("bw"),
-        max(col("total")).as("total"))
-      .withColumn("cumb", sum(col("bw")).over(bCum))
-      .filter(col("cumb") * 2 >= col("total"))
-      .groupBy("g")
-      .agg(min(col("bk")).as("bk"),
-        min(col("cumb") - col("bw")).as("prefix"))
-    val vCum = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byVal.join(broadcast(target), Seq("g", "bk"))
-      .withColumn("cum", col("prefix") + sum(col("w")).over(vCum))
+    val totW = Window.partitionBy("g")
+    byVal
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("total", sum(col("w")).over(totW))
       .filter(col("cum") * 2 >= col("total"))
       .groupBy("g")
       .agg(min(col("v")).as("weighted_median_cents"),
