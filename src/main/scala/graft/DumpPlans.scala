@@ -277,7 +277,10 @@ object DumpPlans {
         |once with NO shuffle and NO sort, out-degree rides on the
         |N-row broadcast (id, outdeg, rank) frame, and each round is
         |one map-side probe of the cached edges plus a skinny inflow
-        |aggregate folded back by a single N-row join. Pinned regime
+        |aggregate that folds the N-row node skeleton in the SAME
+        |union+groupBy (r15 — one exchange and one broadcast build per
+        |round; the former shape paid a second N-row fold-back join
+        |and its broadcast build every round). Pinned regime
         |(billion-node graphs): the edge⋈degree frame pre-buckets by
         |src (repartition + sort, AQE scoped off so the capture holds)
         |and each round's rank join is co-partitioned with zero
@@ -300,9 +303,14 @@ object DumpPlans {
         |graph — a web-scale star produces zero wedges), so the wedge
         |self-join below cannot blow up on skewed degree
         |distributions. Three key-partitioned shuffles: wedge join on
-        |src, closing join on the (v, w) pair, per-node corner count.
-        |No driver state, no adjacency materialization beyond the
-        |joins.""".stripMargin,
+        |src, closing join on the id-normalized (v, w) pair (ONE
+        ||E|-row least/greatest frame, not a two-orientation union),
+        |per-node corner count fed by ONE explode over the confirmed
+        |triangles (r15 — the former 3-branch corner union re-ran the
+        |wedge+closing joins per corner). Edge set, degrees and the
+        |oriented frame materialize once each, so the plan below reads
+        |three checkpointed frames instead of re-inlining the caller's
+        |edge construction ~74×. No driver state.""".stripMargin,
     "dedup_phash" ->
       """Perceptual image dedup — the multimodal/dedup crossover. PNG
         |encode, full decode (CRC walk + inflate + de-filter) and the
@@ -316,8 +324,11 @@ object DumpPlans {
       """Synchronous label propagation, 4 fixed rounds over a
         |localCheckpointed frame (constant lineage, like pageRank).
         |Per round: one label join + one (node, label) count + one
-        |struct-min argmax — all hash-partitioned on the node id, so a
-        |cluster run reuses one partitioning round over round. The
+        |struct-min argmax whose keep-own-label fallback rides the
+        |same aggregate as zero-count skeleton rows (r15 — the former
+        |per-round N-row fold-back join is gone) — all hash-partitioned
+        |on the node id, so a cluster run reuses one partitioning
+        |round over round. The
         |deterministic tie-break is what makes the result replayable;
         |the plan below is the final checkpoint scan + presentation
         |sort.""".stripMargin,
@@ -499,7 +510,10 @@ object DumpPlans {
         |INSIDE the scan as a broadcast long-set filter, and pair
         |generation is the codegen'd CappedPairs generator — three
         |key-partitioned shuffles, no self-join; the support attaches
-        |are broadcast joins against the frequent-pair table.""".stripMargin,
+        |are broadcast joins against the frequent-pair table, and both
+        |rule orientations come off ONE explode per pair row (r15 —
+        |half the reads of the materialized pair relation vs the
+        |former two-projection self-union).""".stripMargin,
     "dedup_quality_rep" ->
       """Quality-weighted representative election: fingerprint, score
         |and the max-struct argmax all ride the scan stage; the only
