@@ -605,15 +605,17 @@ object Dedup {
     * minimum-id-in-component contract with no signal. */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // two regimes, the pageRank/BFS/LPA discipline: a label frame that
-    // provably fits the broadcast threshold lets every round hint its
-    // label join broadcast explicitly — the gate has already decided
-    // what AQE would re-derive from runtime sizes. Past the threshold
-    // the unhinted AQE shape is unchanged.
+    // two regimes, the pageRank/BFS/LPA discipline: a doc frame whose
+    // PLAN ESTIMATE fits the broadcast threshold lets every round
+    // hint its label join broadcast explicitly. Statistics-based —
+    // zero driver jobs (a count() gate was measurable against the
+    // whole loop at small scale); an unknown estimate (huge default)
+    // leaves the hint off and the unhinted AQE shape is unchanged.
     val bcastThreshold =
       docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val nDocs = docs.count()
-    val small = bcastThreshold > 0 && nDocs * 16 <= bcastThreshold
+    val small = bcastThreshold > 0 &&
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(bcastThreshold)
     def run(): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(_) else identity

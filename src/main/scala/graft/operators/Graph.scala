@@ -362,17 +362,20 @@ object Graph {
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
-    // two regimes, the pageRank/BFS discipline: when the (id, lbl)
-    // label frame provably fits the session's broadcast threshold,
-    // the per-round label join carries an explicit broadcast hint —
-    // the gate has already decided what AQE would re-derive from
-    // runtime sizes, and the hint removes the mis-estimate risk on
-    // RDD-backed loop state. Past the threshold the shape is
-    // unchanged: unhinted joins, AQE picks the strategy.
+    // two regimes, the pageRank/BFS discipline: when the node frame's
+    // PLAN ESTIMATE already fits the session's broadcast threshold,
+    // the per-round label join carries an explicit broadcast hint (an
+    // N-row frame whose source estimate fits stays fitting). The gate
+    // reads optimizer statistics — zero driver jobs (a count() here
+    // was measurable against the whole loop at small scale) — and an
+    // unknown estimate (huge default) simply leaves the hint off, so
+    // the fallback is exactly the unhinted shape where AQE picks the
+    // strategy from runtime sizes.
     val bcastThreshold =
       nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val n = nodes.count()
-    val small = bcastThreshold > 0 && n * 16 <= bcastThreshold
+    val small = bcastThreshold > 0 &&
+      nodes.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(bcastThreshold)
     def run(): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (small) broadcast(_) else identity
