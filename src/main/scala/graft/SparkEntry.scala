@@ -1022,11 +1022,13 @@ object SparkEntry {
     // bucketed files mid-read (observed: an sf0.01 gate run deleted
     // the parquet under a concurrent sf10 run's scan)
     val scope = corpusScope(dir)
-    graft.sources.Layout.writeBucketed(
-      s.table("customer"), s"blq_customer_$scope", "c_custkey", 8)
-    graft.sources.Layout.writeBucketed(
-      s.table("orders").withColumnRenamed("o_custkey", "c_custkey"),
-      s"blq_orders_$scope", "c_custkey", 8)
+    // independent source tables — the two bucketed writes overlap
+    graft.sources.Layout.inParallel(
+      () => graft.sources.Layout.writeBucketed(
+        s.table("customer"), s"blq_customer_$scope", "c_custkey", 8),
+      () => graft.sources.Layout.writeBucketed(
+        s.table("orders").withColumnRenamed("o_custkey", "c_custkey"),
+        s"blq_orders_$scope", "c_custkey", 8))
     val joined = s.table(s"blq_customer_$scope")
       .join(s.table(s"blq_orders_$scope"), Seq("c_custkey"))
       .groupBy("c_custkey", "c_mktsegment")

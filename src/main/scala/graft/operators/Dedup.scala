@@ -439,11 +439,17 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sigs = indexSignatures(docs, shingleK, numHashes)
-    graft.sources.Layout.writeBucketed(
-      indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
-      buckets)
-    graft.sources.Layout.writeBucketed(
-      indexSets(sigs), s"${prefix}_sets", "doc_id", buckets)
+    // materialize the shared signature cache ONCE, then the two
+    // independent table writes overlap (Layout.inParallel) instead of
+    // serializing — without the pre-count both jobs would race to
+    // build the same cache
+    sigs.count()
+    graft.sources.Layout.inParallel(
+      () => graft.sources.Layout.writeBucketed(
+        indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
+        buckets),
+      () => graft.sources.Layout.writeBucketed(
+        indexSets(sigs), s"${prefix}_sets", "doc_id", buckets))
     sigs.unpersist(false)
   }
 
@@ -459,11 +465,13 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sigs = indexSignatures(newDocs, shingleK, numHashes)
-    graft.sources.Layout.appendBucketed(
-      indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
-      buckets)
-    graft.sources.Layout.appendBucketed(
-      indexSets(sigs), s"${prefix}_sets", "doc_id", buckets)
+    sigs.count() // shared cache materialized once (see writeMinhashIndex)
+    graft.sources.Layout.inParallel(
+      () => graft.sources.Layout.appendBucketed(
+        indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
+        buckets),
+      () => graft.sources.Layout.appendBucketed(
+        indexSets(sigs), s"${prefix}_sets", "doc_id", buckets))
     sigs.unpersist(false)
   }
 

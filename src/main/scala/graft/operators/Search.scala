@@ -146,10 +146,12 @@ object Search {
   def writeBm25Index(docs: DataFrame, prefix: String,
       buckets: Int = 32): Unit = {
     val (dls, postings) = indexRows(docs)
-    graft.sources.Layout.writeBucketed(postings,
-      s"${prefix}_postings", "tok", buckets)
-    graft.sources.Layout.writeBucketed(dls,
-      s"${prefix}_dls", "doc_id", buckets)
+    // independent tables, overlapped writes (Layout.inParallel)
+    graft.sources.Layout.inParallel(
+      () => graft.sources.Layout.writeBucketed(postings,
+        s"${prefix}_postings", "tok", buckets),
+      () => graft.sources.Layout.writeBucketed(dls,
+        s"${prefix}_dls", "doc_id", buckets))
   }
 
   /** APPEND an increment's postings into an existing index (same
@@ -166,14 +168,20 @@ object Search {
     // dls rows, silently inflating tf/df/n_docs/avgdl — the anti-join
     // makes the append idempotent (an update flow must delete first,
     // which an append-only index does not support by design)
-    val fresh = newDocs.join(
+    // MATERIALIZED before the overlapped writes: both index rows
+    // derive from this anti-join against the dls TABLE, and the dls
+    // append below mutates that table — an unmaterialized `fresh`
+    // re-planned by the postings writer after the dls append commits
+    // would see the new rows and anti-join the increment away.
+    val fresh = Iterate.materialize(newDocs.join(
       spark.table(s"${prefix}_dls").select("doc_id"),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti"))
     val (dls, postings) = indexRows(fresh)
-    graft.sources.Layout.appendBucketed(postings,
-      s"${prefix}_postings", "tok", buckets)
-    graft.sources.Layout.appendBucketed(dls,
-      s"${prefix}_dls", "doc_id", buckets)
+    graft.sources.Layout.inParallel(
+      () => graft.sources.Layout.appendBucketed(postings,
+        s"${prefix}_postings", "tok", buckets),
+      () => graft.sources.Layout.appendBucketed(dls,
+        s"${prefix}_dls", "doc_id", buckets))
   }
 
   /** BM25 over the PERSISTED index — the retrieval shape that

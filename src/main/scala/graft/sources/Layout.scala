@@ -30,6 +30,33 @@ object Layout {
     }
   }
 
+  /** Run independent write jobs CONCURRENTLY from a small pool (the
+    * guide's overlap-independent-jobs move): Spark's scheduler happily
+    * runs several jobs at once, so two index-table writes that share
+    * no output overlap instead of serializing their commit tails —
+    * the second job's tasks back-fill executors the first job's tail
+    * frees. Callers must pre-materialize any SHARED persisted input
+    * (e.g. one count()) or both jobs race to build the same cache.
+    * Spark local properties (job group/description) are inheritable-
+    * thread-local, so jobs submitted from the pool keep the caller's
+    * labels. Failures rethrow the original cause. */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      fs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Persist `df` hash-bucketed (and per-bucket sorted) by `key` into the
     * session catalog. Two tables bucketed the same way join/aggregate on
     * the bucket key with NO shuffle — the co-located join the reference
