@@ -560,4 +560,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(joined.count() === expected && expected > 0)
     }
   }
+
+  test("cold-path exact-order postings release after the TRIGGERING " +
+      "query's own completion (r15: the != guard — a > guard never " +
+      "fired on the rewritten query, whose execution predates the " +
+      "cap job)") {
+    withExtSession { s =>
+      import s.implicits._
+      // fresh data values ⇒ fresh statsCache key ⇒ the COLD path runs
+      // (persist + release listener), even if earlier tests warmed
+      // the memo for their own corpora
+      val salt = System.nanoTime()
+      val docs = (1L to 24L).map(i => (i, s"release spec doc $i " +
+        s"salt $salt shared words about foxes and dogs and fences"))
+        .toDF("id", "text")
+      val a = docs.select(col("id").as("id_a"), col("text").as("text_a"))
+      val b = docs.select(col("id").as("id_b"), col("text").as("text_b"))
+      import graft.functions.VectorFunctions.text_jaccard
+      def q = a.join(b,
+          text_jaccard(col("text_a"), col("text_b"), 8) >= 0.6 &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      s.conf.set("spark.graft.jaccardRewrite.enabled", "true")
+      s.conf.set("spark.graft.jaccardRewrite.estFactor", "1e18") // sparse
+      s.conf.set("spark.graft.jaccardRewrite.exactDfOrder", "on")
+      try {
+        q.collect() // the triggering query; its completion must release
+        // the listener bus is asynchronous — poll for the persisted
+        // ranked-postings blocks to drain back to the pre-query set
+        val deadline = System.currentTimeMillis + 30000
+        def leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+        while (leaked.nonEmpty && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(leaked.isEmpty,
+          s"exact-order postings still persisted after the triggering " +
+            s"query completed: RDDs ${leaked.mkString(",")}")
+      } finally {
+        s.conf.unset("spark.graft.jaccardRewrite.enabled")
+        s.conf.unset("spark.graft.jaccardRewrite.estFactor")
+        s.conf.unset("spark.graft.jaccardRewrite.exactDfOrder")
+      }
+    }
+  }
 }
