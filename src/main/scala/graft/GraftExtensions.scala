@@ -677,13 +677,22 @@ case class RewriteJaccardThresholdJoin(spark: SparkSession)
           val mx = if (r.isNullAt(0)) 2L
             else math.max(2L, math.min(r.getLong(0), Int.MaxValue.toLong))
           statsCache.putIfAbsent(key, (mx, 0.0, mx.toInt))
-          // release on any completed execution EXCEPT the cap job's
-          // own (its end event may still be queued — the bus is
-          // async); the rewritten query's id predates the cap job, so
-          // a strictly-greater guard would leak the persist past it
-          // (see the helper's scaladoc)
+          // release on the TRIGGERING query's own completion or any
+          // execution newer than the cap job (see the helper's
+          // scaladoc: stale queued end events from OLDER executions —
+          // this rule's own plan-time driver jobs included — must not
+          // fire the one-shot before the rewritten query consumes the
+          // persist). The trigger's QueryExecution is resolved from
+          // the EXECUTION_ID_KEY local property, which the action
+          // that invoked this rule set around its planning; the cap
+          // job's collect above restored it on exit.
+          val triggerId = Option(spark.sparkContext.getLocalProperty(
+              org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY))
+            .flatMap(s => Option(org.apache.spark.sql.execution
+              .SQLExecution.getQueryExecution(s.toLong)))
+            .map(_.id)
           RewriteJaccardThresholdJoin.unpersistAfterNextExecution(
-            spark, rx, capDf.queryExecution.id)
+            spark, rx, capDf.queryExecution.id, triggerId)
           (rx, mx.toInt)
       }
     }
@@ -850,34 +859,39 @@ object RewriteJaccardThresholdJoin {
     * its own, so a one-shot listener is the release point. Firing on
     * an unrelated query merely restores the pre-persist behavior (the
     * rewritten query recomputes); unpersist is idempotent. */
-  /** Release `df`'s persisted blocks after the first completed query
-    * execution OTHER THAN the cap job's own (`afterId`). The id guard
-    * exists because the listener bus is ASYNCHRONOUS: the cap job's
-    * own execution-end event can still be queued when the driver
-    * thread registers this listener, and an unguarded one-shot would
-    * fire on it — unpersisting before the rewritten query runs and
-    * silently re-paying the ranking shuffles the persist exists to
-    * avoid. The guard is `!=`, NOT `>`: the rewritten query that
-    * triggered the rule constructed its QueryExecution BEFORE the cap
-    * frame (the rule runs inside its optimization), so its id is
-    * BELOW `afterId` and a `>` guard would never let its completion
-    * release the blocks — if the join were the session's last action,
-    * the persisted postings (potentially GiB at rehearsal scale)
-    * would stay cached until session end. A stale queued end-event
-    * from some earlier execution firing first merely restores the
-    * pre-persist recompute behavior. (If the session never runs
-    * another action — explain-only — the one bounded frame stays
-    * cached until session end; accepted.) */
+  /** Release `df`'s persisted blocks on the TRIGGERING query's own
+    * completion (`triggerId` — the execution whose optimization ran
+    * the rewrite rule, i.e. the persist's intended consumer) or any
+    * execution NEWER than the cap job's (`afterId`). The id guards
+    * exist because the listener bus is ASYNCHRONOUS and FIFO: at
+    * registration time the queue can still hold end events from
+    * executions OLDER than the cap job — the rule's own plan-time
+    * driver jobs (model train, stats collect) and whatever query ran
+    * before — and a loose guard (the r15 `!=`) let any such STALE
+    * event fire the one-shot and unpersist the ranked postings
+    * BEFORE the triggering query consumed them, silently re-paying
+    * the corpus-wide df groupBy + join + window shuffles the persist
+    * exists to avoid (GiB at rehearsal scale). Correctness was never
+    * at stake — only 2× the ranking work on an unlucky dispatch.
+    * `triggerId` is resolved by the CALLER from the
+    * `SQLExecution.EXECUTION_ID_KEY` local property (set for the
+    * action whose planning invoked the rule); when the plan is built
+    * outside an action (explain-only), there is no trigger execution
+    * and the `> afterId` arm alone releases — worst case the one
+    * bounded frame stays cached until a later execution or session
+    * end; accepted. */
   private[graft] def unpersistAfterNextExecution(
       spark: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame,
-      afterId: Long): Unit = {
+      afterId: Long,
+      triggerId: Option[Long]): Unit = {
     val lm = spark.listenerManager
     val l = new org.apache.spark.sql.util.QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean()
       private def fire(qe: org.apache.spark.sql.execution.QueryExecution)
           : Unit =
-        if (qe.id != afterId && done.compareAndSet(false, true)) {
+        if ((triggerId.contains(qe.id) || qe.id > afterId) &&
+            done.compareAndSet(false, true)) {
           try df.unpersist(false) catch { case scala.util.control.NonFatal(_) => }
           lm.unregister(this)
         }

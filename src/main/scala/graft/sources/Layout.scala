@@ -51,6 +51,13 @@ object Layout {
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            // a failed write must not leave its SIBLING committing a
+            // half-pair index behind the caller's back: cancel every
+            // other task (interrupting — Spark job submission waits
+            // are interruptible) before rethrowing, so the caller
+            // observes the failure with no writer still in flight
+            fs.foreach(_.cancel(true))
+            pool.shutdownNow()
             throw e.getCause
         }
       }

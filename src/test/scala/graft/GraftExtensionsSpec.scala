@@ -603,4 +603,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("release listener survives a stale end event from an execution " +
+      "OLDER than the cap job (r16: the r15 != guard fired on any such " +
+      "queued event and unpersisted the postings before the triggering " +
+      "query consumed them)") {
+    withExtSession { s =>
+      import s.implicits._
+      // the frame whose persist the listener protects
+      val posted = (1L to 8L).toDF("v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      posted.count()
+      assert(posted.storageLevel.useMemory)
+      // id order mirrors the real race: the STALE execution's
+      // QueryExecution is constructed first (lowest id — in the real
+      // path it is a preceding bench query or this rule's own
+      // plan-time driver jobs), then the TRIGGERING query's (the
+      // rewrite runs inside its optimization), then the cap job's
+      val stale = (1L to 3L).toDF("a")
+      val trigger = (1L to 3L).toDF("b")
+      val cap = (1L to 3L).toDF("c")
+      cap.collect() // the cap job itself completes first, as in the rule
+      assert(stale.queryExecution.id < cap.queryExecution.id &&
+        trigger.queryExecution.id < cap.queryExecution.id)
+      RewriteJaccardThresholdJoin.unpersistAfterNextExecution(
+        s, posted, cap.queryExecution.id, Some(trigger.queryExecution.id))
+      // a stale (older-id, non-trigger) execution completes AFTER the
+      // listener registered — the exact dispatch the r15 guard lost to
+      stale.collect()
+      // the bus is async: give the stale event time to dispatch, then
+      // require the persist SURVIVED it
+      val staleDeadline = System.currentTimeMillis + 2000
+      while (posted.storageLevel.useMemory &&
+          System.currentTimeMillis < staleDeadline)
+        Thread.sleep(50)
+      assert(posted.storageLevel.useMemory,
+        "stale end event from an older execution released the persist " +
+          "before the triggering query ran")
+      // the triggering query's own completion is the release point
+      trigger.collect()
+      val deadline = System.currentTimeMillis + 30000
+      while (posted.storageLevel.useMemory &&
+          System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(!posted.storageLevel.useMemory,
+        "triggering query's completion did not release the persist")
+    }
+  }
 }
