@@ -439,11 +439,17 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sigs = indexSignatures(docs, shingleK, numHashes)
-    // materialize the shared signature cache ONCE, then the two
-    // independent table writes overlap (Layout.inParallel) instead of
-    // serializing — without the pre-count both jobs would race to
-    // build the same cache
-    sigs.count()
+    // the two independent table writes overlap (Layout.inParallel)
+    // instead of serializing. The shared signature cache needs no
+    // pre-materialization job: the block manager serializes concurrent
+    // computes of the same cached partition (the second writer blocks
+    // on the block lock and then reads the built block), so the first
+    // writer to reach a partition builds it exactly once. The r15
+    // standalone count() paid a whole extra driver job per build for a
+    // race that cannot duplicate work — alternated 4-round A/B on this
+    // query (fresh JVM each run): no-count/parallel 5.12/5.18/5.72/5.72
+    // vs count/parallel 5.16/5.75/6.19/5.91 vs serial (the r14 shape)
+    // 5.71/6.09/7.42/8.20 — the no-count overlap wins every round.
     graft.sources.Layout.inParallel(
       () => graft.sources.Layout.writeBucketed(
         indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
@@ -465,7 +471,8 @@ object Dedup {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val sigs = indexSignatures(newDocs, shingleK, numHashes)
-    sigs.count() // shared cache materialized once (see writeMinhashIndex)
+    // no pre-count: block-level cache locks serialize the shared
+    // signature build (see writeMinhashIndex)
     graft.sources.Layout.inParallel(
       () => graft.sources.Layout.appendBucketed(
         indexPostings(sigs, bands, rows), s"${prefix}_postings", "bk",
