@@ -628,9 +628,8 @@ object Dedup {
     // leaves the hint off and the unhinted AQE shape is unchanged.
     val bcastThreshold =
       docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val small = bcastThreshold > 0 &&
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(bcastThreshold)
+    val docsSizeEst = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = bcastThreshold > 0 && docsSizeEst <= BigInt(bcastThreshold)
     def run(): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (small) org.apache.spark.sql.functions.broadcast(_) else identity
@@ -660,6 +659,12 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
+    // loop-only static scope: prep above (pair union, semi-join,
+    // initial labels) keeps AQE; with `small` the per-round label join
+    // is hinted broadcast, so each round's exchanges are the two
+    // N-bounded min aggregates — plan them once at the state-derived
+    // width (see Iterate.staticBoundedLoop)
+    def loopBody(): Unit = {
     // maxIter label-CHANGING rounds plus one confirming round: a graph
     // whose path diameter is exactly maxIter changes the sum in every
     // budgeted round and needs round maxIter+1 to observe no change —
@@ -683,6 +688,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    }
+    if (small)
+      Iterate.staticBoundedLoop(docs.sparkSession, docsSizeEst)(loopBody())
+    else loopBody()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: min-label propagation did not converge " +
@@ -693,9 +702,6 @@ object Dedup {
       (col("doc_id") === col("comp")).as("keep"),
       when(col("doc_id") =!= col("comp"), col("comp")).as("dup_of"))
     }
-    // hints only, AQE stays on: the static-planning variant was
-    // measured slower at sf0.1 (see Graph.pageRank's broadcast-regime
-    // note)
     run()
   }
 

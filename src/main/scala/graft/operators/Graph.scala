@@ -90,16 +90,17 @@ object Graph {
       ranks
     }
     if (bcastRanks) {
-      // NOTE (measured, r15): planning this regime's loop statically
-      // (AQE off + explicit hints) HALVES the job count but DOUBLES
-      // sf0.1 wall — without AQE's post-shuffle coalescing every
-      // N-row exchange runs all 32 reduce tasks and their 32×32
-      // block fetches (~1 s/round vs ~0.3 s coalesced). AQE stays on
-      // here; the pinned regime below still needs it off for layout
-      // capture.
+      // Prep runs under normal AQE planning (the caller's edge
+      // construction can be an arbitrary join tree); the LOOP is then
+      // static-planned at the N-derived exchange width — r15 measured
+      // plain static planning (session partition count) 2× worse and
+      // AQE-on ~0.3 s/round of stage-barrier jobs; the N-derived
+      // count is AQE's own coalescing answer without the per-round
+      // re-planning jobs (see Iterate.staticBoundedLoop).
       val (e, ranks0) = prepareRankBroadcast(nodes, edges, scale / n)
-      loop(e, ranks0, rankStepBroadcast(_, _, base), big = false)
-        .select(col("id"), col("rank"))
+      Iterate.staticBoundedLoop(nodes.sparkSession, BigInt(n) * 24) {
+        loop(e, ranks0, rankStepBroadcast(_, _, base), big = false)
+      }.select(col("id"), col("rank"))
     } else Iterate.pinnedLayout(nodes.sparkSession) {
       // pinned regime ⇒ the rank frame crossed the broadcast
       // threshold ⇒ the frames this loop materializes are big: store
@@ -373,9 +374,8 @@ object Graph {
     // strategy from runtime sizes.
     val bcastThreshold =
       nodes.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val small = bcastThreshold > 0 &&
-      nodes.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(bcastThreshold)
+    val nodesSizeEst = nodes.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = bcastThreshold > 0 && nodesSizeEst <= BigInt(bcastThreshold)
     def run(): DataFrame = {
     val hint: DataFrame => DataFrame =
       if (small) broadcast(_) else identity
@@ -393,6 +393,12 @@ object Graph {
     var labels = nodeIds
       .withColumn("lbl", col("id"))
       .materialized()
+    // loop-only static scope: prep above (edge construction, initial
+    // labels) keeps AQE; with `small` every loop join is hinted
+    // broadcast, so the rounds' only exchanges are the N-bounded
+    // argmax aggregates — plan them once at the state-derived width
+    // (see Iterate.staticBoundedLoop)
+    def loopBody(): Unit = {
     var it = 0
     while (it < iters) {
       val counts = e
@@ -418,10 +424,12 @@ object Graph {
         it)
       it += 1
     }
+    }
+    if (small)
+      Iterate.staticBoundedLoop(nodes.sparkSession, nodesSizeEst)(loopBody())
+    else loopBody()
     labels
     }
-    // hints only, AQE stays on: the static-planning variant was
-    // measured slower at sf0.1 (see pageRank's broadcast-regime note)
     run()
   }
 
@@ -565,6 +573,7 @@ object Graph {
         bitmapRows * 2 > conf.get(fbKey, "128").toLong
       if (fbRaised) conf.set(fbKey, (bitmapRows * 2).toString)
       try {
+      def rounds(): Unit = {
       var frontier = visited
       var round = 1
       while (round <= maxHops) {
@@ -638,6 +647,17 @@ object Graph {
         frontier = reached
         round += 1
       }
+      }
+      // NOTE (measured, r16): static-planning this loop via
+      // Iterate.staticBoundedLoop — as pageRank/labelProp/cc do —
+      // was tried and LOST on alternated A/B at sf0.1 (min-of-3
+      // 4.68 s AQE vs 5.22 s static; 6 alternated rounds across two
+      // measurement sessions, static +0.5 s in 5 of 6). Unlike the
+      // other loops, BFS's per-round broadcast builds (the visited
+      // union grows by one frame per round) measured ~0.5 s slower
+      // without AQE's runtime re-planning, eating the barrier
+      // savings. AQE stays on here.
+      rounds()
       } finally if (fbRaised) savedFb match {
         case Some(v) => conf.set(fbKey, v)
         case None => conf.unset(fbKey)

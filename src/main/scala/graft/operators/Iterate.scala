@@ -82,6 +82,56 @@ object Iterate {
       materialize(df, round, big)
   }
 
+  /** Run a BROADCAST-REGIME loop statically: AQE off AND
+    * `spark.sql.shuffle.partitions` set to the partition count AQE's
+    * coalescing would have chosen anyway — ⌈stateBytes / advisory
+    * partition size⌉, clamped to [1, current setting] — for the
+    * duration of `body`, restoring both confs after.
+    *
+    * Motivation (measured, r15/r16): with every loop join explicitly
+    * broadcast-hinted, AQE's only contribution inside a bounded-state
+    * loop is per-exchange stage-materialization barriers — one extra
+    * job + driver round-trip per round exchange (~0.3 s/round at
+    * sf0.1, ~⅓ of the iterative family's wall). Planning the loop
+    * statically at the SESSION'S shuffle partition count was measured
+    * 2× WORSE (r15: every N-row exchange ran all 32 reduce tasks and
+    * their 32×32 block fetches); the fix is to derive the static
+    * count from the SAME driver-known state bound that picked the
+    * broadcast regime, which is exactly the number AQE's advisory
+    * coalescing computes at runtime — scale-adaptive (grows with the
+    * state, never with the box), identical result, no per-round
+    * re-planning jobs.
+    *
+    * Broadcast regime only: the pinned regime needs [[pinnedLayout]]
+    * (AQE off for layout capture, partition count = the layout's own),
+    * and an UNBOUNDED state frame must keep AQE's runtime sizing. */
+  def staticBoundedLoop[T](s: org.apache.spark.sql.SparkSession,
+      stateBytes: BigInt)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val advisory = BigInt(s.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val cur = s.sessionState.conf.numShufflePartitions
+    val k = ((stateBytes.max(BigInt(1)) + advisory - 1) / advisory)
+      .min(BigInt(cur)).max(BigInt(1)).toInt
+    val savedAqe =
+      if (s.conf.getAll.contains(aqeKey)) Some(s.conf.get(aqeKey)) else None
+    val savedSp =
+      if (s.conf.getAll.contains(spKey)) Some(s.conf.get(spKey)) else None
+    s.conf.set(aqeKey, "false")
+    s.conf.set(spKey, k.toString)
+    try body finally {
+      savedAqe match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None    => s.conf.unset(aqeKey)
+      }
+      savedSp match {
+        case Some(v) => s.conf.set(spKey, v)
+        case None    => s.conf.unset(spKey)
+      }
+    }
+  }
+
   /** Run `body` with AQE disabled, restoring the session conf after.
     *
     * The iterative operators pin their physical layouts deliberately:

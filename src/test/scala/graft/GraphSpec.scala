@@ -371,4 +371,48 @@ class GraphSpec extends AnyFunSuite {
       spark.conf.set(graft.operators.Iterate.ReliableKey, "false")
     }
   }
+
+  test("staticBoundedLoop: body runs with AQE off at the state-derived " +
+      "shuffle width; both confs restore afterward, including the " +
+      "unset-stays-unset case") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val hadAqe = spark.conf.getAll.contains(aqeKey)
+    val savedSp = spark.conf.get(spKey)
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    // tiny state → width clamps to 1; state wider than advisory×2 → 3
+    var seen = (false, -1)
+    graft.operators.Iterate.staticBoundedLoop(spark, BigInt(1)) {
+      seen = (spark.conf.get(aqeKey).toBoolean,
+        spark.sessionState.conf.numShufflePartitions)
+    }
+    assert(seen === ((false, 1)))
+    graft.operators.Iterate.staticBoundedLoop(
+        spark, BigInt(advisory) * 2 + 1) {
+      seen = (spark.conf.get(aqeKey).toBoolean,
+        spark.sessionState.conf.numShufflePartitions)
+    }
+    assert(seen === ((false, 3)))
+    // never wider than the session setting (scale-adaptive, but the
+    // session count is the cap)
+    graft.operators.Iterate.staticBoundedLoop(
+        spark, BigInt(advisory) * 10000) {
+      seen = (spark.conf.get(aqeKey).toBoolean,
+        spark.sessionState.conf.numShufflePartitions)
+    }
+    assert(seen === ((false, savedSp.toInt)))
+    assert(spark.conf.get(spKey) === savedSp)
+    assert(spark.conf.getAll.contains(aqeKey) === hadAqe,
+      "an unset conf must stay unset after the loop (never convert a " +
+        "default into an explicit setting)")
+    // a throwing body must still restore
+    intercept[RuntimeException] {
+      graft.operators.Iterate.staticBoundedLoop(spark, BigInt(1)) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(spKey) === savedSp)
+    assert(spark.conf.getAll.contains(aqeKey) === hadAqe)
+  }
 }
