@@ -884,6 +884,16 @@ object Dedup {
     // prefix postings straight out of the scan stage: per-row sort by
     // (df, g) + truncate inside PrefixGrams — no corpus-wide df join,
     // no per-doc window shuffle
+    // NOT persisted (tried r16, reverted): the histogram job and the
+    // candidates job both consume these postings, but caching them
+    // only converts a shuffle-free scan-stage recompute (explode +
+    // per-row sort over the already-cached `base`) into a cache
+    // write + read — measured a wash at sf0.1 AND sf1 (mins 7.25 vs
+    // 7.18 / 15.3 vs 14.5, inside the box's wave band), and at corpus
+    // scale a TB-wide postings spill costs more than the CPU pass it
+    // saves. The exact-df branch's pEx persist below is different in
+    // kind: ITS recompute re-pays corpus-wide shuffles (df groupBy +
+    // join + window), which is why it stays cached.
     val prefixModel = base
       .select(col("doc_id"), size(col("gs")).as("sz"),
         posexplode(prefix_grams(col("gs"), hotDf, threshold)))
@@ -908,7 +918,16 @@ object Dedup {
     // a recall/volume trade — instead of failing the job. The histogram
     // is exact and deterministic, so the chosen cap (and the output)
     // is layout-independent.
-    def histOf(p: DataFrame): Array[(Int, Long, Double, Double)] = p
+    // The histogram is a bounded plan-time driver query (≤64 rows out)
+    // whose input size is driver-known (the postings derive from the
+    // already-cached `base`), so it runs statically at the
+    // stats-derived width — AQE would contribute one extra stage job +
+    // driver barrier per exchange (measured r16: the hist cascade was
+    // 4 jobs and ~0.5 s of gaps at sf0.1) and its runtime coalescing
+    // would pick the same width this derivation does.
+    def histOf(p: DataFrame): Array[(Int, Long, Double, Double)] =
+      Iterate.staticBoundedLoop(p.sparkSession,
+        p.queryExecution.optimizedPlan.stats.sizeInBytes) { p
       .groupBy("g").agg(count(lit(1)).as("m"))
       .select(floor(log2(col("m"))).cast("int").as("b"), col("m"))
       // m casts to double BEFORE the square: a long m·m overflows past
@@ -920,6 +939,7 @@ object Dedup {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1)
+      }
     val histModel = histOf(prefixModel)
     // per-bucket pair mass under cap c: grams with m postings generate
     // min(m, c)·(min(m, c) − 1)/2 pairs — the m(m−1)/2 form (not m²/2)
