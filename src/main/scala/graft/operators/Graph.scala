@@ -149,6 +149,14 @@ object Graph {
       .join(broadcast(nodeIds.select(col("id").as("dst"))),
         Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
+      // NOT respread (tried r16): repartitioning the confined frame to
+      // defaultParallelism before the checkpoint — so each round's
+      // broadcast probe runs core-wide instead of at the construction's
+      // ~10 AQE-coalesced partitions — measured +1.1 s at sf0.1 on both
+      // clean alternated rounds (7.72 vs 8.81/8.90): the extra exchange
+      // plus 32-task-per-round overhead outweighs the parallelism on a
+      // ~100 MB cached frame, the same economics as r15's rejected scan
+      // respread.
       .materialized()
     val ranks0 = nodeIds
       // explicit hint: deg is ≤ N rows (this regime's gate proved the
