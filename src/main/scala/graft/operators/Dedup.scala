@@ -1157,7 +1157,30 @@ object Dedup {
       .distinct()
     val setsSmall = !forceShuffleVerify(docs.sparkSession) &&
       base.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20)
-    val pairs = verifiedJaccardPairs(base, candidates, threshold, setsSmall,
+    // Broadcast-verify regime only: the candidate pipeline's reduce —
+    // the bucket-pair loop — is CPU-DENSE (each skinny posting byte
+    // fans out into up to effCap pair checks), so byte-based
+    // post-shuffle coalescing under-parallelizes it by exactly that
+    // CPU-per-byte ratio (measured r16 at sf0.1: AQE coalesced the
+    // ~5 MB posting shuffle to 5 tasks of 0.37 s on a 32-core box).
+    // The driver already holds the exact work bound — the histogram's
+    // capped candidate-mass estimate — so the exchange width comes
+    // from it: ~2²⁰ estimated pair checks per task (bucket loops
+    // cover ~1e8 checks/s/core measured; the estimate over-counts the
+    // realized candidates 10–30×, so a task lands at ~10–50 ms of
+    // loop plus its share of distinct+verify). Scale-adaptive: the
+    // mass grows with the corpus, the width clamps at the session
+    // setting. Confined to setsSmall, where the verifier is a
+    // broadcast map lookup — the shuffle-verify path joins the
+    // corpus-wide gram-set table and must keep AQE's runtime sizing.
+    val pairs = if (setsSmall) {
+      val kCpu = math.min(Int.MaxValue.toDouble,
+        estPairs(effCap) / (1 << 20)).toInt + 1
+      Iterate.staticWidth(docs.sparkSession, kCpu) {
+        verifiedJaccardPairs(base, candidates, threshold, setsSmall,
+          textVerify = Some((docs, n)))
+      }
+    } else verifiedJaccardPairs(base, candidates, threshold, setsSmall,
       textVerify = Some((docs, n)))
     exactPersisted.foreach(_.unpersist(false))
     base.unpersist(false)

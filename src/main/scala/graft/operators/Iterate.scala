@@ -107,13 +107,26 @@ object Iterate {
     * and an UNBOUNDED state frame must keep AQE's runtime sizing. */
   def staticBoundedLoop[T](s: org.apache.spark.sql.SparkSession,
       stateBytes: BigInt)(body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
     val advisory = BigInt(s.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
     val cur = s.sessionState.conf.numShufflePartitions
     val k = ((stateBytes.max(BigInt(1)) + advisory - 1) / advisory)
       .min(BigInt(cur)).max(BigInt(1)).toInt
+    staticWidth(s, k)(body)
+  }
+
+  /** [[staticBoundedLoop]]'s core: AQE off and
+    * `spark.sql.shuffle.partitions` = `k` (clamped to [1, current
+    * setting]) for the duration of `body`, both confs restored after —
+    * for callers whose driver-known bound is NOT a byte size (e.g. a
+    * candidate-pair mass bounding a CPU-dense exchange, where byte-
+    * based coalescing under-parallelizes by the CPU-per-byte ratio). */
+  private[graft] def staticWidth[T](s: org.apache.spark.sql.SparkSession,
+      width: Int)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val cur = s.sessionState.conf.numShufflePartitions
+    val k = math.max(1, math.min(width, cur))
     val savedAqe =
       if (s.conf.getAll.contains(aqeKey)) Some(s.conf.get(aqeKey)) else None
     val savedSp =
