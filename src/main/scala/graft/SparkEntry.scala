@@ -2858,8 +2858,15 @@ object SparkEntry {
       .select((col("o_custkey") * 2).cast("long").as("c"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
-      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    // both directions via ONE explode over the pair subtree — the
+    // self-union form read the join+distinct twice (no exchange reuse
+    // across the differently-projected branches; measured r16, the
+    // duplicated subtree was ~1 s of the query's prep at sf0.1); same
+    // rows, order-insensitive downstream (r15's assoc_rules shape)
+    val edges = pairs.select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val nodes = t(s, dir, "customer")
       .select((col("c_custkey") * 2).cast("long").as("id"))
       .unionByName(t(s, dir, "supplier")
@@ -2965,8 +2972,13 @@ object SparkEntry {
         .select(col("i").as("a"), (col("i") + 50).as("b")))
     val und = und0.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct()
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    // one explode instead of a self-union: the union's two branches
+    // re-ran the whole 4-way chain+hub construction and its distinct
+    // (no exchange reuse across projections); same rows (r16)
+    val edges = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     graft.operators.Graph.labelPropagation(
         ids.select(col("i").as("id")), edges, iters = 4)
       .orderBy("id")
@@ -3889,8 +3901,15 @@ object SparkEntry {
       .select((col("o_custkey") * 2).cast("long").as("c"),
         (col("l_suppkey") * 2 + 1).cast("long").as("sp"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
-      .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+    // both directions via ONE explode over the pair subtree — the
+    // self-union form read the join+distinct twice (no exchange reuse
+    // across the differently-projected branches; measured r16, the
+    // duplicated subtree was ~1 s of the query's prep at sf0.1); same
+    // rows, order-insensitive downstream (r15's assoc_rules shape)
+    val edges = pairs.select(explode(array(
+        struct(col("c").as("src"), col("sp").as("dst")),
+        struct(col("sp").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val nodes = t(s, dir, "customer")
       .select((col("c_custkey") * 2).cast("long").as("id"))
       .unionByName(t(s, dir, "supplier")

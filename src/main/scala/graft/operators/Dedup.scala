@@ -639,10 +639,17 @@ object Dedup {
     // current labels through one aggregate keyed on doc_id, so a src
     // outside `docs` must never mint a group. dst stays implicitly
     // confined by the per-round inner label join.
+    // both directions via ONE explode over the pair relation instead
+    // of a self-union: the union form read `pairs` twice — cheap when
+    // the caller passes a materialized frame, but a full double
+    // derivation for an arbitrary unmaterialized pair plan (no
+    // exchange reuse across the two differently-projected branches;
+    // the r15 assoc_rules finding, applied here r16). Same multiset.
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(
-        pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .join(hint(docs.select(col("doc_id").as("src"))), Seq("src"),
         "left_semi")
       .materialized() // re-read every round
