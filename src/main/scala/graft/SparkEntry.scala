@@ -2893,13 +2893,18 @@ object SparkEntry {
     val ids = t(s, dir, "documents").select(col("doc_id").as("i"))
     val nDf = ids.agg((max(col("i")) + 1).as("n"))
     val withN = ids.crossJoin(broadcast(nDf))
-    val base = Seq(1L, 2L, 4L).map(o =>
-      withN.select(col("i").as("a"),
-        pmod(col("i") + o, col("n")).as("b")))
-      .reduce(_.unionByName(_))
-    val extra = withN.filter(col("i") % 3 === 0)
-      .select(col("i").as("a"), pmod(col("i") + 7, col("n")).as("b"))
-    graft.operators.Graph.triangleCounts(base.unionByName(extra))
+    // all four offsets from ONE pass (r16): the former 3-way union +
+    // conditional extra re-scanned the ids×n subtree once per branch
+    // (no reuse across differently-projected union arms); same rows
+    val offEdge = (o: Long) =>
+      struct(col("i").as("a"), pmod(col("i") + o, col("n")).as("b"))
+    val all = withN.select(explode(concat(
+        array(offEdge(1L), offEdge(2L), offEdge(4L)),
+        when(col("i") % 3 === 0, array(offEdge(7L)))
+          .otherwise(array().cast("array<struct<a:bigint,b:bigint>>"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    graft.operators.Graph.triangleCounts(all)
       .select(col("node"), col("degree"), col("triangles"),
         when(col("degree") >= 2,
           expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
@@ -2961,15 +2966,21 @@ object SparkEntry {
     val withM = ids.crossJoin(broadcast(mDf))
     val sameBlock = (o: Int) =>
       expr(s"(i div 50) = ((i + $o) div 50)") && col("i") + o <= col("m")
-    val und0 = withM.filter(sameBlock(1))
-      .select(col("i").as("a"), (col("i") + 1).as("b"))
-      .unionByName(withM.filter(sameBlock(2))
-        .select(col("i").as("a"), (col("i") + 2).as("b")))
-      .unionByName(withM.filter(col("i") % 50 =!= 0)
-        .select(col("i").as("a"), expr("(i div 50) * 50").as("b")))
-      .unionByName(withM
-        .filter(col("i") % 50 === 0 && col("i") + 50 <= col("m"))
-        .select(col("i").as("a"), (col("i") + 50).as("b")))
+    // all four wiring rules from ONE pass (r16): the former 4-way
+    // union re-scanned the ids×m subtree once per branch (no reuse
+    // across differently-filtered, differently-projected arms); a
+    // per-element when(cond, struct) + null filter emits the same rows
+    val und0 = withM.select(explode(filter(array(
+        when(sameBlock(1),
+          struct(col("i").as("a"), (col("i") + 1).as("b"))),
+        when(sameBlock(2),
+          struct(col("i").as("a"), (col("i") + 2).as("b"))),
+        when(col("i") % 50 =!= 0,
+          struct(col("i").as("a"), expr("(i div 50) * 50").as("b"))),
+        when(col("i") % 50 === 0 && col("i") + 50 <= col("m"),
+          struct(col("i").as("a"), (col("i") + 50).as("b")))),
+        x => x.isNotNull)).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
     val und = und0.select(least(col("a"), col("b")).as("a"),
       greatest(col("a"), col("b")).as("b")).distinct()
     // one explode instead of a self-union: the union's two branches
